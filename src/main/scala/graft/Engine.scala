@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.config.SchemaConfig
+import graft.normalize.Normalizer
+import graft.schema.{InferredSchema, SchemaInference, SchemaYaml}
+import graft.sources.ExtendedJsonSource
+
+/** End-to-end EL façade — the Spark-native replacement for the
+  * reference's `main()` orchestration (mongo2pq/main.py:17-97):
+  * source -> (load-or-infer schema) -> apply config -> normalize ->
+  * hive-partitioned parquet.
+  *
+  * Execution shape at scale: schema inference is a bounded
+  * sample + treeAggregate (only the schema returns to the driver); the
+  * load itself is a single shuffle-free map stage — scan, normalize
+  * projection and `partitionBy` write all pipeline inside one codegen
+  * stage per task, so the job scales linearly with input splits on any
+  * cluster size. The reference's per-partition writer fan-out
+  * (extract_load.py:46-56) is subsumed by Spark's file committer.
+  */
+object Engine {
+
+  final case class JobConfig(
+      /** JSONL (extended JSON) input path — stand-in for a Mongo URI. */
+      input: String,
+      /** Collection name (used for schema file naming + config lookup). */
+      collection: String,
+      /** Output directory; one parquet dataset per collection. */
+      outDir: String,
+      /** Optional pre-existing `!schema` YAML; parse failure falls back
+        * to inference (reference: main.py:59-70). */
+      schemaFile: Option[String] = None,
+      /** Optional config YAML with retype/rename rules. */
+      configFile: Option[String] = None,
+      /** Hive partition column (post-rename name), if any. */
+      partitionKey: Option[String] = None,
+      /** Inference sample size (reference default 20000, main.py:117). */
+      samples: Int = 20000,
+      /** Normalization mode (SURVEY.md §7.4.2/3). */
+      mode: Normalizer.Mode = Normalizer.Strict,
+      /** Where to persist the inferred schema YAML (reference dumps next
+        * to outdir, main.py:74). None = don't persist. */
+      schemaOutDir: Option[String] = None)
+
+  final case class JobResult(schema: InferredSchema, rowsWritten: Long, outPath: String)
+
+  def run(spark: SparkSession, job: JobConfig): JobResult = {
+    // 1. schema: load (with fallback) or infer — reference main.py:55-74
+    val loaded: Option[InferredSchema] = job.schemaFile.flatMap { f =>
+      try Some(SchemaYaml.loadFile(f))
+      catch {
+        case e: SchemaYaml.SchemaParseError =>
+          System.err.println(s"WARNING: Parsing schema from file failed with message: ${e.getMessage}")
+          System.err.println(s"Inferring schema from collection ${job.collection} instead")
+          None
+      }
+    }
+    val inferred = loaded.getOrElse {
+      val s = SchemaInference.inferFile(spark, job.input, job.collection, job.samples)
+      job.schemaOutDir.foreach(d => SchemaYaml.dumpToFile(s, Paths.get(d)))
+      s
+    }
+
+    // 2. config rewrite — reference main.py:76-80
+    val withConfig = job.configFile match {
+      case Some(cf) =>
+        val parsed = SchemaConfig.parseFile(Paths.get(cf))
+        parsed.warnings.foreach(w => System.err.println(s"WARNING: $w"))
+        inferred.useConfig(parsed.forCollection(job.collection))
+      case None => inferred
+    }
+
+    // 3. read + normalize + write — reference extract_load.py:13-56
+    val raw = ExtendedJsonSource.read(spark, job.input)
+    val normalized = Normalizer(withConfig, raw, job.mode)
+    val outPath = s"${job.outDir.stripSuffix("/")}/${job.collection}"
+    val writer = normalized.write.mode("overwrite")
+    job.partitionKey match {
+      case Some(k) => writer.partitionBy(k).parquet(outPath)
+      case None    => writer.parquet(outPath)
+    }
+    val rows = spark.read.parquet(outPath).count()
+    JobResult(withConfig, rows, outPath)
+  }
+}

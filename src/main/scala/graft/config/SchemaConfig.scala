@@ -1,0 +1,207 @@
+package graft.config
+
+import java.nio.file.{Files, Path}
+import java.util.regex.{Matcher, Pattern, PatternSyntaxException}
+import scala.jdk.CollectionConverters._
+
+import org.yaml.snakeyaml.Yaml
+
+import graft.types.AType
+
+/** A parsed schema-rewrite rule (reference: mongo2pq/config.py:85-198). */
+sealed trait SchemaRule extends Serializable
+/** Change a field's type where the name matches (retype_regex /
+  * retype_contains / retype_equals, config.py:85-125). */
+final case class RetypeRule(fieldTest: String => Boolean, fieldType: AType) extends SchemaRule
+/** Regex rename with group references, optionally uppercasing chosen
+  * groups (rename_regex / rename_regex_upper, config.py:128-198). */
+final case class RenameRule(rename: String => String) extends SchemaRule
+
+/** YAML config DSL parser, reproducing mongo2pq/config.py semantics:
+  * a malformed node is warned about and skipped — parsing never aborts
+  * the run (config.py:201-211); an entirely malformed config yields an
+  * empty rule set (config.py:17-22). Warnings are collected rather than
+  * printed so tests can assert on them.
+  */
+object SchemaConfig {
+
+  final case class Parsed(
+      rules: Map[String, Vector[SchemaRule]],
+      warnings: Vector[String]) {
+    def forCollection(name: String): Vector[SchemaRule] = rules.getOrElse(name, Vector.empty)
+  }
+
+  def parseFile(path: Path): Parsed = parse(Files.readString(path))
+
+  def parse(text: String): Parsed = {
+    val warnings = Vector.newBuilder[String]
+    val raw =
+      try new Yaml().load[Any](text)
+      catch { case e: Exception =>
+        warnings += s"the config couldn't be parsed because: $e"
+        null
+      }
+    raw match {
+      case m: java.util.Map[_, _] =>
+        val top = m.asInstanceOf[java.util.Map[String, Any]].asScala
+        val schemaNode = top.get("schema")
+        val unknown = top.keySet.filterNot(_ == "schema")
+        if (unknown.nonEmpty)
+          warnings += s"config keys '${unknown.mkString(", ")}' unknown"
+        val rules = schemaNode match {
+          case Some(sm: java.util.Map[_, _]) =>
+            parseSchemaNode(sm.asInstanceOf[java.util.Map[String, Any]], warnings)
+          case Some(other) =>
+            warnings += s"the config field schema parsing failed: must be a mapping, not ${other.getClass.getSimpleName}"
+            Map.empty[String, Vector[SchemaRule]]
+          case None => Map.empty[String, Vector[SchemaRule]]
+        }
+        Parsed(rules, warnings.result())
+      case _ =>
+        if (raw != null)
+          warnings += s"Outermost node of config must be parsable to dict, not ${raw.getClass.getSimpleName}"
+        Parsed(Map.empty, warnings.result())
+    }
+  }
+
+  private def parseSchemaNode(
+      node: java.util.Map[String, Any],
+      warnings: scala.collection.mutable.Builder[String, Vector[String]]): Map[String, Vector[SchemaRule]] = {
+    node.asScala.toSeq.map { case (collection, fieldlistRaw) =>
+      val rules = fieldlistRaw match {
+        case l: java.util.List[_] =>
+          l.asScala.toVector.zipWithIndex.flatMap {
+            case (item: java.util.Map[_, _], i) =>
+              parseNode(collection, i, item.asInstanceOf[java.util.Map[String, Any]].asScala.toMap, warnings)
+            case (other, i) =>
+              warnings += warn(collection, i, "", s"must be parsable to dict, not ${String.valueOf(other)}")
+              None
+          }
+        case other =>
+          warnings += s"The collection node in schema config must be parsable to list, not ${String.valueOf(other)}"
+          Vector.empty
+      }
+      collection -> rules
+    }.toMap
+  }
+
+  private def parseNode(
+      collection: String, index: Int, item: Map[String, Any],
+      warnings: scala.collection.mutable.Builder[String, Vector[String]]): Option[SchemaRule] = {
+    item.get("type").map(String.valueOf(_)) match {
+      case None =>
+        warnings += warn(collection, index, "", "is missing the required key 'type'")
+        None
+      case Some(t) if t.startsWith("retype_") => parseRetype(collection, index, t, item, warnings)
+      case Some(t) if t.startsWith("rename_") => parseRename(collection, index, t, item, warnings)
+      case Some(t) =>
+        warnings += warn(collection, index, "", s"has unknown type $t")
+        None
+    }
+  }
+
+  /** config.py:85-125 */
+  private def parseRetype(
+      collection: String, index: Int, tpe: String, item: Map[String, Any],
+      warnings: scala.collection.mutable.Builder[String, Vector[String]]): Option[SchemaRule] = {
+    (item.get("fieldtype").map(String.valueOf(_)), item.get("fieldname").map(String.valueOf(_))) match {
+      case (Some(ftRaw), Some(fieldName)) =>
+        AType.forAlias(ftRaw) match {
+          case None =>
+            warnings += warn(collection, index, "retype", s"has fieldtype $ftRaw which doesn't exist")
+            None
+          case Some(ft) =>
+            tpe.stripPrefix("retype_") match {
+              case "contains" => Some(RetypeRule(x => x.contains(fieldName), ft))
+              case "regex" =>
+                try {
+                  val p = Pattern.compile(fieldName)
+                  Some(RetypeRule(x => p.matcher(x).find(), ft))
+                } catch { case _: PatternSyntaxException =>
+                  warnings += warn(collection, index, "retype", s"has invalid regex '$fieldName'")
+                  None
+                }
+              case "equals" => Some(RetypeRule(x => x == fieldName, ft))
+              case _ =>
+                warnings += warn(collection, index, "retype", s"has unknown type $tpe")
+                None
+            }
+        }
+      case _ =>
+        warnings += warn(collection, index, "retype",
+          "does not contain all required keys (type, fieldname, fieldtype)")
+        None
+    }
+  }
+
+  /** config.py:128-198. Python `re.sub` replacement strings use
+    * backslash group references (`\1`); the equivalent Java replacement
+    * is built with explicit group substitution so the on-disk DSL stays
+    * byte-compatible with the reference's documented format
+    * (reference: sample_config.yaml:33-51). */
+  private def parseRename(
+      collection: String, index: Int, tpe: String, item: Map[String, Any],
+      warnings: scala.collection.mutable.Builder[String, Vector[String]]): Option[SchemaRule] = {
+    (item.get("oldname").map(String.valueOf(_)), item.get("newname").map(String.valueOf(_))) match {
+      case (Some(oldName), Some(newName)) =>
+        val pattern =
+          try Pattern.compile(oldName)
+          catch { case _: PatternSyntaxException =>
+            warnings += warn(collection, index, "rename", s"has invalid oldname regex '$oldName'")
+            return None
+          }
+        tpe.stripPrefix("rename_") match {
+          case "regex" =>
+            Some(RenameRule(subAll(pattern, newName, Set.empty)))
+          case "regex_upper" =>
+            item.get("upper") match {
+              case Some(l: java.util.List[_]) =>
+                val upper = l.asScala.collect { case n: Number => n.intValue }.toSet
+                Some(RenameRule(subAll(pattern, newName, upper)))
+              case Some(other) =>
+                warnings += warn(collection, index, "rename_regex_upper",
+                  s"has field upper of type ${other.getClass.getSimpleName}, not list")
+                None
+              case None =>
+                warnings += warn(collection, index, "rename_regex_upper",
+                  "does not contain the required field upper")
+                None
+            }
+          case _ =>
+            warnings += warn(collection, index, "rename", s"has unknown type $tpe")
+            None
+        }
+      case _ =>
+        warnings += warn(collection, index, "rename",
+          "does not contain all required keys (type, oldname, newname)")
+        None
+    }
+  }
+
+  /** Python-`re.sub`-style replace-all with `\N` group refs; groups in
+    * `upperGroups` are uppercased (config.py:174-186: group refs are
+    * substituted in ascending order while `\N` remains in the
+    * template). */
+  private def subAll(pattern: Pattern, template: String, upperGroups: Set[Int])(input: String): String = {
+    val m = pattern.matcher(input)
+    val sb = new StringBuffer
+    while (m.find()) {
+      var replaced = template
+      var gi = 1
+      while (replaced.contains("\\" + gi) && gi <= m.groupCount()) {
+        val g = Option(m.group(gi)).getOrElse("")
+        val rep = if (upperGroups(gi)) g.toUpperCase else g
+        replaced = replaced.replace("\\" + gi, rep)
+        gi += 1
+      }
+      m.appendReplacement(sb, Matcher.quoteReplacement(replaced))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  private def warn(collection: String, index: Int, nodeType: String, desc: String): String = {
+    val nt = if (nodeType.nonEmpty) nodeType + " " else ""
+    s"${nt}node $index in schema config for $collection $desc"
+  }
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators over the `documents` table [EXT]
+  * (SURVEY.md §2B dedup rows): exact, MinHash-LSH near-dup with
+  * Jaccard verification, and SimHash fingerprints.
+  *
+  * Cross-engine determinism: all hashing is md5 (identical hex output
+  * in Spark and DuckDB), so the MinHash signature is the *lexicographic
+  * minimum of md5 hex digests* per band seed — a valid MinHash family
+  * and bit-reproducible in the oracle. SimHash uses the low bit of each
+  * md5 nibble.
+  *
+  * Scale design: near-dup never compares all pairs. Signatures are one
+  * shuffle (groupBy doc); LSH candidates come from an equi-join on
+  * (band, signature) — band buckets are the join key, so skew is
+  * bounded by bucket size, and the O(n²) work only happens inside a
+  * bucket of near-identical docs (which is the point). Jaccard
+  * verification joins only candidate pairs against the shingle sets.
+  */
+object Dedup {
+  import Tables._
+
+  /** tokens: split on non-word chars, lowercased — identical to the
+    * oracle's `string_split_regex(lower(text), '\W+')`. */
+  private[operators] def withToks(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(lower(col("text")), "\\W+"))
+
+  /** 3-word shingles, exploded. Docs with <3 tokens produce none. */
+  private[operators] def shingles(df: DataFrame): DataFrame =
+    withToks(df)
+      .withColumn("s", explode(expr(
+        """CASE WHEN size(toks) >= 3
+           THEN transform(sequence(0, size(toks) - 3),
+                i -> concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))
+           ELSE CAST(array() AS ARRAY<STRING>) END""")))
+      .select(col("doc_id"), col("s"))
+
+  /** The shared shingle CTE prefix for oracle SQL. */
+  private[operators] val shingleCte: String = """
+    WITH toksc AS (SELECT doc_id, string_split_regex(lower(text), '\W+') AS w FROM documents),
+    sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           FROM toksc, UNNEST(range(1, len(w) - 1)) AS t(i))"""
+
+  private val nBands = 4
+
+  /** doc_id, mh0..mh3 minhash signature frame. */
+  private[operators] def signatures(s: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until nBands).map(k => min(md5(concat(col("s"), lit(s"#$k")))).as(s"mh$k"))
+    shingles(documents(s, dir)).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private[operators] val signatureSql: String = {
+    val cols = (0 until nBands).map(k => s"min(md5(s || '#$k')) AS mh$k").mkString(", ")
+    s"sig AS (SELECT doc_id, $cols FROM sh GROUP BY doc_id)"
+  }
+
+  def queries: Vector[Q] = Vector(
+    // ---- exact dedup (hash groupBy on content) -----------------------
+    Q("q25_dedup_exact",
+      (s, dir) => {
+        import s.implicits._
+        documents(s, dir)
+          .groupBy($"text")
+          .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .select($"keep_id", $"n_copies")
+          .orderBy($"keep_id")
+      },
+      Some("""
+        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY text ORDER BY keep_id""")),
+
+    // ---- minhash signatures ------------------------------------------
+    Q("q26_minhash_signature",
+      (s, dir) => signatures(s, dir).orderBy(col("doc_id")),
+      Some(s"""$shingleCte, $signatureSql
+        SELECT * FROM sig ORDER BY doc_id""")),
+
+    // ---- minhash LSH candidates + n-gram Jaccard verification --------
+    Q("q27_minhash_dup_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val sig = signatures(s, dir)
+        val stackExpr = (0 until nBands).map(k => s"$k, mh$k").mkString(s"stack($nBands, ", ", ", ") AS (band, sg)")
+        val bands = sig.selectExpr("doc_id", stackExpr)
+        val cand = bands.as("ba").join(bands.as("bb"),
+            col("ba.band") === col("bb.band") && col("ba.sg") === col("bb.sg") &&
+            col("ba.doc_id") < col("bb.doc_id"))
+          .select(col("ba.doc_id").as("ida"), col("bb.doc_id").as("idb"))
+          .distinct()
+        val dsh = shingles(documents(s, dir)).distinct()
+        val card = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(dsh.as("x"), $"ida" === col("x.doc_id"))
+          .join(dsh.as("y"), $"idb" === col("y.doc_id") && col("x.s") === col("y.s"))
+          .groupBy($"ida", $"idb").agg(count(lit(1)).as("i"))
+        val jac = inter
+          .join(card.as("ca"), $"ida" === col("ca.doc_id"))
+          .join(card.as("cb"), $"idb" === col("cb.doc_id"))
+          .select($"ida", $"idb",
+            ($"i".cast(DoubleType) / (col("ca.n") + col("cb.n") - $"i")).as("jraw"))
+        jac.filter(round($"jraw", 6) >= 0.5)
+          .select($"ida", $"idb", round($"jraw", 6).as("jaccard"))
+          .orderBy($"ida", $"idb")
+      },
+      Some(s"""$shingleCte, $signatureSql,
+        bands AS (${(0 until nBands).map(k => s"SELECT doc_id, $k AS band, mh$k AS sg FROM sig").mkString(" UNION ALL ")}),
+        cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+                 FROM bands a JOIN bands b ON a.band = b.band AND a.sg = b.sg AND a.doc_id < b.doc_id),
+        dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+        card AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+        inter AS (SELECT c.ida, c.idb, COUNT(*) AS i
+                  FROM cand c JOIN dsh x ON x.doc_id = c.ida
+                  JOIN dsh y ON y.doc_id = c.idb AND y.s = x.s
+                  GROUP BY c.ida, c.idb)
+        SELECT i2.ida, i2.idb,
+          ROUND(CAST(i2.i AS DOUBLE) / (ca.n + cb.n - i2.i), 6) AS jaccard
+        FROM inter i2 JOIN card ca ON ca.doc_id = i2.ida JOIN card cb ON cb.doc_id = i2.idb
+        WHERE ROUND(CAST(i2.i AS DOUBLE) / (ca.n + cb.n - i2.i), 6) >= 0.5
+        ORDER BY ida, idb""")),
+
+    // ---- simhash fingerprints ----------------------------------------
+    Q("q28_simhash",
+      (s, dir) => {
+        import s.implicits._
+        val dtok = withToks(documents(s, dir))
+          .select($"doc_id", explode($"toks").as("tok"))
+          .filter(length($"tok") > 0)
+          .distinct()
+        val sums = (0 until 16).map { j =>
+          sum(expr(
+            s"2 * ((instr('0123456789abcdef', substring(md5(tok), ${j + 1}, 1)) - 1) % 2) - 1"
+          )).as(s"s$j")
+        }
+        dtok.groupBy($"doc_id").agg(sums.head, sums.tail: _*)
+          .select($"doc_id",
+            (0 until 16).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+              .reduce(_ + _).cast(LongType).as("simhash"))
+          .orderBy($"doc_id")
+      },
+      Some {
+        val sumTerms = (0 until 16).map(j =>
+          s"SUM(2 * ((instr('0123456789abcdef', substring(md5(tok), ${j + 1}, 1)) - 1) % 2) - 1) AS s$j").mkString(", ")
+        val bitTerms = (0 until 16).map(j =>
+          s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+        s"""
+        WITH toksc AS (SELECT doc_id, string_split_regex(lower(text), '\\W+') AS w FROM documents),
+        dtok AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, UNNEST(w) AS tok FROM toksc) u WHERE len(tok) > 0),
+        sums AS (SELECT doc_id, $sumTerms FROM dtok GROUP BY doc_id)
+        SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash FROM sums ORDER BY doc_id"""
+      })
+  )
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream operators over the `events` table: band (interval)
+  * join, as-of join, tumbling windows, deterministic hash sampling.
+  *
+  * These are the batch forms of the streaming operators in
+  * graft.streaming; the implementations are chosen for cluster scale:
+  *  - the band join time-buckets both sides and runs two equi-joins
+  *    (bucket, bucket+1) instead of a nested-loop theta join — shuffle
+  *    volume is O(n), and each bucket pair is a hash join;
+  *  - the as-of join is the union+window formulation (one shuffle by
+  *    user, one sort) rather than a per-row correlated lookup;
+  *  - hash sampling replaces `orderBy(rand())` so the sample is
+  *    deterministic, reproducible across engines, and needs no sort.
+  */
+object EventOps {
+  import Tables._
+
+  def queries: Vector[Q] = Vector(
+    // ---- band join via time bucketing --------------------------------
+    // errors within 5 minutes after a purchase by the same user
+    Q("q21_band_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir)
+        val bucketUs = 300000000L // 5 minutes in microseconds
+        val p = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("pts"),
+            (unix_micros($"ts") / bucketUs).cast(LongType).as("pb"))
+        val e = ev.filter($"event_type" === "error")
+          .select($"user_id".as("e_user_id"), $"event_id".as("error_id"), $"ts".as("ets"),
+            (unix_micros($"ts") / bucketUs).cast(LongType).as("eb"))
+        def leg(shift: Int) = p.join(e,
+          p("user_id") === e("e_user_id") && e("eb") === p("pb") + shift)
+        leg(0).union(leg(1))
+          .filter($"ets" > $"pts" && $"ets" <= $"pts" + expr("INTERVAL 5 MINUTE"))
+          .select($"purchase_id", $"error_id")
+          .orderBy($"purchase_id", $"error_id")
+      },
+      Some("""
+        SELECT p.event_id AS purchase_id, e.event_id AS error_id
+        FROM events p JOIN events e
+          ON p.user_id = e.user_id
+          AND p.event_type = 'purchase' AND e.event_type = 'error'
+          AND CAST(e.ts AS TIMESTAMP) > CAST(p.ts AS TIMESTAMP)
+          AND CAST(e.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+        ORDER BY purchase_id, error_id""")),
+
+    // ---- as-of join (union + window last, scalable) ------------------
+    // for every error, the most recent click by the same user at-or-before it
+    Q("q22_asof_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir)
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", lit(0).as("kind"),
+            $"event_id".as("click_id"), lit(null).cast(LongType).as("error_id"))
+        val errors = ev.filter($"event_type" === "error")
+          .select($"user_id", $"ts", lit(1).as("kind"),
+            lit(null).cast(LongType).as("click_id"), $"event_id".as("error_id"))
+        // clicks sort before errors at equal ts => "at or before" inclusive
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ts", $"kind", $"click_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.union(errors)
+          .withColumn("matched_click", last($"click_id", ignoreNulls = true).over(w))
+          .filter($"kind" === 1)
+          .select($"error_id", $"matched_click".as("click_id"))
+          .orderBy($"error_id")
+      },
+      Some("""
+        SELECT e.event_id AS error_id,
+          (SELECT ARG_MAX(c.event_id, c.ts) FROM events c
+           WHERE c.user_id = e.user_id AND c.event_type = 'click'
+             AND CAST(c.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)) AS click_id
+        FROM events e WHERE e.event_type = 'error'
+        ORDER BY error_id""")),
+
+    // ---- tumbling window aggregation (batch form of streaming window)
+    Q("q23_tumbling_window",
+      (s, dir) => {
+        import s.implicits._
+        events(s, dir)
+          .groupBy(window($"ts", "6 hours").as("w"), $"event_type")
+          .agg(count(lit(1)).as("n"), dsum($"value", 4).as("total_value"))
+          .select(unix_timestamp($"w.start").as("w_start"), $"event_type", $"n", $"total_value")
+          .orderBy($"w_start", $"event_type")
+      },
+      Some(s"""
+        SELECT CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP)) / 21600) * 21600 AS BIGINT) AS w_start,
+          event_type, COUNT(*) AS n, ${dsumSql("value", 4)} AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+
+    // ---- deterministic hash sample (A4-analogue, reproducible) -------
+    Q("q24_hash_sample",
+      (s, dir) => {
+        import s.implicits._
+        // ~1/8 deterministic sample: first hex digit of md5(key) in 0..1
+        events(s, dir)
+          .filter(substring(md5($"event_id".cast(StringType)), 1, 1).isin("0", "1"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_sampled"), dsum($"value", 4).as("value_sum"))
+          .orderBy($"event_type")
+      },
+      Some(s"""
+        SELECT event_type, COUNT(*) AS n_sampled, ${dsumSql("value", 4)} AS value_sum
+        FROM events
+        WHERE SUBSTRING(MD5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        GROUP BY event_type ORDER BY event_type"""))
+  )
+}

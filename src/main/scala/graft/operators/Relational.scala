@@ -1,0 +1,434 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core relational operator surface (SURVEY.md §2B): scans, filters,
+  * joins (equi / semi / anti / range / band / as-of), aggregations
+  * (hash, distinct, rollup/cube), windows, set ops, sort/top-k, scalar
+  * functions, JSON access.
+  *
+  * Scale notes (designed for a 1000-executor cluster even though tested
+  * at local[32]):
+  *  - dimension tables (region/nation/part/supplier) are explicitly
+  *    `broadcast()` so the big fact side never shuffles for those joins;
+  *  - fact-fact joins are plain equi-joins — Catalyst/AQE picks
+  *    sort-merge with both sides hash-partitioned on the key;
+  *  - the band join avoids O(n²) nested-loop by time-bucketing into
+  *    5-minute buckets and running two equi-joins (bucket, bucket+1);
+  *  - the as-of join is the union+window trick: one shuffle on the key,
+  *    no per-row subqueries, no skewed cross products.
+  *
+  * Every aggregate over doubles routes through exact decimals
+  * ([[Tables.dsum]]) so results are bit-identical to the DuckDB oracle
+  * regardless of partitioning / combine order. No raw timestamp columns
+  * are emitted (engines disagree on tz annotation in parquet);
+  * date-valued outputs are cast to DATE, instants to epoch seconds.
+  */
+object Relational {
+  import Tables._
+
+  private val D30_3 = DecimalType(30, 3)
+
+  def queries: Vector[Q] = Vector(
+    // ---- A7-analogue + TPC-H Q1 style aggregation --------------------
+    Q("q01_pricing_summary",
+      (s, dir) => {
+        import s.implicits._
+        lineitem(s, dir)
+          .filter($"l_shipdate" <= lit("2000-12-31").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            dsum($"l_quantity", 3).as("sum_qty"),
+            dsum($"l_extendedprice", 3).as("sum_base_price"),
+            dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 6).as("sum_disc_price"),
+            dsum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"), 6).as("sum_charge"),
+            davg($"l_quantity", 3).as("avg_qty"),
+            davg($"l_extendedprice", 3).as("avg_price"),
+            davg($"l_discount", 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some(s"""
+        SELECT l_returnflag, l_linestatus,
+          ${dsumSql("l_quantity", 3)} AS sum_qty,
+          ${dsumSql("l_extendedprice", 3)} AS sum_base_price,
+          ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS sum_disc_price,
+          ${dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+          ${davgSql("l_quantity", 3)} AS avg_qty,
+          ${davgSql("l_extendedprice", 3)} AS avg_price,
+          ${davgSql("l_discount", 4)} AS avg_disc,
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- filter + computed projection (pushdown-friendly) ------------
+    Q("q02_filter_project",
+      (s, dir) => {
+        import s.implicits._
+        lineitem(s, dir)
+          .filter($"l_quantity" >= 30 && $"l_discount" >= 0.05)
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+            ($"l_extendedprice" * (lit(1) - $"l_discount")).cast(DecimalType(30, 6))
+              .cast(DoubleType).as("revenue"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity,
+          CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_quantity >= 30 AND l_discount >= 0.05
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- 3-way join + agg + top-k (TPC-H Q3 style) -------------------
+    Q("q03_top_orders",
+      (s, dir) => {
+        import s.implicits._
+        customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+          .join(orders(s, dir), $"c_custkey" === $"o_custkey")
+          .join(lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+          .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+          .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 6).as("revenue"))
+          .select($"o_orderkey", $"o_orderdate".cast(DateType).as("o_orderdate"),
+            $"o_orderpriority", $"revenue")
+          .orderBy($"revenue".desc, $"o_orderkey")
+          .limit(10)
+      },
+      Some(s"""
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+          ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
+    // ---- snowflake join with broadcast dims (TPC-H Q5 style) ---------
+    Q("q04_region_revenue",
+      (s, dir) => {
+        import s.implicits._
+        lineitem(s, dir)
+          .join(orders(s, dir), $"l_orderkey" === $"o_orderkey")
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+                  $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+          .join(customer(s, dir), $"o_custkey" === $"c_custkey")
+          .join(broadcast(nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(region(s, dir)), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name", $"n_name")
+          .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 6).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"r_name", $"n_name")
+      },
+      Some(s"""
+        SELECT r_name, n_name,
+          ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+          COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name""")),
+
+    // ---- broadcast dim join + agg ------------------------------------
+    Q("q05_brand_volume",
+      (s, dir) => {
+        import s.implicits._
+        lineitem(s, dir)
+          .join(broadcast(part(s, dir).filter($"p_size" <= 25)), $"l_partkey" === $"p_partkey")
+          .groupBy($"p_brand")
+          .agg(dsum($"l_quantity", 3).as("total_qty"),
+            davg($"l_extendedprice", 3).as("avg_price"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"p_brand")
+      },
+      Some(s"""
+        SELECT p_brand,
+          ${dsumSql("l_quantity", 3)} AS total_qty,
+          ${davgSql("l_extendedprice", 3)} AS avg_price,
+          COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size <= 25
+        GROUP BY p_brand ORDER BY p_brand""")),
+
+    // ---- left-semi join (EXISTS) -------------------------------------
+    Q("q06_semi_join",
+      (s, dir) => {
+        import s.implicits._
+        val o98 = orders(s, dir)
+          .filter($"o_orderdate" >= lit("1998-01-01").cast("timestamp") &&
+                  $"o_orderdate" < lit("1999-01-01").cast("timestamp"))
+        customer(s, dir)
+          .join(o98, $"c_custkey" === $"o_custkey", "left_semi")
+          .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_customers"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- left-anti join (NOT EXISTS) ---------------------------------
+    Q("q07_anti_join",
+      (s, dir) => {
+        import s.implicits._
+        val o01 = orders(s, dir)
+          .filter($"o_orderdate" >= lit("2001-01-01").cast("timestamp"))
+        customer(s, dir)
+          .join(o01, $"c_custkey" === $"o_custkey", "left_anti")
+          .join(broadcast(nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name").agg(count(lit(1)).as("n_customers"))
+          .orderBy($"n_name")
+      },
+      Some("""
+        SELECT n_name, COUNT(*) AS n_customers
+        FROM customer c JOIN nation ON c_nationkey = n_nationkey
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // ---- window: ranking top-k per group -----------------------------
+    Q("q08_window_topk",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+        orders(s, dir)
+          .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+            row_number().over(w).as("rn"))
+          .filter($"rn" <= 2)
+          .orderBy($"o_custkey", $"rn", $"o_orderkey")
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) t
+        WHERE rn <= 2
+        ORDER BY o_custkey, rn, o_orderkey""")),
+
+    // ---- window: lag + date arithmetic -------------------------------
+    Q("q09_window_lag",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        orders(s, dir)
+          .select($"o_custkey", $"o_orderkey",
+            $"o_orderdate".cast(DateType).as("order_date"),
+            lag($"o_orderdate", 1).over(w).cast(DateType).as("prev_date"),
+            datediff($"o_orderdate", lag($"o_orderdate", 1).over(w)).as("gap_days"))
+          .orderBy($"o_custkey", $"order_date", $"o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+          CAST(o_orderdate AS DATE) AS order_date,
+          CAST(LAG(o_orderdate, 1) OVER w AS DATE) AS prev_date,
+          CAST(DATEDIFF('day', LAG(o_orderdate, 1) OVER w, o_orderdate) AS INT) AS gap_days
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, order_date, o_orderkey""")),
+
+    // ---- window: running aggregate with frame ------------------------
+    Q("q10_running_sum",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"l_suppkey")
+          .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        lineitem(s, dir)
+          .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+            $"l_shipdate".cast(DateType).as("ship_date"),
+            sum($"l_extendedprice".cast(D30_3)).over(w).cast(DoubleType).as("running_revenue"))
+          .orderBy($"l_suppkey", $"ship_date", $"l_orderkey", $"l_linenumber")
+      },
+      Some("""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+          CAST(l_shipdate AS DATE) AS ship_date,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,3))) OVER (
+            PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_revenue
+        FROM lineitem
+        ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber""")),
+
+    // ---- grouping sets: rollup ---------------------------------------
+    Q("q11_rollup",
+      (s, dir) => {
+        import s.implicits._
+        lineitem(s, dir)
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(dsum($"l_quantity", 3).as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+      },
+      Some(s"""
+        SELECT l_returnflag, l_linestatus,
+          ${dsumSql("l_quantity", 3)} AS sum_qty, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // ---- grouping sets: cube -----------------------------------------
+    Q("q12_cube",
+      (s, dir) => {
+        import s.implicits._
+        orders(s, dir)
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum($"o_totalprice", 3).as("total"))
+          .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+      },
+      Some(s"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+          ${dsumSql("o_totalprice", 3)} AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    // ---- distinct ----------------------------------------------------
+    Q("q13_distinct",
+      (s, dir) => {
+        import s.implicits._
+        customer(s, dir).select($"c_mktsegment", $"c_nationkey").distinct()
+          .orderBy($"c_mktsegment", $"c_nationkey")
+      },
+      Some("""
+        SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        ORDER BY c_mktsegment, c_nationkey""")),
+
+    // ---- count distinct ----------------------------------------------
+    Q("q14_count_distinct",
+      (s, dir) => {
+        import s.implicits._
+        orders(s, dir).groupBy($"o_orderstatus")
+          .agg(countDistinct($"o_custkey").as("n_customers"),
+            count(lit(1)).as("n_orders"),
+            dsum($"o_totalprice", 3).as("total"))
+          .orderBy($"o_orderstatus")
+      },
+      Some(s"""
+        SELECT o_orderstatus,
+          COUNT(DISTINCT o_custkey) AS n_customers,
+          COUNT(*) AS n_orders,
+          ${dsumSql("o_totalprice", 3)} AS total
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- set op: intersect -------------------------------------------
+    Q("q15_intersect",
+      (s, dir) => {
+        import s.implicits._
+        val o = orders(s, dir)
+        def keys(y: Int) = o
+          .filter($"o_orderdate" >= lit(s"$y-01-01").cast("timestamp") &&
+                  $"o_orderdate" < lit(s"${y + 1}-01-01").cast("timestamp"))
+          .select($"o_custkey")
+        keys(1995).intersect(keys(1996)).orderBy($"o_custkey")
+      },
+      Some("""
+        SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        INTERSECT
+        SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        ORDER BY o_custkey""")),
+
+    // ---- set op: except ----------------------------------------------
+    Q("q16_except",
+      (s, dir) => {
+        import s.implicits._
+        val o = orders(s, dir)
+        def keys(y: Int) = o
+          .filter($"o_orderdate" >= lit(s"$y-01-01").cast("timestamp") &&
+                  $"o_orderdate" < lit(s"${y + 1}-01-01").cast("timestamp"))
+          .select($"o_custkey")
+        keys(1995).except(keys(1996)).orderBy($"o_custkey")
+      },
+      Some("""
+        SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        EXCEPT
+        SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        ORDER BY o_custkey""")),
+
+    // ---- date functions ----------------------------------------------
+    Q("q17_orders_per_month",
+      (s, dir) => {
+        import s.implicits._
+        orders(s, dir)
+          .groupBy(year($"o_orderdate").cast(LongType).as("y"),
+            month($"o_orderdate").cast(LongType).as("m"))
+          .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice", 3).as("total"))
+          .orderBy($"y", $"m")
+      },
+      Some(s"""
+        SELECT EXTRACT(YEAR FROM o_orderdate) AS y, EXTRACT(MONTH FROM o_orderdate) AS m,
+          COUNT(*) AS n_orders, ${dsumSql("o_totalprice", 3)} AS total
+        FROM orders GROUP BY 1, 2 ORDER BY y, m""")),
+
+    // ---- string functions --------------------------------------------
+    Q("q18_string_fns",
+      (s, dir) => {
+        import s.implicits._
+        part(s, dir)
+          .filter($"p_size".between(1, 20))
+          .select($"p_partkey",
+            upper($"p_brand").as("brand_u"),
+            regexp_replace($"p_name", "\\s+", "_").as("name_slug"),
+            length($"p_name").as("name_len"),
+            substring($"p_type", 1, 5).as("type_prefix"),
+            concat_ws("|", $"p_brand", $"p_type").as("brand_type"))
+          .orderBy($"p_partkey")
+      },
+      Some("""
+        SELECT p_partkey,
+          UPPER(p_brand) AS brand_u,
+          REGEXP_REPLACE(p_name, '\s+', '_', 'g') AS name_slug,
+          CAST(LENGTH(p_name) AS INT) AS name_len,
+          SUBSTRING(p_type, 1, 5) AS type_prefix,
+          CONCAT_WS('|', p_brand, p_type) AS brand_type
+        FROM part WHERE p_size BETWEEN 1 AND 20
+        ORDER BY p_partkey""")),
+
+    // ---- JSON access (events.props is JSON text) ---------------------
+    Q("q19_json_extract",
+      (s, dir) => {
+        import s.implicits._
+        events(s, dir)
+          .select($"event_type", get_json_object($"props", "$.k").cast(LongType).as("k"))
+          .groupBy($"event_type")
+          .agg(sum($"k").as("k_sum"), count(lit(1)).as("n"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type,
+          CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+          COUNT(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- range join (equi + range predicate) -------------------------
+    Q("q20_range_join",
+      (s, dir) => {
+        import s.implicits._
+        orders(s, dir)
+          .join(lineitem(s, dir),
+            $"o_orderkey" === $"l_orderkey" &&
+            $"l_shipdate" >= $"o_orderdate" &&
+            $"l_shipdate" < $"o_orderdate" + expr("INTERVAL 30 DAY"))
+          .groupBy($"o_orderkey")
+          .agg(count(lit(1)).as("n_shipped_30d"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, COUNT(*) AS n_shipped_30d
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          AND l_shipdate >= o_orderdate
+          AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+        GROUP BY o_orderkey ORDER BY o_orderkey"""))
+  )
+}

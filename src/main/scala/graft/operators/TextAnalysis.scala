@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators over `documents` [EXT] (SURVEY.md §2B text
+  * rows): language-ID heuristic, quality scoring, token counting,
+  * content fingerprinting.
+  *
+  * Everything is a per-row projection + one aggregation — embarrassingly
+  * parallel, no shuffle except the final groupBy/sort, so it scales
+  * linearly with input splits. All arithmetic avoids transcendental
+  * functions (libm results differ across engines); ratios are exact
+  * IEEE divisions of integers, bit-identical in the oracle.
+  */
+object TextAnalysis {
+  import Tables._
+
+  /** Fixed stopword lists for the n-gram language heuristic. */
+  private val stoplists: Vector[(String, Vector[String])] = Vector(
+    "en" -> Vector("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Vector("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Vector("el", "la", "de", "los", "y", "es"),
+    "fr" -> Vector("le", "la", "et", "les", "des", "un"),
+    "zh" -> Vector("de", "shi", "le", "bu", "wo"))
+
+  private def inList(words: Vector[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private def arrList(words: Vector[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def queries: Vector[Q] = Vector(
+    // ---- language identification (stopword-count heuristic) ----------
+    Q("q29_lang_id",
+      (s, dir) => {
+        import s.implicits._
+        var df = withToksNe(documents(s, dir))
+        for ((lang, words) <- stoplists)
+          df = df.withColumn(s"s_$lang",
+            expr(s"size(filter(toks_ne, t -> t IN ${inList(words)}))"))
+        val langs = stoplists.map(_._1)
+        // fixed priority on ties: en > de > es > fr > zh
+        val predicted = langs.init.zipWithIndex.foldRight(lit(langs.last): org.apache.spark.sql.Column) {
+          case ((lang, i), elseCol) =>
+            val later = langs.drop(i + 1)
+            val cond = later.map(o => col(s"s_$lang") >= col(s"s_$o")).reduce(_ && _)
+            when(cond, lit(lang)).otherwise(elseCol)
+        }
+        df.select($"doc_id", $"lang", predicted.as("predicted_lang"))
+          .withColumn("correct", $"predicted_lang" === $"lang")
+          .orderBy($"doc_id")
+      },
+      Some {
+        val scoreCols = stoplists.map { case (lang, words) =>
+          s"len(list_filter(wne, t -> list_contains(${arrList(words)}, t))) AS s_$lang"
+        }.mkString(", ")
+        val langs = stoplists.map(_._1)
+        val caseExpr = langs.init.zipWithIndex.map { case (lang, i) =>
+          val later = langs.drop(i + 1)
+          s"WHEN ${later.map(o => s"s_$lang >= s_$o").mkString(" AND ")} THEN '$lang'"
+        }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+        s"""
+        WITH toksc AS (SELECT doc_id, lang,
+            list_filter(string_split_regex(lower(text), '\\W+'), t -> len(t) > 0) AS wne
+          FROM documents),
+        scored AS (SELECT doc_id, lang, $scoreCols FROM toksc)
+        SELECT doc_id, lang, $caseExpr AS predicted_lang,
+          ($caseExpr = lang) AS correct
+        FROM scored ORDER BY doc_id"""
+      }),
+
+    // ---- quality scoring ---------------------------------------------
+    Q("q30_text_quality",
+      (s, dir) => {
+        import s.implicits._
+        val stopEn = stoplists.head._2
+        withToksNe(documents(s, dir))
+          .withColumn("n_tokens", size($"toks_ne").cast(LongType))
+          .withColumn("sum_len", expr("aggregate(transform(toks_ne, t -> length(t)), 0, (a, x) -> a + x)").cast(LongType))
+          .withColumn("n_stop", expr(s"size(filter(toks_ne, t -> t IN ${inList(stopEn)}))").cast(LongType))
+          .withColumn("n_punct", length(regexp_replace($"text", "[^.!?,;:]", "")).cast(LongType))
+          .select($"doc_id", $"n_tokens",
+            round($"sum_len".cast(DoubleType) / $"n_tokens", 4).as("avg_token_len"),
+            round($"n_punct".cast(DoubleType) / length($"text"), 6).as("punct_ratio"),
+            round($"n_stop".cast(DoubleType) / $"n_tokens", 6).as("stop_ratio"),
+            round(
+              lit(0.4) * least($"n_tokens".cast(DoubleType) / 200.0, lit(1.0)) +
+              lit(0.3) * (lit(1.0) - $"n_punct".cast(DoubleType) / length($"text")) +
+              lit(0.3) * ($"n_stop".cast(DoubleType) / $"n_tokens"), 6).as("quality"))
+          .orderBy($"doc_id")
+      },
+      Some {
+        val stopEn = arrList(stoplists.head._2)
+        s"""
+        WITH toksc AS (SELECT doc_id, text,
+            list_filter(string_split_regex(lower(text), '\\W+'), t -> len(t) > 0) AS wne
+          FROM documents),
+        m AS (SELECT doc_id,
+            CAST(len(wne) AS BIGINT) AS n_tokens,
+            CAST(list_sum(list_transform(wne, t -> len(t))) AS BIGINT) AS sum_len,
+            CAST(len(list_filter(wne, t -> list_contains($stopEn, t))) AS BIGINT) AS n_stop,
+            CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+            CAST(len(text) AS BIGINT) AS n_chars2
+          FROM toksc)
+        SELECT doc_id, n_tokens,
+          ROUND(CAST(sum_len AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+          ROUND(CAST(n_punct AS DOUBLE) / n_chars2, 6) AS punct_ratio,
+          ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+          ROUND(0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 200.0, 1.0)
+              + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars2)
+              + 0.3 * (CAST(n_stop AS DOUBLE) / n_tokens), 6) AS quality
+        FROM m ORDER BY doc_id"""
+      }),
+
+    // ---- token counting (whitespace + BPE-ish regex) -----------------
+    Q("q31_token_stats",
+      (s, dir) => {
+        import s.implicits._
+        withToksNe(documents(s, dir))
+          .withColumn("ws_tokens", size($"toks_ne").cast(LongType))
+          .withColumn("bpe_tokens",
+            size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")).cast(LongType))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"ws_tokens").as("ws_total"),
+            sum($"bpe_tokens").as("bpe_total"))
+          .orderBy($"source")
+      },
+      Some(s"""
+        WITH t AS (SELECT source,
+            CAST(len(list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0)) AS BIGINT) AS ws_tokens,
+            CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+          FROM documents)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(ws_tokens) AS BIGINT) AS ws_total,
+          CAST(SUM(bpe_tokens) AS BIGINT) AS bpe_total
+        FROM t GROUP BY source ORDER BY source""")),
+
+    // ---- content fingerprint (normalized md5) ------------------------
+    Q("q32_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        withToksNe(documents(s, dir))
+          .select($"doc_id", md5(concat_ws(" ", $"toks_ne")).as("fp"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        SELECT doc_id,
+          md5(array_to_string(list_filter(string_split_regex(lower(text), '\\W+'), t -> len(t) > 0), ' ')) AS fp
+        FROM documents ORDER BY doc_id"""))
+  )
+
+  /** documents + `toks_ne`: lowercased non-empty word tokens. */
+  private def withToksNe(df: DataFrame): DataFrame =
+    df.withColumn("toks_ne",
+      expr("filter(split(lower(text), '\\\\W+'), t -> length(t) > 0)"))
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.normalize.Normalizer
+import graft.schema.InferredSchema
+import graft.types.AType._
+
+/** Row-normalization semantics (mongo2pq/schema.py:110-164):
+  * falsy-drop, schema-drop, rename application, per-type casts —
+  * SURVEY.md §5.2 / §7.4.2-3. */
+class NormalizerSpec extends SparkSuite {
+
+  import org.apache.spark.sql.functions._
+
+  private lazy val input = {
+    import spark.implicits._
+    Seq(
+      (1L, "a", 0.0, 0L, false, ""),
+      (2L, "b", 2.5, 7L, true, "x"),
+      (0L, "", 3.5, 0L, true, "y")
+    ).toDF("id", "name", "score", "n", "flag", "note")
+      .withColumn("extra_key", lit("dropme"))
+  }
+
+  private val schema = InferredSchema("t",
+    Vector("id" -> AInt64, "name" -> AString, "score" -> AFloat64,
+      "n" -> AInt32, "flag" -> ABool, "note" -> AString))
+
+  test("compat mode nulls out every Python-falsy value (schema.py:115-116)") {
+    val out = Normalizer(schema, input, Normalizer.Compat).orderBy(col("id").asc_nulls_first)
+    val rows = out.collect()
+    // row id=0: id itself is falsy -> null
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(0).getDouble(2) == 3.5)
+    // row id=1: 0.0, 0, false, '' all null
+    assert(rows(1).getLong(0) == 1L)
+    assert(rows(1).isNullAt(2) && rows(1).isNullAt(3) && rows(1).isNullAt(4) && rows(1).isNullAt(5))
+    // row id=2 keeps everything
+    assert(rows(2) == Row(2L, "b", 2.5, 7, true, "x"))
+  }
+
+  test("strict mode drops only null/empty-string (the comment's intent)") {
+    val out = Normalizer(schema, input, Normalizer.Strict).orderBy(col("id"))
+    val rows = out.collect()
+    assert(rows(0) == Row(0L, null, 3.5, 0, true, "y"))
+    assert(rows(1) == Row(1L, "a", 0.0, 0, false, null))
+  }
+
+  test("schema-drop: input columns not in schema are discarded (schema.py:116)") {
+    val out = Normalizer(schema, input, Normalizer.Strict)
+    assert(!out.columns.contains("extra_key"))
+    assert(out.columns.toVector == schema.fields.map(_._1))
+  }
+
+  test("rename is applied via the rename map (schema.py:113-114)") {
+    val renamed = InferredSchema("t",
+      Vector("ident" -> AInt64, "label" -> AString),
+      renameMap = Map("id" -> "ident", "name" -> "label"))
+    val out = Normalizer(renamed, input, Normalizer.Strict).orderBy(col("ident"))
+    assert(out.columns.toVector == Vector("ident", "label"))
+    assert(out.collect()(2) == Row(2L, "b"))
+  }
+
+  test("casts: numeric widening/narrowing, bool strict vs compat (schema.py:123-158)") {
+    import spark.implicits._
+    val df = Seq(("42", "yes", "1.5"), ("7", "false", "2.0"))
+      .toDF("num", "b", "f")
+    val sch = InferredSchema("t",
+      Vector("num" -> AInt32, "b" -> ABool, "f" -> AFloat32))
+    val strict = Normalizer(sch, df, Normalizer.Strict).orderBy("num")
+    assert(strict.schema.map(_.dataType) == Seq(IntegerType, BooleanType, FloatType))
+    assert(strict.collect().toSeq == Seq(Row(7, false, 2.0f), Row(42, true, 1.5f)))
+    // compat bool cast bug: any non-bool input -> false (schema.py:128-135)
+    val compat = Normalizer(sch, df, Normalizer.Compat).orderBy("num")
+    assert(compat.collect().toSeq == Seq(Row(7, false, 2.0f), Row(42, false, 1.5f)))
+  }
+
+  test("timestamp[s] cast accepts epoch numerics (schema.py:143-150)") {
+    import spark.implicits._
+    val df = Seq((1709294400L, "1709294400.5")).toDF("t1", "t2")
+    val sch = InferredSchema("t", Vector("t1" -> ATimestampS, "t2" -> ATimestampS))
+    val row = Normalizer(sch, df, Normalizer.Strict).collect()(0)
+    assert(row.getTimestamp(0).toInstant.getEpochSecond == 1709294400L)
+    assert(row.getTimestamp(1).toInstant.toEpochMilli == 1709294400500L)
+  }
+}

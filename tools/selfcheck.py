@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+for each query output parquet, executes the matching oracle SQL in
+DuckDB over the same sf tables, and compares
+  - row count, column names,
+  - exact cell values (columns sorted by name, rows sorted by all cols).
+
+Usage: python3 tools/selfcheck.py <sfDir> <outDir> [query ...]
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(rows):
+    out = []
+    for row in rows:
+        norm = []
+        for v in row:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    norm.append("NaN")
+                else:
+                    norm.append(repr(v))
+            else:
+                norm.append(repr(v))
+        out.append(tuple(norm))
+    out.sort()
+    return out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            spark_rel = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            spark_cols = [d[0] for d in spark_rel.description]
+            spark_rows = spark_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark output: {e}")
+            n_fail += 1
+            continue
+        try:
+            duck_rel = con.execute(sql)
+            duck_cols = [d[0] for d in duck_rel.description]
+            duck_rows = duck_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+
+        # sort columns by name (driver contract)
+        s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]
+        d_idx = [duck_cols.index(c) for c in sorted(duck_cols)]
+        if sorted(spark_cols) != sorted(duck_cols):
+            print(f"FAIL {name}: columns differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+            n_fail += 1
+            continue
+        s_rows = normalize([[r[i] for i in s_idx] for r in spark_rows])
+        d_rows = normalize([[r[i] for i in d_idx] for r in duck_rows])
+        if len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: row count spark={len(s_rows)} duck={len(d_rows)}")
+            n_fail += 1
+            continue
+        if s_rows != d_rows:
+            bad = next(i for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b)
+            print(f"FAIL {name}: values differ at sorted-row {bad}:")
+            print(f"  spark: {s_rows[bad]}")
+            print(f"  duck : {d_rows[bad]}")
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(s_rows)} rows)")
+        n_pass += 1
+
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
