@@ -1,0 +1,128 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling [EXT]: images/audio/video travel as
+  * opaque `binary` columns with a typed metadata struct; decode /
+  * feature-extraction / resize / frame-sampling run as partition-batch
+  * transforms so each executor core processes a whole columnar batch
+  * without per-row JVM boundary crossings.
+  *
+  * The actual codec step is STUBBED (this container ships no
+  * image/audio libraries): [[FakeCodec]] is a deterministic
+  * stand-in keyed on the media bytes, clearly marked. Everything
+  * Spark-side — the schema contract, the mapPartitions batch shape,
+  * the partitioning, the pipeline composition — is real and tested,
+  * so swapping a real decoder in changes one function.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside every media blob. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** The canonical multimodal table schema: stable id, opaque payload,
+    * typed metadata. Mirrors how a 100 TB media lake is laid out:
+    * metadata columns are tiny and prunable, the blob column is only
+    * read by stages that decode. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("media", BinaryType),
+    StructField("meta", mediaMetaType)))
+
+  final case class MediaRow(media_id: Long, media: Array[Byte],
+      format: String, width: Int, height: Int, n_frames: Int)
+  final case class MediaFeatures(media_id: Long, features: Array[Float])
+  final case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** ======== STUB: deterministic fake codec ========
+    * Stands in for a real image/audio decode (PIL / ffmpeg / etc. are
+    * not in this container). Deterministic in the payload bytes so
+    * tests are exact. A production build replaces only this object. */
+  object FakeCodec {
+    /** "Decode" media bytes to a fixed-length float feature vector. */
+    def decodeToFeatures(media: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L // deterministic FNV-ish fold over bytes
+      var i = 0
+      while (i < media.length) { h = h * 31 + (media(i) & 0xff); i += 1 }
+      var j = 0
+      while (j < dim) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        out(j) = ((h >>> 40).toInt % 1000) / 1000.0f
+        j += 1
+      }
+      out
+    }
+
+    /** "Resize": real implementation would decode + resample; the stub
+      * truncates/pads the payload to the target byte budget. */
+    def resize(media: Array[Byte], targetBytes: Int): Array[Byte] =
+      java.util.Arrays.copyOf(media, targetBytes)
+
+    /** "Frame extraction": slice the payload into n_frames equal chunks
+      * and return every `stride`-th chunk. */
+    def sampleFrames(media: Array[Byte], nFrames: Int, stride: Int): Seq[(Int, Array[Byte])] = {
+      if (nFrames <= 0) return Seq.empty
+      val frameLen = math.max(1, media.length / nFrames)
+      (0 until nFrames by stride).map { idx =>
+        val from = math.min(idx * frameLen, media.length)
+        val until = math.min(from + frameLen, media.length)
+        idx -> java.util.Arrays.copyOfRange(media, from, until)
+      }
+    }
+  }
+
+  /** Build a media table from `documents` (payload = utf-8 text bytes)
+    * — the testdata stand-in for a real blob store scan. */
+  def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(
+        lit("text/plain").as("format"),
+        col("n_chars").cast(IntegerType).as("width"),
+        lit(1).as("height"),
+        greatest(lit(1), (col("n_chars") / 100).cast(IntegerType)).as("n_frames")).as("meta"))
+  }
+
+  /** Feature extraction as a partition-batch transform: one
+    * [[FakeCodec]] call per row, but iterator-composed per partition —
+    * the Scala analogue of a pandas-batch UDF: no shuffle, constant
+    * memory, codec state reusable across the partition. */
+  def extractFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition setup would initialize the real codec once here
+        it.map { case (id, bytes) => MediaFeatures(id, FakeCodec.decodeToFeatures(bytes, dim)) }
+      }
+  }
+
+  /** Resize every payload to a byte budget; metadata is carried through. */
+  def resizeAll(media: DataFrame, targetBytes: Int): DataFrame = {
+    val resize = udf((b: Array[Byte]) => FakeCodec.resize(b, targetBytes))
+    media.withColumn("media", resize(col("media")))
+      .withColumn("meta", col("meta").withField("width", lit(targetBytes)))
+  }
+
+  /** Frame sampling: one input row fans out to ~n_frames/stride rows.
+    * flatMap keeps it pipelined — no shuffle, output partitioning
+    * follows input. */
+  def sampleFrames(media: DataFrame, stride: Int = 2): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media"), col("meta.n_frames").as("n_frames"))
+      .as[(Long, Array[Byte], Int)]
+      .flatMap { case (id, bytes, n) =>
+        FakeCodec.sampleFrames(bytes, n, stride).map { case (idx, fb) => MediaFrame(id, idx, fb) }
+      }
+  }
+}

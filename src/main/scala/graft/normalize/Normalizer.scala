@@ -44,17 +44,25 @@ object Normalizer {
     schema.fields.flatMap { case (name, atype) =>
       val sourceName = inverse.getOrElse(name, name)
       inputCols.get(sourceName).map { srcType =>
-        normalizeColumn(col(sourceName), srcType, atype, mode).alias(name)
+        normalizeColumn(sourceName, srcType, atype, mode).alias(name)
       }
       // schema fields with no input column are omitted (they'd be all-null)
     }
   }
 
+  private def quoted(name: String): String = s"`${name.replace("`", "``")}`"
+
+  /** `try_cast` is SQL-only syntax (no Column API in Spark 4), so the
+    * lenient paths are built from the quoted source column name. */
+  private def tryCast(srcName: String, sqlType: String): Column =
+    expr(s"try_cast(${quoted(srcName)} AS $sqlType)")
+
   def apply(schema: InferredSchema, input: DataFrame, mode: Mode = Strict): DataFrame =
     input.select(columns(schema, input, mode): _*)
 
   /** when(falsy, null) . cast — one expression per column. */
-  def normalizeColumn(c: Column, srcType: DataType, target: AType, mode: Mode): Column = {
+  def normalizeColumn(srcName: String, srcType: DataType, target: AType, mode: Mode): Column = {
+    val c = col(quoted(srcName))
     val falsy: Column = mode match {
       case Compat =>
         // Python truthiness: None, '', 0, 0.0, False are all falsy
@@ -70,13 +78,13 @@ object Normalizer {
           case _          => c.isNull
         }
     }
-    when(falsy, lit(null).cast(target.sparkType)).otherwise(castTo(c, srcType, target, mode))
+    when(falsy, lit(null).cast(target.sparkType)).otherwise(castTo(srcName, c, srcType, target, mode))
   }
 
   /** Lenient cast mirroring the reference cast table
     * (schema.py:123-158). Spark's `cast` already covers most pairs; the
     * special cases are spelled out. */
-  private def castTo(c: Column, srcType: DataType, target: AType, mode: Mode): Column = {
+  private def castTo(srcName: String, c: Column, srcType: DataType, target: AType, mode: Mode): Column = {
     import AType._
     (target, mode) match {
       case (ABool, Compat) =>
@@ -94,11 +102,16 @@ object Normalizer {
         }
       case (ATimestampS, _) =>
         // cast_timestamp_compat: int else float epoch seconds
-        // (schema.py:143-150); Spark casts numerics/strings to timestamp
-        // via epoch seconds already.
+        // (schema.py:143-150). A string input tries numeric-epoch first
+        // (the reference's int-else-float), then falls back to ISO
+        // parsing — Spark's ANSI cast raises on anything unparseable,
+        // matching the reference's ValueError.
         srcType match {
-          case StringType => c.cast(DoubleType).cast(TimestampType)
-          case _          => c.cast(TimestampType)
+          case StringType =>
+            val asNum = tryCast(srcName, "DOUBLE")
+            when(asNum.isNotNull, asNum.cast(TimestampType))
+              .otherwise(c.cast(TimestampType))
+          case _ => c.cast(TimestampType)
         }
       case (ADate32, _) =>
         // reference casts via datetime.fromisoformat (schema.py:140-141)

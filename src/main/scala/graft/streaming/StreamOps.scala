@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operator surface [EXT] (SURVEY.md §2B streaming
+  * rows). The reference's "streaming" is only incremental cursor
+  * batching (mongo2pq/extract_load.py:69-74); these are the real
+  * streaming semantics a large-scale pipeline needs, built on event
+  * time + watermarks so they run identically on a bounded batch or an
+  * unbounded stream.
+  *
+  * All transforms take/return DataFrames so they compose with
+  * `readStream` sources and `writeStream` sinks; unit tests drive them
+  * with `MemoryStream` (deterministic, no timers) per SURVEY.md §7.4.8.
+  */
+object StreamOps {
+
+  /** Tumbling-window counts/sums per event type with late-data handling:
+    * rows later than `watermarkDelay` behind the max event time are
+    * dropped, so state is bounded — the aggregation never holds more
+    * than (watermark / window) open windows per key. */
+  def tumblingAgg(
+      events: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      windowLen: String = "6 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding-window variant (overlapping windows). */
+  def slidingAgg(
+      events: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      windowLen: String = "10 minutes",
+      slide: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Stateful exact dedup on a key column within the watermark horizon —
+    * the streaming form of `dropDuplicates`: state for a key is freed
+    * once the watermark passes it, so memory is bounded by the horizon,
+    * not the stream length. */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(nEvents: Long, total: Double, lastTs: Long)
+  final case class SessionSummary(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom state machine via flatMapGroupsWithState: per-user running
+    * session summary, emitted on processing-time timeout. Demonstrates
+    * the arbitrary-stateful path (KeyValueGroupedDataset) the built-in
+    * windows can't express. */
+  def sessionSummaries(
+      events: Dataset[SessionEvent],
+      timeoutMs: Long = 1000L): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(userId, s.nEvents, s.total))
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            val buf = rows.foldLeft(prev) { (acc, e) =>
+              SessionState(acc.nEvents + 1, acc.total + e.value, math.max(acc.lastTs, e.ts.getTime))
+            }
+            state.update(buf)
+            state.setTimeoutDuration(timeoutMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Stream-static enrichment join: the static side is broadcast per
+    * micro-batch, so the stream never shuffles. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.multimodal.Multimodal
+
+/** Multimodal plumbing tests: schema contract, batch-shaped transforms,
+  * deterministic stub codec (SURVEY.md / builder EXT requirements). */
+class MultimodalSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val media = Multimodal.mediaFromDocuments(spark, dir)
+
+  test("media table matches the canonical schema (binary + typed metadata)") {
+    assert(media.schema("media").dataType == BinaryType)
+    // compare field names/types, not nullability (lit() fields are non-null)
+    assert(media.schema("meta").dataType.simpleString == Multimodal.mediaMetaType.simpleString)
+    val row = media.orderBy("media_id").first()
+    assert(row.getAs[Array[Byte]]("media").nonEmpty)
+    assert(row.getStruct(2).getAs[String]("format") == "text/plain")
+  }
+
+  test("feature extraction: fixed-dim vectors, deterministic across runs") {
+    val f1 = Multimodal.extractFeatures(media, dim = 16).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media.repartition(7), dim = 16)
+      .orderBy("media_id").collect()
+    assert(f1.length == media.count())
+    assert(f1.forall(_.features.length == 16))
+    // partitioning must not change results (pure per-row codec)
+    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+  }
+
+  test("resize truncates payloads and rewrites metadata") {
+    val out = Multimodal.resizeAll(media, targetBytes = 32)
+    val r = out.select(length(col("media")).as("len"), col("meta.width")).distinct().collect()
+    assert(r.forall(_.getInt(0) == 32))
+    assert(r.forall(_.getInt(1) == 32))
+  }
+
+  test("frame sampling fans out one row per sampled frame, no shuffle") {
+    val frames = Multimodal.sampleFrames(media, stride = 2)
+    val perDoc = frames.groupBy("media_id").count()
+    val joined = media.select(col("media_id"), col("meta.n_frames"))
+      .join(perDoc, "media_id")
+    // ceil(n_frames / stride) frames per doc
+    val bad = joined.filter(col("count") =!= ceil(col("n_frames") / lit(2.0))).count()
+    assert(bad == 0)
+    // pipelined: no exchange in the plan
+    assert(!frames.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+}

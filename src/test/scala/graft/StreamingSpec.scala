@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamOps
+
+/** Deterministic MemoryStream tests for the streaming surface
+  * (SURVEY.md §7.4.8: oracle-free, watermark semantics can't be
+  * modeled in DuckDB). */
+class StreamingSpec extends SparkSuite {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  final case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+  test("tumbling window agg drops late data past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.tumblingAgg(input.toDF(), "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+
+    // batch 1: two events in hour 10, one in hour 11
+    input.addData(
+      Ev(ts("2024-01-01 10:05:00"), "click", 1.0),
+      Ev(ts("2024-01-01 10:55:00"), "click", 2.0),
+      Ev(ts("2024-01-01 11:30:00"), "click", 4.0))
+    q.processAllAvailable()
+    // batch 2: watermark is now 11:20; this 10:xx event is late -> dropped,
+    // and the 12:xx event advances the watermark so hour-11 closes
+    input.addData(
+      Ev(ts("2024-01-01 10:10:00"), "click", 100.0),
+      Ev(ts("2024-01-01 12:40:00"), "click", 8.0))
+    q.processAllAvailable()
+    input.addData(Ev(ts("2024-01-01 14:00:00"), "click", 16.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("tumbling")
+      .select(date_format($"w_start", "HH").as("h"), $"n", $"total_value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // hour 10 closed with only the two on-time events; the late 100.0 never lands
+    assert(rows.contains(("10", 2L, 3.0)))
+    assert(rows.contains(("11", 1L, 4.0)))
+    assert(!rows.exists(_._3 == 103.0), s"late row leaked: $rows")
+  }
+
+  test("dropDuplicatesWithinWatermark dedups per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    final case class KEv(ts: Timestamp, k: String)
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "k")
+    val q = StreamOps.dedupWithinWatermark(df, Seq("k"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    input.addData(
+      (ts("2024-01-01 10:00:00"), "a"),
+      (ts("2024-01-01 10:01:00"), "a"),
+      (ts("2024-01-01 10:02:00"), "b"))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 10:03:00"), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val ks = spark.table("dedup").select($"k").collect().map(_.getString(0)).toSeq
+    assert(ks.sorted == Seq("a", "b"), s"got $ks")
+  }
+
+  test("sliding windows produce overlapping buckets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.slidingAgg(input.toDF(), "1 minute", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("append").start()
+    input.addData(Ev(ts("2024-01-01 10:07:00"), "click", 1.0))
+    q.processAllAvailable()
+    input.addData(Ev(ts("2024-01-01 11:00:00"), "click", 1.0)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val starts = spark.table("sliding")
+      .select(date_format($"w_start", "HH:mm").as("s")).collect().map(_.getString(0)).toSet
+    // 10:07 falls in [10:00,10:10) and [10:05,10:15)
+    assert(Set("10:00", "10:05").subsetOf(starts), s"got $starts")
+  }
+
+  test("stream-static enrich join is broadcast (no stream shuffle)") {
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val stream = Seq((1L, 10.0), (3L, 5.0)).toDF("user_id", "value")
+    val out = StreamOps.enrich(stream, dim, "user_id")
+    val rows = out.orderBy("user_id").collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(rows.toSeq == Seq((1L, 10.0, "gold"), (3L, 5.0, null)))
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+}
