@@ -16,7 +16,8 @@ object SparkEntry {
   /** The full operator registry. */
   val registry: Vector[Q] =
     Relational.queries ++ EventOps.queries ++ Dedup.queries ++
-      TextAnalysis.queries ++ Similarity.queries ++ Pipeline.queries
+      TextAnalysis.queries ++ Similarity.queries ++ Pipeline.queries ++
+      Extras.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Snowflake join + broadcast dims + exact-decimal aggregation. */

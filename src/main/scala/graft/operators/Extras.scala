@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.GraftFunctions
+
+/** Remaining SURVEY.md §2 surface: distinct partition values (A5),
+  * SQL grouping sets, schema-merged union (the data-level analogue of
+  * Schema.merge/A10 across files), approximate distinct (HLL++),
+  * deterministic math scalar functions, and the rolling-hash document
+  * fingerprint built on the engine's codegen expression. */
+object Extras {
+  import Tables._
+
+  def queries: Vector[Q] = Vector(
+    // ---- A5: distinct partition values ------------------------------
+    // (the reference runs a $group server-side to fan out per-partition
+    // extraction, mongo2pq/mongo.py:6-12; here it's one shuffle-light
+    // distinct over a dictionary-encoded column)
+    Q("q38_partition_values",
+      (s, dir) => {
+        import s.implicits._
+        orders(s, dir).select($"o_orderstatus").distinct().orderBy($"o_orderstatus")
+      },
+      Some("SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus")),
+
+    // ---- SQL grouping sets ------------------------------------------
+    Q("q39_grouping_sets",
+      (s, dir) => {
+        lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+        s.sql(s"""
+          SELECT l_returnflag, l_linestatus,
+            ${dsumSql("l_quantity", 3)} AS sum_qty, COUNT(*) AS n
+          FROM lineitem_gs
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+      },
+      Some(s"""
+        SELECT l_returnflag, l_linestatus,
+          ${dsumSql("l_quantity", 3)} AS sum_qty, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // ---- schema-merged union (A10 across heterogenous inputs) --------
+    Q("q40_union_by_name",
+      (s, dir) => {
+        import s.implicits._
+        val c = customer(s, dir)
+        val a = c.filter($"c_mktsegment" === "MACHINERY")
+          .select($"c_custkey", $"c_name", $"c_acctbal")
+        val b = c.filter($"c_mktsegment" === "BUILDING")
+          .select($"c_name", $"c_custkey") // different order, missing column
+        a.unionByName(b, allowMissingColumns = true).orderBy($"c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_mktsegment = 'MACHINERY'
+        UNION ALL
+        SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING'
+        ORDER BY c_custkey""")),
+
+    // ---- approximate count-distinct (HLL++) -------------------------
+    // No oracle: DuckDB's approx sketch differs from Spark's HLL++ by
+    // construction; the driver records the rows-only check. Exact
+    // count-distinct parity is covered by q14.
+    Q("q41_approx_distinct",
+      (s, dir) => {
+        import s.implicits._
+        lineitem(s, dir).groupBy($"l_returnflag")
+          .agg(approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
+            approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+          .orderBy($"l_returnflag")
+      },
+      None),
+
+    // ---- deterministic math scalar functions ------------------------
+    // (sqrt is IEEE correctly-rounded; ceil/floor/abs/mod/sign exact —
+    // no libm transcendentals, so both engines agree bit-for-bit)
+    Q("q42_math_fns",
+      (s, dir) => {
+        import s.implicits._
+        lineitem(s, dir)
+          .filter($"l_orderkey" <= 1000)
+          .select($"l_orderkey", $"l_linenumber",
+            abs($"l_discount" - 0.05).as("abs_disc"),
+            ceil($"l_extendedprice").cast(LongType).as("ceil_price"),
+            floor($"l_extendedprice").cast(LongType).as("floor_price"),
+            sqrt($"l_quantity").as("sqrt_qty"),
+            signum($"l_quantity" - 25.0).cast(IntegerType).as("sign_qty"),
+            ($"l_linenumber" % 3).as("mod3"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+          ABS(l_discount - 0.05) AS abs_disc,
+          CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_price,
+          CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_price,
+          SQRT(l_quantity) AS sqrt_qty,
+          CAST(SIGN(l_quantity - 25.0) AS INT) AS sign_qty,
+          l_linenumber % 3 AS mod3
+        FROM lineitem WHERE l_orderkey <= 1000
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- rolling-hash document fingerprint (codegen Expression) ------
+    // No oracle: the 64-bit wrapping polynomial fold has no DuckDB
+    // equivalent; exactness is pinned by VectorExpressionsSpec instead.
+    Q("q43_rolling_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        GraftFunctions.register(s)
+        documents(s, dir)
+          .withColumn("toks_ne",
+            expr("filter(split(lower(text), '\\\\W+'), t -> length(t) > 0)"))
+          .select($"doc_id", expr("rolling_hash(toks_ne, 31L)").as("fp"))
+          .orderBy($"doc_id")
+      },
+      None)
+  )
+}

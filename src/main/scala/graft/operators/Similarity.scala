@@ -28,15 +28,19 @@ import org.apache.spark.sql.types._
 object Similarity {
   import Tables._
 
-  /** vec_id, label, v (array<double>), nrm */
-  private def prepared(s: SparkSession, dir: String): DataFrame =
+  /** vec_id, label, v (array<double>), nrm. The dot-product kernel is
+    * the engine's codegen [[graft.functions.DotProduct]] expression —
+    * bit-identical to the higher-order-function fold but ~an order of
+    * magnitude faster (no CodegenFallback per element). */
+  private def prepared(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     embeddings(s, dir)
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x))"))
+      .withColumn("nrm", sqrt(expr("dot_product(v, v)")))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+  }
 
-  private val dotExpr =
-    "aggregate(zip_with(av, bv, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"
+  private val dotExpr = "dot_product(av, bv)"
 
   /** Oracle-side prepared CTE: v as double list + norm. */
   private val prepCte = """

@@ -80,6 +80,10 @@ object SchemaInference {
     InferredSchema(name, fields)
   }
 
+  /** One document -> ordered field/type vector (the seqOp unit). */
+  private[graft] def inferOne(json: String, nowEpochSec: Double): Vector[(String, AType)] =
+    inferInto(Vector.empty, json, nowEpochSec)
+
   /** The merge monoid (= Schema.merge, schema.py:34-53). */
   private[graft] def combine(
       a: Vector[(String, AType)],

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, RollingHash}
+import graft.schema.{SchemaAggregator, SchemaYaml}
+
+/** Specs for the engine's native expressions (codegen dot product,
+  * rolling hash) and the schema-union Aggregator. */
+class FunctionsSpec extends SparkSuite {
+
+  test("dot_product matches the higher-order-function fold bit-for-bit") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.1, 0.2), Seq(0.3, 0.7)),
+      (Seq.empty[Double], Seq.empty[Double])
+    ).toDF("a", "b")
+    val out = df.select(
+      expr("dot_product(a, b)").as("fast"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)").as("ref"))
+      .collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(out(0).getDouble(0) == 32.0)
+    assert(out(2).getDouble(0) == 0.0)
+  }
+
+  test("dot_product stays inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    // needs a real scan: a local relation is folded at plan time
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .selectExpr("dot_product(v, v) AS d")
+    // executedPlan.toString marks codegen stages with a `*(n)` prefix;
+    // the dot_product projection must carry one (note: the transform()
+    // projection below it does NOT — higher-order fns break codegen,
+    // which is exactly why DotProduct exists)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("dot_product") && l.contains("*(")), plan)
+    assert(df.agg(min("d")).first().getDouble(0) >= 0.0)
+  }
+
+  test("rolling_hash: deterministic, position-sensitive, interpreted == codegen") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("c", "b", "a")), // same bag, different order
+      (3L, Seq("a", "b", "c"))
+    ).toDF("id", "toks")
+    val rows = df.select($"id", expr("rolling_hash(toks, 31L)").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(1) == rows(3))
+    assert(rows(1) != rows(2), "rolling hash must be position-sensitive")
+    // interpreted path agrees with codegen
+    val expected = Seq("a", "b", "c").foldLeft(0L)((h, t) =>
+      h * 31L + RollingHash.fnv1a(org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+    assert(rows(1) == expected)
+  }
+
+  test("schema-union Aggregator: one inferred schema per group in one pass") {
+    import spark.implicits._
+    val now = 1767225600.0
+    val docs = Seq(
+      ("t1", """{"a": 1, "b": "x"}"""),
+      ("t1", """{"a": 2.5, "c": true}"""),
+      ("t2", """{"only": "2024-01-01"}""")
+    ).toDF("tenant", "doc")
+    val out = docs.groupBy($"tenant")
+      .agg(SchemaAggregator.inferSchemaAgg($"doc", "grouped", now).as("schema_yaml"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val t1 = SchemaYaml.load(out("t1"))
+    assert(t1.fieldMap("a") == graft.types.AType.AFloat32) // int x float -> float
+    assert(t1.fieldMap("b") == graft.types.AType.AString)
+    assert(t1.fieldMap("c") == graft.types.AType.ABool)
+    val t2 = SchemaYaml.load(out("t2"))
+    assert(t2.fieldMap("only") == graft.types.AType.ADate32)
+  }
+}
