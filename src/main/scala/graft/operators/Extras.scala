@@ -103,6 +103,92 @@ object Extras {
         FROM lineitem WHERE l_orderkey <= 1000
         ORDER BY l_orderkey, l_linenumber""")),
 
+    // ---- exact percentiles (sort-based, interpolated) ----------------
+    Q("q44_percentiles",
+      (s, dir) => {
+        import s.implicits._
+        lineitem(s, dir).groupBy($"l_returnflag")
+          .agg(percentile($"l_quantity", lit(0.5)).as("p50_qty"),
+            percentile($"l_quantity", lit(0.9)).as("p90_qty"),
+            percentile($"l_extendedprice", lit(0.25)).as("p25_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+          QUANTILE_CONT(l_quantity, 0.5) AS p50_qty,
+          QUANTILE_CONT(l_quantity, 0.9) AS p90_qty,
+          QUANTILE_CONT(l_extendedprice, 0.25) AS p25_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- window analytics: first/last/nth/ntile ----------------------
+    Q("q45_window_analytics",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val wOrd = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        orders(s, dir).select($"o_custkey", $"o_orderkey",
+            first($"o_totalprice").over(wAll).as("first_price"),
+            last($"o_totalprice").over(wAll).as("last_price"),
+            nth_value($"o_totalprice", 2).over(wAll).as("second_price"),
+            ntile(4).over(wOrd).as("quartile"))
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+          FIRST_VALUE(o_totalprice) OVER wall AS first_price,
+          LAST_VALUE(o_totalprice) OVER wall AS last_price,
+          NTH_VALUE(o_totalprice, 2) OVER wall AS second_price,
+          CAST(NTILE(4) OVER word AS INT) AS quartile
+        FROM orders
+        WINDOW
+          word AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+          wall AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- correlated scalar subquery ----------------------------------
+    // orders priced >1.5x their customer's exact average
+    Q("q46_correlated_subquery",
+      (s, dir) => {
+        orders(s, dir).createOrReplaceTempView("orders_cs")
+        s.sql("""
+          SELECT o_orderkey, o_custkey, o_totalprice
+          FROM orders_cs o
+          WHERE o_totalprice > 1.5 * (
+            SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(30,3))) AS DOUBLE) / COUNT(*)
+            FROM orders_cs o2 WHERE o2.o_custkey = o.o_custkey)
+          ORDER BY o_orderkey""")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 1.5 * (
+          SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(30,3))) AS DOUBLE) / COUNT(*)
+          FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")),
+
+    // ---- pivot (explicit value list => map-side CASE aggregation) ----
+    Q("q47_pivot",
+      (s, dir) => {
+        import s.implicits._
+        events(s, dir)
+          .withColumn("day", to_date($"ts"))
+          .groupBy($"day")
+          .pivot("event_type", Seq("click", "view", "purchase", "error", "signup"))
+          .count()
+          .na.fill(0L)
+          .orderBy($"day")
+      },
+      Some("""
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+          COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+          COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+          COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+          COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+          COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup
+        FROM events GROUP BY 1 ORDER BY day""")),
+
     // ---- rolling-hash document fingerprint (codegen Expression) ------
     // No oracle: the 64-bit wrapping polynomial fold has no DuckDB
     // equivalent; exactness is pinned by VectorExpressionsSpec instead.

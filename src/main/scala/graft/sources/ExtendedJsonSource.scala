@@ -25,7 +25,14 @@ object ExtendedJsonSource {
   private def unwrap(c: Column, dt: DataType): Column = dt match {
     case StructType(fields) =>
       val names = fields.map(_.name).toSet
-      if (names == Set("$oid")) c.getField("$oid")
+      val wrapperKeys = Set("$oid", "$numberLong", "$numberInt", "$numberDouble", "$date", "$binary")
+      if (names.size > 1 && names.forall(wrapperKeys) && !names.contains("$binary") && !names.contains("$date"))
+        // mixed wrapper shapes across documents (e.g. _id is $oid in some
+        // rows, $numberLong in others): spark.read.json unions the struct
+        // fields; take whichever wrapper the row carries, as a string —
+        // the lattice unifies mixed scalars to string anyway (schema.py:303)
+        coalesce(fields.map(f => c.getField(f.name).cast(StringType)).toIndexedSeq: _*)
+      else if (names == Set("$oid")) c.getField("$oid")
       else if (names == Set("$numberLong")) c.getField("$numberLong").cast(LongType)
       else if (names == Set("$numberInt")) c.getField("$numberInt").cast(IntegerType)
       else if (names == Set("$numberDouble")) c.getField("$numberDouble").cast(DoubleType)
