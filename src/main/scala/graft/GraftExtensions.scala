@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, RollingHash}
+
+/** Session-extension registration of the engine's native expressions —
+  * the `SparkSessionExtensions` injection point, so a deployment can
+  * enable the engine's SQL surface cluster-wide without any
+  * driver-side `register()` call:
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions   // or
+  * SparkSession.builder().withExtensions(new GraftExtensions)
+  * }}}
+  *
+  * Functions are injected into the analyzer's registry (not temp
+  * functions), so they resolve in views, `spark.sql`, and thrift
+  * sessions alike.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[DotProduct].getName, null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two ARRAY<DOUBLE> (codegen)"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(tokens, base) - polynomial rolling hash over ARRAY<STRING> (codegen)"),
+      (exprs: Seq[Expression]) => RollingHash(exprs(0), exprs(1))))
+  }
+}

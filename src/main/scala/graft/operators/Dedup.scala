@@ -83,7 +83,14 @@ object Dedup {
     Q("q27_minhash_dup_pairs",
       (s, dir) => {
         import s.implicits._
-        val sig = signatures(s, dir)
+        // single distinct-shingle subtree feeds signatures, cardinalities
+        // and the intersection join — identical subplans collapse into one
+        // ReusedExchange, so the explode+md5 scan runs once, not three
+        // times (min over distinct shingles == min over all shingles, so
+        // the signature is unchanged)
+        val dsh = shingles(documents(s, dir)).distinct()
+        val aggs = (0 until nBands).map(k => min(md5(concat(col("s"), lit(s"#$k")))).as(s"mh$k"))
+        val sig = dsh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
         val stackExpr = (0 until nBands).map(k => s"$k, mh$k").mkString(s"stack($nBands, ", ", ", ") AS (band, sg)")
         val bands = sig.selectExpr("doc_id", stackExpr)
         val cand = bands.as("ba").join(bands.as("bb"),
@@ -91,7 +98,6 @@ object Dedup {
             col("ba.doc_id") < col("bb.doc_id"))
           .select(col("ba.doc_id").as("ida"), col("bb.doc_id").as("idb"))
           .distinct()
-        val dsh = shingles(documents(s, dir)).distinct()
         val card = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
         val inter = cand
           .join(dsh.as("x"), $"ida" === col("x.doc_id"))

@@ -69,8 +69,8 @@ object Extras {
       (s, dir) => {
         import s.implicits._
         lineitem(s, dir).groupBy($"l_returnflag")
-          .agg(approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
-            approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+          .agg(approx_count_distinct($"l_orderkey").as("approx_orders"),
+            approx_count_distinct($"l_partkey").as("approx_parts"))
           .orderBy($"l_returnflag")
       },
       None),
@@ -188,6 +188,97 @@ object Extras {
           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup
         FROM events GROUP BY 1 ORDER BY day""")),
+
+    // ---- generator: posexplode with ordinality -----------------------
+    Q("q48_posexplode",
+      (s, dir) => {
+        import s.implicits._
+        documents(s, dir)
+          .withColumn("toks_ne",
+            expr("filter(split(lower(text), '\\\\W+'), t -> length(t) > 0)"))
+          .select($"doc_id", posexplode($"toks_ne").as(Seq("pos", "tok")))
+          .groupBy($"tok")
+          .agg(count(lit(1)).as("n"), min($"pos" + 1).cast(LongType).as("min_pos"),
+            countDistinct($"doc_id").as("n_docs"))
+          .orderBy($"tok")
+      },
+      Some("""
+        WITH toksc AS (SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\W+'), t -> len(t) > 0) AS wne
+          FROM documents),
+        t AS (SELECT doc_id, wne[i] AS tok, i FROM toksc, UNNEST(range(1, len(wne) + 1)) AS r(i))
+        SELECT tok, COUNT(*) AS n, CAST(MIN(i) AS BIGINT) AS min_pos,
+          COUNT(DISTINCT doc_id) AS n_docs
+        FROM t GROUP BY tok ORDER BY tok""")),
+
+    // ---- array scalar functions + regexp group extraction ------------
+    Q("q49_array_fns",
+      (s, dir) => {
+        import s.implicits._
+        documents(s, dir)
+          .withColumn("toks_ne",
+            expr("filter(split(lower(text), '\\\\W+'), t -> length(t) > 0)"))
+          .select($"doc_id",
+            concat_ws(" ", slice($"toks_ne", 1, 3)).as("first3"),
+            element_at(sort_array($"toks_ne"), 1).as("alpha_first"),
+            array_contains($"toks_ne", "the").as("has_the"),
+            size(array_distinct($"toks_ne")).cast(LongType).as("n_uniq"),
+            regexp_extract($"text", "^(\\w+) (\\w+)", 2).as("second_word"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH toksc AS (SELECT doc_id, text,
+            list_filter(string_split_regex(lower(text), '\W+'), t -> len(t) > 0) AS wne
+          FROM documents)
+        SELECT doc_id,
+          array_to_string(wne[1:3], ' ') AS first3,
+          list_sort(wne)[1] AS alpha_first,
+          list_contains(wne, 'the') AS has_the,
+          CAST(len(list_distinct(wne)) AS BIGINT) AS n_uniq,
+          regexp_extract(text, '^(\w+) (\w+)', 2) AS second_word
+        FROM toksc ORDER BY doc_id""")),
+
+    // ---- bug-compat normalization (falsy-drop, SURVEY §7.4.2) --------
+    // Compat mode nulls Python-falsy values (0, 0.0, false, '') exactly
+    // like the reference's `if field` filter; the oracle reproduces it
+    // with NULLIF. user_id/event_id 0 really occur in the data.
+    Q("q50_normalize_compat",
+      (s, dir) => {
+        import s.implicits._
+        val docs = events(s, dir)
+          .select(to_json(struct($"event_id", $"user_id", $"event_type", $"value")).as("doc"))
+          .as[String]
+        val inferred = graft.schema.SchemaInference.infer(docs, "events",
+          samples = 0, nowEpochSec = 1767225600.0)
+        val raw = s.read.schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+          .json(docs)
+        graft.normalize.Normalizer(inferred, raw, graft.normalize.Normalizer.Compat)
+          .orderBy($"user_id".asc_nulls_first, $"event_id".asc_nulls_first)
+      },
+      Some("""
+        SELECT CAST(NULLIF(event_id, 0) AS INT) AS event_id,
+          CAST(NULLIF(user_id, 0) AS INT) AS user_id,
+          NULLIF(event_type, '') AS event_type,
+          CAST(NULLIF(value, 0.0) AS FLOAT) AS value
+        FROM events
+        ORDER BY user_id NULLS FIRST, event_id NULLS FIRST""")),
+
+    // ---- salted two-phase aggregation (skew mitigation) --------------
+    // identical result to a plain groupBy; the salt spreads hot keys
+    // over 16 partial reducers first
+    Q("q51_salted_agg",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.DecimalType
+        Scale.saltedAgg(events(s, dir), $"event_type",
+            $"value".cast(DecimalType(30, 4)), saltBuckets = 16)
+          .select($"k".as("event_type"), $"n",
+            $"s".cast("double").as("value_sum"))
+          .orderBy($"event_type")
+      },
+      Some(s"""
+        SELECT event_type, COUNT(*) AS n, ${dsumSql("value", 4)} AS value_sum
+        FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ---- rolling-hash document fingerprint (codegen Expression) ------
     // No oracle: the 64-bit wrapping polynomial fold has no DuckDB

@@ -63,7 +63,10 @@ schema:
         val inferred = SchemaInference.infer(docs, "events", samples = 0, nowEpochSec = fixedNow)
         val parsed = SchemaConfig.parse(configYaml)
         val finalSchema = inferred.useConfig(parsed.forCollection("events"))
-        val raw = s.read.json(docs)
+        // explicit read schema: skips spark.read.json's own inference
+        // pass (the engine already inferred; one scan instead of two)
+        val raw = s.read.schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+          .json(docs)
         Normalizer(finalSchema, raw, Normalizer.Strict)
           .orderBy($"event_id")
       },
