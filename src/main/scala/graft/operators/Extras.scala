@@ -249,7 +249,7 @@ object Extras {
           .select(to_json(struct($"event_id", $"user_id", $"event_type", $"value")).as("doc"))
           .as[String]
         val inferred = graft.schema.SchemaInference.infer(docs, "events",
-          samples = 0, nowEpochSec = 1767225600.0)
+          samples = 2000, nowEpochSec = 1767225600.0)
         val raw = s.read.schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
           .json(docs)
         graft.normalize.Normalizer(inferred, raw, graft.normalize.Normalizer.Compat)

@@ -60,7 +60,7 @@ schema:
       (s, dir) => {
         import s.implicits._
         val docs = eventsJson(s, dir)
-        val inferred = SchemaInference.infer(docs, "events", samples = 0, nowEpochSec = fixedNow)
+        val inferred = SchemaInference.infer(docs, "events", samples = 2000, nowEpochSec = fixedNow)
         val parsed = SchemaConfig.parse(configYaml)
         val finalSchema = inferred.useConfig(parsed.forCollection("events"))
         // explicit read schema: skips spark.read.json's own inference

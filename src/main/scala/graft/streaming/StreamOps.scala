@@ -43,6 +43,20 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"))
 
+  /** Session windows: rows within `gap` of each other merge into one
+    * variable-length session per key (built-in `session_window` state
+    * store; watermark bounds how long an open session lingers). */
+  def sessionAgg(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("s_start"), col("w.end").as("s_end"),
+        col("user_id"), col("n"), col("total_value"))
+
   /** Stateful exact dedup on a key column within the watermark horizon —
     * the streaming form of `dropDuplicates`: state for a key is freed
     * once the watermark passes it, so memory is bounded by the horizon,
