@@ -411,6 +411,68 @@ object Relational {
           COUNT(*) AS n
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ---- left outer join (null-extending) ----------------------------
+    Q("q52_left_join",
+      (s, dir) => {
+        import s.implicits._
+        val o95 = orders(s, dir)
+          .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+                  $"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+        customer(s, dir)
+          .join(o95, $"c_custkey" === $"o_custkey", "left")
+          .groupBy($"c_custkey")
+          .agg(count($"o_orderkey").as("n_orders_95"),
+            dsum($"o_totalprice", 3).as("total_95"))
+          .orderBy($"c_custkey")
+      },
+      Some(s"""
+        SELECT c_custkey, COUNT(o_orderkey) AS n_orders_95,
+          ${dsumSql("o_totalprice", 3)} AS total_95
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // ---- full outer join (both-sides null-extending) -----------------
+    Q("q53_full_outer_join",
+      (s, dir) => {
+        import s.implicits._
+        val o = orders(s, dir)
+        def keys(y: Int, alias: String) = o
+          .filter($"o_orderdate" >= lit(s"$y-01-01").cast("timestamp") &&
+                  $"o_orderdate" < lit(s"${y + 1}-01-01").cast("timestamp"))
+          .select($"o_custkey".as(alias)).distinct()
+        keys(1995, "k95").join(keys(1996, "k96"), $"k95" === $"k96", "full_outer")
+          .select(coalesce($"k95", $"k96").as("custkey"),
+            $"k95".isNotNull.as("in_95"), $"k96".isNotNull.as("in_96"))
+          .orderBy($"custkey")
+      },
+      Some("""
+        WITH a AS (SELECT DISTINCT o_custkey AS k95 FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+        b AS (SELECT DISTINCT o_custkey AS k96 FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+        SELECT COALESCE(k95, k96) AS custkey,
+          k95 IS NOT NULL AS in_95, k96 IS NOT NULL AS in_96
+        FROM a FULL OUTER JOIN b ON k95 = k96
+        ORDER BY custkey""")),
+
+    // ---- right outer join --------------------------------------------
+    Q("q54_right_join",
+      (s, dir) => {
+        import s.implicits._
+        lineitem(s, dir).filter($"l_quantity" >= 45)
+          .join(part(s, dir), $"l_partkey" === $"p_partkey", "right")
+          .groupBy($"p_brand")
+          .agg(count($"l_orderkey").as("n_bulk_items"))
+          .orderBy($"p_brand")
+      },
+      Some("""
+        SELECT p_brand, COUNT(l_orderkey) AS n_bulk_items
+        FROM (SELECT * FROM lineitem WHERE l_quantity >= 45) l
+        RIGHT JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand""")),
+
     // ---- range join (equi + range predicate) -------------------------
     Q("q20_range_join",
       (s, dir) => {
