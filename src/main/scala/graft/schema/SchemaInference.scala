@@ -49,12 +49,18 @@ object SchemaInference {
     }
   }
 
-  /** Infer a schema from up to `samples` documents of `docs`.
+  /** Infer a schema from up to ~`samples` documents of `docs`.
     *
-    * Sampling mirrors the reference's `$sample` (schema.py:231): a
-    * random subset, not a prefix — a prefix would bias inference on
-    * collections whose shape drifts over time. With `samples <= 0`
-    * every document is scanned (exact schema).
+    * Sampling strategy: take the head of *every* partition
+    * (`samples / numPartitions` docs each) in a single pass. This is
+    * the scale-correct replacement for the reference's `$sample`
+    * (schema.py:231): a fraction-based `sample()` needs a prior
+    * `count()` — a full extra pass over the collection, unacceptable at
+    * 100 TB — while partition heads spread the sample across the whole
+    * keyspace/file-range (unlike a global prefix, which would bias
+    * inference on shape-drifting collections) and stop reading each
+    * split after its quota. With `samples <= 0` every document is
+    * scanned (exact schema).
     */
   def infer(
       docs: Dataset[String],
@@ -62,18 +68,15 @@ object SchemaInference {
       samples: Int = 20000,
       nowEpochSec: Double = System.currentTimeMillis() / 1000.0,
       seed: Long = 42L): InferredSchema = {
+    val rdd = docs.rdd
     val sampled =
-      if (samples <= 0) docs
+      if (samples <= 0) rdd
       else {
-        val total = docs.count()
-        if (total <= samples) docs
-        else {
-          // oversample 20% then trim, so we reliably reach `samples` rows
-          val fraction = math.min(1.0, samples * 1.2 / total)
-          docs.sample(withReplacement = false, fraction, seed).limit(samples)
-        }
+        val parts = math.max(1, rdd.getNumPartitions)
+        val perPartition = math.max(1, samples / parts)
+        rdd.mapPartitions(_.take(perPartition))
       }
-    val fields = sampled.rdd.treeAggregate(Vector.empty[(String, AType)])(
+    val fields = sampled.treeAggregate(Vector.empty[(String, AType)])(
       seqOp = (acc, json) => inferInto(acc, json, nowEpochSec),
       combOp = (a, b) => combine(a, b)
     )

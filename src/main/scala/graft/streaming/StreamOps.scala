@@ -106,4 +106,24 @@ object StreamOps {
     * micro-batch, so the stream never shuffles. */
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream interval join — the streaming form of the batch band
+    * join (q21): errors within `within` after a purchase by the same
+    * user. Both sides carry watermarks and the join condition bounds
+    * event time on both, so each side's buffered state is evictable
+    * once the watermark passes (bounded memory on unbounded streams). */
+  def bandJoinStream(
+      events: DataFrame,
+      within: String = "5 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+      .withWatermark("pts", watermarkDelay)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user_id"), col("event_id").as("error_id"), col("ts").as("ets"))
+      .withWatermark("ets", watermarkDelay)
+    purchases.join(errors,
+      expr(s"user_id = e_user_id AND ets > pts AND ets <= pts + INTERVAL $within"))
+      .select(col("purchase_id"), col("error_id"))
+  }
 }

@@ -89,6 +89,28 @@ class StreamingSpec extends SparkSuite {
     assert(Set("10:00", "10:05").subsetOf(starts), s"got $starts")
   }
 
+  test("stream-stream interval join pairs errors after purchases") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    final case class Sev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val df = input.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val q = StreamOps.bandJoinStream(df, "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("band")
+      .outputMode("append").start()
+    input.addData(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "purchase"),
+      (2L, ts("2024-01-01 10:03:00"), 7L, "error"),   // within 5 min -> pair
+      (3L, ts("2024-01-01 10:09:00"), 7L, "error"),   // 9 min later -> no
+      (4L, ts("2024-01-01 10:03:30"), 8L, "error"))   // other user -> no
+    q.processAllAvailable()
+    input.addData((9L, ts("2024-01-01 12:00:00"), 9L, "purchase")) // advance wm
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("band").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("stream-static enrich join is broadcast (no stream shuffle)") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
