@@ -73,6 +73,27 @@ object Dedup {
         SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         FROM documents GROUP BY text ORDER BY keep_id""")),
 
+    // ---- deterministic keep-first dedup ------------------------------
+    // dropDuplicates keeps an arbitrary row per key; the scalable
+    // deterministic form is row_number over (key ORDER BY tiebreak) = 1
+    Q("q56_keep_first",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
+        documents(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"doc_id", $"lang", $"source", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id, lang, source, n_chars FROM (
+          SELECT doc_id, lang, source, n_chars,
+            ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+          FROM documents) t
+        WHERE rn = 1 ORDER BY doc_id""")),
+
     // ---- minhash signatures ------------------------------------------
     Q("q26_minhash_signature",
       (s, dir) => signatures(s, dir).orderBy(col("doc_id")),

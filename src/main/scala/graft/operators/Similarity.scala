@@ -98,6 +98,45 @@ object Similarity {
         SELECT qid, cid, cosr AS cosine, rank FROM ranked
         WHERE rank <= 5 ORDER BY qid, rank""")),
 
+    // ---- hyperplane-LSH bucketed near-dup (scale path #2) ------------
+    // 8-bit signature: sign of the dot product with 8 fixed hyperplanes
+    // (the first 8 corpus vectors — deterministic and oracle-sharable);
+    // candidate pairs share the full signature (one equi-join on the
+    // bucket id), then verify true cosine. At scale this reads each
+    // bucket independently — no all-pairs stage anywhere.
+    Q("q55_ann_lsh",
+      (s, dir) => {
+        import s.implicits._
+        val e = prepared(s, dir)
+        val planes = e.filter($"vec_id" < 8)
+          .select($"vec_id".as("pid"), $"v".as("pv"))
+        val sig = e.crossJoin(broadcast(planes))
+          .withColumn("bit",
+            when(expr("dot_product(v, pv)") > 0, expr("shiftleft(1L, CAST(pid AS INT))")).otherwise(0L))
+          .groupBy($"vec_id").agg(sum($"bit").as("sig"))
+        val withSig = e.join(sig, "vec_id")
+        val a = withSig.select($"vec_id".as("ida"), $"sig", $"v".as("av"), $"nrm".as("na"))
+        val b = withSig.select($"vec_id".as("idb"), $"sig".as("sigb"), $"v".as("bv"), $"nrm".as("nb"))
+        a.join(b, $"sig" === $"sigb" && $"ida" < $"idb")
+          .withColumn("cos", expr(dotExpr) / ($"na" * $"nb"))
+          .filter(round($"cos", 6) >= 0.2)
+          .select($"ida", $"idb", $"sig".cast(LongType).as("bucket"), round($"cos", 6).as("cosine"))
+          .orderBy($"ida", $"idb")
+      },
+      Some(s"""$prepCte,
+        planes AS (SELECT vec_id AS pid, v AS pv FROM n WHERE vec_id < 8),
+        sig AS (SELECT e2.vec_id,
+                  SUM(CASE WHEN list_sum([e2.v[i] * p.pv[i] for i in range(1, len(e2.v) + 1)]) > 0
+                      THEN CAST(POWER(2, p.pid) AS BIGINT) ELSE 0 END) AS sg
+                FROM n e2 CROSS JOIN planes p GROUP BY e2.vec_id),
+        ws AS (SELECT n.vec_id, n.v, n.nrm, sig.sg FROM n JOIN sig ON n.vec_id = sig.vec_id),
+        pairs AS (SELECT a.vec_id AS ida, b.vec_id AS idb, a.sg,
+                    $oracleDot / (a.nrm * b.nrm) AS cos
+                  FROM ws a JOIN ws b ON a.sg = b.sg AND a.vec_id < b.vec_id)
+        SELECT ida, idb, CAST(sg AS BIGINT) AS bucket, ROUND(cos, 6) AS cosine
+        FROM pairs WHERE ROUND(cos, 6) >= 0.2
+        ORDER BY ida, idb""")),
+
     // ---- IVF-style probed top-k (scale path) -------------------------
     Q("q35_ann_ivf",
       (s, dir) => {
