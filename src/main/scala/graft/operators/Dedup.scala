@@ -6,7 +6,10 @@ import org.apache.spark.sql.types._
 
 /** Deduplication operators over the `documents` table [EXT]
   * (SURVEY.md §2B dedup rows): exact, MinHash-LSH near-dup with
-  * Jaccard verification, and SimHash fingerprints.
+  * Jaccard verification, and SimHash fingerprints. Techniques follow
+  * the published constructions — Broder's shingling+min-wise hashing
+  * (SEQUENCES '97) with banded LSH, and Charikar's random-projection
+  * simhash (STOC '02) — implemented as pure relational dataflow.
   *
   * Cross-engine determinism: all hashing is md5 (identical hex output
   * in Spark and DuckDB), so the MinHash signature is the *lexicographic
