@@ -86,4 +86,56 @@ object Engine {
     val rows = spark.read.parquet(outPath).count()
     JobResult(withConfig, rows, outPath)
   }
+
+  /** Streaming EL: continuously ingest extended-JSON documents arriving
+    * under `inputDir` into the same normalize -> parquet pipeline —
+    * `readStream` -> normalize projection -> `writeStream` file sink
+    * with checkpointing, so ingest is exactly-once and incremental.
+    *
+    * The schema must be known up front (streams can't be sampled
+    * retroactively): pass one inferred/loaded via the batch path from a
+    * seed of documents. The normalize projection is identical to the
+    * batch path — same falsy-drop, casts and renames — because it's
+    * the same `Normalizer.columns` call.
+    */
+  def runStreaming(
+      spark: SparkSession,
+      inputDir: String,
+      schema: graft.schema.InferredSchema,
+      outPath: String,
+      checkpoint: String,
+      mode: Normalizer.Mode = Normalizer.Strict,
+      partitionKey: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    // read raw lines, parse per the *pre-rename* source schema
+    val inverse = schema.renameMap.map(_.swap)
+    val srcFields = schema.fields.map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(inverse.getOrElse(n, n), sourceTypeFor(t))
+    }
+    val raw = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(srcFields))
+      .json(inputDir)
+    val normalized = Normalizer(schema, raw, mode)
+    val writer = normalized.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+    partitionKey.fold(writer)(k => writer.partitionBy(k)).start()
+  }
+
+  /** The JSON-side type a lattice type is parsed as before normalize
+    * casts it (numbers arrive as their JSON shape, wrappers as text). */
+  private def sourceTypeFor(t: graft.types.AType): org.apache.spark.sql.types.DataType = {
+    import graft.types.AType._
+    import org.apache.spark.sql.types._
+    t match {
+      case AInt8 | AInt16 | AInt32 | AInt64 | AUInt8 | AUInt16 | AUInt32 => LongType
+      case AFloat16 | AFloat32 | AFloat64 => DoubleType
+      case ABool => BooleanType
+      case other => other.sparkType match {
+        case _: ArrayType | _: StructType => other.sparkType
+        case _ => StringType
+      }
+    }
+  }
 }

@@ -400,14 +400,20 @@ object Relational {
       (s, dir) => {
         import s.implicits._
         events(s, dir)
-          .select($"event_type", get_json_object($"props", "$.k").cast(LongType).as("k"))
+          // from_json for typed access; get_json_object covers the
+          // path-string form — both feed the same aggregate
+          .select($"event_type",
+            from_json($"props", StructType(Seq(StructField("k", IntegerType))))
+              .getField("k").cast(LongType).as("k"),
+            get_json_object($"props", "$.k").cast(LongType).as("k2"))
           .groupBy($"event_type")
-          .agg(sum($"k").as("k_sum"), count(lit(1)).as("n"))
+          .agg(sum($"k").as("k_sum"), sum($"k2").as("k2_sum"), count(lit(1)).as("n"))
           .orderBy($"event_type")
       },
       Some("""
         SELECT event_type,
           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+          CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k2_sum,
           COUNT(*) AS n
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
