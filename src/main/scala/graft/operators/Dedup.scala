@@ -160,9 +160,11 @@ object Dedup {
           .select($"doc_id", explode($"toks").as("tok"))
           .filter(length($"tok") > 0)
           .distinct()
+          // hoist the digest: 16 aggregate terms share one md5 per token
+          .withColumn("h", md5($"tok"))
         val sums = (0 until 16).map { j =>
           sum(expr(
-            s"2 * ((instr('0123456789abcdef', substring(md5(tok), ${j + 1}, 1)) - 1) % 2) - 1"
+            s"2 * ((instr('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1) % 2) - 1"
           )).as(s"s$j")
         }
         dtok.groupBy($"doc_id").agg(sums.head, sums.tail: _*)
