@@ -1,0 +1,29 @@
+package graft
+
+/** Registry-wide smoke: every registered query must execute and (with
+  * one data-dependent exception) return rows at the smallest scale
+  * factor, so a future edit can't silently break or empty a query the
+  * driver grades. */
+class RegistrySmokeSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // at sf0.001 there are no purchase->error pairs within 5 minutes;
+  // the band join is legitimately empty there (2 rows at sf0.01)
+  private val mayBeEmpty = Set("q21_band_join")
+
+  test("every registered query runs and returns rows at sf0.001") {
+    val failures = SparkEntry.registry.flatMap { q =>
+      try {
+        val n = q.build(spark, dir).count()
+        if (n == 0 && !mayBeEmpty(q.name)) Some(s"${q.name}: 0 rows") else None
+      } catch { case e: Throwable => Some(s"${q.name}: ${e.getMessage.take(120)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every oracle key has a query and the flagship returns rows") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
