@@ -44,7 +44,12 @@ object Engine {
       mode: Normalizer.Mode = Normalizer.Strict,
       /** Where to persist the inferred schema YAML (reference dumps next
         * to outdir, main.py:74). None = don't persist. */
-      schemaOutDir: Option[String] = None)
+      schemaOutDir: Option[String] = None,
+      /** Output file sizing (the A20 analogue: the reference calibrates
+        * ~12 MB fetch batches, extract_load.py:28-35; for a columnar
+        * sink the equivalent knob is rows per file). None = let the
+        * committer decide. */
+      maxRecordsPerFile: Option[Long] = None)
 
   final case class JobResult(schema: InferredSchema, rowsWritten: Long, outPath: String)
 
@@ -78,7 +83,8 @@ object Engine {
     val raw = ExtendedJsonSource.read(spark, job.input)
     val normalized = Normalizer(withConfig, raw, job.mode)
     val outPath = s"${job.outDir.stripSuffix("/")}/${job.collection}"
-    val writer = normalized.write.mode("overwrite")
+    var writer = normalized.write.mode("overwrite")
+    job.maxRecordsPerFile.foreach(n => writer = writer.option("maxRecordsPerFile", n))
     job.partitionKey match {
       case Some(k) => writer.partitionBy(k).parquet(outPath)
       case None    => writer.parquet(outPath)

@@ -280,6 +280,37 @@ object Extras {
         SELECT event_type, COUNT(*) AS n, ${dsumSql("value", 4)} AS value_sum
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ---- conditional aggregation: market-share ratio (TPC-H Q8 form) -
+    Q("q57_market_share",
+      (s, dir) => {
+        import s.implicits._
+        val joined = lineitem(s, dir)
+          .join(orders(s, dir), $"l_orderkey" === $"o_orderkey")
+          .join(customer(s, dir), $"o_custkey" === $"c_custkey")
+          .join(broadcast(nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+        val rev = ($"l_extendedprice" * (lit(1) - $"l_discount")).cast(DecimalType(30, 6))
+        joined
+          .groupBy(year($"o_orderdate").cast(LongType).as("y"))
+          .agg(
+            (sum(when($"n_name" === "NATION_0", rev).otherwise(lit(0).cast(DecimalType(30, 6))))
+              .cast(DoubleType) /
+             sum(rev).cast(DoubleType)).as("nation0_share"),
+            sum(rev).cast(DoubleType).as("total_revenue"))
+          .orderBy($"y")
+      },
+      Some(s"""
+        SELECT EXTRACT(YEAR FROM o_orderdate) AS y,
+          CAST(SUM(CASE WHEN n_name = 'NATION_0'
+                THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+                ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+            / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)
+            AS nation0_share,
+          ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS total_revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1 ORDER BY y""")),
+
     // ---- rolling-hash document fingerprint (codegen Expression) ------
     // No oracle: the 64-bit wrapping polynomial fold has no DuckDB
     // equivalent; exactness is pinned by VectorExpressionsSpec instead.

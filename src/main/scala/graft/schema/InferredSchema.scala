@@ -35,7 +35,13 @@ final case class InferredSchema(
     * per field, at most one retype (first matching rule whose type
     * differs) and one rename (first rule whose function changes the
     * name); rename collisions get `_1`, `_2`, ... suffixes probed
-    * against the *current* schema names. */
+    * against the *current* schema names.
+    *
+    * Divergence note: when a rename rule precedes a matching retype
+    * rule for the same field, the reference looks the field up by its
+    * pre-rename name after the rename already applied and crashes
+    * (schema.py:67-68 KeyError path); this engine tests retype rules
+    * against the field's current name instead — the evident intent. */
   def useConfig(rules: Seq[graft.config.SchemaRule]): InferredSchema = {
     import graft.config.{RetypeRule, RenameRule}
     val cur = scala.collection.mutable.ArrayBuffer.from(fields)
