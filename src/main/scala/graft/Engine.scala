@@ -53,7 +53,29 @@ object Engine {
 
   final case class JobResult(schema: InferredSchema, rowsWritten: Long, outPath: String)
 
-  def run(spark: SparkSession, job: JobConfig): JobResult = {
+  def run(spark: SparkSession, job: JobConfig): JobResult =
+    runWith(spark, job,
+      inferSchema = SchemaInference.inferFile(spark, job.input, job.collection, job.samples),
+      raw = ExtendedJsonSource.read(spark, job.input))
+
+  /** Source-agnostic EL: the same pipeline fed from any [[graft.sources.Source]]
+    * (dump directory or live MongoDB connector) — a reference user's
+    * `mongo2pq -u <uri>` maps onto this with zero pipeline changes. */
+  def runCollection(
+      spark: SparkSession,
+      source: graft.sources.Source,
+      db: String,
+      job: JobConfig): JobResult =
+    runWith(spark, job,
+      inferSchema = SchemaInference.infer(
+        source.rawDocuments(db, job.collection), job.collection, job.samples),
+      raw = source.read(db, job.collection))
+
+  private def runWith(
+      spark: SparkSession,
+      job: JobConfig,
+      inferSchema: => InferredSchema,
+      raw: => org.apache.spark.sql.DataFrame): JobResult = {
     // 1. schema: load (with fallback) or infer — reference main.py:55-74
     val loaded: Option[InferredSchema] = job.schemaFile.flatMap { f =>
       try Some(SchemaYaml.loadFile(f))
@@ -65,7 +87,7 @@ object Engine {
       }
     }
     val inferred = loaded.getOrElse {
-      val s = SchemaInference.inferFile(spark, job.input, job.collection, job.samples)
+      val s = inferSchema
       job.schemaOutDir.foreach(d => SchemaYaml.dumpToFile(s, Paths.get(d)))
       s
     }
@@ -80,7 +102,6 @@ object Engine {
     }
 
     // 3. read + normalize + write — reference extract_load.py:13-56
-    val raw = ExtendedJsonSource.read(spark, job.input)
     val normalized = Normalizer(withConfig, raw, job.mode)
     val outPath = s"${job.outDir.stripSuffix("/")}/${job.collection}"
     var writer = normalized.write.mode("overwrite")

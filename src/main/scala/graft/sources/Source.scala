@@ -1,0 +1,129 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Document-collection source abstraction (A1/A2,
+  * mongo2pq/mongo.py:15-18 + main.py:33-37).
+  *
+  * Two implementations:
+  *  - [[DumpSource]]: extended-JSON dump directories
+  *    (`<root>/<db>/<collection>.jsonl`) — the offline path every test
+  *    and the CLI exercise;
+  *  - [[MongoSource]]: the live path over the Spark MongoDB connector
+  *    (`spark.read.format("mongodb")`). Code-complete but guarded: the
+  *    connector jar doesn't ship with this image (SURVEY.md §7.4.7),
+  *    so construction verifies availability and fails with a clear
+  *    message instead of an opaque ClassNotFound at action time.
+  *
+  * Both expose collections two ways: raw JSON documents (for schema
+  * inference, which is defined over documents) and a parsed DataFrame
+  * (for the normalize/load path).
+  */
+trait Source {
+  /** Databases available at this source (A2: reference defaults to the
+    * first when unspecified, main.py:33-35). */
+  def listDatabases(): Seq[String]
+  /** Collections in a database (A2: default = all, main.py:36-37). */
+  def listCollections(db: String): Seq[String]
+  /** A collection as raw extended-JSON document strings. */
+  def rawDocuments(db: String, collection: String): Dataset[String]
+  /** A collection as a parsed DataFrame (BSON wrappers unwrapped). */
+  def read(db: String, collection: String): DataFrame
+}
+
+/** Extended-JSON dump directories: `<root>/<db>/<collection>.jsonl`. */
+final class DumpSource(spark: SparkSession, root: String) extends Source {
+  private val rootPath = Paths.get(root)
+
+  override def listDatabases(): Seq[String] =
+    Files.list(rootPath).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toVector.sorted
+
+  override def listCollections(db: String): Seq[String] =
+    Files.list(rootPath.resolve(db)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".jsonl") || n.endsWith(".json"))
+      .map(n => n.substring(0, n.lastIndexOf('.')))
+      .toVector.sorted
+
+  private def pathOf(db: String, collection: String): String = {
+    val jsonl = rootPath.resolve(db).resolve(s"$collection.jsonl")
+    if (Files.exists(jsonl)) jsonl.toString
+    else rootPath.resolve(db).resolve(s"$collection.json").toString
+  }
+
+  override def rawDocuments(db: String, collection: String): Dataset[String] =
+    spark.read.textFile(pathOf(db, collection))
+
+  override def read(db: String, collection: String): DataFrame =
+    ExtendedJsonSource.read(spark, pathOf(db, collection))
+}
+
+/** Live MongoDB over the Spark connector. Requires
+  * `org.mongodb.spark:mongo-spark-connector` on the classpath; the
+  * constructor checks and raises a descriptive error when absent. */
+final class MongoSource(spark: SparkSession, uri: String) extends Source {
+
+  private val connectorAvailable: Boolean =
+    try { Class.forName("com.mongodb.spark.sql.connector.MongoTableProvider"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  private def requireConnector(): Unit =
+    if (!connectorAvailable)
+      throw new IllegalStateException(
+        "MongoDB source requires the mongo-spark-connector jar on the classpath " +
+        "(org.mongodb.spark:mongo-spark-connector_2.13). This image ships without " +
+        "it; use DumpSource over a mongoexport dump instead.")
+
+  /** Database listing needs a server round-trip outside Spark's reader;
+    * the connector exposes it via the driver — not implementable
+    * without the jar, so it shares the guard. */
+  override def listDatabases(): Seq[String] = {
+    requireConnector()
+    // With the connector present the Mongo Java driver is on the
+    // classpath too; enumerate via a short-lived client.
+    val clientClass = Class.forName("com.mongodb.client.MongoClients")
+    val client = clientClass.getMethod("create", classOf[String]).invoke(null, uri)
+    try {
+      val names = client.getClass.getMethod("listDatabaseNames").invoke(client)
+      names.asInstanceOf[java.lang.Iterable[String]].asScala.toVector
+    } finally client.getClass.getMethod("close").invoke(client)
+  }
+
+  override def listCollections(db: String): Seq[String] = {
+    requireConnector()
+    val clientClass = Class.forName("com.mongodb.client.MongoClients")
+    val client = clientClass.getMethod("create", classOf[String]).invoke(null, uri)
+    try {
+      val database = client.getClass.getMethod("getDatabase", classOf[String]).invoke(client, db)
+      val names = database.getClass.getMethod("listCollectionNames").invoke(database)
+      names.asInstanceOf[java.lang.Iterable[String]].asScala.toVector
+    } finally client.getClass.getMethod("close").invoke(client)
+  }
+
+  override def rawDocuments(db: String, collection: String): Dataset[String] = {
+    import spark.implicits._
+    read(db, collection).toJSON.as[String]
+  }
+
+  override def read(db: String, collection: String): DataFrame = {
+    requireConnector()
+    spark.read.format("mongodb")
+      .option("connection.uri", uri)
+      .option("database", db)
+      .option("collection", collection)
+      .load()
+  }
+}
+
+object Source {
+  /** URI dispatch: `mongodb://` / `mongodb+srv://` -> live connector,
+    * anything else is treated as a dump-directory path. */
+  def apply(spark: SparkSession, uri: String): Source =
+    if (uri.startsWith("mongodb://") || uri.startsWith("mongodb+srv://"))
+      new MongoSource(spark, uri)
+    else new DumpSource(spark, uri)
+}
