@@ -26,4 +26,20 @@ class RegistrySmokeSpec extends SparkSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("filters and projections reach the parquet scan (pushdown guard)") {
+    val plan = SparkEntry.queries("q02_filter_project")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity)"), plan.take(800))
+    // projection pruned: the scan reads 5 of lineitem's 11 columns
+    // (plan toString truncates, so assert on the scan column list)
+    assert(plan.contains("FileScan parquet [l_orderkey#"), plan.take(800))
+    assert(!plan.contains("l_shipdate"), "unpruned column in scan: " + plan.take(800))
+  }
+
+  test("dimension joins broadcast (q04 plan guard)") {
+    val plan = SparkEntry.queries("q04_region_revenue")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
 }
