@@ -152,6 +152,83 @@ object Dedup {
         WHERE ROUND(CAST(i2.i AS DOUBLE) / (ca.n + cb.n - i2.i), 6) >= 0.5
         ORDER BY ida, idb""")),
 
+    // ---- composed training-data prep pipeline ------------------------
+    // The 100 TB use case end-to-end: exact dedup (keep lowest id per
+    // text) -> near-dup removal (minhash-LSH candidates verified by
+    // jaccard >= 0.5, higher id of each pair dropped) -> quality gate.
+    // Every stage is the operator already verified standalone; this
+    // query checks their composition against one oracle.
+    Q("q58_training_prep",
+      (s, dir) => {
+        import s.implicits._
+        val docs = documents(s, dir)
+        // stage 1: exact dedup
+        val keepExact = docs.groupBy($"text").agg(min($"doc_id").as("doc_id"))
+          .select($"doc_id")
+        // stage 2: near-dup pairs (same construction as q27)
+        val dsh = shingles(docs).distinct()
+        val aggs = (0 until nBands).map(k => min(md5(concat(col("s"), lit(s"#$k")))).as(s"mh$k"))
+        val sig = dsh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+        val stackExpr = (0 until nBands).map(k => s"$k, mh$k").mkString(s"stack($nBands, ", ", ", ") AS (band, sg)")
+        val bands = sig.selectExpr("doc_id", stackExpr)
+        val cand = bands.as("ba").join(bands.as("bb"),
+            col("ba.band") === col("bb.band") && col("ba.sg") === col("bb.sg") &&
+            col("ba.doc_id") < col("bb.doc_id"))
+          .select(col("ba.doc_id").as("ida"), col("bb.doc_id").as("idb")).distinct()
+        val card = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val nearDupLosers = cand
+          .join(dsh.as("x"), $"ida" === col("x.doc_id"))
+          .join(dsh.as("y"), $"idb" === col("y.doc_id") && col("x.s") === col("y.s"))
+          .groupBy($"ida", $"idb").agg(count(lit(1)).as("i"))
+          .join(card.as("ca"), $"ida" === col("ca.doc_id"))
+          .join(card.as("cb"), $"idb" === col("cb.doc_id"))
+          .filter(round($"i".cast(DoubleType) / (col("ca.n") + col("cb.n") - $"i"), 6) >= 0.5)
+          .select($"idb".as("doc_id")).distinct()
+        // stage 3: quality gate (same formula as q30)
+        val quality = withToks(docs)
+          .withColumn("wne", expr("filter(toks, t -> length(t) > 0)"))
+          .withColumn("n_tokens", size($"wne").cast(LongType))
+          .withColumn("n_punct", length(regexp_replace($"text", "[^.!?,;:]", "")).cast(LongType))
+          .withColumn("q",
+            lit(0.4) * least($"n_tokens".cast(DoubleType) / 200.0, lit(1.0)) +
+            lit(0.3) * (lit(1.0) - $"n_punct".cast(DoubleType) / length($"text")) +
+            lit(0.3) * (expr("size(filter(wne, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')))").cast(DoubleType) / $"n_tokens"))
+          .select($"doc_id", $"n_tokens", round($"q", 6).as("quality"))
+        keepExact
+          .join(nearDupLosers, Seq("doc_id"), "left_anti")
+          .join(quality, "doc_id")
+          .filter(round($"quality", 6) >= 0.4)
+          .orderBy($"doc_id")
+      },
+      Some(s"""$shingleCte, $signatureSql,
+        bands AS (${(0 until nBands).map(k => s"SELECT doc_id, $k AS band, mh$k AS sg FROM sig").mkString(" UNION ALL ")}),
+        cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+                 FROM bands a JOIN bands b ON a.band = b.band AND a.sg = b.sg AND a.doc_id < b.doc_id),
+        dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+        card AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+        losers AS (SELECT DISTINCT i2.idb AS doc_id
+                   FROM (SELECT c.ida, c.idb, COUNT(*) AS i
+                         FROM cand c JOIN dsh x ON x.doc_id = c.ida
+                         JOIN dsh y ON y.doc_id = c.idb AND y.s = x.s
+                         GROUP BY c.ida, c.idb) i2
+                   JOIN card ca ON ca.doc_id = i2.ida JOIN card cb ON cb.doc_id = i2.idb
+                   WHERE ROUND(CAST(i2.i AS DOUBLE) / (ca.n + cb.n - i2.i), 6) >= 0.5),
+        keep_exact AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+        quality AS (SELECT doc_id,
+            CAST(len(wne) AS BIGINT) AS n_tokens,
+            ROUND(0.4 * LEAST(CAST(len(wne) AS BIGINT) / 200.0, 1.0)
+              + 0.3 * (1.0 - CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) * 1.0 / len(text))
+              + 0.3 * (CAST(len(list_filter(wne, t -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'], t))) AS BIGINT) * 1.0 / CAST(len(wne) AS BIGINT)), 6) AS quality
+          FROM (SELECT doc_id, text,
+                  list_filter(string_split_regex(lower(text), '\\W+'), t -> len(t) > 0) AS wne
+                FROM documents) tq)
+        SELECT k.doc_id, q.n_tokens, q.quality
+        FROM keep_exact k
+        JOIN quality q ON q.doc_id = k.doc_id
+        WHERE k.doc_id NOT IN (SELECT doc_id FROM losers)
+          AND q.quality >= 0.4
+        ORDER BY k.doc_id""")),
+
     // ---- simhash fingerprints ----------------------------------------
     Q("q28_simhash",
       (s, dir) => {
