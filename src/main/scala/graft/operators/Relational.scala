@@ -237,6 +237,11 @@ object Relational {
         ORDER BY o_custkey, order_date, o_orderkey""")),
 
     // ---- window: running aggregate with frame ------------------------
+    // NOTE: DuckDB 1.0's *parallel* window execution is itself
+    // nondeterministic on this oracle at sf0.1 scale (~1 in 5 runs
+    // differs; `SET threads=1` or the majority result agrees with Spark
+    // bit-for-bit, verified empirically). At the driver's sf0.01 gate
+    // scale the oracle is stable across 30/30 runs.
     Q("q10_running_sum",
       (s, dir) => {
         import s.implicits._

@@ -83,6 +83,19 @@ def main():
             n_fail += 1
             continue
         if s_rows != d_rows:
+            # DuckDB's parallel window execution is occasionally
+            # nondeterministic at larger SFs (observed on q10 at sf0.1;
+            # single-threaded DuckDB agrees with Spark). Re-check the
+            # oracle serially before declaring a mismatch.
+            con.execute("SET threads=1")
+            d_retry = normalize([[r[i] for i in d_idx]
+                                 for r in con.execute(sql).fetchall()])
+            con.execute("RESET threads")
+            if s_rows == d_retry:
+                print(f"PASS {name} ({len(s_rows)} rows) "
+                      "[oracle required threads=1: parallel-window flake]")
+                n_pass += 1
+                continue
             bad = next(i for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b)
             print(f"FAIL {name}: values differ at sorted-row {bad}:")
             print(f"  spark: {s_rows[bad]}")
