@@ -34,7 +34,7 @@ object SchemaInference {
     if (node == null || !node.isObject) acc
     else {
       var fields = acc
-      val it = node.fields()
+      val it = node.properties().iterator()
       while (it.hasNext) {
         val e = it.next()
         val t = TypeLattice.inferJson(e.getValue, nowEpochSec)

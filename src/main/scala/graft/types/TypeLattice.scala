@@ -141,7 +141,7 @@ object TypeLattice {
             if (nestedAsError)
               throw new UnsupportedOperationException(
                 "Inferring types for list or dict fields is not implemented")
-            val it = node.fields()
+            val it = node.properties().iterator()
             val b = Vector.newBuilder[(String, AType)]
             while (it.hasNext) { val e = it.next(); b += e.getKey -> inferJson(e.getValue, nowEpochSec) }
             AStruct(b.result())
