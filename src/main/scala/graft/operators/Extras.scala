@@ -311,6 +311,46 @@ object Extras {
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY 1 ORDER BY y""")),
 
+    // ---- fixed-width histogram binning -------------------------------
+    Q("q59_histogram",
+      (s, dir) => {
+        import s.implicits._
+        orders(s, dir)
+          .select(least(floor($"o_totalprice" / 20000).cast(LongType), lit(9L)).as("bucket"))
+          .groupBy($"bucket").agg(count(lit(1)).as("n"))
+          .orderBy($"bucket")
+      },
+      Some("""
+        SELECT LEAST(CAST(FLOOR(o_totalprice / 20000) AS BIGINT), 9) AS bucket, COUNT(*) AS n
+        FROM orders GROUP BY 1 ORDER BY bucket""")),
+
+    // ---- rank statistics window set ----------------------------------
+    // rank/dense_rank are ints; percent_rank/cume_dist are exact
+    // rationals of row counts — bit-identical across engines
+    Q("q60_rank_stats",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice", $"o_orderkey")
+        orders(s, dir)
+          .filter($"o_custkey" <= 100)
+          .select($"o_orderpriority", $"o_orderkey",
+            rank().over(w).cast(LongType).as("rnk"),
+            dense_rank().over(w).cast(LongType).as("drnk"),
+            percent_rank().over(w).as("prnk"),
+            cume_dist().over(w).as("cdist"))
+          .orderBy($"o_orderpriority", $"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderpriority, o_orderkey,
+          CAST(RANK() OVER w AS BIGINT) AS rnk,
+          CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+          PERCENT_RANK() OVER w AS prnk,
+          CUME_DIST() OVER w AS cdist
+        FROM orders WHERE o_custkey <= 100
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderpriority, o_orderkey""")),
+
     // ---- rolling-hash document fingerprint (codegen Expression) ------
     // No oracle: the 64-bit wrapping polynomial fold has no DuckDB
     // equivalent; exactness is pinned by VectorExpressionsSpec instead.
