@@ -49,7 +49,11 @@ object Engine {
         * ~12 MB fetch batches, extract_load.py:28-35; for a columnar
         * sink the equivalent knob is rows per file). None = let the
         * committer decide. */
-      maxRecordsPerFile: Option[Long] = None)
+      maxRecordsPerFile: Option[Long] = None,
+      /** Sink format: "parquet" (reference behavior), "orc", or "csv"
+        * (csv writes a header; binary/nested columns are not
+        * csv-representable and will fail — columnar formats preferred). */
+      outputFormat: String = "parquet")
 
   final case class JobResult(schema: InferredSchema, rowsWritten: Long, outPath: String)
 
@@ -104,13 +108,16 @@ object Engine {
     // 3. read + normalize + write — reference extract_load.py:13-56
     val normalized = Normalizer(withConfig, raw, job.mode)
     val outPath = s"${job.outDir.stripSuffix("/")}/${job.collection}"
-    var writer = normalized.write.mode("overwrite")
+    var writer = normalized.write.mode("overwrite").format(job.outputFormat)
     job.maxRecordsPerFile.foreach(n => writer = writer.option("maxRecordsPerFile", n))
+    if (job.outputFormat == "csv") writer = writer.option("header", "true")
     job.partitionKey match {
-      case Some(k) => writer.partitionBy(k).parquet(outPath)
-      case None    => writer.parquet(outPath)
+      case Some(k) => writer.partitionBy(k).save(outPath)
+      case None    => writer.save(outPath)
     }
-    val rows = spark.read.parquet(outPath).count()
+    var reader = spark.read.format(job.outputFormat)
+    if (job.outputFormat == "csv") reader = reader.option("header", "true")
+    val rows = reader.load(outPath).count()
     JobResult(withConfig, rows, outPath)
   }
 

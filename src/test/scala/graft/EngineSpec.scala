@@ -52,6 +52,23 @@ class EngineSpec extends SparkSuite {
     assert(yaml.name == "telemetry")
   }
 
+  test("orc and csv sinks round-trip through the same pipeline") {
+    val out = Files.createTempDirectory("fmt").toString
+    val orc = Engine.run(spark, Engine.JobConfig(
+      input = res("telemetry.jsonl"), collection = "t_orc",
+      outDir = out, samples = 0, outputFormat = "orc"))
+    assert(orc.rowsWritten == 5)
+    assert(spark.read.orc(orc.outPath).schema("flap_orientation").dataType ==
+      org.apache.spark.sql.types.FloatType)
+
+    val csv = Engine.run(spark, Engine.JobConfig(
+      input = res("telemetry.jsonl"), collection = "t_csv",
+      outDir = out, samples = 0, outputFormat = "csv"))
+    assert(csv.rowsWritten == 5)
+    val back = spark.read.option("header", "true").csv(csv.outPath)
+    assert(back.columns.contains("flap_orientation"))
+  }
+
   test("schema file loads when valid; parse failure falls back to inference (main.py:59-70)") {
     val out = Files.createTempDirectory("engine2").toString
     val good = Engine.run(spark, Engine.JobConfig(
