@@ -105,8 +105,15 @@ object Engine {
       case None => inferred
     }
 
-    // 3. read + normalize + write — reference extract_load.py:13-56
+    // 3. read + normalize + write — reference extract_load.py:13-56.
+    // rowsWritten comes from observe(): the count rides the write job's
+    // own pass over the data instead of re-reading the full output —
+    // at 100 TB a post-write re-scan would double the job's I/O for a
+    // progress number.
+    val obs = new org.apache.spark.sql.Observation("graft.rows_written")
     val normalized = Normalizer(withConfig, raw, job.mode)
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
     val outPath = s"${job.outDir.stripSuffix("/")}/${job.collection}"
     var writer = normalized.write.mode("overwrite").format(job.outputFormat)
     job.maxRecordsPerFile.foreach(n => writer = writer.option("maxRecordsPerFile", n))
@@ -115,9 +122,7 @@ object Engine {
       case Some(k) => writer.partitionBy(k).save(outPath)
       case None    => writer.save(outPath)
     }
-    var reader = spark.read.format(job.outputFormat)
-    if (job.outputFormat == "csv") reader = reader.option("header", "true")
-    val rows = reader.load(outPath).count()
+    val rows = obs.get("rows").asInstanceOf[Long]
     JobResult(withConfig, rows, outPath)
   }
 
@@ -128,9 +133,13 @@ object Engine {
     *
     * The schema must be known up front (streams can't be sampled
     * retroactively): pass one inferred/loaded via the batch path from a
-    * seed of documents. The normalize projection is identical to the
-    * batch path — same falsy-drop, casts and renames — because it's
-    * the same `Normalizer.columns` call.
+    * seed of documents. Wrapper-capable scalars are parsed as raw text
+    * and unwrapped with [[ExtendedJsonSource.textUnwrap]] — so `$oid`/
+    * `$numberLong`/`$date`/`$binary` documents land identically to the
+    * batch path (wrappers nested inside struct/array columns are NOT
+    * unwrapped on this path — documented limitation). Then the
+    * normalize projection is the same `Normalizer.columns` call as
+    * batch: same falsy-drop, casts and renames.
     */
   def runStreaming(
       spark: SparkSession,
@@ -140,15 +149,22 @@ object Engine {
       checkpoint: String,
       mode: Normalizer.Mode = Normalizer.Strict,
       partitionKey: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
-    // read raw lines, parse per the *pre-rename* source schema
+    // read raw lines, parse per the *pre-rename* source schema: wrapper-
+    // capable scalars as text (ExtendedJsonSource.streamParseType), then
+    // recover the typed value per column before normalizing
     val inverse = schema.renameMap.map(_.swap)
-    val srcFields = schema.fields.map { case (n, t) =>
-      org.apache.spark.sql.types.StructField(inverse.getOrElse(n, n), sourceTypeFor(t))
+    val srcNames = schema.fields.map { case (n, t) => (inverse.getOrElse(n, n), t) }
+    val srcFields = srcNames.map { case (sn, t) =>
+      org.apache.spark.sql.types.StructField(sn, ExtendedJsonSource.streamParseType(t))
     }
     val raw = spark.readStream
       .schema(org.apache.spark.sql.types.StructType(srcFields))
       .json(inputDir)
-    val normalized = Normalizer(schema, raw, mode)
+    val unwrapped = raw.select(srcNames.map { case (sn, t) =>
+      ExtendedJsonSource.textUnwrap(org.apache.spark.sql.functions.col(
+        s"`${sn.replace("`", "``")}`"), t).alias(sn)
+    }: _*)
+    val normalized = Normalizer(schema, unwrapped, mode)
     val writer = normalized.writeStream
       .format("parquet")
       .option("path", outPath)
@@ -157,19 +173,4 @@ object Engine {
     partitionKey.fold(writer)(k => writer.partitionBy(k)).start()
   }
 
-  /** The JSON-side type a lattice type is parsed as before normalize
-    * casts it (numbers arrive as their JSON shape, wrappers as text). */
-  private def sourceTypeFor(t: graft.types.AType): org.apache.spark.sql.types.DataType = {
-    import graft.types.AType._
-    import org.apache.spark.sql.types._
-    t match {
-      case AInt8 | AInt16 | AInt32 | AInt64 | AUInt8 | AUInt16 | AUInt32 => LongType
-      case AFloat16 | AFloat32 | AFloat64 => DoubleType
-      case ABool => BooleanType
-      case other => other.sparkType match {
-        case _: ArrayType | _: StructType => other.sparkType
-        case _ => StringType
-      }
-    }
-  }
 }

@@ -106,12 +106,17 @@ object Multimodal {
       }
   }
 
-  /** Resize every payload to a byte budget; metadata is carried through. */
-  def resizeAll(media: DataFrame, targetBytes: Int): DataFrame = {
-    val resize = udf((b: Array[Byte]) => FakeCodec.resize(b, targetBytes))
-    media.withColumn("media", resize(col("media")))
+  /** Resize every payload to a byte budget; metadata is carried through.
+    *
+    * The stub's "resize" is `Arrays.copyOf` — truncate-or-zero-pad —
+    * which the built-ins express exactly (`substring`/`rpad` operate on
+    * BinaryType), so this stays inside whole-stage codegen with no UDF.
+    * The real-codec boundary lives in [[extractFeatures]]'s
+    * mapPartitions, not here. */
+  def resizeAll(media: DataFrame, targetBytes: Int): DataFrame =
+    media.withColumn("media",
+        expr(s"rpad(substring(media, 1, $targetBytes), $targetBytes, X'00')"))
       .withColumn("meta", col("meta").withField("width", lit(targetBytes)))
-  }
 
   /** Frame sampling: one input row fans out to ~n_frames/stride rows.
     * flatMap keeps it pipelined — no shuffle, output partitioning

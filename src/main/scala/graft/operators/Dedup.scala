@@ -32,7 +32,14 @@ object Dedup {
   private[operators] def withToks(df: DataFrame): DataFrame =
     df.withColumn("toks", split(lower(col("text")), "\\W+"))
 
-  /** 3-word shingles, exploded. Docs with <3 tokens produce none. */
+  /** 3-word shingles, exploded. Docs with <3 tokens produce NO shingles
+    * — by design they exit near-dup entirely and are handled by exact
+    * dedup only: a sub-3-token doc has no meaningful 3-gram Jaccard
+    * neighborhood, and treating such docs as near-dups of each other
+    * ("the end" vs "the start") would be wrong more often than right.
+    * The oracle SQL's range() shingler produces zero rows for them too,
+    * so both engines agree; q58's exact-dedup stage still collapses
+    * byte-identical short docs. Pinned by DedupSpec. */
   private[operators] def shingles(df: DataFrame): DataFrame =
     withToks(df)
       .withColumn("s", explode(expr(
@@ -184,9 +191,13 @@ object Dedup {
           .join(card.as("cb"), $"idb" === col("cb.doc_id"))
           .filter(round($"i".cast(DoubleType) / (col("ca.n") + col("cb.n") - $"i"), 6) >= 0.5)
           .select($"idb".as("doc_id")).distinct()
-        // stage 3: quality gate (same formula as q30)
+        // stage 3: quality gate (same formula as q30). Empty or
+        // token-less docs are dropped up front: a quality gate rejects
+        // them by definition, and the score's ratios are undefined
+        // (0/0) for them — at 100 TB empty docs DO occur.
         val quality = withToks(docs)
           .withColumn("wne", expr("filter(toks, t -> length(t) > 0)"))
+          .filter(length($"text") > 0 && size($"wne") > 0)
           .withColumn("n_tokens", size($"wne").cast(LongType))
           .withColumn("n_punct", length(regexp_replace($"text", "[^.!?,;:]", "")).cast(LongType))
           .withColumn("q",
@@ -221,7 +232,8 @@ object Dedup {
               + 0.3 * (CAST(len(list_filter(wne, t -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'], t))) AS BIGINT) * 1.0 / CAST(len(wne) AS BIGINT)), 6) AS quality
           FROM (SELECT doc_id, text,
                   list_filter(string_split_regex(lower(text), '\\W+'), t -> len(t) > 0) AS wne
-                FROM documents) tq)
+                FROM documents) tq
+          WHERE len(text) > 0 AND len(wne) > 0)
         SELECT k.doc_id, q.n_tokens, q.quality
         FROM keep_exact k
         JOIN quality q ON q.doc_id = k.doc_id

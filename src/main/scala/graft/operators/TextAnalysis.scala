@@ -76,7 +76,10 @@ object TextAnalysis {
       (s, dir) => {
         import s.implicits._
         val stopEn = stoplists.head._2
+        // empty / token-less docs are dropped: their ratios are 0/0 and
+        // a quality score for them is meaningless (same guard as q58)
         withToksNe(documents(s, dir))
+          .filter(length($"text") > 0 && size($"toks_ne") > 0)
           .withColumn("n_tokens", size($"toks_ne").cast(LongType))
           .withColumn("sum_len", expr("aggregate(transform(toks_ne, t -> length(t)), 0, (a, x) -> a + x)").cast(LongType))
           .withColumn("n_stop", expr(s"size(filter(toks_ne, t -> t IN ${inList(stopEn)}))").cast(LongType))
@@ -96,7 +99,8 @@ object TextAnalysis {
         s"""
         WITH toksc AS (SELECT doc_id, text,
             list_filter(string_split_regex(lower(text), '\\W+'), t -> len(t) > 0) AS wne
-          FROM documents),
+          FROM documents
+          WHERE len(text) > 0 AND len(list_filter(string_split_regex(lower(text), '\\W+'), t -> len(t) > 0)) > 0),
         m AS (SELECT doc_id,
             CAST(len(wne) AS BIGINT) AS n_tokens,
             CAST(list_sum(list_transform(wne, t -> len(t))) AS BIGINT) AS sum_len,

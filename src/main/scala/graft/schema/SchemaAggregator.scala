@@ -14,35 +14,31 @@ import graft.types.AType
   * pass, something the reference's driver loop (mongo2pq/main.py:55-74)
   * can only do collection-at-a-time.
   *
-  * Buffer is the ordered field->alias vector; merge is
-  * `Schema.merge` (mongo2pq/schema.py:34-53). Output is the `!schema`
-  * YAML document, so `collect()`ing the result round-trips through
-  * [[SchemaYaml]].
+  * Buffer is the ordered field->[[AType]] vector — the typed lattice
+  * values themselves, NOT alias strings: `AType.forAlias` can't parse
+  * `struct<...>` aliases, so an alias round-trip mid-aggregation would
+  * silently degrade nested types to string. `AType` is Serializable and
+  * the buffer rides the kryo encoder, so no lossy re-parse ever
+  * happens; merge is `Schema.merge` (mongo2pq/schema.py:34-53). Output
+  * is the `!schema` YAML document, so `collect()`ing the result
+  * round-trips through [[SchemaYaml]].
   */
 class SchemaAggregator(name: String, nowEpochSec: Double)
-    extends Aggregator[String, Vector[(String, String)], String] {
+    extends Aggregator[String, Vector[(String, AType)], String] {
 
-  private def toTyped(buf: Vector[(String, String)]): Vector[(String, AType)] =
-    buf.map { case (n, a) => n -> AType.forAlias(a).getOrElse(AType.AString) }
+  override def zero: Vector[(String, AType)] = Vector.empty
 
-  private def fromTyped(fields: Vector[(String, AType)]): Vector[(String, String)] =
-    fields.map { case (n, t) => n -> t.alias }
+  override def reduce(buf: Vector[(String, AType)], json: String): Vector[(String, AType)] =
+    SchemaInference.combine(buf, SchemaInference.inferOne(json, nowEpochSec))
 
-  override def zero: Vector[(String, String)] = Vector.empty
+  override def merge(a: Vector[(String, AType)], b: Vector[(String, AType)]): Vector[(String, AType)] =
+    SchemaInference.combine(a, b)
 
-  override def reduce(buf: Vector[(String, String)], json: String): Vector[(String, String)] = {
-    val one = SchemaInference.inferOne(json, nowEpochSec)
-    fromTyped(SchemaInference.combine(toTyped(buf), one))
-  }
+  override def finish(buf: Vector[(String, AType)]): String =
+    SchemaYaml.dump(InferredSchema(name, buf))
 
-  override def merge(a: Vector[(String, String)], b: Vector[(String, String)]): Vector[(String, String)] =
-    fromTyped(SchemaInference.combine(toTyped(a), toTyped(b)))
-
-  override def finish(buf: Vector[(String, String)]): String =
-    SchemaYaml.dump(InferredSchema(name, toTyped(buf)))
-
-  override def bufferEncoder: Encoder[Vector[(String, String)]] =
-    Encoders.kryo[Vector[(String, String)]]
+  override def bufferEncoder: Encoder[Vector[(String, AType)]] =
+    Encoders.kryo[Vector[(String, AType)]]
   override def outputEncoder: Encoder[String] = Encoders.STRING
 }
 

@@ -32,9 +32,21 @@ object SchemaYaml {
     sb.toString
   }
 
-  private def quote(s: String): String =
-    if (s.matches("[A-Za-z0-9_][A-Za-z0-9_\\-. \\[\\]<>,:]*") && !s.contains(": ")) s
-    else "'" + s.replace("'", "''") + "'"
+  /** A plain (unquoted) scalar must re-parse as the SAME string: YAML 1.1
+    * resolves bare `yes`/`true`/`null`/`on`/`123`/`1.5` to bool/null/
+    * number, which would corrupt a field actually named that on reload
+    * (PyYAML quotes these when dumping, so the reference round-trips).
+    * SnakeYAML's own Resolver is the authority on what it would re-tag. */
+  private val resolver = new org.yaml.snakeyaml.resolver.Resolver()
+
+  private def quote(s: String): String = {
+    val plainSafe =
+      s.matches("[A-Za-z0-9_][A-Za-z0-9_\\-. \\[\\]<>,:]*") &&
+        !s.contains(": ") && !s.endsWith(":") &&
+        (resolver.resolve(org.yaml.snakeyaml.nodes.NodeId.scalar, s, true)
+          == org.yaml.snakeyaml.nodes.Tag.STR)
+    if (plainSafe) s else "'" + s.replace("'", "''") + "'"
+  }
 
   def dumpToFile(schema: InferredSchema, destination: Path, filename: Option[String] = None): Path = {
     if (!Files.isDirectory(destination)) Files.createDirectories(destination)

@@ -79,4 +79,78 @@ object ExtendedJsonSource {
     * the reference's cursor -> create_record_batch split,
     * mongo2pq/extract_load.py:69-84). */
   def read(spark: SparkSession, path: String, schema: InferredSchema): DataFrame = read(spark, path)
+
+  // ---- streaming-side unwrap -----------------------------------------
+  //
+  // A stream can't be schema-inferred per batch, so the streaming reader
+  // parses wrapper-capable scalars as STRING (Spark's JSON parser
+  // stringifies an object/number token when the declared field type is
+  // StringType) and these expressions recover the typed value: a BSON
+  // wrapper is parsed out of the raw text with `from_json` (null when
+  // the text isn't that wrapper shape), falling back to the plain
+  // scalar. The output types match what the batch path's `spark.read
+  // .json` + [[unwrap]] produce, so `Normalizer` behaves identically
+  // downstream. Nested struct/array columns keep their parsed shape;
+  // wrappers INSIDE nested columns are not unwrapped on the streaming
+  // path (documented limitation — batch ingest handles those).
+
+  private def jsonField(c: Column, schemaDDL: String, path: Seq[String]): Column =
+    path.foldLeft(from_json(c, org.apache.spark.sql.types.DataType.fromDDL(schemaDDL)
+      .asInstanceOf[StructType]))(_.getField(_))
+
+  /** The streaming parse type for a target lattice type: wrapper-capable
+    * scalars arrive as raw text; bools and nested shapes parse natively. */
+  def streamParseType(t: graft.types.AType): DataType = {
+    import graft.types.AType._
+    t match {
+      case ABool => BooleanType
+      case other => other.sparkType match {
+        case n @ (_: ArrayType | _: StructType) => n
+        case _ => StringType
+      }
+    }
+  }
+
+  /** Unwrap a text-parsed streaming column into the same Spark type the
+    * batch reader produces for target type `t` (see table in [[read]]). */
+  def textUnwrap(raw: Column, t: graft.types.AType): Column = {
+    import graft.types.AType._
+    // Empty text is falsy in the batch path (Normalizer drops it before
+    // any cast); null it here so the ANSI casts below can't throw on it.
+    // `def`, not `val`: only valid on the string-parsed branches (a bool
+    // or nested column would fail analysis comparing against '').
+    def c: Column = when(raw === lit(""), lit(null)).otherwise(raw)
+    def numLong: Column   = jsonField(c, "`$numberLong` STRING", Seq("$numberLong"))
+    def numInt: Column    = jsonField(c, "`$numberInt` STRING", Seq("$numberInt"))
+    def numDouble: Column = jsonField(c, "`$numberDouble` STRING", Seq("$numberDouble"))
+    t match {
+      case AString =>
+        coalesce(jsonField(c, "`$oid` STRING", Seq("$oid")), c)
+      case AInt8 | AInt16 | AInt32 | AInt64 | AUInt8 | AUInt16 | AUInt32 | AUInt64 =>
+        // batch parse type for plain JSON ints is LongType
+        coalesce(numLong, numInt, numDouble, c).cast(LongType)
+      case AFloat16 | AFloat32 | AFloat64 =>
+        coalesce(numDouble, numLong, numInt, c).cast(DoubleType)
+      case ADate32 | ADate64 | ATimestampS =>
+        // $date is epoch-millis (number or {"$numberLong": text}) or ISO
+        // text; plain values keep their raw text for Normalizer's
+        // epoch-seconds-else-ISO string path (same as the batch parse).
+        val dateTxt = coalesce(
+          jsonField(c, "`$date` STRUCT<`$numberLong`: STRING>", Seq("$date", "$numberLong")),
+          jsonField(c, "`$date` STRING", Seq("$date")))
+        val wrapperTs = when(dateTxt.rlike("^[+-]?[0-9]+$"),
+            (dateTxt.cast(LongType) / lit(1000.0)).cast(TimestampType))
+          .otherwise(dateTxt.cast(TimestampType))
+        val plainTs = when(c.rlike("^[+-]?[0-9]+(\\.[0-9]+)?$"),
+            c.cast(DoubleType).cast(TimestampType))
+          .otherwise(c.cast(TimestampType))
+        when(dateTxt.isNotNull, wrapperTs).otherwise(plainTs)
+      case ABinary =>
+        val b64 = coalesce(
+          jsonField(c, "`$binary` STRUCT<base64: STRING, subType: STRING>", Seq("$binary", "base64")),
+          jsonField(c, "`$binary` STRING", Seq("$binary")))
+        when(b64.isNotNull, unbase64(b64)).otherwise(c.cast(BinaryType))
+      case _ => raw // bool (parsed natively) and nested shapes
+    }
+  }
 }

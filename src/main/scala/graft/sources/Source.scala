@@ -64,8 +64,16 @@ final class DumpSource(spark: SparkSession, root: String) extends Source {
 
 /** Live MongoDB over the Spark connector. Requires
   * `org.mongodb.spark:mongo-spark-connector` on the classpath; the
-  * constructor checks and raises a descriptive error when absent. */
-final class MongoSource(spark: SparkSession, uri: String) extends Source {
+  * constructor checks and raises a descriptive error when absent.
+  *
+  * Like the reference's `connect_mongo(check_connection=True)`
+  * (mongo2pq/mongo.py:15-18), construction fails fast: a 1 s
+  * server-selection `ping` runs at connect time, so a dead server (or a
+  * missing connector jar) surfaces immediately instead of at first
+  * action. Pass `checkConnection=false` to defer, mirroring the
+  * reference's opt-out flag. */
+final class MongoSource(spark: SparkSession, uri: String, checkConnection: Boolean = true)
+    extends Source {
 
   private val connectorAvailable: Boolean =
     try { Class.forName("com.mongodb.spark.sql.connector.MongoTableProvider"); true }
@@ -77,6 +85,35 @@ final class MongoSource(spark: SparkSession, uri: String) extends Source {
         "MongoDB source requires the mongo-spark-connector jar on the classpath " +
         "(org.mongodb.spark:mongo-spark-connector_2.13). This image ships without " +
         "it; use DumpSource over a mongoexport dump instead.")
+
+  /** The reference's connect probe: `server_info()` under a 1 s
+    * server-selection timeout (mongo.py:16-17). Reflective like the
+    * rest of the live path (the driver classes ride the connector jar). */
+  def probe(): Unit = {
+    requireConnector()
+    val probeUri =
+      if (uri.contains("?")) s"$uri&serverSelectionTimeoutMS=1000"
+      else if (uri.stripPrefix("mongodb://").stripPrefix("mongodb+srv://").contains("/"))
+        s"$uri?serverSelectionTimeoutMS=1000"
+      else s"$uri/?serverSelectionTimeoutMS=1000"
+    val clientClass = Class.forName("com.mongodb.client.MongoClients")
+    val client = clientClass.getMethod("create", classOf[String]).invoke(null, probeUri)
+    try {
+      val database = client.getClass.getMethod("getDatabase", classOf[String]).invoke(client, "admin")
+      val pingDoc = Class.forName("org.bson.Document")
+        .getMethod("parse", classOf[String]).invoke(null, "{\"ping\": 1}")
+      database.getClass.getMethod("runCommand", Class.forName("org.bson.conversions.Bson"))
+        .invoke(database, pingDoc)
+      ()
+    } catch {
+      case e: java.lang.reflect.InvocationTargetException =>
+        throw new IllegalStateException(
+          s"MongoDB server unreachable (1s server-selection probe failed): ${e.getCause.getMessage}",
+          e.getCause)
+    } finally client.getClass.getMethod("close").invoke(client)
+  }
+
+  if (checkConnection) probe()
 
   /** Database listing needs a server round-trip outside Spark's reader;
     * the connector exposes it via the driver — not implementable

@@ -62,20 +62,29 @@ object AType {
 
   def isInt(t: AType): Boolean      = intOrder.contains(t)
   def isUInt(t: AType): Boolean     = uintOrder.contains(t)
+  /** pyarrow's `pa_types.is_integer` — true for signed AND unsigned
+    * (schema.py:258-263 probes it as the int-category predicate). */
+  def isAnyInt(t: AType): Boolean   = isInt(t) || isUInt(t)
   def isFloat(t: AType): Boolean    = floatOrder.contains(t)
   def isDate(t: AType): Boolean     = dateOrder.contains(t)
   def isTemporal(t: AType): Boolean = isDate(t) || t == ATimestampS
   def isBinary(t: AType): Boolean   = t == ABinary
 
   /** Least-upper-bound of two lattice types, reproducing
-    * `unify_types` (mongo2pq/schema.py:249-303) branch for branch:
+    * `unify_types` (mongo2pq/schema.py:247-301) branch for branch:
+    *  - int category: the predicate is `pa_types.is_integer`, which is
+    *    true for unsigned ints too, while the width probes are the
+    *    SIGNED tests only (schema.py:258-263) — so unify(int32, uint32)
+    *    = int32 (the signed probe hits), and a pure-unsigned pair falls
+    *    through to the unsigned category (schema.py:265-270);
     *  - same category -> widest member wins, `type1` preferred on ties
-    *    (the reference probes type1 before type2 per width: schema.py:253-257);
-    *  - int x float -> the float (schema.py:288-291);
-    *  - numeric x temporal -> the numeric (schema.py:293-298) — the
-    *    epoch-timestamp heuristic is the weaker claim;
-    *  - binary is contagious (schema.py:300-301);
-    *  - string is the lattice top (schema.py:303).
+    *    (the reference probes type1 before type2 per width: schema.py:251-255);
+    *  - int x float -> the float, unsigned included (schema.py:286-289);
+    *  - numeric x temporal -> the numeric, unsigned included
+    *    (schema.py:291-296) — the epoch-timestamp heuristic is the
+    *    weaker claim;
+    *  - binary is contagious (schema.py:298-299);
+    *  - string is the lattice top (schema.py:301).
     * Nested types are an [EXT]: equal-shape unify recursively, anything
     * else falls to string (the documented lattice top).
     */
@@ -86,17 +95,17 @@ object AType {
         case w if w == t2 => t2
       } else None
 
-    category(isInt, intOrder)
+    category(isAnyInt, intOrder)
       .orElse(category(isUInt, uintOrder))
       .orElse(category(isFloat, floatOrder))
       .orElse(category(isDate, dateOrder))
       .getOrElse {
         (t1, t2) match {
           case (a, b) if a == b                      => a
-          case (a, b) if isInt(a) && isFloat(b)      => b
-          case (a, b) if isFloat(a) && isInt(b)      => a
-          case (a, b) if (isInt(a) || isFloat(a)) && isTemporal(b) => a
-          case (a, b) if isTemporal(a) && (isInt(b) || isFloat(b)) => b
+          case (a, b) if isAnyInt(a) && isFloat(b)   => b
+          case (a, b) if isFloat(a) && isAnyInt(b)   => a
+          case (a, b) if (isAnyInt(a) || isFloat(a)) && isTemporal(b) => a
+          case (a, b) if isTemporal(a) && (isAnyInt(b) || isFloat(b)) => b
           case (a, b) if isBinary(a) || isBinary(b)  => ABinary
           // ---- [EXT] nested unify; not in reference (it rejects nested) ----
           case (AList(e1), AList(e2))                => AList(unify(e1, e2))

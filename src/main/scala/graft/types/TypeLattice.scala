@@ -50,20 +50,22 @@ object TypeLattice {
       .getOrElse(SString(value))
   }
 
+  /** A Python digit run: underscores allowed only SINGLY and BETWEEN
+    * digits — `1_`, `_1`, `1__2` all raise ValueError in `int()`/
+    * `float()`, so they must fall through to string here too. */
+  private val pyDigits = """\d(?:_?\d)*"""
+
   /** Python `int(str)`: optional sign, decimal digits, surrounding
-    * whitespace allowed, underscores between digits allowed. Arbitrary
-    * precision (the overflow-to-string probe happens later,
+    * whitespace allowed, single underscores between digits allowed.
+    * Arbitrary precision (the overflow-to-string probe happens later,
     * schema.py:362-371). */
   private[graft] def parsePythonInt(s: String): Option[BigInt] = {
-    val t = s.trim.replace("_", "")
-    if (t.isEmpty) None
-    else {
-      val body = if (t.head == '+' || t.head == '-') t.tail else t
-      if (body.nonEmpty && body.forall(_.isDigit)) Some(BigInt(t)) else None
-    }
+    val t = s.trim
+    if (t.matches(s"""[+-]?$pyDigits""")) Some(BigInt(t.replace("_", ""))) else None
   }
 
-  /** Python `float(str)`: decimal/scientific notation plus inf/nan forms. */
+  /** Python `float(str)`: decimal/scientific notation plus inf/nan
+    * forms; underscore placement validated like `int()`. */
   private[graft] def parsePythonFloat(s: String): Option[Double] = {
     val t = s.trim.toLowerCase
     t match {
@@ -71,10 +73,10 @@ object TypeLattice {
       case "-inf" | "-infinity"                      => Some(Double.NegativeInfinity)
       case "nan" | "+nan" | "-nan"                   => Some(Double.NaN)
       case _ =>
-        val u = t.replace("_", "")
-        if (u.isEmpty || !u.exists(_.isDigit)) None
-        else if (!u.matches("""[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?""")) None
-        else try Some(java.lang.Double.parseDouble(u)) catch { case _: NumberFormatException => None }
+        if (!t.matches(s"""[+-]?(?:$pyDigits(?:\\.(?:$pyDigits)?)?|\\.$pyDigits)(?:e[+-]?$pyDigits)?"""))
+          None
+        else try Some(java.lang.Double.parseDouble(t.replace("_", "")))
+        catch { case _: NumberFormatException => None }
     }
   }
 

@@ -77,4 +77,27 @@ class FunctionsSpec extends SparkSuite {
     val t2 = SchemaYaml.load(out("t2"))
     assert(t2.fieldMap("only") == graft.types.AType.ADate32)
   }
+
+  test("schema-union Aggregator preserves nested types (no lossy alias round-trip)") {
+    import spark.implicits._
+    val now = 1767225600.0
+    // nested structs/lists: AType.forAlias can't parse struct<...>, so a
+    // buffer that round-tripped through alias strings would degrade
+    // these to string mid-aggregation; the typed buffer must agree with
+    // the treeAggregate inference path exactly
+    // same keys in the same order everywhere, so the merged field order
+    // is independent of partition-combine order on both paths
+    val docs = Seq(
+      """{"user": {"name": "ada", "age": 36}, "tags": ["x", "y"]}""",
+      """{"user": {"name": "alan", "age": 41.5}, "tags": ["z"]}""",
+      """{"user": {"name": "grace", "age": 29}, "tags": []}""")
+    val agg = docs.toDF("doc").repartition(3)
+      .agg(SchemaAggregator.inferSchemaAgg($"doc", "nested", now))
+      .collect()(0).getString(0)
+    val batch = graft.schema.SchemaInference.infer(
+      spark.createDataset(docs), "nested", samples = 0, nowEpochSec = now)
+    assert(agg == SchemaYaml.dump(batch))
+    // and the nested shape really is nested, not string
+    assert(agg.contains("struct<"), s"expected struct alias in:\n$agg")
+  }
 }

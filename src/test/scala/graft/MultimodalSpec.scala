@@ -37,6 +37,15 @@ class MultimodalSpec extends SparkSuite {
     val r = out.select(length(col("media")).as("len"), col("meta.width")).distinct().collect()
     assert(r.forall(_.getInt(0) == 32))
     assert(r.forall(_.getInt(1) == 32))
+    // byte-exact FakeCodec.resize parity (truncate or zero-pad)...
+    val originals = media.select("media_id", "media").collect()
+      .map(row => row.getLong(0) -> row.getAs[Array[Byte]](1)).toMap
+    out.select("media_id", "media").collect().foreach { row =>
+      val expected = Multimodal.FakeCodec.resize(originals(row.getLong(0)), 32)
+      assert(java.util.Arrays.equals(row.getAs[Array[Byte]](1), expected))
+    }
+    // ...achieved with built-ins: no UDF in the plan (codegen-friendly)
+    assert(!out.queryExecution.executedPlan.toString.contains("UDF"))
   }
 
   test("frame sampling fans out one row per sampled frame, no shuffle") {

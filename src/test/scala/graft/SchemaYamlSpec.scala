@@ -5,6 +5,7 @@ import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.schema.{InferredSchema, SchemaYaml}
+import graft.types.AType
 import graft.types.AType._
 
 /** `!schema` YAML round-trip compatibility
@@ -53,6 +54,20 @@ class SchemaYamlSpec extends AnyFunSuite {
     val back = SchemaYaml.load(text)
     assert(back.name == schema.name)
     assert(back.fields == schema.fields)
+  }
+
+  test("YAML-1.1 reserved plain scalars are quoted so names round-trip (PyYAML parity)") {
+    // bare `yes`/`true`/`null`/`on`/`123`/`1.5`/`2024-01-01` would
+    // re-parse as bool/null/number/date and corrupt the field name;
+    // PyYAML quotes them on dump and so must we
+    val reserved = Vector("yes", "no", "true", "False", "null", "on", "OFF",
+      "123", "1.5", "2024-01-01", "y", "N")
+    val schema = InferredSchema("tricky", reserved.map(_ -> (AInt32: AType)))
+    val back = SchemaYaml.load(SchemaYaml.dump(schema))
+    assert(back.fields.map(_._1) == reserved)
+    // ordinary names still dump unquoted (reference files stay diffable)
+    assert(SchemaYaml.dump(InferredSchema("t", Vector("plain_name" -> AInt32)))
+      .contains("plain_name: int32"))
   }
 
   test("dumpToFile writes <name>.yaml into the destination (schema.py:102-108)") {

@@ -38,9 +38,18 @@ class SourceSpec extends SparkSuite {
     assert(spark.read.parquet(result.outPath).count() == 5)
   }
 
-  test("mongodb:// uris dispatch to the connector path with a clear guard") {
-    val src = Source(spark, "mongodb://localhost:27017")
-    assert(src.isInstanceOf[MongoSource])
+  test("mongodb:// uris fail fast at connect, like connect_mongo's 1s probe (mongo.py:15-18)") {
+    // with no connector jar the probe's classpath precondition fires at
+    // CONSTRUCTION — not at first action — mirroring the reference's
+    // check_connection=True failing inside connect_mongo
+    val err = intercept[IllegalStateException] {
+      Source(spark, "mongodb://localhost:27017")
+    }
+    assert(err.getMessage.contains("mongo-spark-connector"))
+  }
+
+  test("checkConnection=false defers the guard to first use (check_connection=False parity)") {
+    val src = new MongoSource(spark, "mongodb://localhost:27017", checkConnection = false)
     val err = intercept[IllegalStateException] {
       src.read("appdb", "telemetry")
     }

@@ -36,4 +36,48 @@ class StreamingEngineSpec extends SparkSuite {
     assert(df.schema("flap_orientation").dataType ==
       org.apache.spark.sql.types.FloatType)
   }
+
+  test("streaming unwraps BSON wrappers identically to the batch path") {
+    val in = Files.createTempDirectory("streamwrap")
+    val out = Files.createTempDirectory("streamwrapout").toString
+    val ckpt = Files.createTempDirectory("wrapckpt").toString
+
+    // wrapper-heavy documents: $oid, $numberLong, $date-as-millis,
+    // $date-as-ISO, $binary, plus plain scalars. Each column keeps ONE
+    // shape across rows — a column mixing wrapper and plain shapes
+    // degrades to stringified JSON at json-schema-union time on the
+    // batch path too (both paths share that limitation).
+    val docs = Seq(
+      """{"_id": {"$oid": "65a1b2c3d4e5f60718293a4b"}, "n": {"$numberLong": "8589934592"}, "ts": {"$date": 1709287200000}, "iso": {"$date": "2024-03-01T12:00:00Z"}, "blob": {"$binary": {"base64": "aGVsbG8=", "subType": "00"}}, "label": "alpha", "score": 1.5, "ok": true}""",
+      """{"_id": {"$oid": "65a1b2c3d4e5f60718293a4c"}, "n": {"$numberLong": "8589934593"}, "ts": {"$date": 1709290800000}, "iso": {"$date": "2024-03-02T08:30:00Z"}, "blob": {"$binary": {"base64": "d29ybGQ=", "subType": "00"}}, "label": "beta", "score": 2.25, "ok": false}""",
+      """{"_id": {"$oid": "65a1b2c3d4e5f60718293a4d"}, "n": {"$numberLong": "8589934594"}, "ts": {"$date": 1709294400000}, "iso": {"$date": "2024-03-03T23:59:59Z"}, "blob": {"$binary": {"base64": "YWJj", "subType": "00"}}, "label": "gamma", "score": -0.5, "ok": true}""")
+    val src = Files.createTempDirectory("wrapsrc").resolve("docs.jsonl")
+    Files.writeString(src, docs.mkString("", "\n", "\n"))
+
+    val schema = SchemaInference.inferFile(spark, src.toString, "wrapped",
+      samples = 0, nowEpochSec = 1767225600.0)
+
+    // batch pipeline = ground truth
+    val batchOut = Files.createTempDirectory("wrapbatch").toString
+    val batch = Engine.run(spark, Engine.JobConfig(
+      input = src.toString, collection = "wrapped", outDir = batchOut, samples = 0))
+
+    Files.copy(src, in.resolve("batch1.jsonl"))
+    val q = Engine.runStreaming(spark, in.toString, schema, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    val batchRows = spark.read.parquet(batch.outPath)
+      .orderBy("_id").collect().map(_.toSeq.map {
+        case b: Array[Byte] => b.toSeq
+        case v => v
+      })
+    val streamRows = spark.read.parquet(out)
+      .selectExpr(spark.read.parquet(batch.outPath).columns.map(c => s"`$c`"): _*)
+      .orderBy("_id").collect().map(_.toSeq.map {
+        case b: Array[Byte] => b.toSeq
+        case v => v
+      })
+    assert(streamRows.toSeq == batchRows.toSeq)
+  }
 }

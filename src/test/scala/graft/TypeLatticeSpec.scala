@@ -26,6 +26,23 @@ class TypeLatticeSpec extends AnyFunSuite {
     assert(AType.unify(AInt32, AInt32) == AInt32)
   }
 
+  test("mixed signed/unsigned: is_integer spans both, width probes are signed (schema.py:256-263)") {
+    // pa_types.is_integer is true for unsigned ints too, so a mixed pair
+    // enters the int category; the width tests are the SIGNED probes, so
+    // the signed member wins regardless of width or argument order.
+    assert(AType.unify(AInt32, AUInt32) == AInt32)
+    assert(AType.unify(AUInt32, AInt32) == AInt32)
+    assert(AType.unify(AInt8, AUInt64) == AInt8)
+    assert(AType.unify(AUInt64, AInt8) == AInt8)
+  }
+
+  test("unsigned x float / temporal behaves like signed (pa_types.is_integer)") {
+    assert(AType.unify(AUInt8, AFloat32) == AFloat32)
+    assert(AType.unify(AFloat64, AUInt32) == AFloat64)
+    assert(AType.unify(AUInt32, ATimestampS) == AUInt32)
+    assert(AType.unify(ADate32, AUInt16) == AUInt16)
+  }
+
   test("same-category widest wins: uints (schema.py:267-272)") {
     assert(AType.unify(AUInt8, AUInt64) == AUInt64)
     assert(AType.unify(AUInt16, AUInt8) == AUInt16)
@@ -64,8 +81,6 @@ class TypeLatticeSpec extends AnyFunSuite {
     assert(AType.unify(ABool, AString) == AString)
     assert(AType.unify(ABool, ATimestampS) == AString)
     assert(AType.unify(ABool, AInt8) == AString)
-    // int x uint falls through every category -> string, like the reference
-    assert(AType.unify(AInt32, AUInt32) == AString)
   }
 
   test("[EXT] nested unify (reference rejects nested, SURVEY §7.4.4)") {
@@ -119,6 +134,19 @@ class TypeLatticeSpec extends AnyFunSuite {
       SDateTime(LocalDateTime.of(2024, 3, 1, 0, 0)))
     assert(TypeLattice.castFromString("hello") == SString("hello"))
     assert(TypeLattice.castFromString("12abc") == SString("12abc"))
+  }
+
+  test("underscores parse only singly between digits, like Python int()/float()") {
+    assert(TypeLattice.castFromString("1_000") == SLong(BigInt(1000)))
+    assert(TypeLattice.castFromString("1_0.5_5") == SDouble(10.55))
+    assert(TypeLattice.castFromString("1e1_0") == SDouble(1e10))
+    // all of these raise ValueError in Python -> string in the reference
+    assert(TypeLattice.castFromString("1_") == SString("1_"))
+    assert(TypeLattice.castFromString("_1") == SString("_1"))
+    assert(TypeLattice.castFromString("+_1") == SString("+_1"))
+    assert(TypeLattice.castFromString("1__2") == SString("1__2"))
+    assert(TypeLattice.castFromString("1_.5") == SString("1_.5"))
+    assert(TypeLattice.castFromString("1e_5") == SString("1e_5"))
   }
 
   // ---- infer_type branches (schema.py:331-389) -----------------------
