@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, RollingHash}
+import graft.functions.{CountInSet, DotProduct, RollingHash, SumStrLen}
 
 /** Session-extension registration of the engine's native expressions —
   * the `SparkSessionExtensions` injection point, so a deployment can
@@ -34,5 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(tokens, base) - polynomial rolling hash over ARRAY<STRING> (codegen)"),
       (exprs: Seq[Expression]) => RollingHash(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("count_in_set"),
+      info("count_in_set", "count_in_set(toks, words) - elements of toks contained in the literal word set (codegen)"),
+      (exprs: Seq[Expression]) => CountInSet(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sum_strlen"),
+      info("sum_strlen", "sum_strlen(toks) - total character count of an ARRAY<STRING> (codegen)"),
+      (exprs: Seq[Expression]) => SumStrLen(exprs(0))))
   }
 }

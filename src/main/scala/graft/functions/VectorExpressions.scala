@@ -80,6 +80,10 @@ object GraftFunctions {
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "count_in_set", exprs => CountInSet(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sum_strlen", exprs => SumStrLen(exprs(0)), "built-in")
   }
 
   def dot_product(a: Column, b: Column): Column = call_function("dot_product", a, b)

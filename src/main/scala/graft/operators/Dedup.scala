@@ -195,15 +195,16 @@ object Dedup {
         // token-less docs are dropped up front: a quality gate rejects
         // them by definition, and the score's ratios are undefined
         // (0/0) for them — at 100 TB empty docs DO occur.
+        graft.functions.GraftFunctions.register(s)
         val quality = withToks(docs)
-          .withColumn("wne", expr("filter(toks, t -> length(t) > 0)"))
+          .withColumn("wne", array_remove($"toks", ""))
           .filter(length($"text") > 0 && size($"wne") > 0)
           .withColumn("n_tokens", size($"wne").cast(LongType))
           .withColumn("n_punct", length(regexp_replace($"text", "[^.!?,;:]", "")).cast(LongType))
           .withColumn("q",
             lit(0.4) * least($"n_tokens".cast(DoubleType) / 200.0, lit(1.0)) +
             lit(0.3) * (lit(1.0) - $"n_punct".cast(DoubleType) / length($"text")) +
-            lit(0.3) * (expr("size(filter(wne, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')))").cast(DoubleType) / $"n_tokens"))
+            lit(0.3) * (expr("count_in_set(wne, array('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))").cast(DoubleType) / $"n_tokens"))
           .select($"doc_id", $"n_tokens", round($"q", 6).as("quality"))
         keepExact
           .join(nearDupLosers, Seq("doc_id"), "left_anti")

@@ -62,18 +62,34 @@ object Extras {
         ORDER BY c_custkey""")),
 
     // ---- approximate count-distinct (HLL++) -------------------------
-    // No oracle: DuckDB's approx sketch differs from Spark's HLL++ by
-    // construction; the driver records the rows-only check. Exact
-    // count-distinct parity is covered by q14.
+    // DuckDB's approx sketch differs from Spark's HLL++ by construction,
+    // so raw estimates can't hash-match. Instead the query outputs the
+    // EXACT counts plus an in-engine ε-band assertion on the estimates
+    // (|approx - exact| <= 5% — HLL++'s default relativeSD); the oracle
+    // asserts the same exact counts and literal TRUE flags, so a sketch
+    // regression past the band fails the hash compare.
     Q("q41_approx_distinct",
       (s, dir) => {
         import s.implicits._
         lineitem(s, dir).groupBy($"l_returnflag")
-          .agg(approx_count_distinct($"l_orderkey").as("approx_orders"),
-            approx_count_distinct($"l_partkey").as("approx_parts"))
+          .agg(approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
+            approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+            countDistinct($"l_orderkey").as("exact_orders"),
+            countDistinct($"l_partkey").as("exact_parts"))
+          .select($"l_returnflag", $"exact_orders", $"exact_parts",
+            (abs($"approx_orders" - $"exact_orders") <=
+              lit(0.05) * $"exact_orders").as("orders_within_eps"),
+            (abs($"approx_parts" - $"exact_parts") <=
+              lit(0.05) * $"exact_parts").as("parts_within_eps"))
           .orderBy($"l_returnflag")
       },
-      None),
+      Some("""
+        SELECT l_returnflag,
+          CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+          CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+          TRUE AS orders_within_eps,
+          TRUE AS parts_within_eps
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- deterministic math scalar functions ------------------------
     // (sqrt is IEEE correctly-rounded; ceil/floor/abs/mod/sign exact —
@@ -352,18 +368,39 @@ object Extras {
         ORDER BY o_orderpriority, o_orderkey""")),
 
     // ---- rolling-hash document fingerprint (codegen Expression) ------
-    // No oracle: the 64-bit wrapping polynomial fold has no DuckDB
-    // equivalent; exactness is pinned by VectorExpressionsSpec instead.
+    // Oracle: a full independent DuckDB re-implementation of the same
+    // h = h*31 + fnv1a(token) fold — nested list_reduce lambdas in
+    // HUGEINT arithmetic mod 2^64, converted back to the signed 64-bit
+    // value at the end. Tokens are ASCII by construction (\W+ split),
+    // so ascii(char) == the utf-8 byte fnv1a consumes. A dual
+    // implementation in a different engine and number system is the
+    // strongest equality check available for a custom kernel.
     Q("q43_rolling_fingerprint",
       (s, dir) => {
         import s.implicits._
         GraftFunctions.register(s)
         documents(s, dir)
-          .withColumn("toks_ne",
-            expr("filter(split(lower(text), '\\\\W+'), t -> length(t) > 0)"))
+          .withColumn("toks_ne", array_remove(split(lower($"text"), "\\W+"), ""))
           .select($"doc_id", expr("rolling_hash(toks_ne, 31L)").as("fp"))
           .orderBy($"doc_id")
       },
-      None)
+      Some("""
+        WITH toksc AS (SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\W+'), t -> len(t) > 0) AS toks
+          FROM documents),
+        fps AS (SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS HUGEINT),
+              list_transform(toks, t ->
+                list_reduce(
+                  list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                    list_transform(range(1, len(t) + 1), i -> CAST(ascii(substring(t, i, 1)) AS HUGEINT))),
+                  (h, b) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211) % 18446744073709551616
+                ))),
+            (acc, th) -> (acc * 31 + th) % 18446744073709551616) AS u
+          FROM toksc)
+        SELECT doc_id,
+          CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS fp
+        FROM fps ORDER BY doc_id"""))
   )
 }

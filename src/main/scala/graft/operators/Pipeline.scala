@@ -43,7 +43,13 @@ schema:
   }
 
   def queries: Vector[Q] = Vector(
-    // ---- distributed schema inference (A8-A12) — rows-only check -----
+    // ---- distributed schema inference (A8-A12) -----------------------
+    // Oracle: the full inferred (ordinal, field, type_alias) table as a
+    // literal — the expected lattice outcome of the events documents
+    // (event_id/user_id within int32, value within float32's range and
+    // outside the epoch-timestamp window, event_type free text). Any
+    // drift in inference, field ordering, or alias naming fails the
+    // hash compare.
     Q("q36_schema_infer",
       (s, dir) => {
         import s.implicits._
@@ -52,8 +58,15 @@ schema:
         schema.fields.zipWithIndex
           .map { case ((n, t), i) => (i, n, t.alias) }
           .toDF("ordinal", "field", "type_alias")
+          .orderBy($"ordinal")
       },
-      None),
+      Some("""
+        SELECT * FROM (VALUES
+          (0, 'event_id', 'int32'),
+          (1, 'user_id', 'int32'),
+          (2, 'event_type', 'string'),
+          (3, 'value', 'float')) AS t(ordinal, field, type_alias)
+        ORDER BY ordinal""")),
 
     // ---- infer -> config (retype+rename) -> normalize (A7, A13-A15) --
     Q("q37_normalize_pipeline",

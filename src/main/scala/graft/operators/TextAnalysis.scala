@@ -31,15 +31,23 @@ object TextAnalysis {
   private def arrList(words: Vector[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** `count_in_set(toks_ne, array('the', ...))` — the codegen kernel
+    * with the stoplist as an array literal. */
+  private def countInSetSql(col: String, words: Vector[String]): String =
+    s"count_in_set($col, array${inList(words)})"
+
   def queries: Vector[Q] = Vector(
     // ---- language identification (stopword-count heuristic) ----------
     Q("q29_lang_id",
       (s, dir) => {
         import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        // one pass, all codegen: five hash-set probe loops per row
+        // (CountInSet) instead of five CodegenFallback HOF filters —
+        // zero shuffle beyond the final ORDER BY
         var df = withToksNe(documents(s, dir))
         for ((lang, words) <- stoplists)
-          df = df.withColumn(s"s_$lang",
-            expr(s"size(filter(toks_ne, t -> t IN ${inList(words)}))"))
+          df = df.withColumn(s"s_$lang", expr(countInSetSql("toks_ne", words)))
         val langs = stoplists.map(_._1)
         // fixed priority on ties: en > de > es > fr > zh
         val predicted = langs.init.zipWithIndex.foldRight(lit(langs.last): org.apache.spark.sql.Column) {
@@ -75,14 +83,15 @@ object TextAnalysis {
     Q("q30_text_quality",
       (s, dir) => {
         import s.implicits._
+        graft.functions.GraftFunctions.register(s)
         val stopEn = stoplists.head._2
         // empty / token-less docs are dropped: their ratios are 0/0 and
         // a quality score for them is meaningless (same guard as q58)
         withToksNe(documents(s, dir))
           .filter(length($"text") > 0 && size($"toks_ne") > 0)
           .withColumn("n_tokens", size($"toks_ne").cast(LongType))
-          .withColumn("sum_len", expr("aggregate(transform(toks_ne, t -> length(t)), 0, (a, x) -> a + x)").cast(LongType))
-          .withColumn("n_stop", expr(s"size(filter(toks_ne, t -> t IN ${inList(stopEn)}))").cast(LongType))
+          .withColumn("sum_len", expr("sum_strlen(toks_ne)"))
+          .withColumn("n_stop", expr(countInSetSql("toks_ne", stopEn)).cast(LongType))
           .withColumn("n_punct", length(regexp_replace($"text", "[^.!?,;:]", "")).cast(LongType))
           .select($"doc_id", $"n_tokens",
             round($"sum_len".cast(DoubleType) / $"n_tokens", 4).as("avg_token_len"),
@@ -156,8 +165,10 @@ object TextAnalysis {
         FROM documents ORDER BY doc_id"""))
   )
 
-  /** documents + `toks_ne`: lowercased non-empty word tokens. */
+  /** documents + `toks_ne`: lowercased non-empty word tokens.
+    * `array_remove(.., '')` == `filter(.., t -> length(t) > 0)` on
+    * split output (split never yields nulls) but is a regular codegen
+    * expression, not a CodegenFallback higher-order function. */
   private def withToksNe(df: DataFrame): DataFrame =
-    df.withColumn("toks_ne",
-      expr("filter(split(lower(text), '\\\\W+'), t -> length(t) > 0)"))
+    df.withColumn("toks_ne", array_remove(split(lower(col("text")), "\\W+"), ""))
 }

@@ -41,6 +41,40 @@ class FunctionsSpec extends SparkSuite {
     assert(df.agg(min("d")).first().getDouble(0) >= 0.0)
   }
 
+  test("count_in_set matches the IN-list HOF filter; sum_strlen matches the fold") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      Seq("the", "cat", "and", "the", "dog"),
+      Seq("x", "", "THE"), // case-sensitive like IN; empty never matches
+      Seq.empty[String]
+    ).toDF("toks")
+    val out = df.select(
+      expr("count_in_set(toks, array('the', 'a', 'of', 'and'))").as("fast"),
+      expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'and')))").as("ref"),
+      expr("sum_strlen(toks)").as("len_fast"),
+      expr("aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)").as("len_ref"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1))
+      assert(r.getLong(2) == r.getLong(3))
+    }
+    assert(out(0).getInt(0) == 3)
+    assert(out(1).getInt(0) == 0)
+  }
+
+  test("count_in_set and sum_strlen stay inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("array_remove(split(lower(text), '\\\\W+'), '') AS toks")
+      .selectExpr(
+        "count_in_set(toks, array('the', 'a')) AS c",
+        "sum_strlen(toks) AS l")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("count_in_set") && l.contains("*(")), plan)
+    assert(df.agg(min("c"), min("l")).first().getInt(0) >= 0)
+  }
+
   test("rolling_hash: deterministic, position-sensitive, interpreted == codegen") {
     import spark.implicits._
     GraftFunctions.register(spark)
