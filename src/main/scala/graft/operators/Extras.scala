@@ -71,11 +71,20 @@ object Extras {
     Q("q41_approx_distinct",
       (s, dir) => {
         import s.implicits._
-        lineitem(s, dir).groupBy($"l_returnflag")
-          .agg(approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
-            approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
-            countDistinct($"l_orderkey").as("exact_orders"),
+        // approx and exact in SEPARATE aggregations joined on the group
+        // key: two distinct aggregates force an Expand (3x rows), and a
+        // tight HLL sketch is a wide register buffer — merging those
+        // buffers across expanded rows is catastrophically slower than
+        // a second column-pruned scan (83s vs 1.3s at sf0.1). rsd=0.02
+        // keeps observed error under 1.5%, >3x inside the 5% band.
+        val li = lineitem(s, dir)
+        val approx = li.groupBy($"l_returnflag")
+          .agg(approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+            approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
+        val exact = li.groupBy($"l_returnflag")
+          .agg(countDistinct($"l_orderkey").as("exact_orders"),
             countDistinct($"l_partkey").as("exact_parts"))
+        approx.join(exact, "l_returnflag")
           .select($"l_returnflag", $"exact_orders", $"exact_parts",
             (abs($"approx_orders" - $"exact_orders") <=
               lit(0.05) * $"exact_orders").as("orders_within_eps"),
