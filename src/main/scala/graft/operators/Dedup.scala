@@ -244,35 +244,78 @@ object Dedup {
 
     // ---- simhash fingerprints ----------------------------------------
     Q("q28_simhash",
+      (s, dir) => simhashes(s, dir).orderBy(col("doc_id")),
+      Some(s"""${simhashCte()}
+        SELECT doc_id, simhash FROM sims ORDER BY doc_id""")),
+
+    // ---- simhash near-dup pairs (hamming-band LSH) --------------------
+    // Charikar pairing at scale: never all-pairs. A 32-bit fingerprint
+    // splits into 2 half-bands; by pigeonhole, any pair within hamming
+    // distance 1 agrees on at least one whole 16-bit half, so an
+    // equi-join on (band, half) surfaces EVERY such pair (exact recall,
+    // not probabilistic), and popcount verification filters candidates.
+    // Collision work is bounded by band-bucket size, same shape as the
+    // minhash LSH join (q27); 32 bits (vs q28's published 16) keeps
+    // accidental bucket collisions rare on a clustered corpus.
+    Q("q61_simhash_pairs",
       (s, dir) => {
         import s.implicits._
-        val dtok = withToks(documents(s, dir))
-          .select($"doc_id", explode($"toks").as("tok"))
-          .filter(length($"tok") > 0)
+        val sims = simhashes(s, dir, bits = 32)
+        val bands = sims.selectExpr("doc_id", "simhash",
+          "stack(2, 0, CAST(simhash % 65536 AS INT), 1, CAST((simhash DIV 65536) % 65536 AS INT)) AS (band, half)")
+        bands.as("sa").join(bands.as("sb"),
+            col("sa.band") === col("sb.band") && col("sa.half") === col("sb.half") &&
+            col("sa.doc_id") < col("sb.doc_id"))
+          .select(col("sa.doc_id").as("ida"), col("sb.doc_id").as("idb"),
+            col("sa.simhash").as("ha"), col("sb.simhash").as("hb"))
           .distinct()
-          // hoist the digest: 16 aggregate terms share one md5 per token
-          .withColumn("h", md5($"tok"))
-        val sums = (0 until 16).map { j =>
-          sum(expr(
-            s"2 * ((instr('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1) % 2) - 1"
-          )).as(s"s$j")
-        }
-        dtok.groupBy($"doc_id").agg(sums.head, sums.tail: _*)
-          .select($"doc_id",
-            (0 until 16).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-              .reduce(_ + _).cast(LongType).as("simhash"))
-          .orderBy($"doc_id")
+          .select($"ida", $"idb", expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
+          .filter($"hamming" <= 1)
+          .orderBy($"ida", $"idb")
       },
-      Some {
-        val sumTerms = (0 until 16).map(j =>
-          s"SUM(2 * ((instr('0123456789abcdef', substring(md5(tok), ${j + 1}, 1)) - 1) % 2) - 1) AS s$j").mkString(", ")
-        val bitTerms = (0 until 16).map(j =>
-          s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-        s"""
-        WITH toksc AS (SELECT doc_id, string_split_regex(lower(text), '\\W+') AS w FROM documents),
-        dtok AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, UNNEST(w) AS tok FROM toksc) u WHERE len(tok) > 0),
-        sums AS (SELECT doc_id, $sumTerms FROM dtok GROUP BY doc_id)
-        SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash FROM sums ORDER BY doc_id"""
-      })
+      Some(s"""${simhashCte(32)},
+        bands AS (SELECT doc_id, simhash, 0 AS band, CAST(simhash % 65536 AS INT) AS half FROM sims
+                  UNION ALL
+                  SELECT doc_id, simhash, 1 AS band, CAST((simhash // 65536) % 65536 AS INT) AS half FROM sims),
+        cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb, a.simhash AS ha, b.simhash AS hb
+                 FROM bands a JOIN bands b ON a.band = b.band AND a.half = b.half AND a.doc_id < b.doc_id)
+        SELECT ida, idb, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 1
+        ORDER BY ida, idb"""))
   )
+
+  /** doc_id -> `bits`-wide simhash frame (Charikar), one md5 nibble's
+    * low bit per output bit. The digest is hoisted: all aggregate terms
+    * share one md5 per distinct (doc, token). q28 publishes the 16-bit
+    * form; q61 pairs on a 32-bit form (wider hash = fewer accidental
+    * band collisions on a clustered corpus). */
+  private[operators] def simhashes(s: SparkSession, dir: String, bits: Int = 16): DataFrame = {
+    val dtok = withToks(documents(s, dir))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+      .withColumn("h", md5(col("tok")))
+    val sums = (0 until bits).map { j =>
+      sum(expr(
+        s"2 * ((instr('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1) % 2) - 1"
+      )).as(s"s$j")
+    }
+    dtok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).cast(LongType).as("simhash"))
+  }
+
+  /** Matching oracle CTE ending in `sims(doc_id, simhash)`. */
+  private[operators] def simhashCte(bits: Int = 16): String = {
+    val sumTerms = (0 until bits).map(j =>
+      s"SUM(2 * ((instr('0123456789abcdef', substring(md5(tok), ${j + 1}, 1)) - 1) % 2) - 1) AS s$j").mkString(", ")
+    val bitTerms = (0 until bits).map(j =>
+      s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""
+    WITH toksc AS (SELECT doc_id, string_split_regex(lower(text), '\\W+') AS w FROM documents),
+    dtok AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, UNNEST(w) AS tok FROM toksc) u WHERE len(tok) > 0),
+    sums AS (SELECT doc_id, $sumTerms FROM dtok GROUP BY doc_id),
+    sims AS (SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash FROM sums)"""
+  }
 }

@@ -151,6 +151,37 @@ object TextAnalysis {
           CAST(SUM(bpe_tokens) AS BIGINT) AS bpe_total
         FROM t GROUP BY source ORDER BY source""")),
 
+    // ---- vocabulary head: top-k tokens per language -------------------
+    // Tokenizer-training prep: the Zipf head per language. explode ->
+    // partial-aggregated (lang, token) counts -> top-10 window with a
+    // total tie order (count desc, token asc). One explode-shuffle whose
+    // map-side combine collapses to distinct (lang, token) rows, then a
+    // window over small per-lang groups — the scalable vocab-stats shape.
+    Q("q62_vocab_topk",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val counts = withToksNe(documents(s, dir))
+          .select($"lang", explode($"toks_ne").as("tok"))
+          .groupBy($"lang", $"tok").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy($"lang").orderBy($"n".desc, $"tok".asc)
+        counts.withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 10)
+          .select($"lang", $"rk", $"tok", $"n")
+          .orderBy($"lang", $"rk")
+      },
+      Some("""
+        WITH counts AS (
+          SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n
+          FROM (SELECT lang, UNNEST(list_filter(string_split_regex(lower(text), '\W+'), t -> len(t) > 0)) AS tok
+                FROM documents) u
+          GROUP BY lang, tok),
+        ranked AS (SELECT lang, tok, n,
+            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS rk
+          FROM counts)
+        SELECT lang, CAST(rk AS INT) AS rk, tok, n
+        FROM ranked WHERE rk <= 10 ORDER BY lang, rk""")),
+
     // ---- content fingerprint (normalized md5) ------------------------
     Q("q32_fingerprint",
       (s, dir) => {
