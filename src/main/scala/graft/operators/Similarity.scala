@@ -51,6 +51,12 @@ object Similarity {
 
   def queries: Vector[Q] = Vector(
     // ---- near-duplicate pairs by cosine, blocked on label ------------
+    // Scale contract: the equi-join on the block key distributes work
+    // by block, but the comparison count is quadratic WITHIN a block —
+    // fine while blocks are balanced, degrades on a mega-block (one
+    // label owning most of the corpus). For skewed/unblocked corpora
+    // use the hyperplane-LSH variant (q55): random-projection sign
+    // buckets bound each bucket's pair count regardless of label skew.
     Q("q33_cosine_pairs",
       (s, dir) => {
         import s.implicits._
