@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CountInSet, DotProduct, RollingHash, SumStrLen}
+import graft.functions.{CountInSet, DotProduct, RollingHash, SimHash64, SumStrLen}
 
 /** Session-extension registration of the engine's native expressions —
   * the `SparkSessionExtensions` injection point, so a deployment can
@@ -42,5 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sum_strlen"),
       info("sum_strlen", "sum_strlen(toks) - total character count of an ARRAY<STRING> (codegen)"),
       (exprs: Seq[Expression]) => SumStrLen(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(toks) - per-row 64-bit Charikar simhash over distinct tokens (codegen)"),
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
   }
 }

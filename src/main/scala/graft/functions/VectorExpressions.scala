@@ -84,6 +84,8 @@ object GraftFunctions {
       "count_in_set", exprs => CountInSet(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sum_strlen", exprs => SumStrLen(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs(0)), "built-in")
   }
 
   def dot_product(a: Column, b: Column): Column = call_function("dot_product", a, b)

@@ -102,6 +102,28 @@ object StreamOps {
       }
   }
 
+  /** Streaming near-identical dedup by content fingerprint: each doc's
+    * 64-bit `simhash64` is computed row-local (codegen, no shuffle),
+    * then stateful dedup runs on the FINGERPRINT within the watermark
+    * horizon — docs whose distinct-token sets hash to the same simhash
+    * (identical or trivially-reordered/duplicated-token content) are
+    * emitted once. State is one fingerprint per horizon, bounded like
+    * [[dedupWithinWatermark]]; the text column never enters state.
+    * (Hamming-distance near-dup pairing stays a batch operator — q61 —
+    * because a doc would need verdicts from every LSH band group, which
+    * doesn't compose in one streaming stateful stage.) */
+  def fingerprintDedup(
+      docs: DataFrame,
+      textCol: String = "text",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("simhash", expr(
+        s"simhash64(array_remove(split(lower(`$textCol`), '\\\\W+'), ''))"))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("simhash")
+  }
+
   /** Stream-static enrichment join: the static side is broadcast per
     * micro-batch, so the stream never shuffles. */
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =

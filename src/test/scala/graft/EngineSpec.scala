@@ -46,6 +46,13 @@ class EngineSpec extends SparkSuite {
     assert(back.schema("flap_orientation").dataType == FloatType)
     val sensorA = back.filter(back("source_source") === "sensor_a")
     assert(sensorA.count() == 2)
+    // partition PRUNING, not just filtering: the predicate must reach
+    // the scan as a PartitionFilter so only sensor_a's directory is
+    // read — at 100 TB this is the difference between one partition
+    // and a full-table scan
+    val scanPlan = sensorA.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PartitionFilters") &&
+      scanPlan.contains("sensor_a"), scanPlan)
 
     // inferred schema YAML was persisted and re-loads
     val yaml = graft.schema.SchemaYaml.loadFile(Paths.get(out, "telemetry.yaml"))

@@ -75,6 +75,38 @@ class FunctionsSpec extends SparkSuite {
     assert(df.agg(min("c"), min("l")).first().getInt(0) >= 0)
   }
 
+  test("simhash64: distinct-token set semantics, reference fold parity, codegen") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Seq("alpha", "beta", "gamma")),
+      (2L, Seq("beta", "alpha", "gamma", "alpha", "")), // reorder + dup + empty: same set
+      (3L, Seq("alpha", "beta", "delta")),
+      (4L, Seq.empty[String])
+    ).toDF("id", "toks")
+    val rows = df.select($"id", expr("simhash64(toks)").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // order/duplication/empty-token invariant (set semantics)
+    assert(rows(1L) == rows(2L))
+    assert(rows(1L) != rows(3L))
+    assert(rows(4L) == 0L)
+    // independent Scala reference: per-bit majority vote over fnv1a
+    def ref(toks: Set[String]): Long = {
+      val hs = toks.map(t => graft.functions.RollingHash.fnv1a(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+      (0 until 64).foldLeft(0L) { (acc, j) =>
+        val v = hs.toSeq.map(h => if (((h >>> j) & 1L) == 1L) 1 else -1).sum
+        if (v > 0) acc | (1L << j) else acc
+      }
+    }
+    assert(rows(1L) == ref(Set("alpha", "beta", "gamma")))
+    // stays inside whole-stage codegen on a real scan
+    val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("simhash64(array_remove(split(lower(text), '\\\\W+'), '')) AS h")
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("simhash64") && l.contains("*(")), plan)
+  }
+
   test("rolling_hash: deterministic, position-sensitive, interpreted == codegen") {
     import spark.implicits._
     GraftFunctions.register(spark)

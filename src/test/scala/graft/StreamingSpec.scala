@@ -71,6 +71,25 @@ class StreamingSpec extends SparkSuite {
     assert(ks.sorted == Seq("a", "b"), s"got $ks")
   }
 
+  test("fingerprintDedup drops near-identical docs by row-local simhash") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamOps.fingerprintDedup(df, "text", "10 minutes")
+      .writeStream.format("memory").queryName("fpdedup")
+      .outputMode("append").start()
+    input.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "the quick brown fox"),
+      (ts("2024-01-01 10:01:00"), 2L, "quick, the brown FOX"), // same token set -> dup
+      (ts("2024-01-01 10:02:00"), 3L, "an entirely different document"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("fpdedup").select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.size == 2 && kept.contains(3L), s"got $kept")
+    assert(kept.intersect(Set(1L, 2L)).size == 1)
+  }
+
   test("sliding windows produce overlapping buckets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
