@@ -110,7 +110,10 @@ object Engine {
     // own pass over the data instead of re-reading the full output —
     // at 100 TB a post-write re-scan would double the job's I/O for a
     // progress number.
-    val obs = new org.apache.spark.sql.Observation("graft.rows_written")
+    // unique per run: concurrent Engine.run calls on a shared session
+    // must not collide on the observation name
+    val obs = new org.apache.spark.sql.Observation(
+      s"graft.rows_written.${java.util.UUID.randomUUID()}")
     val normalized = Normalizer(withConfig, raw, job.mode)
       .observe(obs, org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("rows"))

@@ -26,4 +26,21 @@ class ConcurrencySpec extends SparkSuite {
     }), 180.seconds).toMap
     assert(again == counts)
   }
+
+  test("concurrent Engine.run jobs on a shared session don't collide") {
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fixture = java.nio.file.Paths.get(
+      getClass.getResource("/telemetry.jsonl").toURI).toString
+    // each run observes its own rows-written metric; names must not
+    // collide across simultaneously-executing writes
+    val futures = (1 to 4).map { i =>
+      Future {
+        val out = java.nio.file.Files.createTempDirectory(s"conc$i").toString
+        Engine.run(spark, Engine.JobConfig(
+          input = fixture, collection = s"telemetry_$i", outDir = out, samples = 0))
+      }
+    }
+    val results = Await.result(Future.sequence(futures), 180.seconds)
+    assert(results.forall(_.rowsWritten == 5), results.map(_.rowsWritten))
+  }
 }
