@@ -172,6 +172,70 @@ object Similarity {
                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosr DESC, cid) AS rank
                    FROM scored)
         SELECT qid, cid, cosr AS cosine, rank FROM ranked
-        WHERE rank <= 5 ORDER BY qid, rank"""))
+        WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // ---- k-means Lloyd iteration (IVF index TRAINING) ----------------
+    // q35 probes pre-assigned clusters; this trains them: one full
+    // Lloyd iteration — assign each vector to its nearest of K=8 seed
+    // centroids (the first 8 corpus vectors, deterministic), recompute
+    // centroids as per-dimension means, reassign — emitting cluster
+    // sizes and centroid norms. Execution shape at scale: assignment is
+    // a map-only pass against BROADCAST centroids (K×dim doubles);
+    // the mean is one shuffle of (cluster, dim) partial sums — the
+    // standard distributed k-means step, linear per iteration.
+    // Cross-engine exactness: distances use the expanded form
+    // vv - 2·dot(v,c) + cc with the same left-to-right fold in both
+    // engines, rounded to 1e-6 before the argmin (ties -> lowest cid);
+    // means go through DECIMAL(30,15) sums so summation order can't
+    // drift a ulp.
+    Q("q64_kmeans_iter",
+      (s, dir) => {
+        import s.implicits._
+        val e = prepared(s, dir).select($"vec_id", $"v")
+          .withColumn("vv", expr("dot_product(v, v)"))
+        val c0 = e.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"v".as("cv"), $"vv".as("cc"))
+        def assign(cents: DataFrame): DataFrame = {
+          val scored = e.crossJoin(broadcast(cents))
+            .withColumn("d2", round($"vv" - lit(2.0) * expr("dot_product(v, cv)") + $"cc", 6))
+          val w = Window.partitionBy($"vec_id").orderBy($"d2", $"cid")
+          scored.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+            .select($"vec_id", $"v", $"cid".as("cluster"))
+        }
+        val dims = assign(c0)
+          .select($"cluster", posexplode($"v").as(Seq("dim", "x")))
+        val means = dims.groupBy($"cluster", $"dim").agg(davg($"x", 15).as("m"))
+        val c1 = means.groupBy($"cluster")
+          .agg(expr("transform(sort_array(collect_list(struct(dim, m))), s -> s.m)").as("cv"))
+          .withColumn("cc", expr("dot_product(cv, cv)"))
+          .select($"cluster".as("cid"), $"cv", $"cc")
+        assign(c1).groupBy($"cluster").agg(count(lit(1)).as("n"))
+          .join(c1.select($"cid".as("cluster"), round($"cc", 6).as("center_norm2")), "cluster")
+          .orderBy($"cluster")
+      },
+      Some(s"""$prepCte,
+        e2 AS (SELECT vec_id, v, list_sum([v[i] * v[i] for i in range(1, len(v) + 1)]) AS vv FROM n),
+        c0 AS (SELECT vec_id AS cid, v AS cv, vv AS cc FROM e2 WHERE vec_id < 8),
+        s0 AS (SELECT e2.vec_id, e2.v, c0.cid,
+                 ROUND(e2.vv - 2.0 * list_sum([e2.v[i] * c0.cv[i] for i in range(1, len(e2.v) + 1)]) + c0.cc, 6) AS d2
+               FROM e2 CROSS JOIN c0),
+        a0 AS (SELECT vec_id, v, cid AS cluster FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM s0) t
+               WHERE rk = 1),
+        dims AS (SELECT cluster, i - 1 AS dim, v[i] AS x
+                 FROM a0, UNNEST(range(1, len(v) + 1)) AS t(i)),
+        means AS (SELECT cluster, dim, ${davgSql("x", 15)} AS m FROM dims GROUP BY cluster, dim),
+        c1 AS (SELECT cluster AS cid, list(m ORDER BY dim) AS cv FROM means GROUP BY cluster),
+        c1n AS (SELECT cid, cv, list_sum([cv[i] * cv[i] for i in range(1, len(cv) + 1)]) AS cc FROM c1),
+        s1 AS (SELECT e2.vec_id, c1n.cid,
+                 ROUND(e2.vv - 2.0 * list_sum([e2.v[i] * c1n.cv[i] for i in range(1, len(e2.v) + 1)]) + c1n.cc, 6) AS d2
+               FROM e2 CROSS JOIN c1n),
+        a1 AS (SELECT vec_id, cid AS cluster FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM s1) t
+               WHERE rk = 1),
+        cnt AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n FROM a1 GROUP BY cluster)
+        SELECT cnt.cluster, cnt.n, ROUND(c1n.cc, 6) AS center_norm2
+        FROM cnt JOIN c1n ON c1n.cid = cnt.cluster
+        ORDER BY cluster"""))
   )
 }
