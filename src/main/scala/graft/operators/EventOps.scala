@@ -96,6 +96,43 @@ object EventOps {
           event_type, COUNT(*) AS n, ${dsumSql("value", 4)} AS total_value
         FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
 
+    // ---- batch sessionization (session_window vs gaps-and-islands) --
+    // Variable-length sessions per user: events within 30 minutes of
+    // the previous event merge. Spark's native session_window state
+    // machine against the classic lag/cumsum islands construction in
+    // the oracle — two entirely different algorithms, same sessions.
+    // Session end follows Spark's definition (last event + gap).
+    // Scale shape: one shuffle on user_id; session merging is
+    // per-partition streaming state, no self-join.
+    Q("q65_sessionize",
+      (s, dir) => {
+        import s.implicits._
+        events(s, dir)
+          .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+          .agg(count(lit(1)).as("n_events"), dsum($"value", 4).as("total_value"))
+          .select($"user_id", unix_timestamp($"w.start").as("s_start"),
+            unix_timestamp($"w.end").as("s_end"), $"n_events", $"total_value")
+          .orderBy($"user_id", $"s_start")
+      },
+      Some(s"""
+        WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        flagged AS (SELECT user_id, event_id, ts, value,
+            CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        numbered AS (SELECT user_id, ts, value,
+            SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged),
+        sess AS (SELECT user_id, sid, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+            COUNT(*) AS n_events, ${dsumSql("value", 4)} AS total_value
+          FROM numbered GROUP BY user_id, sid)
+        SELECT user_id,
+          CAST(FLOOR(EPOCH(start_ts)) AS BIGINT) AS s_start,
+          CAST(FLOOR(EPOCH(end_ts + INTERVAL 30 MINUTE)) AS BIGINT) AS s_end,
+          CAST(n_events AS BIGINT) AS n_events, total_value
+        FROM sess ORDER BY user_id, s_start""")),
+
     // ---- deterministic hash sample (A4-analogue, reproducible) -------
     Q("q24_hash_sample",
       (s, dir) => {
