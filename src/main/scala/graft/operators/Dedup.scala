@@ -114,32 +114,8 @@ object Dedup {
     Q("q27_minhash_dup_pairs",
       (s, dir) => {
         import s.implicits._
-        // single distinct-shingle subtree feeds signatures, cardinalities
-        // and the intersection join — identical subplans collapse into one
-        // ReusedExchange, so the explode+md5 scan runs once, not three
-        // times (min over distinct shingles == min over all shingles, so
-        // the signature is unchanged)
-        val dsh = shingles(documents(s, dir)).distinct()
-        val aggs = (0 until nBands).map(k => min(md5(concat(col("s"), lit(s"#$k")))).as(s"mh$k"))
-        val sig = dsh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-        val stackExpr = (0 until nBands).map(k => s"$k, mh$k").mkString(s"stack($nBands, ", ", ", ") AS (band, sg)")
-        val bands = sig.selectExpr("doc_id", stackExpr)
-        val cand = bands.as("ba").join(bands.as("bb"),
-            col("ba.band") === col("bb.band") && col("ba.sg") === col("bb.sg") &&
-            col("ba.doc_id") < col("bb.doc_id"))
-          .select(col("ba.doc_id").as("ida"), col("bb.doc_id").as("idb"))
-          .distinct()
-        val card = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-        val inter = cand
-          .join(dsh.as("x"), $"ida" === col("x.doc_id"))
-          .join(dsh.as("y"), $"idb" === col("y.doc_id") && col("x.s") === col("y.s"))
-          .groupBy($"ida", $"idb").agg(count(lit(1)).as("i"))
-        val jac = inter
-          .join(card.as("ca"), $"ida" === col("ca.doc_id"))
-          .join(card.as("cb"), $"idb" === col("cb.doc_id"))
-          .select($"ida", $"idb",
-            ($"i".cast(DoubleType) / (col("ca.n") + col("cb.n") - $"i")).as("jraw"))
-        jac.filter(round($"jraw", 6) >= 0.5)
+        nearDupPairs(s, dir)
+          .filter(round($"jraw", 6) >= 0.5)
           .select($"ida", $"idb", round($"jraw", 6).as("jaccard"))
           .orderBy($"ida", $"idb")
       },
@@ -173,23 +149,8 @@ object Dedup {
         val keepExact = docs.groupBy($"text").agg(min($"doc_id").as("doc_id"))
           .select($"doc_id")
         // stage 2: near-dup pairs (same construction as q27)
-        val dsh = shingles(docs).distinct()
-        val aggs = (0 until nBands).map(k => min(md5(concat(col("s"), lit(s"#$k")))).as(s"mh$k"))
-        val sig = dsh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-        val stackExpr = (0 until nBands).map(k => s"$k, mh$k").mkString(s"stack($nBands, ", ", ", ") AS (band, sg)")
-        val bands = sig.selectExpr("doc_id", stackExpr)
-        val cand = bands.as("ba").join(bands.as("bb"),
-            col("ba.band") === col("bb.band") && col("ba.sg") === col("bb.sg") &&
-            col("ba.doc_id") < col("bb.doc_id"))
-          .select(col("ba.doc_id").as("ida"), col("bb.doc_id").as("idb")).distinct()
-        val card = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-        val nearDupLosers = cand
-          .join(dsh.as("x"), $"ida" === col("x.doc_id"))
-          .join(dsh.as("y"), $"idb" === col("y.doc_id") && col("x.s") === col("y.s"))
-          .groupBy($"ida", $"idb").agg(count(lit(1)).as("i"))
-          .join(card.as("ca"), $"ida" === col("ca.doc_id"))
-          .join(card.as("cb"), $"idb" === col("cb.doc_id"))
-          .filter(round($"i".cast(DoubleType) / (col("ca.n") + col("cb.n") - $"i"), 6) >= 0.5)
+        val nearDupLosers = nearDupPairs(s, dir)
+          .filter(round($"jraw", 6) >= 0.5)
           .select($"idb".as("doc_id")).distinct()
         // stage 3: quality gate (same formula as q30). Empty or
         // token-less docs are dropped up front: a quality gate rejects
@@ -281,8 +242,98 @@ object Dedup {
                  FROM bands a JOIN bands b ON a.band = b.band AND a.half = b.half AND a.doc_id < b.doc_id)
         SELECT ida, idb, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
         FROM cand WHERE bit_count(xor(ha, hb)) <= 1
-        ORDER BY ida, idb"""))
+        ORDER BY ida, idb""")),
+
+    // ---- connected components over near-dup pairs ---------------------
+    // The principled clustering step after LSH pairing: near-duplicate
+    // is not transitive-closed pairwise (a~b, b~c does not imply the
+    // (a,c) pair was emitted), so real dedup groups pairs into
+    // components and keeps one doc per component. Spark side: min-label
+    // propagation — per iteration one equi-join + min-aggregate, with
+    // localCheckpoint truncating the lineage (the standard distributed
+    // CC shape; iterations = component diameter, driver only sees one
+    // monotone checksum per round). Oracle: a recursive-CTE transitive
+    // closure in DuckDB — a completely different algorithm, same
+    // components.
+    Q("q66_dup_components",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = nearDupPairs(s, dir)
+          .filter(round($"jraw", 6) >= 0.5)
+          .select($"ida", $"idb")
+        val edges = pairs.union(pairs.select($"idb", $"ida")).toDF("src", "dst")
+          .localCheckpoint(true)
+        var labels = edges.select($"src".as("id")).distinct()
+          .withColumn("label", $"id").localCheckpoint(true)
+        def checksum(): Long =
+          labels.agg(coalesce(sum($"label"), lit(0L))).first().getLong(0)
+        var prevSum = -1L
+        var curSum = checksum()
+        var iters = 0
+        while (curSum != prevSum && iters < 50) {
+          val prop = edges.join(labels, col("dst") === col("id"))
+            .groupBy($"src").agg(min($"label").as("nbr"))
+          labels = labels.join(prop, $"id" === $"src", "left")
+            .select($"id", least($"label", coalesce($"nbr", $"label")).as("label"))
+            .localCheckpoint(true)
+          prevSum = curSum
+          curSum = checksum()
+          iters += 1
+        }
+        labels.select($"id".as("doc_id"), $"label".as("component"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""${shingleCte.replaceFirst("WITH", "WITH RECURSIVE")}, $signatureSql,
+        bands AS (${(0 until nBands).map(k => s"SELECT doc_id, $k AS band, mh$k AS sg FROM sig").mkString(" UNION ALL ")}),
+        cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+                 FROM bands a JOIN bands b ON a.band = b.band AND a.sg = b.sg AND a.doc_id < b.doc_id),
+        dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+        card AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+        pairs AS (SELECT i2.ida, i2.idb
+                  FROM (SELECT c.ida, c.idb, COUNT(*) AS i
+                        FROM cand c JOIN dsh x ON x.doc_id = c.ida
+                        JOIN dsh y ON y.doc_id = c.idb AND y.s = x.s
+                        GROUP BY c.ida, c.idb) i2
+                  JOIN card ca ON ca.doc_id = i2.ida JOIN card cb ON cb.doc_id = i2.idb
+                  WHERE ROUND(CAST(i2.i AS DOUBLE) / (ca.n + cb.n - i2.i), 6) >= 0.5),
+        edges AS (SELECT ida AS src, idb AS dst FROM pairs
+                  UNION SELECT idb, ida FROM pairs),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        closure AS (SELECT id AS node, id AS reach FROM nodes
+                    UNION
+                    SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src)
+        SELECT node AS doc_id, CAST(MIN(reach) AS BIGINT) AS component
+        FROM closure GROUP BY node ORDER BY doc_id"""))
   )
+
+  /** Verified near-dup candidate pairs: (ida, idb, jraw) with raw
+    * Jaccard similarity, shared by q27/q58/q66. A single
+    * distinct-shingle subtree feeds signatures, cardinalities and the
+    * intersection join — identical subplans collapse into one
+    * ReusedExchange, so the explode+md5 scan runs once, not three
+    * times (min over distinct shingles == min over all shingles, so
+    * the signature is unchanged). */
+  private[operators] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val dsh = shingles(documents(s, dir)).distinct()
+    val aggs = (0 until nBands).map(k => min(md5(concat(col("s"), lit(s"#$k")))).as(s"mh$k"))
+    val sig = dsh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val stackExpr = (0 until nBands).map(k => s"$k, mh$k").mkString(s"stack($nBands, ", ", ", ") AS (band, sg)")
+    val bands = sig.selectExpr("doc_id", stackExpr)
+    val cand = bands.as("ba").join(bands.as("bb"),
+        col("ba.band") === col("bb.band") && col("ba.sg") === col("bb.sg") &&
+        col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("ida"), col("bb.doc_id").as("idb"))
+      .distinct()
+    val card = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    cand
+      .join(dsh.as("x"), col("ida") === col("x.doc_id"))
+      .join(dsh.as("y"), col("idb") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("i"))
+      .join(card.as("ca"), col("ida") === col("ca.doc_id"))
+      .join(card.as("cb"), col("idb") === col("cb.doc_id"))
+      .select(col("ida"), col("idb"),
+        (col("i").cast(DoubleType) / (col("ca.n") + col("cb.n") - col("i"))).as("jraw"))
+  }
 
   /** doc_id -> `bits`-wide simhash frame (Charikar), one md5 nibble's
     * low bit per output bit. The digest is hoisted: all aggregate terms
