@@ -128,6 +128,34 @@ object Extras {
         FROM lineitem WHERE l_orderkey <= 1000
         ORDER BY l_orderkey, l_linenumber""")),
 
+    // ---- approximate percentiles (KLL-style sketch) -------------------
+    // Same oracle pattern as q41: DuckDB's approx sketch differs from
+    // Spark's by construction, so the query emits the EXACT percentiles
+    // plus an in-engine error-band check on the approx_percentile
+    // estimates (accuracy=10000 -> rank error <= n/10000; quantities
+    // are integers 1..50, so |approx - exact| <= 1.0 is a generous
+    // bound); the oracle asserts exact values and literal TRUE flags.
+    Q("q67_approx_percentile",
+      (s, dir) => {
+        import s.implicits._
+        lineitem(s, dir).groupBy($"l_returnflag")
+          .agg(percentile($"l_quantity", lit(0.5)).as("exact_p50"),
+            percentile($"l_quantity", lit(0.9)).as("exact_p90"),
+            percentile_approx($"l_quantity", lit(0.5), lit(10000)).as("a50"),
+            percentile_approx($"l_quantity", lit(0.9), lit(10000)).as("a90"))
+          .select($"l_returnflag", $"exact_p50", $"exact_p90",
+            (abs($"a50" - $"exact_p50") <= lit(1.0)).as("p50_within_band"),
+            (abs($"a90" - $"exact_p90") <= lit(1.0)).as("p90_within_band"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+          QUANTILE_CONT(l_quantity, 0.5) AS exact_p50,
+          QUANTILE_CONT(l_quantity, 0.9) AS exact_p90,
+          TRUE AS p50_within_band,
+          TRUE AS p90_within_band
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- exact percentiles (sort-based, interpolated) ----------------
     Q("q44_percentiles",
       (s, dir) => {
