@@ -51,7 +51,10 @@ object Bench {
       if (ts.exists(_ < 0)) (-1.0, -1.0)
       else {
         val sorted = ts.sorted
-        (sorted(sorted.size / 2), sorted.head)
+        val median =
+          if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+          else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+        (median, sorted.head)
       }
     }
 

@@ -270,7 +270,11 @@ object Dedup {
         var prevSum = -1L
         var curSum = checksum()
         var iters = 0
-        while (curSum != prevSum && iters < 50) {
+        val maxIters = 200 // iterations = component diameter; a chain of
+                           // drifting near-dups can be long, so the cap
+                           // is generous — and hitting it FAILS LOUDLY
+                           // below rather than returning wrong components
+        while (curSum != prevSum && iters < maxIters) {
           val prop = edges.join(labels, col("dst") === col("id"))
             .groupBy($"src").agg(min($"label").as("nbr"))
           labels = labels.join(prop, $"id" === $"src", "left")
@@ -280,6 +284,9 @@ object Dedup {
           curSum = checksum()
           iters += 1
         }
+        require(curSum == prevSum,
+          s"q66: label propagation did not converge within $maxIters iterations " +
+            "(a component's diameter exceeds the cap) — refusing to emit non-minimal labels")
         labels.select($"id".as("doc_id"), $"label".as("component"))
           .orderBy($"doc_id")
       },

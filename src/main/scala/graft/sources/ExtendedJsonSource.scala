@@ -127,8 +127,14 @@ object ExtendedJsonSource {
       case AString =>
         coalesce(jsonField(c, "`$oid` STRING", Seq("$oid")), c)
       case AInt8 | AInt16 | AInt32 | AInt64 | AUInt8 | AUInt16 | AUInt32 | AUInt64 =>
-        // batch parse type for plain JSON ints is LongType
-        coalesce(numLong, numInt, numDouble, c).cast(LongType)
+        // batch parse type for plain JSON ints is LongType. A fractional
+        // text value ("1.5") must truncate like the batch path (json
+        // infers double, ANSI double->long truncates) instead of
+        // failing the string->long cast; genuinely non-numeric text
+        // still raises, matching the batch/reference ValueError.
+        val txt = coalesce(numLong, numInt, numDouble, c)
+        when(txt.rlike("^[+-]?[0-9]+$"), txt.cast(LongType))
+          .otherwise(txt.cast(DoubleType).cast(LongType))
       case AFloat16 | AFloat32 | AFloat64 =>
         coalesce(numDouble, numLong, numInt, c).cast(DoubleType)
       case ADate32 | ADate64 | ATimestampS =>

@@ -96,21 +96,35 @@ final class MongoSource(spark: SparkSession, uri: String, checkConnection: Boole
       else if (uri.stripPrefix("mongodb://").stripPrefix("mongodb+srv://").contains("/"))
         s"$uri?serverSelectionTimeoutMS=1000"
       else s"$uri/?serverSelectionTimeoutMS=1000"
-    val clientClass = Class.forName("com.mongodb.client.MongoClients")
-    val client = clientClass.getMethod("create", classOf[String]).invoke(null, probeUri)
+    // reflect against the PUBLIC interfaces (MongoClient/MongoDatabase),
+    // not runtime impl classes — com.mongodb.client.internal.* may not
+    // be accessible; and wrap EVERY failure (bad URI at create,
+    // reflective access, server selection) in the descriptive error.
+    var client: AnyRef = null
     try {
-      val database = client.getClass.getMethod("getDatabase", classOf[String]).invoke(client, "admin")
+      val clientsClass = Class.forName("com.mongodb.client.MongoClients")
+      val clientIface = Class.forName("com.mongodb.client.MongoClient")
+      val dbIface = Class.forName("com.mongodb.client.MongoDatabase")
+      client = clientsClass.getMethod("create", classOf[String]).invoke(null, probeUri)
+      val database = clientIface.getMethod("getDatabase", classOf[String]).invoke(client, "admin")
       val pingDoc = Class.forName("org.bson.Document")
         .getMethod("parse", classOf[String]).invoke(null, "{\"ping\": 1}")
-      database.getClass.getMethod("runCommand", Class.forName("org.bson.conversions.Bson"))
+      dbIface.getMethod("runCommand", Class.forName("org.bson.conversions.Bson"))
         .invoke(database, pingDoc)
       ()
     } catch {
-      case e: java.lang.reflect.InvocationTargetException =>
+      case e: Throwable =>
+        val cause = e match {
+          case ite: java.lang.reflect.InvocationTargetException if ite.getCause != null => ite.getCause
+          case other => other
+        }
         throw new IllegalStateException(
-          s"MongoDB server unreachable (1s server-selection probe failed): ${e.getCause.getMessage}",
-          e.getCause)
-    } finally client.getClass.getMethod("close").invoke(client)
+          s"MongoDB connect probe failed for $uri (1s server-selection): ${cause.getMessage}", cause)
+    } finally {
+      if (client != null)
+        try Class.forName("com.mongodb.client.MongoClient").getMethod("close").invoke(client)
+        catch { case _: Throwable => () }
+    }
   }
 
   if (checkConnection) probe()

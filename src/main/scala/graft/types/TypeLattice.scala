@@ -55,19 +55,29 @@ object TypeLattice {
     * `float()`, so they must fall through to string here too. */
   private val pyDigits = """\d(?:_?\d)*"""
 
-  /** Python `int(str)`: optional sign, decimal digits, surrounding
-    * whitespace allowed, single underscores between digits allowed.
-    * Arbitrary precision (the overflow-to-string probe happens later,
-    * schema.py:362-371). */
+  /** Python numerics accept any Unicode DECIMAL digit (category Nd),
+    * e.g. int("٥٤٣") == 543; fold those to ASCII so the ASCII-digit
+    * grammar below (and BigInt/Double parsing) sees them. */
+  private def asciiDigits(s: String): String =
+    s.map { ch =>
+      val d = Character.digit(ch, 10)
+      if (d >= 0 && Character.isDigit(ch)) ('0' + d).toChar else ch
+    }
+
+  /** Python `int(str)`: optional sign, decimal digits (any Unicode Nd),
+    * surrounding whitespace allowed, single underscores between digits
+    * allowed. Arbitrary precision (the overflow-to-string probe happens
+    * later, schema.py:362-371). */
   private[graft] def parsePythonInt(s: String): Option[BigInt] = {
-    val t = s.trim
+    val t = asciiDigits(s.trim)
     if (t.matches(s"""[+-]?$pyDigits""")) Some(BigInt(t.replace("_", ""))) else None
   }
 
   /** Python `float(str)`: decimal/scientific notation plus inf/nan
-    * forms; underscore placement validated like `int()`. */
+    * forms; underscore placement validated like `int()`; Unicode
+    * decimal digits folded to ASCII like `float()` accepts. */
   private[graft] def parsePythonFloat(s: String): Option[Double] = {
-    val t = s.trim.toLowerCase
+    val t = asciiDigits(s.trim.toLowerCase)
     t match {
       case "inf" | "+inf" | "infinity" | "+infinity" => Some(Double.PositiveInfinity)
       case "-inf" | "-infinity"                      => Some(Double.NegativeInfinity)

@@ -149,6 +149,14 @@ class TypeLatticeSpec extends AnyFunSuite {
     assert(TypeLattice.castFromString("1e_5") == SString("1e_5"))
   }
 
+  test("unicode decimal digits parse like Python int()/float()") {
+    assert(TypeLattice.castFromString("٥٤٣") == SLong(BigInt(543))) // Arabic-Indic
+    assert(TypeLattice.castFromString("१२") == SLong(BigInt(12)))       // Devanagari
+    assert(TypeLattice.castFromString("٥.٥") == SDouble(5.5))
+    // non-decimal number glyphs (e.g. Roman numeral) are NOT Nd -> string
+    assert(TypeLattice.castFromString("Ⅳ") == SString("Ⅳ"))
+  }
+
   // ---- infer_type branches (schema.py:331-389) -----------------------
 
   test("datetime at midnight -> date32, else date64 (schema.py:352-356)") {

@@ -41,15 +41,31 @@ def load(path):
             if depth == 0:
                 end = i + 1
                 break
+    if end is None:
+        sys.exit(f"{path}: bench JSON is truncated (unbalanced braces)")
     return json.loads(frag[:end])
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thr = 0.2
-    for a in sys.argv[1:]:
+    # accept both --threshold=X and --threshold X (the latter consumes
+    # the following token, which must not be mistaken for a file arg)
+    raw = sys.argv[1:]
+    args, thr, i = [], 0.2, 0
+    while i < len(raw):
+        a = raw[i]
         if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1]) if "=" in a else thr
+            if "=" in a:
+                thr = float(a.split("=", 1)[1])
+            elif i + 1 < len(raw):
+                thr = float(raw[i + 1])
+                i += 1
+            else:
+                sys.exit("--threshold needs a value")
+        else:
+            args.append(a)
+        i += 1
+    if len(args) != 2:
+        sys.exit("usage: benchdiff.py OLD NEW [--threshold 0.2]")
     old, new = load(args[0]), load(args[1])
     oq, nq = old["queries"], new["queries"]
     omin, nmin = old.get("queries_min", {}), new.get("queries_min", {})
@@ -60,6 +76,15 @@ def main():
         if o is None or n is None:
             print(f"{name:34} {'--' if o is None else round(o, 2):>8} "
                   f"{'--' if n is None else round(n, 2):>8} {'new' if o is None else 'gone':>8}")
+            continue
+        # Bench records -1 for a query that errored: that's a failure,
+        # not a timing — never report it as a speedup
+        if n < 0:
+            print(f"{name:34} {o:8.2f} {'FAIL':>8} {'':>8} REGRESSION (query now errors)")
+            regressions.append(name)
+            continue
+        if o < 0:
+            print(f"{name:34} {'FAIL':>8} {n:8.2f} {'':>8} fixed")
             continue
         delta = (n - o) / o if o > 0 else 0.0
         flag = ""
