@@ -156,6 +156,44 @@ object Extras {
           TRUE AS p90_within_band
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- blocked fuzzy matching (levenshtein) ------------------------
+    // Entity-resolution shape: never all-pairs — candidates come from
+    // an equi-join on a blocking key (brand x first name token), the
+    // verifier is edit distance, and the output aggregates per block so
+    // result size is bounded by block count at any SF. Spark's and
+    // DuckDB's levenshtein are the same classic unit-cost DP, so counts
+    // agree exactly. Scoped to one brand: part names draw from a tiny
+    // vocabulary, so a name-token block alone is the mega-block
+    // degenerate case (see q33's caveat) — the brand predicate is the
+    // realistic "resolve within this catalog section" query and keeps
+    // the within-block quadratic bounded.
+    Q("q68_fuzzy_match",
+      (s, dir) => {
+        import s.implicits._
+        val p = part(s, dir)
+          .filter($"p_brand" === "Brand#11")
+          .select($"p_partkey", $"p_name")
+          .withColumn("blk", substring_index($"p_name", " ", 1))
+        val a = p.select($"blk", $"p_partkey".as("ka"), $"p_name".as("na"))
+        val b = p.select($"blk".as("blkb"), $"p_partkey".as("kb"), $"p_name".as("nb"))
+        a.join(b, $"blk" === $"blkb" && $"ka" < $"kb")
+          .withColumn("d", levenshtein($"na", $"nb"))
+          .groupBy($"blk")
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when($"d" <= 3 && $"d" > 0, 1L).otherwise(0L)).as("n_fuzzy"),
+            sum(when($"d" === 0, 1L).otherwise(0L)).as("n_exact"))
+          .orderBy($"blk")
+      },
+      Some("""
+        WITH p AS (SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+                   FROM part WHERE p_brand = 'Brand#11'),
+        pairs AS (SELECT a.blk, levenshtein(a.p_name, b.p_name) AS d
+                  FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
+        SELECT blk, COUNT(*) AS n_candidates,
+          CAST(SUM(CASE WHEN d <= 3 AND d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fuzzy,
+          CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+        FROM pairs GROUP BY blk ORDER BY blk""")),
+
     // ---- exact percentiles (sort-based, interpolated) ----------------
     Q("q44_percentiles",
       (s, dir) => {
