@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.GraftFunctions
+
 /** Deduplication operators over the `documents` table [EXT]
   * (SURVEY.md §2B dedup rows): exact, MinHash-LSH near-dup with
   * Jaccard verification, and SimHash fingerprints. Techniques follow
@@ -210,20 +212,26 @@ object Dedup {
         SELECT doc_id, simhash FROM sims ORDER BY doc_id""")),
 
     // ---- simhash near-dup pairs (hamming-band LSH) --------------------
-    // Charikar pairing at scale: never all-pairs. A 32-bit fingerprint
-    // splits into 2 half-bands; by pigeonhole, any pair within hamming
-    // distance 1 agrees on at least one whole 16-bit half, so an
-    // equi-join on (band, half) surfaces EVERY such pair (exact recall,
-    // not probabilistic), and popcount verification filters candidates.
-    // Collision work is bounded by band-bucket size, same shape as the
-    // minhash LSH join (q27); 32 bits (vs q28's published 16) keeps
-    // accidental bucket collisions rare on a clustered corpus.
+    // Charikar pairing at scale: never all-pairs, and no token shuffle
+    // either — fingerprints come from the per-row `simhash64` kernel
+    // (map-only, see q63), so the ONLY shuffled payload is 8 bytes per
+    // doc. The 64-bit fingerprint splits into 2 unsigned 32-bit
+    // half-bands; by pigeonhole, any pair within hamming distance 1
+    // agrees on at least one whole half, so the (band, half) equi-join
+    // surfaces EVERY such pair (exact recall, not probabilistic) and
+    // popcount verifies. Collision work is bounded by band-bucket size,
+    // same shape as the minhash LSH join (q27).
     Q("q61_simhash_pairs",
       (s, dir) => {
         import s.implicits._
-        val sims = simhashes(s, dir, bits = 32)
+        GraftFunctions.register(s)
+        val sims = documents(s, dir)
+          .withColumn("toks_ne", array_remove(split(lower($"text"), "\\W+"), ""))
+          .select($"doc_id", expr("simhash64(toks_ne)").as("simhash"))
+        // unsigned halves: & masks off sign-extension, so both engines
+        // see the same band values even when bit 63 is set
         val bands = sims.selectExpr("doc_id", "simhash",
-          "stack(2, 0, CAST(simhash % 65536 AS INT), 1, CAST((simhash DIV 65536) % 65536 AS INT)) AS (band, half)")
+          "stack(2, 0, simhash & 4294967295, 1, shiftrightunsigned(simhash, 32)) AS (band, half)")
         bands.as("sa").join(bands.as("sb"),
             col("sa.band") === col("sb.band") && col("sa.half") === col("sb.half") &&
             col("sa.doc_id") < col("sb.doc_id"))
@@ -234,10 +242,10 @@ object Dedup {
           .filter($"hamming" <= 1)
           .orderBy($"ida", $"idb")
       },
-      Some(s"""${simhashCte(32)},
-        bands AS (SELECT doc_id, simhash, 0 AS band, CAST(simhash % 65536 AS INT) AS half FROM sims
+      Some(s"""$simhash64Cte,
+        bands AS (SELECT doc_id, simhash, 0 AS band, CAST(u % 4294967296 AS BIGINT) AS half FROM sims
                   UNION ALL
-                  SELECT doc_id, simhash, 1 AS band, CAST((simhash // 65536) % 65536 AS INT) AS half FROM sims),
+                  SELECT doc_id, simhash, 1 AS band, CAST(u // 4294967296 AS BIGINT) AS half FROM sims),
         cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb, a.simhash AS ha, b.simhash AS hb
                  FROM bands a JOIN bands b ON a.band = b.band AND a.half = b.half AND a.doc_id < b.doc_id)
         SELECT ida, idb, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
@@ -362,6 +370,36 @@ object Dedup {
       .select(col("doc_id"),
         (0 until bits).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).cast(LongType).as("simhash"))
+  }
+
+  /** Oracle CTE for the per-row `simhash64` kernel (q63/q61): distinct
+    * non-empty tokens, per-token fnv1a (HUGEINT fold mod 2^64),
+    * per-bit ±1 votes, sign -> bit. Ends in
+    * `sims(doc_id, u HUGEINT unsigned, simhash BIGINT signed)`. */
+  private[operators] val simhash64Cte: String = {
+    val pows = (0 until 64).map(j => (BigInt(1) << j).toString).mkString("[", ", ", "]")
+    s"""
+    WITH toksc AS (SELECT doc_id,
+        list_distinct(list_filter(string_split_regex(lower(text), '\\W+'), t -> len(t) > 0)) AS toks
+      FROM documents),
+    hashed AS (SELECT doc_id,
+      list_transform(toks, t ->
+        list_reduce(
+          list_prepend(CAST(14695981039346656037 AS HUGEINT),
+            list_transform(range(1, len(t) + 1), i -> CAST(ascii(substring(t, i, 1)) AS HUGEINT))),
+          (h, b) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211) % 18446744073709551616
+        )) AS hs
+      FROM toksc),
+    sims AS (SELECT doc_id, u,
+        CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS simhash
+      FROM (SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS HUGEINT),
+          list_transform(range(0, 64), j ->
+            CASE WHEN list_sum(list_transform(hs, h ->
+                   CASE WHEN (h // ($pows)[j + 1]) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+                 THEN CAST(($pows)[j + 1] AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)),
+          (a, b) -> a + b) AS u
+        FROM hashed) raw)"""
   }
 
   /** Matching oracle CTE ending in `sims(doc_id, simhash)`. */

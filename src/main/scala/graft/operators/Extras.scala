@@ -493,32 +493,7 @@ object Extras {
           .select($"doc_id", expr("simhash64(toks_ne)").as("simhash"))
           .orderBy($"doc_id")
       },
-      Some {
-        val pows = (0 until 64).map(j => (BigInt(1) << j).toString)
-          .mkString("[", ", ", "]")
-        s"""
-        WITH toksc AS (SELECT doc_id,
-            list_distinct(list_filter(string_split_regex(lower(text), '\\W+'), t -> len(t) > 0)) AS toks
-          FROM documents),
-        hashed AS (SELECT doc_id,
-          list_transform(toks, t ->
-            list_reduce(
-              list_prepend(CAST(14695981039346656037 AS HUGEINT),
-                list_transform(range(1, len(t) + 1), i -> CAST(ascii(substring(t, i, 1)) AS HUGEINT))),
-              (h, b) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211) % 18446744073709551616
-            )) AS hs
-          FROM toksc),
-        sims AS (SELECT doc_id,
-          list_reduce(list_prepend(CAST(0 AS HUGEINT),
-            list_transform(range(0, 64), j ->
-              CASE WHEN list_sum(list_transform(hs, h ->
-                     CASE WHEN (h // ($pows)[j + 1]) % 2 = 1 THEN 1 ELSE -1 END)) > 0
-                   THEN CAST(($pows)[j + 1] AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)),
-            (a, b) -> a + b) AS u
-          FROM hashed)
-        SELECT doc_id,
-          CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS simhash
-        FROM sims ORDER BY doc_id"""
-      })
+      Some(s"""${Dedup.simhash64Cte}
+        SELECT doc_id, simhash FROM sims ORDER BY doc_id"""))
   )
 }
