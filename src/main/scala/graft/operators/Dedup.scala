@@ -225,8 +225,14 @@ object Dedup {
       (s, dir) => {
         import s.implicits._
         GraftFunctions.register(s)
+        // token-less docs are excluded BEFORE banding: simhash64([]) = 0,
+        // so every empty/punctuation-only doc would otherwise share one
+        // (band, 0) mega-bucket and pair quadratically at hamming 0 —
+        // same routing decision as the minhash path (sub-3-token docs
+        // belong to exact dedup, not near-dup)
         val sims = documents(s, dir)
           .withColumn("toks_ne", array_remove(split(lower($"text"), "\\W+"), ""))
+          .filter(size($"toks_ne") > 0)
           .select($"doc_id", expr("simhash64(toks_ne)").as("simhash"))
         // unsigned halves: & masks off sign-extension, so both engines
         // see the same band values even when bit 63 is set
@@ -243,9 +249,11 @@ object Dedup {
           .orderBy($"ida", $"idb")
       },
       Some(s"""$simhash64Cte,
-        bands AS (SELECT doc_id, simhash, 0 AS band, CAST(u % 4294967296 AS BIGINT) AS half FROM sims
+        nonempty AS (SELECT s2.doc_id, s2.u, s2.simhash FROM sims s2
+                     JOIN toksc ON toksc.doc_id = s2.doc_id WHERE len(toksc.toks) > 0),
+        bands AS (SELECT doc_id, simhash, 0 AS band, CAST(u % 4294967296 AS BIGINT) AS half FROM nonempty
                   UNION ALL
-                  SELECT doc_id, simhash, 1 AS band, CAST(u // 4294967296 AS BIGINT) AS half FROM sims),
+                  SELECT doc_id, simhash, 1 AS band, CAST(u // 4294967296 AS BIGINT) AS half FROM nonempty),
         cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb, a.simhash AS ha, b.simhash AS hb
                  FROM bands a JOIN bands b ON a.band = b.band AND a.half = b.half AND a.doc_id < b.doc_id)
         SELECT ida, idb, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
@@ -350,12 +358,14 @@ object Dedup {
         (col("i").cast(DoubleType) / (col("ca.n") + col("cb.n") - col("i"))).as("jraw"))
   }
 
-  /** doc_id -> `bits`-wide simhash frame (Charikar), one md5 nibble's
-    * low bit per output bit. The digest is hoisted: all aggregate terms
-    * share one md5 per distinct (doc, token). q28 publishes the 16-bit
-    * form; q61 pairs on a 32-bit form (wider hash = fewer accidental
-    * band collisions on a clustered corpus). */
-  private[operators] def simhashes(s: SparkSession, dir: String, bits: Int = 16): DataFrame = {
+  /** doc_id -> 16-bit aggregate simhash frame (Charikar), one md5
+    * nibble's low bit per output bit — q28's published cross-engine
+    * fingerprint. The digest is hoisted: all aggregate terms share one
+    * md5 per distinct (doc, token). The PAIRING operator (q61) does not
+    * use this aggregate form — it fingerprints row-local via the
+    * `simhash64` kernel, which never shuffles tokens. */
+  private[operators] def simhashes(s: SparkSession, dir: String): DataFrame = {
+    val bits = 16
     val dtok = withToks(documents(s, dir))
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .filter(length(col("tok")) > 0)
@@ -403,7 +413,8 @@ object Dedup {
   }
 
   /** Matching oracle CTE ending in `sims(doc_id, simhash)`. */
-  private[operators] def simhashCte(bits: Int = 16): String = {
+  private[operators] def simhashCte(): String = {
+    val bits = 16
     val sumTerms = (0 until bits).map(j =>
       s"SUM(2 * ((instr('0123456789abcdef', substring(md5(tok), ${j + 1}, 1)) - 1) % 2) - 1) AS s$j").mkString(", ")
     val bitTerms = (0 until bits).map(j =>

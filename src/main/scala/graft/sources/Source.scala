@@ -113,17 +113,20 @@ final class MongoSource(spark: SparkSession, uri: String, checkConnection: Boole
         .invoke(database, pingDoc)
       ()
     } catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         val cause = e match {
           case ite: java.lang.reflect.InvocationTargetException if ite.getCause != null => ite.getCause
           case other => other
         }
+        // fatal VM errors / interrupts propagate unwrapped (NonFatal);
+        // a probe-time InterruptedException must restore the flag
+        if (cause.isInstanceOf[InterruptedException]) Thread.currentThread().interrupt()
         throw new IllegalStateException(
           s"MongoDB connect probe failed for $uri (1s server-selection): ${cause.getMessage}", cause)
     } finally {
       if (client != null)
         try Class.forName("com.mongodb.client.MongoClient").getMethod("close").invoke(client)
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 

@@ -57,12 +57,21 @@ object TypeLattice {
 
   /** Python numerics accept any Unicode DECIMAL digit (category Nd),
     * e.g. int("٥٤٣") == 543; fold those to ASCII so the ASCII-digit
-    * grammar below (and BigInt/Double parsing) sees them. */
-  private def asciiDigits(s: String): String =
-    s.map { ch =>
-      val d = Character.digit(ch, 10)
-      if (d >= 0 && Character.isDigit(ch)) ('0' + d).toChar else ch
+    * grammar below (and BigInt/Double parsing) sees them. Folds by
+    * CODE POINT, not UTF-16 char, so supplementary-plane Nd digits
+    * (surrogate pairs, e.g. Osmanya U+104A9) convert too. */
+  private def asciiDigits(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val d = Character.digit(cp, 10)
+      if (d >= 0 && Character.isDigit(cp)) sb.append(('0' + d).toChar)
+      else sb.appendAll(Character.toChars(cp))
+      i += Character.charCount(cp)
     }
+    sb.toString
+  }
 
   /** Python `int(str)`: optional sign, decimal digits (any Unicode Nd),
     * surrounding whitespace allowed, single underscores between digits

@@ -41,6 +41,18 @@ class DedupSpec extends SparkSuite {
     assert(pairs.toSeq == Seq((5L, 6L)))
   }
 
+  test("q61 excludes token-less docs from simhash pairing (no zero-fingerprint mega-bucket)") {
+    val pairs = SparkEntry.queries("q61_simhash_pairs")(spark, dir)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // doc 7 is empty: simhash64([]) = 0, and without the guard every
+    // token-less doc would pair with every other at hamming 0
+    assert(!pairs.exists(p => p._1 == 7L || p._2 == 7L), pairs.toSeq)
+    // identical short docs DO pair here (same token set -> same bits);
+    // near-dup by token-set is simhash's contract, unlike the 3-gram
+    // minhash path which routes them to exact dedup
+    assert(pairs.contains((1L, 2L)), pairs.toSeq)
+  }
+
   test("q58 routes short docs through exact dedup: identical short docs still collapse") {
     val kept = SparkEntry.queries("q58_training_prep")(spark, dir)
       .select("doc_id").collect().map(_.getLong(0)).toSet

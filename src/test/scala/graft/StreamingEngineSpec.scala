@@ -37,6 +37,26 @@ class StreamingEngineSpec extends SparkSuite {
       org.apache.spark.sql.types.FloatType)
   }
 
+  test("textUnwrap numeric parity: fractional text truncates, wrappers parse, empty nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.ExtendedJsonSource
+    import graft.types.AType
+    val df = Seq("42", "1.5", "-2.75", "", """{"$numberLong": "8589934592"}""").toDF("n")
+    val out = df.select(ExtendedJsonSource.textUnwrap(col("n"), AType.AInt64).as("v"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    // "1.5" truncates like the batch path (json infers double; ANSI
+    // double->long truncates) instead of crashing the stream; ""
+    // is falsy -> null; wrappers unwrap
+    assert(out.toSeq == Seq(Some(42L), Some(1L), Some(-2L), None, Some(8589934592L)))
+    // genuinely non-numeric text still raises (reference ValueError parity)
+    val err = intercept[Throwable] {
+      Seq("abc").toDF("n")
+        .select(ExtendedJsonSource.textUnwrap(col("n"), AType.AInt64).as("v")).collect()
+    }
+    assert(err.isInstanceOf[org.apache.spark.SparkThrowable], err.getClass.getName)
+  }
+
   test("streaming unwraps BSON wrappers identically to the batch path") {
     val in = Files.createTempDirectory("streamwrap")
     val out = Files.createTempDirectory("streamwrapout").toString

@@ -53,14 +53,17 @@ def main():
     args, thr, i = [], 0.2, 0
     while i < len(raw):
         a = raw[i]
-        if a.startswith("--threshold"):
-            if "=" in a:
-                thr = float(a.split("=", 1)[1])
-            elif i + 1 < len(raw):
-                thr = float(raw[i + 1])
-                i += 1
-            else:
-                sys.exit("--threshold needs a value")
+        if a == "--threshold" or a.startswith("--threshold="):
+            try:
+                if "=" in a:
+                    thr = float(a.split("=", 1)[1])
+                elif i + 1 < len(raw):
+                    thr = float(raw[i + 1])
+                    i += 1
+                else:
+                    sys.exit("--threshold needs a value")
+            except ValueError:
+                sys.exit(f"--threshold needs a numeric value, got {a.split('=', 1)[-1] if '=' in a else raw[i]}")
         else:
             args.append(a)
         i += 1
@@ -79,6 +82,9 @@ def main():
             continue
         # Bench records -1 for a query that errored: that's a failure,
         # not a timing — never report it as a speedup
+        if o < 0 and n < 0:
+            print(f"{name:34} {'FAIL':>8} {'FAIL':>8} {'':>8} still failing")
+            continue
         if n < 0:
             print(f"{name:34} {o:8.2f} {'FAIL':>8} {'':>8} REGRESSION (query now errors)")
             regressions.append(name)
