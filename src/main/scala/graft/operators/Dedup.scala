@@ -347,6 +347,15 @@ object Dedup {
         col("ba.doc_id") < col("bb.doc_id"))
       .select(col("ba.doc_id").as("ida"), col("bb.doc_id").as("idb"))
       .distinct()
+    verifyJaccard(cand, dsh)
+  }
+
+  /** Full-Jaccard verification of candidate `(ida, idb)` pairs against
+    * a distinct-shingle frame `dsh(doc_id, s)` → `(ida, idb, jraw)`.
+    * Joins only the candidate pairs' shingle sets — never all pairs.
+    * Shared by the minhash LSH path ([[nearDupPairs]], q27/q58/q66)
+    * and the DF-capped inverted-index path (q70). */
+  private[operators] def verifyJaccard(cand: DataFrame, dsh: DataFrame): DataFrame = {
     val card = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     cand
       .join(dsh.as("x"), col("ida") === col("x.doc_id"))

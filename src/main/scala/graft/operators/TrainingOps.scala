@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * after dedup [EXT]: intra-document repetition signals (Gopher-style
+  * quality filtering, Rae et al. 2021 §A1.1), explicit n-gram-Jaccard
+  * near-dup pairs via a document-frequency-capped inverted index
+  * (prefix/frequency filtering as in Bayardo et al., WWW '07),
+  * benchmark decontamination by n-gram overlap (GPT-3 appendix C
+  * style), per-source document caps, and deterministic stratified
+  * sampling.
+  *
+  * Scale notes per operator are on each query; the common theme: no
+  * all-pairs comparisons (candidates always come from an equi-join on
+  * a bounded-fan-out key), benchmark gram sets are broadcast (they are
+  * small by construction — eval suites, not corpora), and sampling is
+  * a map-only hash filter, never a global sort.
+  */
+object TrainingOps {
+  import Tables._
+
+  /** (doc_id, n, g): word n-grams for n = 2 and 3, guarded so short
+    * docs yield empty arrays (Spark `sequence(0, -1)` would DESCEND). */
+  private def grams(df: DataFrame, n: Int): DataFrame = {
+    val parts = (1 to n).map(j => s"element_at(toks, i + $j)").mkString(", ")
+    df.withColumn("toks", split(lower(col("text")), "\\W+"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(toks) >= $n
+            THEN transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', $parts))
+            ELSE CAST(array() AS ARRAY<STRING>) END""")).as("g"))
+  }
+
+  /** Oracle-side n-gram CTE body over `toksc(doc_id, w)`. */
+  private def gramSql(n: Int): String = {
+    val parts = (0 until n).map(j => s"w[i + $j]").mkString(" || ' ' || ")
+    s"SELECT doc_id, $parts AS g FROM toksc, UNNEST(range(1, len(w) - ${n - 2})) AS t(i)"
+  }
+
+  private val toksCte =
+    """toksc AS (SELECT doc_id, source, string_split_regex(lower(text), '\W+') AS w FROM documents)"""
+
+  def queries: Vector[Q] = Vector(
+    // ---- intra-doc repetition ratios (Gopher quality signals) --------
+    // rep_n = 1 - distinct_ngrams / total_ngrams, the "fraction of
+    // duplicate n-grams" filter signal. Shape: explode -> count per
+    // (doc, n, gram) with map-side partial agg (heavy repetition
+    // combines before the shuffle), then per-(doc, n), then pivot to
+    // one row per doc. All three shuffles key on doc_id-prefixed keys:
+    // high cardinality, no skew, linear in corpus token count.
+    Q("q69_repetition_ratio",
+      (s, dir) => {
+        import s.implicits._
+        val g = grams(documents(s, dir), 2).withColumn("n", lit(2))
+          .unionAll(grams(documents(s, dir), 3).withColumn("n", lit(3)))
+        val stats = g.groupBy($"doc_id", $"n", $"g").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id", $"n")
+          .agg(round(lit(1.0) - count(lit(1)).cast(DoubleType) / sum($"c"), 6).as("rep"))
+        stats.groupBy($"doc_id")
+          .agg(max(when($"n" === 2, $"rep")).as("rep2"),
+               max(when($"n" === 3, $"rep")).as("rep3"))
+          // inner-join semantics: only docs long enough for BOTH gram
+          // sizes (>= 3 tokens) carry a repetition signal
+          .filter($"rep2".isNotNull && $"rep3".isNotNull)
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH $toksCte,
+        g2 AS (${gramSql(2)}),
+        g3 AS (${gramSql(3)}),
+        s2 AS (SELECT doc_id, ROUND(1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6) AS rep2 FROM g2 GROUP BY doc_id),
+        s3 AS (SELECT doc_id, ROUND(1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6) AS rep3 FROM g3 GROUP BY doc_id)
+        SELECT s2.doc_id AS doc_id, rep2, rep3 FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id
+        ORDER BY doc_id""")),
+
+    // ---- explicit n-gram Jaccard near-dup pairs ----------------------
+    // The non-probabilistic sibling of q27: candidates from an
+    // inverted index on shingles whose document frequency is <= DF_CAP
+    // (frequency filtering) instead of minhash banding; verification
+    // is the exact shingle-set Jaccard shared with q27/q58/q66.
+    // Scale: a df-capped shingle joins at most DF_CAP docs, so the
+    // candidate join fan-out per key is <= DF_CAP*(DF_CAP-1)/2 — skew
+    // is bounded by construction, never by data. Pairs whose every
+    // shared shingle is more common than DF_CAP are not candidates;
+    // that is the standard trade (stopword-like shingles carry no
+    // near-dup evidence) and the minhash path (q27) has no such cap.
+    Q("q70_ngram_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val dsh = Dedup.shingles(documents(s, dir)).distinct()
+        val rare = dsh.join(
+          dsh.groupBy($"s").agg(count(lit(1)).as("dfc")).filter($"dfc" <= 8), "s")
+        val cand = rare.as("a").join(rare.as("b"),
+            $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("ida"), $"b.doc_id".as("idb"))
+          .distinct()
+        Dedup.verifyJaccard(cand, dsh)
+          .select($"ida", $"idb", round($"jraw", 6).as("jacc"))
+          .filter($"jacc" >= 0.5)
+          .orderBy($"ida", $"idb")
+      },
+      Some(s"""${Dedup.shingleCte},
+        dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+        df AS (SELECT s, COUNT(*) AS dfc FROM dsh GROUP BY s),
+        rare AS (SELECT dsh.doc_id, dsh.s FROM dsh JOIN df ON dsh.s = df.s WHERE df.dfc <= 8),
+        cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+                 FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+        card AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+        inter AS (SELECT c.ida, c.idb, COUNT(*) AS i FROM cand c
+                  JOIN dsh x ON x.doc_id = c.ida
+                  JOIN dsh y ON y.doc_id = c.idb AND x.s = y.s
+                  GROUP BY c.ida, c.idb)
+        SELECT ida, idb, ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jacc
+        FROM inter JOIN card ca ON ida = ca.doc_id JOIN card cb ON idb = cb.doc_id
+        WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5
+        ORDER BY ida, idb""")),
+
+    // ---- benchmark decontamination (n-gram overlap) ------------------
+    // Flags corpus docs sharing any 5-gram with the benchmark slice
+    // (source = 'src0' stands in for an eval suite). The benchmark
+    // gram set is DISTINCT'd then broadcast — eval suites are MBs
+    // while the corpus is TBs, so the corpus side never shuffles:
+    // scan -> explode -> broadcast semi-join -> distinct doc_ids.
+    Q("q71_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val docs = documents(s, dir)
+        val g5 = docs.withColumn("toks", split(lower($"text"), "\\W+"))
+          .select($"doc_id", $"source", explode(expr(
+            """CASE WHEN size(toks) >= 5
+               THEN transform(sequence(0, size(toks) - 5),
+                 i -> concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2),
+                                element_at(toks, i + 3), element_at(toks, i + 4), element_at(toks, i + 5)))
+               ELSE CAST(array() AS ARRAY<STRING>) END""")).as("g"))
+        val bench = g5.filter($"source" === "src0").select($"g").distinct()
+        val contaminated = g5.filter($"source" =!= "src0")
+          .join(broadcast(bench), "g")
+          .select($"doc_id").distinct()
+        docs.join(contaminated, "doc_id")
+          .select($"doc_id", $"lang", $"source")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH $toksCte,
+        g5 AS (SELECT doc_id, source, ${(0 to 4).map(j => s"w[i + $j]").mkString(" || ' ' || ")} AS g
+               FROM toksc, UNNEST(range(1, len(w) - 3)) AS t(i)),
+        bench AS (SELECT DISTINCT g FROM g5 WHERE source = 'src0'),
+        contaminated AS (SELECT DISTINCT doc_id FROM g5
+                         WHERE source <> 'src0' AND g IN (SELECT g FROM bench))
+        SELECT d.doc_id AS doc_id, d.lang AS lang, d.source AS source
+        FROM documents d JOIN contaminated c ON d.doc_id = c.doc_id
+        ORDER BY doc_id""")),
+
+    // ---- per-source document caps ------------------------------------
+    // Domain-cap curation: keep at most CAP docs per source, preferring
+    // longer docs (n_chars DESC, doc_id tiebreak). A plain window over
+    // `source` would put each source's ENTIRE slice in one partition —
+    // a skew wall at corpus scale when sources are few. Exact two-phase
+    // top-K instead: phase 1 ranks within (source, salt-bucket) — high
+    // cardinality, bounded partitions — and keeps each bucket's top
+    // CAP (a source's global top-CAP is always a subset of the union
+    // of its buckets' top-CAPs); phase 2 ranks the <= SALT*CAP
+    // survivors per source. Same shape as q51's salted aggregate.
+    Q("q72_source_caps",
+      (s, dir) => {
+        import s.implicits._
+        val cap = 10
+        val docs = documents(s, dir)
+        val phase1 = Window.partitionBy($"source", pmod($"doc_id", lit(32)))
+          .orderBy($"n_chars".desc, $"doc_id")
+        val survivors = docs.withColumn("rn1", row_number().over(phase1))
+          .filter($"rn1" <= cap)
+        val phase2 = Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
+        val kept = survivors.withColumn("rn", row_number().over(phase2))
+          .filter($"rn" <= cap)
+        docs.groupBy($"source").agg(count(lit(1)).as("total"))
+          .join(kept.groupBy($"source")
+              .agg(count(lit(1)).as("kept"),
+                   sum($"n_chars").cast(LongType).as("kept_chars")), "source")
+          .select($"source", $"kept", ($"total" - $"kept").as("dropped"), $"kept_chars")
+          .orderBy($"source")
+      },
+      Some("""
+        WITH ranked AS (SELECT source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+             FROM documents)
+        SELECT source,
+               CAST(SUM(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+               CAST(SUM(CASE WHEN rn > 10 THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+               CAST(SUM(CASE WHEN rn <= 10 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        FROM ranked GROUP BY source ORDER BY source""")),
+
+    // ---- deterministic stratified sampling ---------------------------
+    // Per-language sampling rates (en 1/2, de+zh 1/4, es+fr 1/8) via
+    // md5-hash thresholding on doc_id — the stratified form of q24's
+    // uniform hash sample. Map-only filter + one aggregate: no global
+    // sort, no per-stratum repartition; reproducible across runs and
+    // engines because membership is a pure function of the row.
+    Q("q73_stratified_sample",
+      (s, dir) => {
+        import s.implicits._
+        val h = substring(md5($"doc_id".cast(StringType)), 1, 1)
+        val keep =
+          when($"lang" === "en", h.isin("0", "1", "2", "3", "4", "5", "6", "7"))
+            .when($"lang".isin("de", "zh"), h.isin("0", "1", "2", "3"))
+            .when($"lang".isin("es", "fr"), h.isin("0", "1"))
+            .otherwise(lit(false))
+        documents(s, dir).filter(keep)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_sampled"),
+               sum($"n_chars").cast(LongType).as("chars_sampled"))
+          .orderBy($"lang")
+      },
+      Some("""
+        SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
+        FROM documents
+        WHERE CASE
+            WHEN lang = 'en' THEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7')
+            WHEN lang IN ('de', 'zh') THEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+            WHEN lang IN ('es', 'fr') THEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
+            ELSE FALSE END
+        GROUP BY lang ORDER BY lang"""))
+  )
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pins the corpus-curation operators' contracts: short-doc routing,
+  * repetition-signal values, decontamination flagging, and the exact
+  * equivalence of q72's two-phase top-K to a plain single window. */
+class TrainingOpsSpec extends SparkSuite {
+
+  /** Miniature documents table: a repetitive doc, a clean doc, short
+    * docs, and a benchmark/corpus 5-gram overlap pair. */
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("trainingdocs").toString
+    val repetitive = "spam ham spam ham spam ham spam ham spam ham"
+    val clean = (1 to 10).map(i => s"w$i").mkString(" ")
+    val benchDoc = "alpha beta gamma delta epsilon zeta eta"
+    val contaminatedDoc = "intro alpha beta gamma delta epsilon outro end"
+    Seq(
+      (1L, repetitive, "en", "src0", repetitive.length.toLong),
+      (2L, clean, "en", "src1", clean.length.toLong),
+      (3L, "the end", "en", "src1", 7L),   // 2 tokens: no rep signal
+      (4L, "", "en", "src1", 0L),          // empty
+      (5L, benchDoc, "en", "src0", benchDoc.length.toLong),
+      (6L, contaminatedDoc, "en", "src1", contaminatedDoc.length.toLong),
+      (7L, clean, "en", "src1", clean.length.toLong) // exact dup of 2
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q69 repetition ratios: repetitive doc scores high, clean doc zero, short docs excluded") {
+    val rows = SparkEntry.queries("q69_repetition_ratio")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // 10 tokens -> 9 bigrams, 2 distinct ("spam ham" x5, "ham spam" x4)
+    assert(rows(1L)._1 == math.rint((1.0 - 2.0 / 9.0) * 1e6) / 1e6, rows(1L))
+    assert(rows(1L)._2 > 0.7)                        // 8 trigrams, 2 distinct
+    assert(rows(2L) == ((0.0, 0.0)))
+    assert(!rows.contains(3L) && !rows.contains(4L)) // < 3 tokens: no signal
+  }
+
+  test("q70 ngram jaccard pairs exact dups via rare shingles, routes short docs out") {
+    val pairs = SparkEntry.queries("q70_ngram_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((2L, 7L)), pairs.toSeq)
+    assert(pairs.head._3 == 1.0) // identical shingle sets
+  }
+
+  test("q71 decontaminate flags only corpus docs sharing a 5-gram with the src0 benchmark") {
+    val flagged = SparkEntry.queries("q71_decontaminate")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc 6 shares "alpha beta gamma delta epsilon" with benchmark doc 5;
+    // doc 1 is IN the benchmark slice so it is never flagged
+    assert(flagged == Set(6L), flagged)
+  }
+
+  test("q72 two-phase top-K equals a plain single-window cap on real data") {
+    import spark.implicits._
+    val real = "/root/testdata/sf0.001"
+    val docs = graft.operators.Tables.documents(spark, real)
+    val w = Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
+    val plain = docs.withColumn("rn", row_number().over(w)).filter($"rn" <= 10)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("kept"), sum($"n_chars").cast("long").as("kept_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val twoPhase = SparkEntry.queries("q72_source_caps")(spark, real)
+      .select("source", "kept", "kept_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(twoPhase == plain)
+  }
+
+  test("q73 stratified sample is deterministic and per-stratum bounded") {
+    val real = "/root/testdata/sf0.001"
+    val a = SparkEntry.queries("q73_stratified_sample")(spark, real)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val b = SparkEntry.queries("q73_stratified_sample")(spark, real)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(a == b) // pure function of the rows: identical across runs
+    val totals = graft.operators.Tables.documents(spark, real)
+      .groupBy("lang").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    a.foreach { case (lang, n) => assert(n <= totals(lang), s"$lang oversampled") }
+  }
+}
