@@ -42,4 +42,18 @@ class RegistrySmokeSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
+
+  test("decontamination joins the benchmark gram set broadcast, never shuffling the corpus (q71 plan guard)") {
+    val plan = SparkEntry.queries("q71_decontaminate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("source caps never rank in a single low-cardinality window partition (q72 plan guard)") {
+    // phase 1 must partition by (source, salt), not source alone: the
+    // first Window's required distribution carries the pmod expression
+    val plan = SparkEntry.queries("q72_source_caps")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("pmod"), plan.take(1200))
+  }
 }
