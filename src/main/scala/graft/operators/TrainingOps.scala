@@ -23,17 +23,6 @@ import org.apache.spark.sql.types._
 object TrainingOps {
   import Tables._
 
-  /** (doc_id, n, g): word n-grams for n = 2 and 3, guarded so short
-    * docs yield empty arrays (Spark `sequence(0, -1)` would DESCEND). */
-  private def grams(df: DataFrame, n: Int): DataFrame = {
-    val parts = (1 to n).map(j => s"element_at(toks, i + $j)").mkString(", ")
-    df.withColumn("toks", split(lower(col("text")), "\\W+"))
-      .select(col("doc_id"), explode(expr(
-        s"""CASE WHEN size(toks) >= $n
-            THEN transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', $parts))
-            ELSE CAST(array() AS ARRAY<STRING>) END""")).as("g"))
-  }
-
   /** Oracle-side n-gram CTE body over `toksc(doc_id, w)`. */
   private def gramSql(n: Int): String = {
     val parts = (0 until n).map(j => s"w[i + $j]").mkString(" || ' ' || ")
@@ -54,8 +43,19 @@ object TrainingOps {
     Q("q69_repetition_ratio",
       (s, dir) => {
         import s.implicits._
-        val g = grams(documents(s, dir), 2).withColumn("n", lit(2))
-          .unionAll(grams(documents(s, dir), 3).withColumn("n", lit(3)))
+        // both gram sizes from ONE scan + ONE Generate (a union of two
+        // gram frames would read the corpus twice — 2x scan I/O)
+        def gramArr(n: Int): String = {
+          val parts = (1 to n).map(j => s"element_at(toks, i + $j)").mkString(", ")
+          s"""CASE WHEN size(toks) >= $n
+              THEN transform(sequence(0, size(toks) - $n),
+                   i -> struct($n AS n, concat_ws(' ', $parts) AS g))
+              ELSE CAST(array() AS ARRAY<STRUCT<n: INT, g: STRING>>) END"""
+        }
+        val g = documents(s, dir)
+          .withColumn("toks", split(lower($"text"), "\\W+"))
+          .select($"doc_id", explode(expr(s"concat(${gramArr(2)}, ${gramArr(3)})")).as("ng"))
+          .select($"doc_id", $"ng.n".as("n"), $"ng.g".as("g"))
         val stats = g.groupBy($"doc_id", $"n", $"g").agg(count(lit(1)).as("c"))
           .groupBy($"doc_id", $"n")
           .agg(round(lit(1.0) - count(lit(1)).cast(DoubleType) / sum($"c"), 6).as("rep"))
@@ -164,25 +164,20 @@ object TrainingOps {
 
     // ---- per-source document caps ------------------------------------
     // Domain-cap curation: keep at most CAP docs per source, preferring
-    // longer docs (n_chars DESC, doc_id tiebreak). A plain window over
-    // `source` would put each source's ENTIRE slice in one partition —
-    // a skew wall at corpus scale when sources are few. Exact two-phase
-    // top-K instead: phase 1 ranks within (source, salt-bucket) — high
-    // cardinality, bounded partitions — and keeps each bucket's top
-    // CAP (a source's global top-CAP is always a subset of the union
-    // of its buckets' top-CAPs); phase 2 ranks the <= SALT*CAP
-    // survivors per source. Same shape as q51's salted aggregate.
+    // longer docs (n_chars DESC, doc_id tiebreak). Low-cardinality
+    // window partitions are normally a skew wall, but Spark 4 plans
+    // `row_number <= k` filters as WindowGroupLimit(Partial) BEFORE the
+    // exchange — each map task forwards at most CAP rows per source, so
+    // the per-source reduce task sees <= CAP * num_input_partitions
+    // rows regardless of corpus size. The plan guard in
+    // RegistrySmokeSpec pins that shape; no hand-rolled salting needed.
     Q("q72_source_caps",
       (s, dir) => {
         import s.implicits._
         val cap = 10
         val docs = documents(s, dir)
-        val phase1 = Window.partitionBy($"source", pmod($"doc_id", lit(32)))
-          .orderBy($"n_chars".desc, $"doc_id")
-        val survivors = docs.withColumn("rn1", row_number().over(phase1))
-          .filter($"rn1" <= cap)
-        val phase2 = Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
-        val kept = survivors.withColumn("rn", row_number().over(phase2))
+        val w = Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
+        val kept = docs.withColumn("rn", row_number().over(w))
           .filter($"rn" <= cap)
         docs.groupBy($"source").agg(count(lit(1)).as("total"))
           .join(kept.groupBy($"source")

@@ -49,11 +49,15 @@ class RegistrySmokeSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
-  test("source caps never rank in a single low-cardinality window partition (q72 plan guard)") {
-    // phase 1 must partition by (source, salt), not source alone: the
-    // first Window's required distribution carries the pmod expression
+  test("source caps truncate map-side before the shuffle (q72 plan guard)") {
+    // the rn <= cap filter must plan as WindowGroupLimit(Partial)
+    // UPSTREAM of the exchange: each map task forwards at most cap rows
+    // per source, so a low-cardinality source column can't skew-wall
+    // the window at corpus scale
     val plan = SparkEntry.queries("q72_source_caps")(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("pmod"), plan.take(1200))
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+    assert("WindowGroupLimit .* row_number\\(\\), 10, Partial".r
+      .findFirstIn(plan).isDefined, plan.take(1500))
   }
 }

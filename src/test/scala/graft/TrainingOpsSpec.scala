@@ -57,19 +57,18 @@ class TrainingOpsSpec extends SparkSuite {
     assert(flagged == Set(6L), flagged)
   }
 
-  test("q72 two-phase top-K equals a plain single-window cap on real data") {
-    import spark.implicits._
+  test("q72 source caps match an independent driver-side computation on real data") {
     val real = "/root/testdata/sf0.001"
-    val docs = graft.operators.Tables.documents(spark, real)
-    val w = Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
-    val plain = docs.withColumn("rn", row_number().over(w)).filter($"rn" <= 10)
-      .groupBy($"source")
-      .agg(count(lit(1)).as("kept"), sum($"n_chars").cast("long").as("kept_chars"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    val twoPhase = SparkEntry.queries("q72_source_caps")(spark, real)
-      .select("source", "kept", "kept_chars")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    assert(twoPhase == plain)
+    val rows = graft.operators.Tables.documents(spark, real)
+      .select("source", "n_chars", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).map { case (src, ds) =>
+      val kept = ds.sortBy(d => (-d._2, d._3)).take(10)
+      (src, kept.length.toLong, (ds.length - kept.length).toLong, kept.map(_._2).sum)
+    }.toSet
+    val got = SparkEntry.queries("q72_source_caps")(spark, real)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
   }
 
   test("q73 stratified sample is deterministic and per-stratum bounded") {
