@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.GraftFunctions
+
 /** Corpus-curation operators a large-scale training-data pipeline runs
   * after dedup [EXT]: intra-document repetition signals (Gopher-style
   * quality filtering, Rae et al. 2021 §A1.1), explicit n-gram-Jaccard
@@ -225,6 +227,123 @@ object TrainingOps {
             WHEN lang IN ('de', 'zh') THEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
             WHEN lang IN ('es', 'fr') THEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
             ELSE FALSE END
-        GROUP BY lang ORDER BY lang"""))
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- token-budget shard packing ----------------------------------
+    // Concatenate-then-split sharding: docs stream per source in
+    // doc_id order; a doc belongs to the shard where its token offset
+    // STARTS (shard = start_offset div BUDGET) — the deterministic
+    // chunking used to build fixed-token training shards. All integer
+    // arithmetic (window running sum of BIGINT, integer div), so the
+    // engines agree bit-for-bit. The running sum is a per-source
+    // sequential window — the partition key IS the parallelism unit
+    // (same accepted shape as q10's running sum); sources are the
+    // natural shard-stream boundary.
+    Q("q74_shard_pack",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        documents(s, dir)
+          .withColumn("n_tokens", size(split(lower($"text"), "\\W+")))
+          .withColumn("cum", sum($"n_tokens".cast(LongType)).over(w))
+          .withColumn("shard", expr("CAST((cum - n_tokens) DIV 500 AS BIGINT)"))
+          .groupBy($"source", $"shard")
+          .agg(count(lit(1)).as("n_docs"),
+               sum($"n_tokens").cast(LongType).as("shard_tokens"))
+          .orderBy($"source", $"shard")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, source,
+               len(string_split_regex(lower(text), '\W+')) AS n_tokens FROM documents),
+        c AS (SELECT source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+        SELECT source, CAST((cum - n_tokens) // 500 AS BIGINT) AS shard,
+               COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+        FROM c GROUP BY source, shard ORDER BY source, shard""")),
+
+    // ---- fixed-size stratified sample --------------------------------
+    // The fixed-N sibling of q73's rate-based sample: per stratum keep
+    // the N docs with the SMALLEST md5(doc_id) — a uniform, seedless,
+    // reproducible choice (hash order is independent of doc order).
+    // row_number <= N plans as WindowGroupLimit(Partial): each map
+    // task forwards at most N rows per lang, so the sample never
+    // concentrates a stratum's full slice in one task.
+    Q("q75_stratified_topn",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"lang").orderBy($"h")
+        documents(s, dir)
+          .withColumn("h", md5($"doc_id".cast(StringType)))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 50)
+          .select($"lang", $"rk", $"doc_id")
+          .orderBy($"lang", $"rk")
+      },
+      Some("""
+        SELECT lang, rk, doc_id FROM (
+          SELECT lang, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY MD5(CAST(doc_id AS VARCHAR))) AS rk
+          FROM documents) t
+        WHERE rk <= 50 ORDER BY lang, rk""")),
+
+    // ---- incremental near-dedup against an existing corpus -----------
+    // The daily-ingest case: fingerprint the NEW batch (sources
+    // src10+) and drop docs within hamming <= 1 of any EXISTING doc
+    // (src0..src9), keeping the rest. Same exact-recall machinery as
+    // q61: the 64-bit simhash splits into 2 unsigned half-bands, and
+    // any pair at hamming <= 1 agrees on a whole half (pigeonhole), so
+    // the (band, half) equi-join of new-vs-old surfaces every match;
+    // popcount verifies; an anti-join keeps survivors. At index scale
+    // the old side's fingerprints are a precomputed 8-byte-per-doc
+    // table — the corpus text is never re-read. Token-less new docs
+    // have no fingerprint, cannot match, and survive (exact dedup
+    // owns them, as in q61).
+    Q("q76_incremental_dedup",
+      (s, dir) => {
+        import s.implicits._
+        GraftFunctions.register(s)
+        val docs = documents(s, dir)
+          .withColumn("grp", expr("try_cast(substring(source, 4, 100) AS INT)"))
+        val sims = docs
+          .withColumn("toks_ne", array_remove(split(lower($"text"), "\\W+"), ""))
+          .filter(size($"toks_ne") > 0)
+          .select($"doc_id", $"grp", expr("simhash64(toks_ne)").as("simhash"))
+        def bandsOf(df: DataFrame): DataFrame = df.selectExpr("doc_id", "simhash",
+          "stack(2, 0, simhash & 4294967295, 1, shiftrightunsigned(simhash, 32)) AS (band, half)")
+        val matched = bandsOf(sims.filter($"grp" >= 10)).as("nb")
+          .join(bandsOf(sims.filter($"grp" < 10)).as("ob"),
+            $"nb.band" === $"ob.band" && $"nb.half" === $"ob.half")
+          .filter(expr("bit_count(nb.simhash ^ ob.simhash) <= 1"))
+          .select($"nb.doc_id".as("doc_id")).distinct()
+        docs.filter($"grp" >= 10)
+          .join(matched, Seq("doc_id"), "left_anti")
+          .select($"doc_id", $"source")
+          .orderBy($"doc_id")
+      },
+      Some(s"""${Dedup.simhash64Cte},
+        src AS (SELECT s2.doc_id, s2.u, s2.simhash,
+                  TRY_CAST(SUBSTRING(d.source, 4) AS INT) AS grp
+                FROM sims s2
+                JOIN documents d ON d.doc_id = s2.doc_id
+                JOIN toksc tc ON tc.doc_id = s2.doc_id WHERE len(tc.toks) > 0),
+        oband AS (SELECT doc_id, simhash, 0 AS band, CAST(u % 4294967296 AS BIGINT) AS half
+                  FROM src WHERE grp < 10
+                  UNION ALL
+                  SELECT doc_id, simhash, 1 AS band, CAST(u // 4294967296 AS BIGINT) AS half
+                  FROM src WHERE grp < 10),
+        nband AS (SELECT doc_id, simhash, 0 AS band, CAST(u % 4294967296 AS BIGINT) AS half
+                  FROM src WHERE grp >= 10
+                  UNION ALL
+                  SELECT doc_id, simhash, 1 AS band, CAST(u // 4294967296 AS BIGINT) AS half
+                  FROM src WHERE grp >= 10),
+        matched AS (SELECT DISTINCT n.doc_id FROM nband n
+                    JOIN oband o ON n.band = o.band AND n.half = o.half
+                    WHERE bit_count(xor(n.simhash, o.simhash)) <= 1)
+        SELECT d.doc_id AS doc_id, d.source AS source FROM documents d
+        WHERE TRY_CAST(SUBSTRING(d.source, 4) AS INT) >= 10
+          AND d.doc_id NOT IN (SELECT doc_id FROM matched)
+        ORDER BY doc_id"""))
   )
 }

@@ -71,6 +71,56 @@ class TrainingOpsSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("q74 shard packing matches an independent driver-side computation") {
+    val real = "/root/testdata/sf0.001"
+    val rows = graft.operators.Tables.documents(spark, real)
+      .selectExpr("source", "doc_id", "size(split(lower(text), '\\\\W+')) AS n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2).toLong))
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(_._2).toSeq.map { d =>
+        val shard = cum / 500; cum += d._3; (src, shard, d._3)
+      }
+    }.groupBy(t => (t._1, t._2))
+      .map { case ((src, sh), ts) => (src, sh, ts.size.toLong, ts.map(_._3).sum) }.toSet
+    val got = SparkEntry.queries("q74_shard_pack")(spark, real)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+  }
+
+  test("q75 fixed-size stratified sample keeps the N smallest hashes per stratum") {
+    val real = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q75_stratified_topn")(spark, real)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val perLang = got.groupBy(_._1)
+    perLang.values.foreach(sel => assert(sel.length <= 50))
+    val all = graft.operators.Tables.documents(spark, real)
+      .selectExpr("lang", "doc_id", "md5(CAST(doc_id AS STRING)) AS h")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    all.groupBy(_._1).foreach { case (lang, ds) =>
+      val expect = ds.sortBy(_._3).take(50).map(_._2).toSeq
+      val sel = perLang(lang).sortBy(_._2).map(_._3).toSeq
+      assert(sel == expect, s"stratum $lang")
+    }
+  }
+
+  test("q76 drops new docs near-identical to the existing corpus, keeps unique and token-less ones") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("incdedup").toString
+    val textA = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val textB = (1 to 40).map(i => s"other$i").mkString(" ")
+    Seq(
+      (1L, textA, "en", "src1", textA.length.toLong),  // existing corpus
+      (2L, textA, "en", "src11", textA.length.toLong), // new, dup of 1 -> dropped
+      (3L, textB, "en", "src12", textB.length.toLong), // new, unique -> kept
+      (4L, "", "en", "src13", 0L)                      // new, token-less -> kept
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val kept = SparkEntry.queries("q76_incremental_dedup")(spark, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L), kept)
+  }
+
   test("q73 stratified sample is deterministic and per-stratum bounded") {
     val real = "/root/testdata/sf0.001"
     val a = SparkEntry.queries("q73_stratified_sample")(spark, real)
