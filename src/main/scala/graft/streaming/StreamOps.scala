@@ -129,6 +129,40 @@ object StreamOps {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming benchmark decontamination — the streaming form of q71:
+    * docs sharing any word `n`-gram with the static benchmark are
+    * dropped as they arrive. The benchmark gram set is collected once
+    * on the driver and broadcast (eval suites are MBs; at larger sizes
+    * swap the exact set for `DataFrameStatFunctions.bloomFilter` —
+    * same shape, bounded memory, conservative false-positive drops).
+    * The check is a stateless per-row predicate: no explode, no join,
+    * no state — an exploded semi/anti join cannot express "NO gram
+    * matches" on a stream without re-aggregating rows per doc. */
+  def decontaminate(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      textCol: String = "text",
+      n: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val gramsExpr = {
+      val parts = (1 to n).map(j => s"element_at(toks, i + $j)").mkString(", ")
+      s"""CASE WHEN size(toks) >= $n
+          THEN transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', $parts))
+          ELSE CAST(array() AS ARRAY<STRING>) END"""
+    }
+    def withGrams(df: DataFrame): DataFrame = df
+      .withColumn("toks", split(lower(col(textCol)), "\\W+"))
+      .withColumn("grams", expr(gramsExpr))
+      .drop("toks")
+    val benchSet = withGrams(benchmark)
+      .select(explode(col("grams")).as("g")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val bc = spark.sparkContext.broadcast(benchSet)
+    val contaminated = udf((grams: Seq[String]) =>
+      grams != null && grams.exists(bc.value.contains))
+    withGrams(docs).filter(!contaminated(col("grams"))).drop("grams")
+  }
+
   /** Stream-stream interval join — the streaming form of the batch band
     * join (q21): errors within `within` after a purchase by the same
     * user. Both sides carry watermarks and the join condition bounds

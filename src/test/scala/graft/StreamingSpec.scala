@@ -139,4 +139,24 @@ class StreamingSpec extends SparkSuite {
     assert(rows.toSeq == Seq((1L, 10.0, "gold"), (3L, 5.0, null)))
     assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
+
+  final case class Doc(doc_id: Long, text: String)
+
+  test("streaming decontamination drops docs sharing an n-gram with the static benchmark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val input = MemoryStream[Doc]
+    val q = StreamOps.decontaminate(input.toDF(), bench)
+      .writeStream.format("memory").queryName("decontam")
+      .outputMode("append").start()
+    input.addData(
+      Doc(1L, "intro alpha beta gamma delta epsilon outro"), // contaminated
+      Doc(2L, "one two three four five six seven"),          // clean
+      Doc(3L, "short doc"))                                  // < n tokens: clean
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("decontam").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), kept)
+  }
 }
