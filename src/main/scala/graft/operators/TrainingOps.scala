@@ -37,36 +37,28 @@ object TrainingOps {
   def queries: Vector[Q] = Vector(
     // ---- intra-doc repetition ratios (Gopher quality signals) --------
     // rep_n = 1 - distinct_ngrams / total_ngrams, the "fraction of
-    // duplicate n-grams" filter signal. Shape: explode -> count per
-    // (doc, n, gram) with map-side partial agg (heavy repetition
-    // combines before the shuffle), then per-(doc, n), then pivot to
-    // one row per doc. All three shuffles key on doc_id-prefixed keys:
-    // high cardinality, no skew, linear in corpus token count.
+    // duplicate n-grams" filter signal. Repetition is INTRA-document,
+    // so the whole computation is row-local: build each doc's gram
+    // array and compare size(array_distinct(g)) to size(g) in the
+    // projection. MAP-ONLY — no gram ever leaves its row, the only
+    // exchange in the plan is the output sort. (An earlier explode →
+    // 3-level aggregate version shuffled the corpus's full gram stream
+    // three times for the same answer.)
     Q("q69_repetition_ratio",
       (s, dir) => {
         import s.implicits._
-        // both gram sizes from ONE scan + ONE Generate (a union of two
-        // gram frames would read the corpus twice — 2x scan I/O)
         def gramArr(n: Int): String = {
           val parts = (1 to n).map(j => s"element_at(toks, i + $j)").mkString(", ")
-          s"""CASE WHEN size(toks) >= $n
-              THEN transform(sequence(0, size(toks) - $n),
-                   i -> struct($n AS n, concat_ws(' ', $parts) AS g))
-              ELSE CAST(array() AS ARRAY<STRUCT<n: INT, g: STRING>>) END"""
+          s"""transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', $parts))"""
         }
-        val g = documents(s, dir)
+        def rep(n: Int): String =
+          s"round(1.0d - CAST(size(array_distinct(${gramArr(n)})) AS DOUBLE) / size(${gramArr(n)}), 6)"
+        documents(s, dir)
           .withColumn("toks", split(lower($"text"), "\\W+"))
-          .select($"doc_id", explode(expr(s"concat(${gramArr(2)}, ${gramArr(3)})")).as("ng"))
-          .select($"doc_id", $"ng.n".as("n"), $"ng.g".as("g"))
-        val stats = g.groupBy($"doc_id", $"n", $"g").agg(count(lit(1)).as("c"))
-          .groupBy($"doc_id", $"n")
-          .agg(round(lit(1.0) - count(lit(1)).cast(DoubleType) / sum($"c"), 6).as("rep"))
-        stats.groupBy($"doc_id")
-          .agg(max(when($"n" === 2, $"rep")).as("rep2"),
-               max(when($"n" === 3, $"rep")).as("rep3"))
-          // inner-join semantics: only docs long enough for BOTH gram
-          // sizes (>= 3 tokens) carry a repetition signal
-          .filter($"rep2".isNotNull && $"rep3".isNotNull)
+          // docs need >= 3 tokens to carry BOTH gram sizes (the
+          // sequence() guard doubles as the short-doc filter)
+          .filter(size($"toks") >= 3)
+          .select($"doc_id", expr(rep(2)).as("rep2"), expr(rep(3)).as("rep3"))
           .orderBy($"doc_id")
       },
       Some(s"""
