@@ -121,6 +121,45 @@ class TrainingOpsSpec extends SparkSuite {
     assert(kept == Set(3L, 4L), kept)
   }
 
+  test("q69 expression equals a naive Scala computation on 200 random docs") {
+    import spark.implicits._
+    // fixed-seed random word-soup docs, including heavy repetition and
+    // minimum length (3 tokens)
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "fff", "g")
+    val docs = (0 until 200).map { i =>
+      val len = 3 + rnd.nextInt(30)
+      val toks = Vector.fill(len)(vocab(rnd.nextInt(vocab.length)))
+      (i.toLong, toks.mkString(" "))
+    }
+    def naiveRep(toks: Seq[String], n: Int): Double = {
+      val grams = toks.sliding(n).map(_.mkString(" ")).toVector
+      math.rint((1.0 - grams.distinct.size.toDouble / grams.size) * 1e6) / 1e6
+    }
+    val d = Files.createTempDirectory("repprop").toString
+    docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("q69_repetition_ratio")(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    docs.foreach { case (id, t) =>
+      val toks = t.split(" ").toSeq
+      assert(got(id) == ((naiveRep(toks, 2), naiveRep(toks, 3))), s"doc $id")
+    }
+  }
+
+  test("q74 conserves tokens: shard totals sum to the corpus token count per source") {
+    val real = "/root/testdata/sf0.001"
+    val perSourceTotals = graft.operators.Tables.documents(spark, real)
+      .selectExpr("source", "size(split(lower(text), '\\\\W+')) AS n")
+      .groupBy("source").sum("n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val sharded = SparkEntry.queries("q74_shard_pack")(spark, real)
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(sharded == perSourceTotals)
+  }
+
   test("q73 stratified sample is deterministic and per-stratum bounded") {
     val real = "/root/testdata/sf0.001"
     val a = SparkEntry.queries("q73_stratified_sample")(spark, real)
