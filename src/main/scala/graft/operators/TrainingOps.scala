@@ -226,19 +226,34 @@ object TrainingOps {
     // doc_id order; a doc belongs to the shard where its token offset
     // STARTS (shard = start_offset div BUDGET) — the deterministic
     // chunking used to build fixed-token training shards. All integer
-    // arithmetic (window running sum of BIGINT, integer div), so the
-    // engines agree bit-for-bit. The running sum is a per-source
-    // sequential window — the partition key IS the parallelism unit
-    // (same accepted shape as q10's running sum); sources are the
-    // natural shard-stream boundary.
+    // arithmetic, so the engines agree bit-for-bit.
+    //
+    // The running sum is a DISTRIBUTED TWO-PHASE PREFIX SUM, not a
+    // per-source window: a single source can be a whole crawl dump,
+    // and `sum over (partition by source order by doc_id)` would
+    // serialize it into one task. Instead (1) docs bucket by
+    // doc_id DIV 4096 — each (source, bucket) window is bounded at
+    // 4096 rows; (2) per-bucket token totals (tiny frame) get a
+    // running offset per source; (3) the offset joins back on
+    // (source, bucket) — the same key the big side is already
+    // partitioned by, so phase 3 adds no exchange of the corpus.
+    // cum = in-bucket prefix + preceding-buckets offset, exactly.
     Q("q74_shard_pack",
       (s, dir) => {
         import s.implicits._
-        val w = Window.partitionBy($"source").orderBy($"doc_id")
+        val t = documents(s, dir)
+          .withColumn("n_tokens", size(split(lower($"text"), "\\W+")).cast(LongType))
+          .withColumn("bkt", expr("doc_id DIV 4096"))
+        val wIn = Window.partitionBy($"source", $"bkt").orderBy($"doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        documents(s, dir)
-          .withColumn("n_tokens", size(split(lower($"text"), "\\W+")))
-          .withColumn("cum", sum($"n_tokens".cast(LongType)).over(w))
+        val wOff = Window.partitionBy($"source").orderBy($"bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = t.groupBy($"source", $"bkt").agg(sum($"n_tokens").as("bt"))
+          .withColumn("off", coalesce(sum($"bt").over(wOff), lit(0L)))
+          .select($"source", $"bkt", $"off")
+        t.withColumn("cum_in", sum($"n_tokens").over(wIn))
+          .join(offsets, Seq("source", "bkt"))
+          .withColumn("cum", $"cum_in" + $"off")
           .withColumn("shard", expr("CAST((cum - n_tokens) DIV 500 AS BIGINT)"))
           .groupBy($"source", $"shard")
           .agg(count(lit(1)).as("n_docs"),
