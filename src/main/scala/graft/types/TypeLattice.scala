@@ -73,12 +73,28 @@ object TypeLattice {
     sb.toString
   }
 
+  /** Python `str.strip()` semantics: drops chars where `str.isspace()`
+    * is true — Unicode space separators (Zs/Zl/Zp, incl. NBSP) plus
+    * the bidi WS/B/S controls and NEL (U+0085). Java's `String.trim`
+    * only strips <= U+0020, so `int(" 1")` would diverge. */
+  private def isPySpace(ch: Char): Boolean =
+    Character.isWhitespace(ch) || Character.isSpaceChar(ch) || ch == '\u0085'
+
+  private def pythonStrip(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && isPySpace(s.charAt(a))) a += 1
+    while (b > a && isPySpace(s.charAt(b - 1))) b -= 1
+    s.substring(a, b)
+  }
+
   /** Python `int(str)`: optional sign, decimal digits (any Unicode Nd),
-    * surrounding whitespace allowed, single underscores between digits
-    * allowed. Arbitrary precision (the overflow-to-string probe happens
-    * later, schema.py:362-371). */
+    * surrounding whitespace allowed (Unicode isspace set, see
+    * [[pythonStrip]]), single underscores between digits allowed.
+    * Arbitrary precision (the overflow-to-string probe happens later,
+    * schema.py:362-371). */
   private[graft] def parsePythonInt(s: String): Option[BigInt] = {
-    val t = asciiDigits(s.trim)
+    val t = asciiDigits(pythonStrip(s))
     if (t.matches(s"""[+-]?$pyDigits""")) Some(BigInt(t.replace("_", ""))) else None
   }
 
@@ -86,7 +102,7 @@ object TypeLattice {
     * forms; underscore placement validated like `int()`; Unicode
     * decimal digits folded to ASCII like `float()` accepts. */
   private[graft] def parsePythonFloat(s: String): Option[Double] = {
-    val t = asciiDigits(s.trim.toLowerCase)
+    val t = asciiDigits(pythonStrip(s).toLowerCase)
     t match {
       case "inf" | "+inf" | "infinity" | "+infinity" => Some(Double.PositiveInfinity)
       case "-inf" | "-infinity"                      => Some(Double.NegativeInfinity)
@@ -99,18 +115,131 @@ object TypeLattice {
     }
   }
 
-  private val isoLocal = DateTimeFormatter.ISO_LOCAL_DATE_TIME
+  // -- Python 3.11 datetime.fromisoformat, faithfully ----------------
+  // Verified against CPython 3.11 (the reference pins python = ^3.11):
+  //   * NO surrounding whitespace (unlike int()/float())
+  //   * dates: YYYY-MM-DD, YYYYMMDD, YYYY-Www[-D], YYYYWww[D]
+  //     (ordinal YYYY-DDD is NOT accepted); year 1..9999; week
+  //     validated against the ISO year's week count
+  //   * date and time separated by ANY single character
+  //     ("2024-01-01X12:00" parses; "2024-01-01+05:00" is date,
+  //     separator '+', time "05:00")
+  //   * times: HH[:MM[:SS]] or HH[MM[SS]] — colon use must be
+  //     consistent ("12:3045" is invalid); an optional fraction
+  //     '.'/',' + >=1 digits lands in MICROSECONDS of the timestamp
+  //     whatever the last component was ("12.5" -> 12:00:00.500000),
+  //     truncated past 6 digits
+  //   * offsets: 'Z' (upper-case only in 3.11) or sign + the same
+  //     time grammar, incl. seconds and sub-second offsets
+  //     ("+05:30:15.5"); aware values normalize to UTC wall-clock
+  //     (the engine runs with session tz UTC)
+  private val extDate   = """(\d{4})-(\d{2})-(\d{2})""".r
+  private val basicDate = """(\d{4})(\d{2})(\d{2})""".r
+  private val extWeek   = """(\d{4})-W(\d{2})(?:-(\d))?""".r
+  private val basicWeek = """(\d{4})W(\d{2})(\d)?""".r
+  private val timeRe    = """(\d{2})(?:(?::(\d{2})(?::(\d{2}))?)|(?:(\d{2})(\d{2})?))?(?:[.,](\d+))?""".r
 
-  /** Python 3.11 `datetime.fromisoformat`: date-only, date'T'time,
-    * date' 'time, optional fraction and offset. Offset-aware values are
-    * normalized to UTC wall-clock (the engine runs with session tz UTC). */
+  /** ISO weeks in ISO year `y`: 53 iff Jan 1 is Thursday, or Jan 1 of a
+    * leap year is Wednesday. */
+  private def isoWeeksInYear(y: Int): Int = {
+    val jan1 = LocalDate.of(y, 1, 1)
+    val dow = jan1.getDayOfWeek.getValue // Mon=1..Sun=7
+    if (dow == 4 || (jan1.isLeapYear && dow == 3)) 53 else 52
+  }
+
+  /** ISO week date -> LocalDate (week 1 contains Jan 4; day Mon=1). */
+  private def fromIsoWeek(y: Int, w: Int, d: Int): Option[LocalDate] =
+    if (y < 1 || y > 9999 || w < 1 || w > isoWeeksInYear(y) || d < 1 || d > 7) None
+    else {
+      val jan4 = LocalDate.of(y, 1, 4)
+      val week1Mon = jan4.minusDays(jan4.getDayOfWeek.getValue - 1L)
+      Some(week1Mon.plusDays((w - 1) * 7L + (d - 1L)))
+    }
+
+  private def mkDate(ys: String, ms: String, ds: String): Option[LocalDate] = {
+    val y = ys.toInt
+    if (y < 1 || y > 9999) None
+    else try Some(LocalDate.of(y, ms.toInt, ds.toInt))
+    catch { case _: java.time.DateTimeException => None }
+  }
+
+  /** Fraction digits -> microseconds (truncate past 6, pad under 6). */
+  private def fracMicros(f: String): Int =
+    f.take(6).padTo(6, '0').toInt
+
+  private def mkTime(hh: String, cm: String, cs: String, bm: String, bs: String,
+      frac: String): Option[(LocalTime, Int)] = {
+    val m = if (cm != null) cm else if (bm != null) bm else "00"
+    val sec = if (cs != null) cs else if (bs != null) bs else "00"
+    try {
+      val t = LocalTime.of(hh.toInt, m.toInt, sec.toInt)
+      Some((t, if (frac != null) fracMicros(frac) else 0))
+    } catch { case _: java.time.DateTimeException => None }
+  }
+
   private[graft] def parseIsoDateTime(s: String): Option[LocalDateTime] = {
-    val t = s.trim
-    def tryParse[A](f: => A): Option[A] = try Some(f) catch { case _: Exception => None }
-    tryParse(LocalDate.parse(t).atStartOfDay())
-      .orElse(tryParse(LocalDateTime.parse(t.replaceFirst(" ", "T"), isoLocal)))
-      .orElse(tryParse(OffsetDateTime.parse(t.replaceFirst(" ", "T"))
-        .withOffsetSameInstant(ZoneOffset.UTC).toLocalDateTime))
+    // longest-match date prefix first (extended 10, week-ext 10/8,
+    // basic 8, week-basic 8/7) so "2024-01-01..." never half-matches
+    val dateCandidates: Seq[(Int, () => Option[LocalDate])] = Seq(
+      10 -> (() => s.take(10) match {
+        case extDate(y, m, d)  => mkDate(y, m, d)
+        case extWeek(y, w, d) if d != null => fromIsoWeek(y.toInt, w.toInt, d.toInt)
+        case _ => None
+      }),
+      8 -> (() => s.take(8) match {
+        case extWeek(y, w, d) if d == null => fromIsoWeek(y.toInt, w.toInt, 1)
+        case basicDate(y, m, d) => mkDate(y, m, d)
+        case basicWeek(y, w, d) if d != null => fromIsoWeek(y.toInt, w.toInt, d.toInt)
+        case _ => None
+      }),
+      7 -> (() => s.take(7) match {
+        case basicWeek(y, w, d) if d == null => fromIsoWeek(y.toInt, w.toInt, 1)
+        case _ => None
+      }))
+    dateCandidates.collectFirst {
+      case (len, p) if s.length >= len && p().isDefined &&
+          (s.length == len || s.length > len + 1) => (len, p().get)
+    }.flatMap { case (len, date) =>
+      if (s.length == len) Some(LocalDateTime.of(date, LocalTime.MIDNIGHT))
+      else parseIsoTime(s.substring(len + 1)).map { case (time, micros, offMicros) =>
+        LocalDateTime.of(date, time)
+          .plusNanos(micros * 1000L)
+          .minusNanos(offMicros * 1000L) // aware -> UTC wall-clock
+      }
+    }
+  }
+
+  /** time [+ offset] -> (LocalTime, fraction micros, offset micros).
+    * Offset micros are SIGNED total offset to subtract for UTC. */
+  private def parseIsoTime(ts: String): Option[(LocalTime, Int, Long)] = {
+    val (timePart, offPart): (String, Option[(Int, String)]) = {
+      val zi = ts.indexOf('Z')
+      if (zi >= 0 && zi == ts.length - 1) (ts.substring(0, zi), Some((1, "00")))
+      else {
+        val pi = math.max(ts.indexOf('+'), ts.indexOf('-'))
+        if (pi < 0) (ts, None)
+        else (ts.substring(0, pi), Some((if (ts.charAt(pi) == '-') -1 else 1, ts.substring(pi + 1))))
+      }
+    }
+    timePart match {
+      case timeRe(hh, cm, cs, bm, bs, frac) =>
+        mkTime(hh, cm, cs, bm, bs, frac).flatMap { case (t, micros) =>
+          offPart match {
+            case None => Some((t, micros, 0L))
+            case Some((sign, "00")) if sign == 1 && timePart.length == ts.length - 1 =>
+              Some((t, micros, 0L)) // 'Z'
+            case Some((sign, o)) => o match {
+              case timeRe(oh, ocm, ocs, obm, obs, ofrac) =>
+                mkTime(oh, ocm, ocs, obm, obs, ofrac).map { case (ot, omicros) =>
+                  val totalMicros = sign * (ot.toSecondOfDay * 1000000L + omicros)
+                  (t, micros, totalMicros)
+                }
+              case _ => None
+            }
+          }
+        }
+      case _ => None
+    }
   }
 
   /** datetime at exactly midnight -> date32, else date64

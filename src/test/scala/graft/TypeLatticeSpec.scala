@@ -136,6 +136,70 @@ class TypeLatticeSpec extends AnyFunSuite {
     assert(TypeLattice.castFromString("12abc") == SString("12abc"))
   }
 
+  test("fromisoformat parity: every form verified against CPython 3.11") {
+    import TypeLattice.parseIsoDateTime
+    def dt(y: Int, m: Int, d: Int, hh: Int = 0, mm: Int = 0, ss: Int = 0, micros: Int = 0) =
+      Some(LocalDateTime.of(y, m, d, hh, mm, ss, micros * 1000))
+    // basic / week dates (int() claims pure-digit forms in castFromString,
+    // but the $date wrapper path parses them directly)
+    assert(parseIsoDateTime("20240101") == dt(2024, 1, 1))
+    assert(parseIsoDateTime("2024-W01-1") == dt(2024, 1, 1))
+    assert(parseIsoDateTime("2024W011") == dt(2024, 1, 1))
+    assert(parseIsoDateTime("2024-W01") == dt(2024, 1, 1))
+    assert(parseIsoDateTime("2024W01") == dt(2024, 1, 1))
+    assert(parseIsoDateTime("2024-W01T12:00") == dt(2024, 1, 1, 12))
+    assert(parseIsoDateTime("2023-W52-7") == dt(2023, 12, 31)) // 2023 has 52 weeks
+    assert(parseIsoDateTime("2020-W53-1") == dt(2020, 12, 28)) // 2020 has 53
+    assert(parseIsoDateTime("2023-W53-1").isEmpty)             // ...2023 does not
+    assert(parseIsoDateTime("2024-001").isEmpty)               // ordinal NOT accepted
+    assert(parseIsoDateTime("2024-W011").isEmpty)
+    assert(parseIsoDateTime("0000-01-01").isEmpty)             // year must be >= 1
+    assert(parseIsoDateTime("2024-02-30").isEmpty)
+    assert(parseIsoDateTime("20241301").isEmpty)
+    // any single separator char; empty time invalid
+    assert(parseIsoDateTime("2024-01-01X12:00") == dt(2024, 1, 1, 12))
+    assert(parseIsoDateTime("2024-01-01+05:00") == dt(2024, 1, 1, 5))
+    assert(parseIsoDateTime("20240101T120000") == dt(2024, 1, 1, 12))
+    assert(parseIsoDateTime("2024-01-01T").isEmpty)
+    assert(parseIsoDateTime("2024-01-01Z").isEmpty)
+    // times: consistent colons, hour-only, fraction lands in micros
+    assert(parseIsoDateTime("2024-01-01T12") == dt(2024, 1, 1, 12))
+    assert(parseIsoDateTime("2024-01-01T1230") == dt(2024, 1, 1, 12, 30))
+    assert(parseIsoDateTime("2024-01-01T12:3045").isEmpty)
+    assert(parseIsoDateTime("2024-01-01T1230:45").isEmpty)
+    assert(parseIsoDateTime("2024-01-01T12.5") == dt(2024, 1, 1, 12, 0, 0, 500000))
+    assert(parseIsoDateTime("2024-01-01T12:30,5") == dt(2024, 1, 1, 12, 30, 0, 500000))
+    assert(parseIsoDateTime("2024-01-01T12:00:00.1234567") ==
+      dt(2024, 1, 1, 12, 0, 0, 123456)) // truncate past micros
+    assert(parseIsoDateTime("2024-01-01T12:00:00.").isEmpty)
+    assert(parseIsoDateTime("2024-01-01T24:00").isEmpty)
+    assert(parseIsoDateTime("2024-01-01T12:00:60").isEmpty)
+    assert(parseIsoDateTime("2024-01-01T12:0").isEmpty)
+    // offsets: Z upper-case only (3.11), strict bounds, aware -> UTC
+    assert(parseIsoDateTime("2024-01-01T12:00:00Z") == dt(2024, 1, 1, 12))
+    assert(parseIsoDateTime("2024-01-01T12:00z").isEmpty)
+    assert(parseIsoDateTime("2024-01-01T12:00+05") == dt(2024, 1, 1, 7))
+    assert(parseIsoDateTime("2024-01-01T12:00+0530") == dt(2024, 1, 1, 6, 30))
+    assert(parseIsoDateTime("2024-01-01T12:00:00+05:30:15") ==
+      dt(2024, 1, 1, 6, 29, 45))
+    assert(parseIsoDateTime("2024-01-01T12:00-01:00") == dt(2024, 1, 1, 13))
+    assert(parseIsoDateTime("2024-01-01T12:00+25:00").isEmpty)
+    assert(parseIsoDateTime("2024-01-01T12:00-24:00").isEmpty)
+    // NO whitespace stripping, unlike int()/float()
+    assert(parseIsoDateTime(" 2024-01-01").isEmpty)
+    assert(parseIsoDateTime("2024-01-01 ").isEmpty)
+  }
+
+  test("int()/float() strip the Python Unicode whitespace set; datetime does not") {
+    // NBSP (u00a0), NEL (u0085) and IDEOGRAPHIC SPACE (u3000) are all
+    // str.isspace() in Python; Java trim() strips none of them
+    assert(TypeLattice.castFromString("\u00a042\t") == SLong(BigInt(42)))
+    assert(TypeLattice.castFromString("1.5\u0085") == SDouble(1.5))
+    assert(TypeLattice.castFromString(" \u30007\u3000") == SLong(BigInt(7)))
+    // ZWSP (u200b) is NOT isspace: int raises in Python -> string here
+    assert(TypeLattice.castFromString("\u200b1") == SString("\u200b1"))
+  }
+
   test("underscores parse only singly between digits, like Python int()/float()") {
     assert(TypeLattice.castFromString("1_000") == SLong(BigInt(1000)))
     assert(TypeLattice.castFromString("1_0.5_5") == SDouble(10.55))
