@@ -94,10 +94,15 @@ object Normalizer {
           case _           => lit(false)
         }
       case (ABool, Strict) =>
+        // cast_boolean's EVIDENT intent (schema.py:128-135 — the first
+        // isinstance(value, str) branch is a typo shadowing the real
+        // string test): int == 1 -> true, str in {true, yes} -> true,
+        // everything else false. "1"-as-string and nonzero-ints-other-
+        // than-1 are NOT truthy.
         srcType match {
           case BooleanType => c
-          case StringType  => lower(c).isin("true", "yes", "1")
-          case _: NumericType => c =!= lit(0)
+          case StringType  => lower(c).isin("true", "yes")
+          case _: NumericType => c === lit(1)
           case _           => c.cast(BooleanType)
         }
       case (ATimestampS, _) =>

@@ -72,6 +72,12 @@ class NormalizerSpec extends SparkSuite {
     val strict = Normalizer(sch, df, Normalizer.Strict).orderBy("num")
     assert(strict.schema.map(_.dataType) == Seq(IntegerType, BooleanType, FloatType))
     assert(strict.collect().toSeq == Seq(Row(7, false, 2.0f), Row(42, true, 1.5f)))
+    // evident-intent bool: "1" and nonzero ints are NOT truthy
+    // (schema.py:128-135's dead branch compares a str to int 1)
+    val df2 = Seq(("1", "1"), ("2", "true")).toDF("num", "b")
+    val sch2 = InferredSchema("t", Vector("num" -> AInt32, "b" -> ABool))
+    val strict2 = Normalizer(sch2, df2, Normalizer.Strict).orderBy("num")
+    assert(strict2.collect().toSeq == Seq(Row(1, false), Row(2, true)))
     // compat bool cast bug: any non-bool input -> false (schema.py:128-135)
     val compat = Normalizer(sch, df, Normalizer.Compat).orderBy("num")
     assert(compat.collect().toSeq == Seq(Row(7, false, 2.0f), Row(42, false, 1.5f)))
