@@ -86,6 +86,8 @@ object GraftFunctions {
       "sum_strlen", exprs => SumStrLen(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "py_norm", exprs => PyNorm(exprs(0), exprs(1)), "built-in")
   }
 
   def dot_product(a: Column, b: Column): Column = call_function("dot_product", a, b)

@@ -39,6 +39,8 @@ object Normalizer {
     * (post-config) schema. `schema.renameMap` maps *input* column names
     * to schema names. */
   def columns(schema: InferredSchema, input: DataFrame, mode: Mode = Strict): Seq[Column] = {
+    // py_norm must resolve when these columns are analyzed
+    graft.functions.GraftFunctions.register(input.sparkSession)
     val inputCols = input.schema.fields.map(f => f.name -> f.dataType).toMap
     val inverse: Map[String, String] = schema.renameMap.map(_.swap) // new -> old
     schema.fields.flatMap { case (name, atype) =>
@@ -51,11 +53,6 @@ object Normalizer {
   }
 
   private def quoted(name: String): String = s"`${name.replace("`", "``")}`"
-
-  /** `try_cast` is SQL-only syntax (no Column API in Spark 4), so the
-    * lenient paths are built from the quoted source column name. */
-  private def tryCast(srcName: String, sqlType: String): Column =
-    expr(s"try_cast(${quoted(srcName)} AS $sqlType)")
 
   def apply(schema: InferredSchema, input: DataFrame, mode: Mode = Strict): DataFrame =
     input.select(columns(schema, input, mode): _*)
@@ -105,24 +102,74 @@ object Normalizer {
           case _: NumericType => c === lit(1)
           case _           => c.cast(BooleanType)
         }
-      case (ATimestampS, _) =>
-        // cast_timestamp_compat: int else float epoch seconds
-        // (schema.py:143-150). A string input tries numeric-epoch first
-        // (the reference's int-else-float), then falls back to ISO
-        // parsing — Spark's ANSI cast raises on anything unparseable,
-        // matching the reference's ValueError.
+      case (ATimestampS, m) =>
+        // cast_timestamp_compat: int(value) else float(value) epoch
+        // seconds (schema.py:143-150) — with PYTHON literal semantics
+        // for string inputs. The reference has NO iso fallback
+        // (fromisoformat is the date cast): '2024-01-01' in a
+        // timestamp[s] column is a ValueError there, and `Compat`
+        // reproduces the crash. `Strict` keeps the ISO fallback as a
+        // documented [EXT] leniency — a retype-to-timestamp[s] config
+        // on an ISO-string column is usable instead of fatal.
         srcType match {
+          case StringType if m == Compat => pyCast(srcName, c, "epoch", TimestampType)
           case StringType =>
-            val asNum = tryCast(srcName, "DOUBLE")
-            when(asNum.isNotNull, asNum.cast(TimestampType))
-              .otherwise(c.cast(TimestampType))
+            val epoch = expr(s"py_norm(${quoted(srcName)}, 'epoch')")
+            val iso = expr(s"py_norm(${quoted(srcName)}, 'iso')")
+            when(epoch.isNotNull, epoch.cast(DoubleType).cast(TimestampType))
+              .when(iso.isNotNull, iso.cast(TimestampType))
+              .otherwise(castError(srcName, "epoch-or-iso", c).cast(TimestampType))
           case _ => c.cast(TimestampType)
         }
       case (ADate32, _) =>
-        // reference casts via datetime.fromisoformat (schema.py:140-141)
-        c.cast(DateType)
-      case (ADate64, _) => c.cast(TimestampType)
-      case (t, _)       => c.cast(t.sparkType)
+        // reference casts strings via datetime.fromisoformat
+        // (schema.py:140-141) — CPython 3.11 grammar, which both
+        // accepts forms Spark's date cast rejects ('20240101') and
+        // rejects forms Spark accepts ('2024-1-1', padded input)
+        srcType match {
+          case StringType => pyCast(srcName, c, "iso", DateType)
+          case _          => c.cast(DateType)
+        }
+      case (ADate64, _) =>
+        srcType match {
+          case StringType => pyCast(srcName, c, "iso", TimestampType)
+          case _          => c.cast(TimestampType)
+        }
+      case (t, _) if isIntTarget(t) && srcType == StringType =>
+        // Python int(): Unicode digits, single underscores, isspace()
+        // strip; int('1.5') is a ValueError (no float fallback)
+        pyCast(srcName, c, "int", t.sparkType)
+      case (t @ (AFloat16 | AFloat32 | AFloat64), _) if srcType == StringType =>
+        pyCast(srcName, c, "float", t.sparkType)
+      case (t, _) => c.cast(t.sparkType)
     }
   }
+
+  import AType._
+  private def isIntTarget(t: AType): Boolean = t match {
+    case AInt8 | AInt16 | AInt32 | AInt64 |
+         AUInt8 | AUInt16 | AUInt32 | AUInt64 => true
+    case _ => false
+  }
+
+  /** Python-grammar string cast: normalize via [[graft.functions.PyNorm]]
+    * (codegen static call, stays in WholeStageCodegen), raise on the
+    * strings Python raises ValueError for — a bad row crashes the
+    * extract exactly like the reference — then ANSI-cast the
+    * normalized literal (overflow still raises, like pyarrow's
+    * RecordBatch build). */
+  private def pyCast(srcName: String, c: Column, mode: String, to: DataType): Column = {
+    val norm = expr(s"py_norm(${quoted(srcName)}, '$mode')")
+    // epoch mode renders NUMERIC seconds: route through DOUBLE, since a
+    // string->timestamp cast would parse datetime text instead
+    val casted =
+      if (mode == "epoch") norm.cast(DoubleType).cast(to)
+      else norm.cast(to)
+    when(norm.isNotNull, casted).otherwise(castError(srcName, mode, c).cast(to))
+  }
+
+  private def castError(srcName: String, mode: String, c: Column): Column =
+    raise_error(format_string(
+      s"ValueError: invalid %s literal for column ${srcName.replace("%", "%%")}: '%s'",
+      lit(mode), c))
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.types._
 
 import graft.normalize.Normalizer
 import graft.schema.InferredSchema
+import graft.types.AType
 import graft.types.AType._
 
 /** Row-normalization semantics (mongo2pq/schema.py:110-164):
@@ -81,6 +82,38 @@ class NormalizerSpec extends SparkSuite {
     // compat bool cast bug: any non-bool input -> false (schema.py:128-135)
     val compat = Normalizer(sch, df, Normalizer.Compat).orderBy("num")
     assert(compat.collect().toSeq == Seq(Row(7, false, 2.0f), Row(42, false, 1.5f)))
+  }
+
+  test("string casts use Python literal grammars (schema.py:123-158)") {
+    import spark.implicits._
+    // int(): underscores + Unicode digits; float(): inf; fromisoformat
+    val df = Seq(("1_000", "٤٢", "inf", "20240101")).toDF("a", "b", "f", "d")
+    val sch = InferredSchema("t", Vector(
+      "a" -> AInt32, "b" -> AInt64, "f" -> AFloat64, "d" -> ADate32))
+    val row = Normalizer(sch, df, Normalizer.Strict).collect()(0)
+    assert(row == Row(1000, 42L, Double.PositiveInfinity, java.sql.Date.valueOf("2024-01-01")))
+  }
+
+  test("strings Python raises ValueError for crash the extract, like the reference") {
+    import spark.implicits._
+    def fails(value: String, t: AType, mode: Normalizer.Mode = Normalizer.Strict): Unit = {
+      val df = Seq(Tuple1(value)).toDF("x")
+      val e = intercept[Exception] {
+        Normalizer(InferredSchema("t", Vector("x" -> t)), df, mode).collect()
+      }
+      def msgs(ex: Throwable): Seq[String] =
+        if (ex == null) Nil else Option(ex.getMessage).toSeq ++ msgs(ex.getCause)
+      assert(msgs(e).exists(_.contains("ValueError")), s"$value -> $t: $e")
+    }
+    fails("1.5", AInt32)      // int('1.5') raises: no float fallback
+    fails("abc", AFloat64)
+    fails("2024-1-1", ADate32) // fromisoformat needs zero-padded fields
+    // reference timestamp cast is int-else-float, NOT iso: Compat crashes;
+    // Strict keeps the documented [EXT] iso fallback
+    fails("2024-01-01", ATimestampS, Normalizer.Compat)
+    val lenient = Normalizer(InferredSchema("t", Vector("x" -> ATimestampS)),
+      Seq(Tuple1("2024-01-01T00:00:10")).toDF("x"), Normalizer.Strict).collect()(0)
+    assert(lenient.getTimestamp(0).toInstant.getEpochSecond == 1704067210L)
   }
 
   test("timestamp[s] cast accepts epoch numerics (schema.py:143-150)") {
