@@ -115,7 +115,7 @@ object SchemaConfig {
               case "contains" => Some(RetypeRule(x => x.contains(fieldName), ft))
               case "regex" =>
                 try {
-                  val p = Pattern.compile(fieldName)
+                  val p = compilePython(fieldName)
                   Some(RetypeRule(x => p.matcher(x).find(), ft))
                 } catch { case _: PatternSyntaxException =>
                   warnings += warn(collection, index, "retype", s"has invalid regex '$fieldName'")
@@ -145,7 +145,7 @@ object SchemaConfig {
     (item.get("oldname").map(String.valueOf(_)), item.get("newname").map(String.valueOf(_))) match {
       case (Some(oldName), Some(newName)) =>
         val pattern =
-          try Pattern.compile(oldName)
+          try compilePython(oldName)
           catch { case _: PatternSyntaxException =>
             warnings += warn(collection, index, "rename", s"has invalid oldname regex '$oldName'")
             return None
@@ -178,11 +178,27 @@ object SchemaConfig {
     }
   }
 
+  /** Python `re` patterns use `(?P<name>...)` groups and `(?P=name)`
+    * backrefs where Java uses `(?<name>...)` / `\k<name>` — translate
+    * so configs written against the reference compile here instead of
+    * being warn-skipped. (Other syntax — inline flags, lookarounds,
+    * classes — is already shared.) */
+  private[config] def compilePython(regex: String): Pattern =
+    Pattern.compile(
+      regex.replace("(?P<", "(?<")
+        .replaceAll("""\(\?P=(\w+)\)""", """\\k<$1>"""))
+
+  private val namedRef = """\\g<([A-Za-z_]\w*)>""".r
+
   /** Python-`re.sub`-style replace-all with `\N` group refs; groups in
     * `upperGroups` are uppercased (config.py:174-186: group refs are
     * substituted in ascending order while `\N` remains in the
-    * template). */
-  private def subAll(pattern: Pattern, template: String, upperGroups: Set[Int])(input: String): String = {
+    * template). Python's `\g<N>` / `\g<name>` reference forms are
+    * honored too; an unknown named group raises, exactly like
+    * `re.sub` (`error: unknown group name`). */
+  private def subAll(pattern: Pattern, template0: String, upperGroups: Set[Int])(input: String): String = {
+    // \g<N> is just the explicit spelling of \N
+    val template = template0.replaceAll("""\\g<(\d+)>""", """\\$1""")
     val m = pattern.matcher(input)
     val sb = new StringBuffer
     while (m.find()) {
@@ -194,6 +210,8 @@ object SchemaConfig {
         replaced = replaced.replace("\\" + gi, rep)
         gi += 1
       }
+      replaced = namedRef.replaceAllIn(replaced,
+        mm => scala.util.matching.Regex.quoteReplacement(Option(m.group(mm.group(1))).getOrElse("")))
       m.appendReplacement(sb, Matcher.quoteReplacement(replaced))
     }
     m.appendTail(sb)

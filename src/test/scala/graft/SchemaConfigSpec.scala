@@ -62,6 +62,29 @@ class SchemaConfigSpec extends AnyFunSuite {
     assert(renames(1).rename("small_int") == "small_INT")
   }
 
+  test("Python-only regex syntax compiles: (?P<name>), (?P=name), \\g<N>, \\g<name>") {
+    val cfg = SchemaConfig.parse(
+      """schema:
+        |  t:
+        |    - type: rename_regex
+        |      oldname: ^(?P<prefix>[a-z]+)_(?P=prefix)$
+        |      newname: doubled_\g<prefix>
+        |    - type: rename_regex
+        |      oldname: ^x_(\d+)$
+        |      newname: n\g<1>
+        |    - type: retype_regex
+        |      fieldname: (?P<tail>_ts)$
+        |      fieldtype: timestamp[s]
+        |""".stripMargin)
+    assert(cfg.warnings.isEmpty, cfg.warnings)
+    val renames = cfg.forCollection("t").collect { case r: RenameRule => r }
+    assert(renames(0).rename("abc_abc") == "doubled_abc")
+    assert(renames(0).rename("abc_def") == "abc_def")
+    assert(renames(1).rename("x_42") == "n42")
+    val retypes = cfg.forCollection("t").collect { case r: RetypeRule => r }
+    assert(retypes(0).fieldTest("event_ts") && !retypes(0).fieldTest("event_id"))
+  }
+
   test("useConfig: first-match-wins, one retype + one rename per field (schema.py:60-84)") {
     val schema = InferredSchema("telemetry", Vector(
       "telemetry_snapshot_time" -> AString,
