@@ -49,6 +49,14 @@ class RegistrySmokeSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("repetition ratios are map-only: the only exchange is the output sort (q69 plan guard)") {
+    val plan = SparkEntry.queries("q69_repetition_ratio")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange ".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected only the sort exchange, got $exchanges:\n${plan.take(1500)}")
+    assert(!plan.contains("HashAggregate"), plan.take(1500))
+  }
+
   test("source caps truncate map-side before the shuffle (q72 plan guard)") {
     // the rn <= cap filter must plan as WindowGroupLimit(Partial)
     // UPSTREAM of the exchange: each map task forwards at most cap rows
