@@ -41,6 +41,17 @@ class FunctionsSpec extends SparkSuite {
     assert(df.agg(min("d")).first().getDouble(0) >= 0.0)
   }
 
+  test("py_norm stays inside whole-stage codegen and matches the Python grammars") {
+    GraftFunctions.register(spark)
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("CAST(doc_id AS STRING) AS s")
+      .selectExpr("py_norm(s, 'int') AS n", "py_norm(s, 'iso') AS d")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("py_norm") && l.contains("*(")), plan)
+    val row = df.orderBy("n").first()
+    assert(row.getString(0) != null && row.isNullAt(1)) // digits: int yes, iso no
+  }
+
   test("count_in_set matches the IN-list HOF filter; sum_strlen matches the fold") {
     import spark.implicits._
     GraftFunctions.register(spark)
