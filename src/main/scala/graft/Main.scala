@@ -115,8 +115,9 @@ object Main {
           schemaOutDir = Some(args.outdir)))
         println(s"[$name] wrote ${result.rowsWritten} rows to ${result.outPath}")
         if (args.debugConfig)
+          // same filename the reference uses (main.py:79-80)
           graft.schema.SchemaYaml.dumpToFile(result.schema, Paths.get(args.outdir),
-            Some(s"$name.config_debug.yaml"))
+            Some(s"${name}_config_applied.yaml"))
       }
       0
     } finally spark.stop()
