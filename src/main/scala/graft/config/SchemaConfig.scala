@@ -115,7 +115,7 @@ object SchemaConfig {
               case "contains" => Some(RetypeRule(x => x.contains(fieldName), ft))
               case "regex" =>
                 try {
-                  val p = compilePython(fieldName)
+                  val p = compilePython(fieldName).pattern
                   Some(RetypeRule(x => p.matcher(x).find(), ft))
                 } catch { case _: PatternSyntaxException =>
                   warnings += warn(collection, index, "retype", s"has invalid regex '$fieldName'")
@@ -152,12 +152,12 @@ object SchemaConfig {
           }
         tpe.stripPrefix("rename_") match {
           case "regex" =>
-            Some(RenameRule(subAll(pattern, newName, Set.empty)))
+            Some(RenameRule(reSubAll(pattern, newName)))
           case "regex_upper" =>
             item.get("upper") match {
               case Some(l: java.util.List[_]) =>
                 val upper = l.asScala.collect { case n: Number => n.intValue }.toSet
-                Some(RenameRule(subAll(pattern, newName, upper)))
+                Some(RenameRule(subAll(pattern.pattern, newName, upper)))
               case Some(other) =>
                 warnings += warn(collection, index, "rename_regex_upper",
                   s"has field upper of type ${other.getClass.getSimpleName}, not list")
@@ -178,40 +178,128 @@ object SchemaConfig {
     }
   }
 
+  /** A compiled Python pattern: Java `Pattern` plus the map from the
+    * original Python group names to the Java-safe aliases they were
+    * compiled under (Java group names are `[A-Za-z][A-Za-z0-9]*`, so
+    * Python's snake_case names must be renamed, not just re-bracketed). */
+  private[config] final case class PyPattern(pattern: Pattern, groupAlias: Map[String, String])
+
+  private val namedGroupDef = """\(\?P<([^>]+)>""".r
+
   /** Python `re` patterns use `(?P<name>...)` groups and `(?P=name)`
-    * backrefs where Java uses `(?<name>...)` / `\k<name>` — translate
-    * so configs written against the reference compile here instead of
-    * being warn-skipped. (Other syntax — inline flags, lookarounds,
+    * backrefs where Java uses `(?<name>...)` / `\k<name>` — translate,
+    * aliasing each Python group name to a Java-safe `pgN`, so configs
+    * written against the reference compile here instead of being
+    * warn-skipped. (Other syntax — inline flags, lookarounds,
     * classes — is already shared.) */
-  private[config] def compilePython(regex: String): Pattern =
-    Pattern.compile(
-      regex.replace("(?P<", "(?<")
-        .replaceAll("""\(\?P=(\w+)\)""", """\\k<$1>"""))
+  private[config] def compilePython(regex: String): PyPattern = {
+    val names = namedGroupDef.findAllMatchIn(regex).map(_.group(1)).toVector.distinct
+    val alias = names.zipWithIndex.map { case (n, i) => n -> s"pg${i + 1}" }.toMap
+    var s = regex
+    alias.foreach { case (n, a) =>
+      s = s.replace(s"(?P<$n>", s"(?<$a>")
+      s = s.replace(s"(?P=$n)", s"\\k<$a>")
+    }
+    PyPattern(Pattern.compile(s), alias)
+  }
 
-  private val namedRef = """\\g<([A-Za-z_]\w*)>""".r
+  // -- re.sub replacement templates (rename_regex) --------------------
+  // The reference's rename_regex calls re.sub(pattern, new_name, x)
+  // directly (config.py:154), so the template follows CPython's rules:
+  // \N (up to two digits, \g<0> = whole match), \g<N>, \g<name>, \\
+  // escape; a backslash before an ASCII letter is 'bad escape' and an
+  // out-of-range group is 'invalid group reference' — both raised at
+  // SUB time (parse_config succeeds, the apply crashes), which the
+  // lazy template parse below reproduces. Unmatched optional groups
+  // substitute '' (re.sub semantics since 3.5).
+  private sealed trait Tok
+  private final case class Lit(s: String) extends Tok
+  private final case class NumRef(n: Int) extends Tok
+  private final case class NameRef(name: String) extends Tok
 
-  /** Python-`re.sub`-style replace-all with `\N` group refs; groups in
-    * `upperGroups` are uppercased (config.py:174-186: group refs are
-    * substituted in ascending order while `\N` remains in the
-    * template). Python's `\g<N>` / `\g<name>` reference forms are
-    * honored too; an unknown named group raises, exactly like
-    * `re.sub` (`error: unknown group name`). */
-  private def subAll(pattern: Pattern, template0: String, upperGroups: Set[Int])(input: String): String = {
-    // \g<N> is just the explicit spelling of \N
-    val template = template0.replaceAll("""\\g<(\d+)>""", """\\$1""")
+  private def parseTemplate(t: String): Vector[Tok] = {
+    val toks = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c != '\\') { toks += Lit(c.toString); i += 1 }
+      else if (i + 1 >= t.length)
+        throw new IllegalArgumentException("bad escape (end of pattern)")
+      else {
+        val n = t.charAt(i + 1)
+        if (n == '\\') { toks += Lit("\\"); i += 2 }
+        else if (n.isDigit) {
+          // up to two digits, like sre_parse
+          val end = math.min(i + 3, t.length)
+          val digits = t.substring(i + 1, end).takeWhile(_.isDigit)
+          toks += NumRef(digits.toInt)
+          i += 1 + digits.length
+        } else if (n == 'g') {
+          if (i + 2 >= t.length || t.charAt(i + 2) != '<')
+            throw new IllegalArgumentException("missing < after \\g")
+          val close = t.indexOf('>', i + 3)
+          if (close < 0) throw new IllegalArgumentException("missing >, unterminated name")
+          val name = t.substring(i + 3, close)
+          if (name.nonEmpty && name.forall(_.isDigit)) toks += NumRef(name.toInt)
+          else toks += NameRef(name)
+          i = close + 1
+        } else if (n.isLetter)
+          throw new IllegalArgumentException(s"bad escape \\$n")
+        else { toks += Lit(n.toString); i += 2 } // \$ -> $ etc.
+      }
+    }
+    toks.result()
+  }
+
+  /** Faithful `re.sub(pattern, template, x)` (the rename_regex path). */
+  private def reSubAll(pp: PyPattern, template: String)(input: String): String = {
+    // lazily parsed: template errors surface on first APPLY, like re.sub
+    val toks = parseTemplate(template)
+    val m = pp.pattern.matcher(input)
+    val sb = new StringBuffer
+    while (m.find()) {
+      val out = new StringBuilder
+      toks.foreach {
+        case Lit(s) => out ++= s
+        case NumRef(n) =>
+          if (n > m.groupCount())
+            throw new IllegalArgumentException(s"invalid group reference $n")
+          out ++= Option(m.group(n)).getOrElse("")
+        case NameRef(name) =>
+          val javaName = pp.groupAlias.getOrElse(name,
+            throw new IllegalArgumentException(s"unknown group name '$name'"))
+          out ++= Option(m.group(javaName)).getOrElse("")
+      }
+      m.appendReplacement(sb, Matcher.quoteReplacement(out.toString))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  /** The rename_regex_upper path is NOT re.sub: the reference builds
+    * the replacement with its own ascending `\N`-substitution loop
+    * (config.py:174-186) — `\2` without `\1` stays literal, `\g<...>`
+    * is not recognized, a reference past the group count raises
+    * (`matchobj.group` IndexError) and an unmatched optional group
+    * crashes (`str.replace(..., None)` TypeError). Reproduced
+    * quirk-for-quirk, crashes included. */
+  private def subAll(pattern: Pattern, template: String, upperGroups: Set[Int])(input: String): String = {
     val m = pattern.matcher(input)
     val sb = new StringBuffer
     while (m.find()) {
       var replaced = template
       var gi = 1
-      while (replaced.contains("\\" + gi) && gi <= m.groupCount()) {
-        val g = Option(m.group(gi)).getOrElse("")
-        val rep = if (upperGroups(gi)) g.toUpperCase else g
+      while (replaced.contains("\\" + gi)) {
+        if (gi > m.groupCount())
+          throw new IndexOutOfBoundsException(s"no such group: $gi")
+        val g = m.group(gi)
+        if (g == null)
+          throw new IllegalStateException(
+            s"group $gi did not participate in the match (the reference raises TypeError here)")
+        val rep = if (upperGroups(gi)) g.toUpperCase(java.util.Locale.ROOT) else g
         replaced = replaced.replace("\\" + gi, rep)
         gi += 1
       }
-      replaced = namedRef.replaceAllIn(replaced,
-        mm => scala.util.matching.Regex.quoteReplacement(Option(m.group(mm.group(1))).getOrElse("")))
       m.appendReplacement(sb, Matcher.quoteReplacement(replaced))
     }
     m.appendTail(sb)

@@ -35,13 +35,13 @@ case class PyNorm(child: Expression, modeExpr: Expression)
   override def right: Expression = modeExpr
 
   private lazy val mode: String =
-    modeExpr.eval(null).asInstanceOf[UTF8String].toString
+    Option(modeExpr.eval(null)).map(_.asInstanceOf[UTF8String].toString).orNull
 
   override def checkInputDataTypes(): TypeCheckResult =
     (child.dataType, modeExpr.dataType) match {
       case (StringType, StringType) if modeExpr.foldable =>
-        val m = mode
-        if (PyNorm.modes(m)) TypeCheckResult.TypeCheckSuccess
+        val m = mode // null when the foldable mode is a NULL literal
+        if (m != null && PyNorm.modes(m)) TypeCheckResult.TypeCheckSuccess
         else TypeCheckResult.TypeCheckFailure(s"unknown py_norm mode '$m'")
       case (t, m) => TypeCheckResult.TypeCheckFailure(
         s"py_norm requires (STRING, foldable STRING), got ($t, $m)")

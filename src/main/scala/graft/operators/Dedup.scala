@@ -34,6 +34,20 @@ object Dedup {
   private[operators] def withToks(df: DataFrame): DataFrame =
     df.withColumn("toks", split(lower(col("text")), "\\W+"))
 
+  /** SQL for the word n-gram array over a token-array column; docs
+    * shorter than `n` tokens yield an EMPTY array (an unguarded
+    * `sequence(0, size - n)` would DESCEND and explode garbage).
+    * The single source of truth for gram construction — shared by
+    * [[shingles]] (n=3), q69/q71 (TrainingOps) and
+    * `StreamOps.decontaminate`, so a tokenization fix can't silently
+    * diverge the batch and streaming forms. */
+  private[graft] def gramArraySql(n: Int, toksCol: String = "toks"): String = {
+    val parts = (1 to n).map(j => s"element_at($toksCol, i + $j)").mkString(", ")
+    s"""CASE WHEN size($toksCol) >= $n
+        THEN transform(sequence(0, size($toksCol) - $n), i -> concat_ws(' ', $parts))
+        ELSE CAST(array() AS ARRAY<STRING>) END"""
+  }
+
   /** 3-word shingles, exploded. Docs with <3 tokens produce NO shingles
     * — by design they exit near-dup entirely and are handled by exact
     * dedup only: a sub-3-token doc has no meaningful 3-gram Jaccard
@@ -44,11 +58,7 @@ object Dedup {
     * byte-identical short docs. Pinned by DedupSpec. */
   private[operators] def shingles(df: DataFrame): DataFrame =
     withToks(df)
-      .withColumn("s", explode(expr(
-        """CASE WHEN size(toks) >= 3
-           THEN transform(sequence(0, size(toks) - 3),
-                i -> concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))
-           ELSE CAST(array() AS ARRAY<STRING>) END""")))
+      .withColumn("s", explode(expr(gramArraySql(3))))
       .select(col("doc_id"), col("s"))
 
   /** The shared shingle CTE prefix for oracle SQL. */

@@ -47,12 +47,10 @@ object TrainingOps {
     Q("q69_repetition_ratio",
       (s, dir) => {
         import s.implicits._
-        def gramArr(n: Int): String = {
-          val parts = (1 to n).map(j => s"element_at(toks, i + $j)").mkString(", ")
-          s"""transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', $parts))"""
+        def rep(n: Int): String = {
+          val g = Dedup.gramArraySql(n)
+          s"round(1.0d - CAST(size(array_distinct($g)) AS DOUBLE) / size($g), 6)"
         }
-        def rep(n: Int): String =
-          s"round(1.0d - CAST(size(array_distinct(${gramArr(n)})) AS DOUBLE) / size(${gramArr(n)}), 6)"
         documents(s, dir)
           .withColumn("toks", split(lower($"text"), "\\W+"))
           // docs need >= 3 tokens to carry BOTH gram sizes (the
@@ -131,12 +129,7 @@ object TrainingOps {
         import s.implicits._
         val docs = documents(s, dir)
         val g5 = docs.withColumn("toks", split(lower($"text"), "\\W+"))
-          .select($"doc_id", $"source", explode(expr(
-            """CASE WHEN size(toks) >= 5
-               THEN transform(sequence(0, size(toks) - 5),
-                 i -> concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2),
-                                element_at(toks, i + 3), element_at(toks, i + 4), element_at(toks, i + 5)))
-               ELSE CAST(array() AS ARRAY<STRING>) END""")).as("g"))
+          .select($"doc_id", $"source", explode(expr(Dedup.gramArraySql(5))).as("g"))
         val bench = g5.filter($"source" === "src0").select($"g").distinct()
         val contaminated = g5.filter($"source" =!= "src0")
           .join(broadcast(bench), "g")

@@ -118,15 +118,26 @@ final class MongoSource(spark: SparkSession, uri: String, checkConnection: Boole
           case ite: java.lang.reflect.InvocationTargetException if ite.getCause != null => ite.getCause
           case other => other
         }
-        // fatal VM errors / interrupts propagate unwrapped (NonFatal);
-        // a probe-time InterruptedException must restore the flag
+        // a reflective call wraps throwables in InvocationTargetException
+        // (itself NonFatal), so fatal VM errors must be re-checked AFTER
+        // unwrapping and rethrown raw; a probe-time interrupt restores
+        // the flag before the descriptive wrap
+        if (!scala.util.control.NonFatal(cause)) throw cause
         if (cause.isInstanceOf[InterruptedException]) Thread.currentThread().interrupt()
         throw new IllegalStateException(
           s"MongoDB connect probe failed for $uri (1s server-selection): ${cause.getMessage}", cause)
     } finally {
       if (client != null)
         try Class.forName("com.mongodb.client.MongoClient").getMethod("close").invoke(client)
-        catch { case scala.util.control.NonFatal(_) => () }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            // best-effort close, but don't eat an interrupt
+            val c = e match {
+              case ite: java.lang.reflect.InvocationTargetException if ite.getCause != null => ite.getCause
+              case other => other
+            }
+            if (c.isInstanceOf[InterruptedException]) Thread.currentThread().interrupt()
+        }
     }
   }
 

@@ -144,23 +144,21 @@ object StreamOps {
       textCol: String = "text",
       n: Int = 5): DataFrame = {
     val spark = docs.sparkSession
-    val gramsExpr = {
-      val parts = (1 to n).map(j => s"element_at(toks, i + $j)").mkString(", ")
-      s"""CASE WHEN size(toks) >= $n
-          THEN transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', $parts))
-          ELSE CAST(array() AS ARRAY<STRING>) END"""
-    }
+    // gram construction shared with the batch operators (q71 et al.) —
+    // built over an internal column name so a caller's own toks/grams
+    // columns are never clobbered
+    val gramsExpr = expr(graft.operators.Dedup.gramArraySql(n, "__decontam_toks"))
     def withGrams(df: DataFrame): DataFrame = df
-      .withColumn("toks", split(lower(col(textCol)), "\\W+"))
-      .withColumn("grams", expr(gramsExpr))
-      .drop("toks")
+      .withColumn("__decontam_toks", split(lower(col(s"`$textCol`")), "\\W+"))
+      .withColumn("__decontam_grams", gramsExpr)
+      .drop("__decontam_toks")
     val benchSet = withGrams(benchmark)
-      .select(explode(col("grams")).as("g")).distinct()
+      .select(explode(col("__decontam_grams")).as("g")).distinct()
       .collect().map(_.getString(0)).toSet
     val bc = spark.sparkContext.broadcast(benchSet)
     val contaminated = udf((grams: Seq[String]) =>
       grams != null && grams.exists(bc.value.contains))
-    withGrams(docs).filter(!contaminated(col("grams"))).drop("grams")
+    withGrams(docs).filter(!contaminated(col("__decontam_grams"))).drop("__decontam_grams")
   }
 
   /** Stream-stream interval join — the streaming form of the batch band

@@ -41,7 +41,9 @@ object TypeLattice {
     * "true"/"yes" -> true, "false"/"no" -> false (case-insensitive),
     * then int, then float, then ISO datetime, else the string itself. */
   def castFromString(value: String): Scalar = {
-    val lower = value.toLowerCase
+    // Locale.ROOT: under e.g. a Turkish default locale 'I'.toLowerCase
+    // is a dotless ı, which would break TRUE/INF/E-notation matching
+    val lower = value.toLowerCase(java.util.Locale.ROOT)
     if (lower == "true" || lower == "yes") SBool(true)
     else if (lower == "false" || lower == "no") SBool(false)
     else parsePythonInt(value).map(SLong)
@@ -102,7 +104,7 @@ object TypeLattice {
     * forms; underscore placement validated like `int()`; Unicode
     * decimal digits folded to ASCII like `float()` accepts. */
   private[graft] def parsePythonFloat(s: String): Option[Double] = {
-    val t = asciiDigits(pythonStrip(s).toLowerCase)
+    val t = asciiDigits(pythonStrip(s).toLowerCase(java.util.Locale.ROOT))
     t match {
       case "inf" | "+inf" | "infinity" | "+infinity" => Some(Double.PositiveInfinity)
       case "-inf" | "-infinity"                      => Some(Double.NegativeInfinity)
@@ -177,29 +179,45 @@ object TypeLattice {
     } catch { case _: java.time.DateTimeException => None }
   }
 
-  private[graft] def parseIsoDateTime(s: String): Option[LocalDateTime] = {
-    // longest-match date prefix first (extended 10, week-ext 10/8,
-    // basic 8, week-basic 8/7) so "2024-01-01..." never half-matches
-    val dateCandidates: Seq[(Int, () => Option[LocalDate])] = Seq(
-      10 -> (() => s.take(10) match {
-        case extDate(y, m, d)  => mkDate(y, m, d)
-        case extWeek(y, w, d) if d != null => fromIsoWeek(y.toInt, w.toInt, d.toInt)
+  /** Longest-match date prefix: (consumed length, date), trying
+    * extended 10, week-ext 10/8, basic 8, week-basic 8/7 in order so
+    * "2024-01-01..." never half-matches. A prefix is only usable when
+    * the rest of the string is empty or holds a separator PLUS at
+    * least one time char (exactly one trailing char is the
+    * empty-time error, like CPython). Each candidate is evaluated
+    * once — this sits on the per-row cast hot path. */
+  private def datePrefix(s: String): Option[(Int, LocalDate)] = {
+    val n = s.length
+    def sepOk(len: Int): Boolean = n == len || n > len + 1
+    if (n >= 10 && sepOk(10)) {
+      val d = s.substring(0, 10) match {
+        case extDate(y, m, dd) => mkDate(y, m, dd)
+        case extWeek(y, w, dd) if dd != null => fromIsoWeek(y.toInt, w.toInt, dd.toInt)
         case _ => None
-      }),
-      8 -> (() => s.take(8) match {
-        case extWeek(y, w, d) if d == null => fromIsoWeek(y.toInt, w.toInt, 1)
-        case basicDate(y, m, d) => mkDate(y, m, d)
-        case basicWeek(y, w, d) if d != null => fromIsoWeek(y.toInt, w.toInt, d.toInt)
+      }
+      if (d.isDefined) return d.map((10, _))
+    }
+    if (n >= 8 && sepOk(8)) {
+      val d = s.substring(0, 8) match {
+        case extWeek(y, w, dd) if dd == null => fromIsoWeek(y.toInt, w.toInt, 1)
+        case basicDate(y, m, dd) => mkDate(y, m, dd)
+        case basicWeek(y, w, dd) if dd != null => fromIsoWeek(y.toInt, w.toInt, dd.toInt)
         case _ => None
-      }),
-      7 -> (() => s.take(7) match {
-        case basicWeek(y, w, d) if d == null => fromIsoWeek(y.toInt, w.toInt, 1)
+      }
+      if (d.isDefined) return d.map((8, _))
+    }
+    if (n >= 7 && sepOk(7)) {
+      val d = s.substring(0, 7) match {
+        case basicWeek(y, w, dd) if dd == null => fromIsoWeek(y.toInt, w.toInt, 1)
         case _ => None
-      }))
-    dateCandidates.collectFirst {
-      case (len, p) if s.length >= len && p().isDefined &&
-          (s.length == len || s.length > len + 1) => (len, p().get)
-    }.flatMap { case (len, date) =>
+      }
+      if (d.isDefined) return d.map((7, _))
+    }
+    None
+  }
+
+  private[graft] def parseIsoDateTime(s: String): Option[LocalDateTime] =
+    datePrefix(s).flatMap { case (len, date) =>
       if (s.length == len) Some(LocalDateTime.of(date, LocalTime.MIDNIGHT))
       else parseIsoTime(s.substring(len + 1)).map { case (time, micros, offMicros) =>
         LocalDateTime.of(date, time)
@@ -207,7 +225,6 @@ object TypeLattice {
           .minusNanos(offMicros * 1000L) // aware -> UTC wall-clock
       }
     }
-  }
 
   /** time [+ offset] -> (LocalTime, fraction micros, offset micros).
     * Offset micros are SIGNED total offset to subtract for UTC. */

@@ -67,8 +67,8 @@ class SchemaConfigSpec extends AnyFunSuite {
       """schema:
         |  t:
         |    - type: rename_regex
-        |      oldname: ^(?P<prefix>[a-z]+)_(?P=prefix)$
-        |      newname: doubled_\g<prefix>
+        |      oldname: ^(?P<col_prefix>[a-z]+)_(?P=col_prefix)$
+        |      newname: doubled_\g<col_prefix>
         |    - type: rename_regex
         |      oldname: ^x_(\d+)$
         |      newname: n\g<1>
@@ -78,11 +78,51 @@ class SchemaConfigSpec extends AnyFunSuite {
         |""".stripMargin)
     assert(cfg.warnings.isEmpty, cfg.warnings)
     val renames = cfg.forCollection("t").collect { case r: RenameRule => r }
+    // snake_case group names (the Python norm; Java group names can't
+    // hold '_' so they are aliased at compile time)
     assert(renames(0).rename("abc_abc") == "doubled_abc")
     assert(renames(0).rename("abc_def") == "abc_def")
     assert(renames(1).rename("x_42") == "n42")
     val retypes = cfg.forCollection("t").collect { case r: RetypeRule => r }
     assert(retypes(0).fieldTest("event_ts") && !retypes(0).fieldTest("event_id"))
+  }
+
+  test("rename_regex follows re.sub template rules; rename_regex_upper keeps the reference's quirks") {
+    val cfg = SchemaConfig.parse(
+      """schema:
+        |  t:
+        |    - type: rename_regex
+        |      oldname: ^(ab)_(cd)$
+        |      newname: \2-\1
+        |    - type: rename_regex
+        |      oldname: ^(ab)_(cd)$
+        |      newname: whole=\g<0>
+        |    - type: rename_regex
+        |      oldname: ^(ab)_(cd)$
+        |      newname: bad\3
+        |    - type: rename_regex_upper
+        |      oldname: ^(ab)_(cd)$
+        |      newname: \2-\1
+        |      upper: [2]
+        |    - type: rename_regex_upper
+        |      oldname: ^(ab)_(cd)$
+        |      newname: x\2
+        |      upper: []
+        |""".stripMargin)
+    val renames = cfg.forCollection("t").collect { case r: RenameRule => r }
+    // re.sub: \2 before \1 substitutes single-pass; \g<0> = whole match
+    assert(renames(0).rename("ab_cd") == "cd-ab")
+    assert(renames(1).rename("ab_cd") == "whole=ab_cd")
+    // re.sub raises 'invalid group reference' at APPLY time (parse_config
+    // succeeds — the reference crashes when the rename runs)
+    intercept[IllegalArgumentException] { renames(2).rename("ab_cd") }
+    // the upper variant is the reference's own ascending loop: \2-\1
+    // still substitutes fully (the \1 check starts the loop), but a
+    // template with NO \1 at all never enters the loop — x\2 stays
+    // literal, unlike re.sub
+    assert(renames(3).rename("ab_cd") == "CD-ab")
+    assert(renames(4).rename("ab_cd") == "x\\2")
+    assert(renames(3).rename("nomatch") == "nomatch")
   }
 
   test("useConfig: first-match-wins, one retype + one rename per field (schema.py:60-84)") {

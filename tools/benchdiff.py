@@ -63,7 +63,7 @@ def main():
                 else:
                     sys.exit("--threshold needs a value")
             except ValueError:
-                sys.exit(f"--threshold needs a numeric value, got {a.split('=', 1)[-1] if '=' in a else raw[i]}")
+                sys.exit(f"--threshold needs a numeric value, got {a.split('=', 1)[-1] if '=' in a else raw[i + 1]}")
         else:
             args.append(a)
         i += 1
