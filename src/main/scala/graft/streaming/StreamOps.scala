@@ -129,6 +129,50 @@ object StreamOps {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming incremental near-dedup against a STATIC fingerprint
+    * index — the streaming form of q76: arriving docs whose simhash64
+    * is within `maxHamming` of any index fingerprint are dropped.
+    *
+    * The index is an 8-byte-per-doc `simhash` column (exactly what the
+    * batch dedup pipeline persists); it is bucketed by the two
+    * unsigned 32-bit half-bands and broadcast, and each stream row
+    * probes its own two buckets with a popcount check — stateless and
+    * exact-recall for hamming <= 1 (pigeonhole: such a pair agrees on
+    * a whole half). Like [[decontaminate]], an exploded band join
+    * can't express "NO index entry matches" on a stream without
+    * re-aggregating per doc, so the probe is a per-row predicate.
+    * For an index too large to broadcast, run the batch q76 shape in
+    * `foreachBatch` instead. Token-less docs have no fingerprint and
+    * pass through (exact dedup owns them, as in q61/q76). */
+  def dedupAgainstIndex(
+      docs: DataFrame,
+      index: DataFrame,
+      textCol: String = "text",
+      maxHamming: Int = 1): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val buckets: Map[(Int, Long), Array[Long]] = index
+      .selectExpr("simhash").collect().map(_.getLong(0))
+      .flatMap(fp => Seq((0, fp & 0xffffffffL) -> fp, (1, fp >>> 32) -> fp))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).distinct }
+    val bc = spark.sparkContext.broadcast(buckets)
+    val matchesIndex = udf { (fp: java.lang.Long) =>
+      fp != null && {
+        val f = fp.longValue()
+        def probe(band: Int, half: Long): Boolean =
+          bc.value.getOrElse((band, half), Array.emptyLongArray)
+            .exists(ix => java.lang.Long.bitCount(ix ^ f) <= maxHamming)
+        probe(0, f & 0xffffffffL) || probe(1, f >>> 32)
+      }
+    }
+    docs
+      .withColumn("__dedup_toks", array_remove(split(lower(col(s"`$textCol`")), "\\W+"), ""))
+      .withColumn("__dedup_fp",
+        when(size(col("__dedup_toks")) > 0, expr("simhash64(__dedup_toks)")))
+      .filter(!matchesIndex(col("__dedup_fp")))
+      .drop("__dedup_toks", "__dedup_fp")
+  }
+
   /** Streaming benchmark decontamination — the streaming form of q71:
     * docs sharing any word `n`-gram with the static benchmark are
     * dropped as they arrive. The benchmark gram set is collected once

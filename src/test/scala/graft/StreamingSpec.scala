@@ -159,4 +159,34 @@ class StreamingSpec extends SparkSuite {
     val kept = spark.table("decontam").select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 3L), kept)
   }
+
+  test("streaming dedup against a static fingerprint index drops near-identical docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val textA = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val textB = (1 to 30).map(i => s"other$i").mkString(" ")
+    val fpA = Seq(textA).toDF("text")
+      .selectExpr("simhash64(array_remove(split(lower(text), '\\\\W+'), '')) AS s")
+      .first().getLong(0)
+    // index holds a fingerprint at hamming distance 1 from textA's
+    val index = Seq(fpA ^ 1L).toDF("simhash")
+
+    val input = MemoryStream[Doc]
+    val q = StreamOps.dedupAgainstIndex(input.toDF(), index)
+      .writeStream.format("memory").queryName("idxdedup")
+      .outputMode("append").start()
+    input.addData(Doc(1L, textA), Doc(2L, textB), Doc(3L, ""))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("idxdedup").select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc 1 is hamming-1 from the index -> dropped; unique and
+    // token-less docs pass
+    assert(kept == Set(2L, 3L), kept)
+
+    // at maxHamming = 0 the hamming-1 neighbor is NOT a match
+    val strict = StreamOps.dedupAgainstIndex(
+      Seq((1L, textA)).toDF("doc_id", "text"), index, maxHamming = 0)
+    assert(strict.count() == 1)
+  }
 }
