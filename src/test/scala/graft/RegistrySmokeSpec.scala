@@ -57,6 +57,19 @@ class RegistrySmokeSpec extends SparkSuite {
     assert(!plan.contains("HashAggregate"), plan.take(1500))
   }
 
+  test("LSH pair construction reuses the distinct-shingle exchange (q27/q70 plan guard)") {
+    // the shingle subtree feeds signatures/df-counts, candidates and
+    // both verification probes; identical subplans must collapse into
+    // ReusedExchange or the explode+hash scan runs multiple times.
+    // (AQE materializes reuse at runtime, hence collect() first.)
+    for (q <- Seq("q27_minhash_dup_pairs", "q70_ngram_jaccard")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"), s"$q lost exchange reuse:\n${plan.take(1200)}")
+    }
+  }
+
   test("source caps truncate map-side before the shuffle (q72 plan guard)") {
     // the rn <= cap filter must plan as WindowGroupLimit(Partial)
     // UPSTREAM of the exchange: each map task forwards at most cap rows
