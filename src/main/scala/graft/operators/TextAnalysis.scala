@@ -36,6 +36,51 @@ object TextAnalysis {
   private def countInSetSql(col: String, words: Vector[String]): String =
     s"count_in_set($col, array${inList(words)})"
 
+  /** Per-doc quality signals + composite score — the shared scoring
+    * frame behind q30 (per-doc view) and q77 (decile gate). Empty /
+    * token-less docs are dropped: their ratios are 0/0 and a quality
+    * score for them is meaningless (same guard as q58). Columns:
+    * (doc_id, lang, n_tokens, sum_len, n_stop, n_punct, n_chars2,
+    * quality). */
+  private[operators] def qualityScored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val stopEn = stoplists.head._2
+    withToksNe(documents(s, dir))
+      .filter(length($"text") > 0 && size($"toks_ne") > 0)
+      .withColumn("n_tokens", size($"toks_ne").cast(LongType))
+      .withColumn("sum_len", expr("sum_strlen(toks_ne)"))
+      .withColumn("n_stop", expr(countInSetSql("toks_ne", stopEn)).cast(LongType))
+      .withColumn("n_punct", length(regexp_replace($"text", "[^.!?,;:]", "")).cast(LongType))
+      .withColumn("n_chars2", length($"text").cast(LongType))
+      .withColumn("quality", round(
+        lit(0.4) * least($"n_tokens".cast(DoubleType) / 200.0, lit(1.0)) +
+        lit(0.3) * (lit(1.0) - $"n_punct".cast(DoubleType) / $"n_chars2") +
+        lit(0.3) * ($"n_stop".cast(DoubleType) / $"n_tokens"), 6))
+      .select($"doc_id", $"lang", $"n_tokens", $"sum_len", $"n_stop",
+        $"n_punct", $"n_chars2", $"quality")
+  }
+
+  /** Matching oracle CTE ending in `qscore` with the same columns. */
+  private[operators] val qualityCte: String = {
+    val stopEn = arrList(stoplists.head._2)
+    s"""
+    WITH toksc AS (SELECT doc_id, lang, text,
+        list_filter(string_split_regex(lower(text), '\\W+'), t -> len(t) > 0) AS wne
+      FROM documents
+      WHERE len(text) > 0 AND len(list_filter(string_split_regex(lower(text), '\\W+'), t -> len(t) > 0)) > 0),
+    qscore AS (SELECT doc_id, lang,
+        CAST(len(wne) AS BIGINT) AS n_tokens,
+        CAST(list_sum(list_transform(wne, t -> len(t))) AS BIGINT) AS sum_len,
+        CAST(len(list_filter(wne, t -> list_contains($stopEn, t))) AS BIGINT) AS n_stop,
+        CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+        CAST(len(text) AS BIGINT) AS n_chars2,
+        ROUND(0.4 * LEAST(CAST(len(wne) AS DOUBLE) / 200.0, 1.0)
+            + 0.3 * (1.0 - CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / len(text))
+            + 0.3 * (CAST(len(list_filter(wne, t -> list_contains($stopEn, t))) AS DOUBLE) / len(wne)), 6) AS quality
+      FROM toksc)"""
+  }
+
   def queries: Vector[Q] = Vector(
     // ---- language identification (stopword-count heuristic) ----------
     Q("q29_lang_id",
@@ -83,49 +128,22 @@ object TextAnalysis {
     Q("q30_text_quality",
       (s, dir) => {
         import s.implicits._
-        graft.functions.GraftFunctions.register(s)
-        val stopEn = stoplists.head._2
-        // empty / token-less docs are dropped: their ratios are 0/0 and
-        // a quality score for them is meaningless (same guard as q58)
-        withToksNe(documents(s, dir))
-          .filter(length($"text") > 0 && size($"toks_ne") > 0)
-          .withColumn("n_tokens", size($"toks_ne").cast(LongType))
-          .withColumn("sum_len", expr("sum_strlen(toks_ne)"))
-          .withColumn("n_stop", expr(countInSetSql("toks_ne", stopEn)).cast(LongType))
-          .withColumn("n_punct", length(regexp_replace($"text", "[^.!?,;:]", "")).cast(LongType))
+        qualityScored(s, dir)
           .select($"doc_id", $"n_tokens",
             round($"sum_len".cast(DoubleType) / $"n_tokens", 4).as("avg_token_len"),
-            round($"n_punct".cast(DoubleType) / length($"text"), 6).as("punct_ratio"),
+            round($"n_punct".cast(DoubleType) / $"n_chars2", 6).as("punct_ratio"),
             round($"n_stop".cast(DoubleType) / $"n_tokens", 6).as("stop_ratio"),
-            round(
-              lit(0.4) * least($"n_tokens".cast(DoubleType) / 200.0, lit(1.0)) +
-              lit(0.3) * (lit(1.0) - $"n_punct".cast(DoubleType) / length($"text")) +
-              lit(0.3) * ($"n_stop".cast(DoubleType) / $"n_tokens"), 6).as("quality"))
+            $"quality")
           .orderBy($"doc_id")
       },
-      Some {
-        val stopEn = arrList(stoplists.head._2)
-        s"""
-        WITH toksc AS (SELECT doc_id, text,
-            list_filter(string_split_regex(lower(text), '\\W+'), t -> len(t) > 0) AS wne
-          FROM documents
-          WHERE len(text) > 0 AND len(list_filter(string_split_regex(lower(text), '\\W+'), t -> len(t) > 0)) > 0),
-        m AS (SELECT doc_id,
-            CAST(len(wne) AS BIGINT) AS n_tokens,
-            CAST(list_sum(list_transform(wne, t -> len(t))) AS BIGINT) AS sum_len,
-            CAST(len(list_filter(wne, t -> list_contains($stopEn, t))) AS BIGINT) AS n_stop,
-            CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
-            CAST(len(text) AS BIGINT) AS n_chars2
-          FROM toksc)
+      Some(s"""
+        $qualityCte
         SELECT doc_id, n_tokens,
           ROUND(CAST(sum_len AS DOUBLE) / n_tokens, 4) AS avg_token_len,
           ROUND(CAST(n_punct AS DOUBLE) / n_chars2, 6) AS punct_ratio,
           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
-          ROUND(0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 200.0, 1.0)
-              + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars2)
-              + 0.3 * (CAST(n_stop AS DOUBLE) / n_tokens), 6) AS quality
-        FROM m ORDER BY doc_id"""
-      }),
+          quality
+        FROM qscore ORDER BY doc_id""")),
 
     // ---- token counting (whitespace + BPE-ish regex) -----------------
     Q("q31_token_stats",

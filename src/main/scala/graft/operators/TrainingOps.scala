@@ -344,6 +344,72 @@ object TrainingOps {
         SELECT d.doc_id AS doc_id, d.source AS source FROM documents d
         WHERE TRY_CAST(SUBSTRING(d.source, 4) AS INT) >= 10
           AND d.doc_id NOT IN (SELECT doc_id FROM matched)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- quality-percentile gate -------------------------------------
+    // "Drop the bottom quality decile per language" — the rank-based
+    // form of quality filtering (fixed thresholds go stale as the
+    // corpus shifts; deciles don't). NTILE over a TOTAL order
+    // (quality, doc_id) is deterministic in both engines. Shares the
+    // q30 scoring frame; the window partitions by lang — skew-bounded
+    // the same way as every per-lang operator here, and NTILE needs
+    // the full stratum ordered anyway (rank semantics, not top-k).
+    Q("q77_quality_gate",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"lang").orderBy($"quality", $"doc_id")
+        TextAnalysis.qualityScored(s, dir)
+          .withColumn("decile", ntile(10).over(w))
+          .filter($"decile" > 1)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("kept"),
+               dsum($"quality", 6).as("quality_sum"),
+               sum($"n_tokens").cast(LongType).as("tokens_kept"))
+          .orderBy($"lang")
+      },
+      Some(s"""
+        ${TextAnalysis.qualityCte}
+        SELECT lang, COUNT(*) AS kept, ${dsumSql("quality", 6)} AS quality_sum,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+        FROM (SELECT lang, quality, n_tokens,
+                NTILE(10) OVER (PARTITION BY lang ORDER BY quality, doc_id) AS decile
+              FROM qscore) t
+        WHERE decile > 1
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- corpus stats (dataset card) ---------------------------------
+    // The one-row summary a pipeline publishes with a training set.
+    // Each distinct-count runs as its OWN single-column aggregation
+    // and the 1-row results cross-join — one Expand-free pass per
+    // column-pruned scan instead of one full-width scan Expanded x4
+    // (the q41 lesson: n distinct aggregates in one GROUP BY multiply
+    // the shuffled rows by n+1).
+    Q("q78_corpus_stats",
+      (s, dir) => {
+        import s.implicits._
+        val docs = documents(s, dir)
+        val base = docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(lower($"text"), "\\W+")).cast(LongType)).as("n_tokens"),
+          sum($"n_chars").cast(LongType).as("n_chars"),
+          davg($"n_chars", 4).as("avg_chars"))
+        val langs = docs.select($"lang").distinct().agg(count(lit(1)).as("n_langs"))
+        val sources = docs.select($"source").distinct().agg(count(lit(1)).as("n_sources"))
+        val texts = docs.select($"text").distinct().agg(count(lit(1)).as("n_unique_texts"))
+        base.crossJoin(langs).crossJoin(sources).crossJoin(texts)
+          .select($"n_docs", $"n_tokens", $"n_chars", round($"avg_chars", 4).as("avg_chars"),
+            $"n_langs", $"n_sources", $"n_unique_texts",
+            ($"n_docs" - $"n_unique_texts").as("exact_dup_docs"))
+      },
+      Some(s"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split_regex(lower(text), '\\W+'))) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               ROUND(${davgSql("n_chars", 4)}, 4) AS avg_chars,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique_texts,
+               CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS exact_dup_docs
+        FROM documents"""))
   )
 }
