@@ -59,6 +59,24 @@ object LatticeProperties extends Properties("TypeLattice") {
     TypeLattice.castFromString(s) != null
   }
 
+  property("parseIsoDateTime is total (the per-row cast path never throws)") =
+    forAll { (s: String) =>
+      TypeLattice.parseIsoDateTime(s) // Option, no exception
+      true
+    }
+
+  property("parseIsoDateTime is total on datetime-looking noise") = {
+    // targeted generator: digits, dashes, colons, W/T/Z/g, signs —
+    // the shapes that exercise every branch of the prefix parser
+    val noisy = Gen.listOf(Gen.oneOf(
+      Gen.numChar, Gen.oneOf('-', ':', '.', ',', '+', 'W', 'T', 'Z', ' ', '<', '>')
+    )).map(_.mkString)
+    forAll(noisy) { s =>
+      TypeLattice.parseIsoDateTime(s)
+      true
+    }
+  }
+
   property("castFromString round-trips decimal integers") =
     forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue)) { n =>
       TypeLattice.castFromString(n.toString) == Scalar.SLong(BigInt(n))

@@ -27,6 +27,12 @@ class RegistrySmokeSpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("registry names are unique (a duplicate would shadow a query in the Map)") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size,
+      names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }.mkString(", "))
+  }
+
   test("filters and projections reach the parquet scan (pushdown guard)") {
     val plan = SparkEntry.queries("q02_filter_project")(spark, dir)
       .queryExecution.executedPlan.toString
