@@ -388,14 +388,19 @@ object TrainingOps {
       (s, dir) => {
         import s.implicits._
         val docs = documents(s, dir)
+        // empty-token filter matches q31/withToksNe, so the card's
+        // n_tokens agrees with the engine's own token-stats query
         val base = docs.agg(
           count(lit(1)).as("n_docs"),
-          sum(size(split(lower($"text"), "\\W+")).cast(LongType)).as("n_tokens"),
+          sum(size(array_remove(split(lower($"text"), "\\W+"), "")).cast(LongType)).as("n_tokens"),
           sum($"n_chars").cast(LongType).as("n_chars"),
           davg($"n_chars", 4).as("avg_chars"))
-        val langs = docs.select($"lang").distinct().agg(count(lit(1)).as("n_langs"))
-        val sources = docs.select($"source").distinct().agg(count(lit(1)).as("n_sources"))
-        val texts = docs.select($"text").distinct().agg(count(lit(1)).as("n_unique_texts"))
+        // countDistinct, not distinct().count(): COUNT(DISTINCT col)
+        // excludes NULLs in both engines; distinct() would count a
+        // NULL group and silently diverge from the oracle
+        val langs = docs.agg(countDistinct($"lang").as("n_langs"))
+        val sources = docs.agg(countDistinct($"source").as("n_sources"))
+        val texts = docs.agg(countDistinct($"text").as("n_unique_texts"))
         base.crossJoin(langs).crossJoin(sources).crossJoin(texts)
           .select($"n_docs", $"n_tokens", $"n_chars", round($"avg_chars", 4).as("avg_chars"),
             $"n_langs", $"n_sources", $"n_unique_texts",
@@ -403,7 +408,7 @@ object TrainingOps {
       },
       Some(s"""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(len(string_split_regex(lower(text), '\\W+'))) AS BIGINT) AS n_tokens,
+               CAST(SUM(len(list_filter(string_split_regex(lower(text), '\\W+'), t -> len(t) > 0))) AS BIGINT) AS n_tokens,
                CAST(SUM(n_chars) AS BIGINT) AS n_chars,
                ROUND(${davgSql("n_chars", 4)}, 4) AS avg_chars,
                CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,

@@ -149,10 +149,18 @@ object StreamOps {
       index: DataFrame,
       textCol: String = "text",
       maxHamming: Int = 1): DataFrame = {
+    // the half-band probe has exact recall ONLY up to hamming 1
+    // (pigeonhole over 2 bands); a larger radius would silently miss
+    // pairs differing in both halves
+    require(maxHamming >= 0 && maxHamming <= 1,
+      s"dedupAgainstIndex supports maxHamming 0 or 1, got $maxHamming")
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val buckets: Map[(Int, Long), Array[Long]] = index
-      .selectExpr("simhash").collect().map(_.getLong(0))
+      // a null fingerprint (token-less doc in a pre-guard index) has
+      // no bands to probe — same rule as the stream side
+      .selectExpr("simhash").filter("simhash IS NOT NULL")
+      .collect().map(_.getLong(0))
       .flatMap(fp => Seq((0, fp & 0xffffffffL) -> fp, (1, fp >>> 32) -> fp))
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).distinct }
     val bc = spark.sparkContext.broadcast(buckets)

@@ -66,8 +66,9 @@ object LatticeProperties extends Properties("TypeLattice") {
     }
 
   property("parseIsoDateTime is total on datetime-looking noise") = {
-    // targeted generator: digits, dashes, colons, W/T/Z/g, signs —
-    // the shapes that exercise every branch of the prefix parser
+    // targeted generator: digits plus the structural chars of the iso
+    // grammar (separators, fraction marks, signs, week/time/zulu
+    // markers) — shapes that reach every branch of the prefix parser
     val noisy = Gen.listOf(Gen.oneOf(
       Gen.numChar, Gen.oneOf('-', ':', '.', ',', '+', 'W', 'T', 'Z', ' ', '<', '>')
     )).map(_.mkString)
