@@ -28,6 +28,7 @@ import graft.types.AType
   *    non-bool -> false — SURVEY.md §7.4.3.
   */
 object Normalizer {
+  import AType._
 
   sealed trait Mode
   /** Bug-for-bug reproduction of the reference. */
@@ -82,7 +83,6 @@ object Normalizer {
     * (schema.py:123-158). Spark's `cast` already covers most pairs; the
     * special cases are spelled out. */
   private def castTo(srcName: String, c: Column, srcType: DataType, target: AType, mode: Mode): Column = {
-    import AType._
     (target, mode) match {
       case (ABool, Compat) =>
         // cast_boolean bug: any non-bool input -> false (schema.py:128-135)
@@ -145,7 +145,6 @@ object Normalizer {
     }
   }
 
-  import AType._
   private def isIntTarget(t: AType): Boolean = t match {
     case AInt8 | AInt16 | AInt32 | AInt64 |
          AUInt8 | AUInt16 | AUInt32 | AUInt64 => true

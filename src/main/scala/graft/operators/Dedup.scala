@@ -240,8 +240,7 @@ object Dedup {
         // (band, 0) mega-bucket and pair quadratically at hamming 0 —
         // same routing decision as the minhash path (sub-3-token docs
         // belong to exact dedup, not near-dup)
-        val sims = documents(s, dir)
-          .withColumn("toks_ne", array_remove(split(lower($"text"), "\\W+"), ""))
+        val sims = TextAnalysis.withToksNe(documents(s, dir))
           .filter(size($"toks_ne") > 0)
           .select($"doc_id", expr("simhash64(toks_ne)").as("simhash"))
         // unsigned halves: & masks off sign-extension, so both engines

@@ -218,6 +218,6 @@ object TextAnalysis {
     * `array_remove(.., '')` == `filter(.., t -> length(t) > 0)` on
     * split output (split never yields nulls) but is a regular codegen
     * expression, not a CodegenFallback higher-order function. */
-  private def withToksNe(df: DataFrame): DataFrame =
+  private[operators] def withToksNe(df: DataFrame): DataFrame =
     df.withColumn("toks_ne", array_remove(split(lower(col("text")), "\\W+"), ""))
 }

@@ -47,16 +47,17 @@ object TrainingOps {
     Q("q69_repetition_ratio",
       (s, dir) => {
         import s.implicits._
-        def rep(n: Int): String = {
-          val g = Dedup.gramArraySql(n)
+        // gram arrays land in named columns so each is built ONCE per
+        // row — transform() is CodegenFallback, so Catalyst would not
+        // eliminate a repeated subexpression
+        def rep(g: String): String =
           s"round(1.0d - CAST(size(array_distinct($g)) AS DOUBLE) / size($g), 6)"
-        }
-        documents(s, dir)
-          .withColumn("toks", split(lower($"text"), "\\W+"))
-          // docs need >= 3 tokens to carry BOTH gram sizes (the
-          // sequence() guard doubles as the short-doc filter)
+        Dedup.withToks(documents(s, dir))
+          // docs need >= 3 tokens to carry BOTH gram sizes
           .filter(size($"toks") >= 3)
-          .select($"doc_id", expr(rep(2)).as("rep2"), expr(rep(3)).as("rep3"))
+          .withColumn("g2", expr(Dedup.gramArraySql(2)))
+          .withColumn("g3", expr(Dedup.gramArraySql(3)))
+          .select($"doc_id", expr(rep("g2")).as("rep2"), expr(rep("g3")).as("rep3"))
           .orderBy($"doc_id")
       },
       Some(s"""
@@ -128,7 +129,7 @@ object TrainingOps {
       (s, dir) => {
         import s.implicits._
         val docs = documents(s, dir)
-        val g5 = docs.withColumn("toks", split(lower($"text"), "\\W+"))
+        val g5 = Dedup.withToks(docs)
           .select($"doc_id", $"source", explode(expr(Dedup.gramArraySql(5))).as("g"))
         val bench = g5.filter($"source" === "src0").select($"g").distinct()
         val contaminated = g5.filter($"source" =!= "src0")
@@ -306,8 +307,7 @@ object TrainingOps {
         GraftFunctions.register(s)
         val docs = documents(s, dir)
           .withColumn("grp", expr("try_cast(substring(source, 4, 100) AS INT)"))
-        val sims = docs
-          .withColumn("toks_ne", array_remove(split(lower($"text"), "\\W+"), ""))
+        val sims = TextAnalysis.withToksNe(docs)
           .filter(size($"toks_ne") > 0)
           .select($"doc_id", $"grp", expr("simhash64(toks_ne)").as("simhash"))
         def bandsOf(df: DataFrame): DataFrame = df.selectExpr("doc_id", "simhash",
