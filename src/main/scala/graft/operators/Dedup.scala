@@ -281,41 +281,83 @@ object Dedup {
     // closure in DuckDB — a completely different algorithm, same
     // components.
     Q("q66_dup_components",
+      (s, dir) => components(s, dir).orderBy(col("doc_id")),
+      Some(s"""$componentsCte
+        SELECT doc_id, component FROM comp ORDER BY doc_id""")),
+
+    // ---- component-canonical dedup (the final corpus) -----------------
+    // The principled keep-one-per-cluster output: q66's components
+    // decide survivorship — a doc survives iff it is not a non-minimal
+    // member of any near-dup component (pair-based removal, as in the
+    // early q58 stage, can drop BOTH endpoints of a transitive chain;
+    // component-based removal keeps exactly one canonical doc per
+    // cluster). Anti-join of the corpus against non-canonical members:
+    // the label frame is tiny (docs that appear in verified pairs), so
+    // the join broadcasts and the corpus never shuffles.
+    Q("q79_canonical_corpus",
       (s, dir) => {
         import s.implicits._
-        val pairs = nearDupPairs(s, dir)
-          .filter(round($"jraw", 6) >= 0.5)
-          .select($"ida", $"idb")
-        val edges = pairs.union(pairs.select($"idb", $"ida")).toDF("src", "dst")
-          .localCheckpoint(true)
-        var labels = edges.select($"src".as("id")).distinct()
-          .withColumn("label", $"id").localCheckpoint(true)
-        def checksum(): Long =
-          labels.agg(coalesce(sum($"label"), lit(0L))).first().getLong(0)
-        var prevSum = -1L
-        var curSum = checksum()
-        var iters = 0
-        val maxIters = 200 // iterations = component diameter; a chain of
-                           // drifting near-dups can be long, so the cap
-                           // is generous — and hitting it FAILS LOUDLY
-                           // below rather than returning wrong components
-        while (curSum != prevSum && iters < maxIters) {
-          val prop = edges.join(labels, col("dst") === col("id"))
-            .groupBy($"src").agg(min($"label").as("nbr"))
-          labels = labels.join(prop, $"id" === $"src", "left")
-            .select($"id", least($"label", coalesce($"nbr", $"label")).as("label"))
-            .localCheckpoint(true)
-          prevSum = curSum
-          curSum = checksum()
-          iters += 1
-        }
-        require(curSum == prevSum,
-          s"q66: label propagation did not converge within $maxIters iterations " +
-            "(a component's diameter exceeds the cap) — refusing to emit non-minimal labels")
-        labels.select($"id".as("doc_id"), $"label".as("component"))
+        val nonCanonical = components(s, dir)
+          .filter($"doc_id" =!= $"component")
+          .select($"doc_id")
+        documents(s, dir)
+          .join(broadcast(nonCanonical), Seq("doc_id"), "left_anti")
+          .select($"doc_id", $"lang", $"source")
           .orderBy($"doc_id")
       },
-      Some(s"""${shingleCte.replaceFirst("WITH", "WITH RECURSIVE")}, $signatureSql,
+      Some(s"""$componentsCte
+        SELECT d.doc_id AS doc_id, d.lang AS lang, d.source AS source
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM comp c
+                          WHERE c.doc_id = d.doc_id AND c.doc_id <> c.component)
+        ORDER BY doc_id"""))
+  )
+
+  /** Min-label propagation over the verified near-dup pair graph:
+    * `(doc_id, component)` for every doc appearing in a pair. Per
+    * iteration one equi-join + min-aggregate with localCheckpoint
+    * truncating lineage (standard distributed CC; iterations =
+    * component diameter, driver sees one monotone checksum per round).
+    * Shared by q66 (published labels) and q79 (canonical corpus). */
+  private[operators] def components(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = nearDupPairs(s, dir)
+      .filter(round($"jraw", 6) >= 0.5)
+      .select($"ida", $"idb")
+    val edges = pairs.union(pairs.select($"idb", $"ida")).toDF("src", "dst")
+      .localCheckpoint(true)
+    var labels = edges.select($"src".as("id")).distinct()
+      .withColumn("label", $"id").localCheckpoint(true)
+    def checksum(): Long =
+      labels.agg(coalesce(sum($"label"), lit(0L))).first().getLong(0)
+    var prevSum = -1L
+    var curSum = checksum()
+    var iters = 0
+    val maxIters = 200 // iterations = component diameter; a chain of
+                       // drifting near-dups can be long, so the cap
+                       // is generous — and hitting it FAILS LOUDLY
+                       // below rather than returning wrong components
+    while (curSum != prevSum && iters < maxIters) {
+      val prop = edges.join(labels, col("dst") === col("id"))
+        .groupBy($"src").agg(min($"label").as("nbr"))
+      labels = labels.join(prop, $"id" === $"src", "left")
+        .select($"id", least($"label", coalesce($"nbr", $"label")).as("label"))
+        .localCheckpoint(true)
+      prevSum = curSum
+      curSum = checksum()
+      iters += 1
+    }
+    require(curSum == prevSum,
+      s"components: label propagation did not converge within $maxIters iterations " +
+        "(a component's diameter exceeds the cap) — refusing to emit non-minimal labels")
+    labels.select($"id".as("doc_id"), $"label".as("component"))
+  }
+
+  /** Matching oracle: recursive-CTE transitive closure (a completely
+    * different algorithm, same components), ending in
+    * `comp(doc_id, component)`. */
+  private[operators] lazy val componentsCte: String =
+    s"""${shingleCte.replaceFirst("WITH", "WITH RECURSIVE")}, $signatureSql,
         bands AS (${(0 until nBands).map(k => s"SELECT doc_id, $k AS band, mh$k AS sg FROM sig").mkString(" UNION ALL ")}),
         cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
                  FROM bands a JOIN bands b ON a.band = b.band AND a.sg = b.sg AND a.doc_id < b.doc_id),
@@ -333,10 +375,9 @@ object Dedup {
         nodes AS (SELECT DISTINCT src AS id FROM edges),
         closure AS (SELECT id AS node, id AS reach FROM nodes
                     UNION
-                    SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src)
-        SELECT node AS doc_id, CAST(MIN(reach) AS BIGINT) AS component
-        FROM closure GROUP BY node ORDER BY doc_id"""))
-  )
+                    SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src),
+        comp AS (SELECT node AS doc_id, CAST(MIN(reach) AS BIGINT) AS component
+                 FROM closure GROUP BY node)"""
 
   /** Verified near-dup candidate pairs: (ida, idb, jraw) with raw
     * Jaccard similarity, shared by q27/q58/q66. A single
