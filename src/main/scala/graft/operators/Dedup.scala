@@ -291,9 +291,12 @@ object Dedup {
     // member of any near-dup component (pair-based removal, as in the
     // early q58 stage, can drop BOTH endpoints of a transitive chain;
     // component-based removal keeps exactly one canonical doc per
-    // cluster). Anti-join of the corpus against non-canonical members:
-    // the label frame is tiny (docs that appear in verified pairs), so
-    // the join broadcasts and the corpus never shuffles.
+    // cluster). Anti-join of the corpus against non-canonical members;
+    // the frame's size is the corpus's dup rate, so the join strategy
+    // is LEFT TO THE OPTIMIZER — AQE broadcasts when it is actually
+    // small and falls back to a shuffle anti-join on a dup-heavy
+    // corpus (an unconditional broadcast() hint would drive-collect an
+    // O(corpus) frame and OOM exactly when dedup matters most).
     Q("q79_canonical_corpus",
       (s, dir) => {
         import s.implicits._
@@ -301,7 +304,7 @@ object Dedup {
           .filter($"doc_id" =!= $"component")
           .select($"doc_id")
         documents(s, dir)
-          .join(broadcast(nonCanonical), Seq("doc_id"), "left_anti")
+          .join(nonCanonical, Seq("doc_id"), "left_anti")
           .select($"doc_id", $"lang", $"source")
           .orderBy($"doc_id")
       },

@@ -454,8 +454,7 @@ object Extras {
       (s, dir) => {
         import s.implicits._
         GraftFunctions.register(s)
-        documents(s, dir)
-          .withColumn("toks_ne", array_remove(split(lower($"text"), "\\W+"), ""))
+        TextAnalysis.withToksNe(documents(s, dir))
           .select($"doc_id", expr("rolling_hash(toks_ne, 31L)").as("fp"))
           .orderBy($"doc_id")
       },
@@ -488,8 +487,7 @@ object Extras {
       (s, dir) => {
         import s.implicits._
         GraftFunctions.register(s)
-        documents(s, dir)
-          .withColumn("toks_ne", array_remove(split(lower($"text"), "\\W+"), ""))
+        TextAnalysis.withToksNe(documents(s, dir))
           .select($"doc_id", expr("simhash64(toks_ne)").as("simhash"))
           .orderBy($"doc_id")
       },
