@@ -155,6 +155,7 @@ object Engine {
     // read raw lines, parse per the *pre-rename* source schema: wrapper-
     // capable scalars as text (ExtendedJsonSource.streamParseType), then
     // recover the typed value per column before normalizing
+    graft.functions.GraftFunctions.register(spark) // textUnwrap uses py_norm
     val inverse = schema.renameMap.map(_.swap)
     val srcNames = schema.fields.map { case (n, t) => (inverse.getOrElse(n, n), t) }
     val srcFields = srcNames.map { case (sn, t) =>

@@ -205,20 +205,30 @@ object SchemaConfig {
 
   // -- re.sub replacement templates (rename_regex) --------------------
   // The reference's rename_regex calls re.sub(pattern, new_name, x)
-  // directly (config.py:154), so the template follows CPython's rules:
-  // \N (up to two digits, \g<0> = whole match), \g<N>, \g<name>, \\
-  // escape; a backslash before an ASCII letter is 'bad escape' and an
-  // out-of-range group is 'invalid group reference' — both raised at
-  // SUB time (parse_config succeeds, the apply crashes), which the
-  // lazy template parse below reproduces. Unmatched optional groups
-  // substitute '' (re.sub semantics since 3.5).
+  // directly (config.py:154), so the template follows CPython's
+  // sre_parse.parse_template rules: \N (up to two digits, \g<0> =
+  // whole match), \g<N>, \g<name>, the character escapes \a \b \f \n
+  // \r \t \v \\, octal char escapes (\0[oo] and \ooo), and unknown
+  // NON-letter escapes pass through with their backslash (re.sub('a',
+  // r'\$', 'a') == '\\$'). A backslash before any other ASCII letter
+  // is 'bad escape' and an out-of-range group is 'invalid group
+  // reference' — both raised at SUB time (parse_config succeeds, the
+  // apply crashes), which the lazy template parse below reproduces.
+  // Unmatched optional groups substitute '' (re.sub semantics since 3.5).
   private sealed trait Tok
   private final case class Lit(s: String) extends Tok
   private final case class NumRef(n: Int) extends Tok
   private final case class NameRef(name: String) extends Tok
 
+  // sre_parse.ESCAPES, template side
+  private val charEscapes = Map(
+    'a' -> "\u0007", 'b' -> "\b", 'f' -> "\f", 'n' -> "\n",
+    'r' -> "\r", 't' -> "\t", 'v' -> "\u000B")
+
   private def parseTemplate(t: String): Vector[Tok] = {
     val toks = Vector.newBuilder[Tok]
+    def isOct(c: Char) = c >= '0' && c <= '7'
+    def isAsciiLetter(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
     var i = 0
     while (i < t.length) {
       val c = t.charAt(i)
@@ -228,12 +238,27 @@ object SchemaConfig {
       else {
         val n = t.charAt(i + 1)
         if (n == '\\') { toks += Lit("\\"); i += 2 }
-        else if (n.isDigit) {
-          // up to two digits, like sre_parse
-          val end = math.min(i + 3, t.length)
-          val digits = t.substring(i + 1, end).takeWhile(_.isDigit)
-          toks += NumRef(digits.toInt)
+        else if (n == '0') {
+          // \0 plus up to two more octal digits is an octal char escape
+          val end = math.min(i + 4, t.length)
+          val digits = t.substring(i + 1, end).takeWhile(isOct)
+          toks += Lit(Integer.parseInt(digits, 8).toChar.toString)
           i += 1 + digits.length
+        } else if (n.isDigit) {
+          // three octal digits form an octal char escape; otherwise up
+          // to two digits form a group reference, like sre_parse
+          val d2 = if (i + 2 < t.length && t.charAt(i + 2).isDigit) Some(t.charAt(i + 2)) else None
+          val d3OctAt = i + 3 < t.length && isOct(t.charAt(i + 3))
+          d2 match {
+            case Some(b) if isOct(n) && isOct(b) && d3OctAt =>
+              val v = Integer.parseInt(s"$n$b${t.charAt(i + 3)}", 8)
+              if (v > 0xFF) throw new IllegalArgumentException(
+                s"octal escape value \\$n$b${t.charAt(i + 3)} outside of range 0-0o377")
+              toks += Lit(v.toChar.toString)
+              i += 4
+            case Some(b) => toks += NumRef(s"$n$b".toInt); i += 3
+            case None    => toks += NumRef(n.asDigit); i += 2
+          }
         } else if (n == 'g') {
           if (i + 2 >= t.length || t.charAt(i + 2) != '<')
             throw new IllegalArgumentException("missing < after \\g")
@@ -243,9 +268,15 @@ object SchemaConfig {
           if (name.nonEmpty && name.forall(_.isDigit)) toks += NumRef(name.toInt)
           else toks += NameRef(name)
           i = close + 1
-        } else if (n.isLetter)
-          throw new IllegalArgumentException(s"bad escape \\$n")
-        else { toks += Lit(n.toString); i += 2 } // \$ -> $ etc.
+        } else charEscapes.get(n) match {
+          case Some(ch) => toks += Lit(ch); i += 2
+          case None if isAsciiLetter(n) =>
+            throw new IllegalArgumentException(s"bad escape \\$n")
+          case None =>
+            // unknown non-letter escape: CPython appends the raw
+            // two-char sequence, backslash included
+            toks += Lit("\\" + n); i += 2
+        }
       }
     }
     toks.result()

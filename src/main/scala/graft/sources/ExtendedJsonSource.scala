@@ -127,16 +127,26 @@ object ExtendedJsonSource {
       case AString =>
         coalesce(jsonField(c, "`$oid` STRING", Seq("$oid")), c)
       case AInt8 | AInt16 | AInt32 | AInt64 | AUInt8 | AUInt16 | AUInt32 | AUInt64 =>
-        // batch parse type for plain JSON ints is LongType. A fractional
-        // text value ("1.5") must truncate like the batch path (json
-        // infers double, ANSI double->long truncates) instead of
-        // failing the string->long cast; genuinely non-numeric text
-        // still raises, matching the batch/reference ValueError.
+        // batch parse type for plain JSON ints is LongType. Normalize
+        // through the PYTHON int grammar first (py_norm: underscores,
+        // Unicode digits, Unicode-whitespace stripping) so the
+        // streaming path accepts exactly what the batch path's
+        // py_norm/parsePythonInt accepts. A non-Python-int text value
+        // ("1.5") falls back to the truncating double path (json
+        // infers double, ANSI double->long truncates); genuinely
+        // non-numeric text still raises, matching the batch/reference
+        // ValueError. Caller must have GraftFunctions.register'd.
         val txt = coalesce(numLong, numInt, numDouble, c)
-        when(txt.rlike("^[+-]?[0-9]+$"), txt.cast(LongType))
+        val pyInt = call_function("py_norm", txt, lit("int"))
+        when(pyInt.isNotNull, pyInt.cast(LongType))
           .otherwise(txt.cast(DoubleType).cast(LongType))
       case AFloat16 | AFloat32 | AFloat64 =>
-        coalesce(numDouble, numLong, numInt, c).cast(DoubleType)
+        // same Python-grammar routing ('1_0.5', 'inf', Unicode spaces);
+        // the fallback ANSI cast keeps the raise-on-garbage parity
+        val txt = coalesce(numDouble, numLong, numInt, c)
+        val pyFloat = call_function("py_norm", txt, lit("float"))
+        when(pyFloat.isNotNull, pyFloat.cast(DoubleType))
+          .otherwise(txt.cast(DoubleType))
       case ADate32 | ADate64 | ATimestampS =>
         // $date is epoch-millis (number or {"$numberLong": text}) or ISO
         // text; plain values keep their raw text for Normalizer's

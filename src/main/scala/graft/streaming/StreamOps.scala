@@ -111,17 +111,29 @@ object StreamOps {
     * [[dedupWithinWatermark]]; the text column never enters state.
     * (Hamming-distance near-dup pairing stays a batch operator — q61 —
     * because a doc would need verdicts from every LSH band group, which
-    * doesn't compose in one streaming stateful stage.) */
+    * doesn't compose in one streaming stateful stage.)
+    *
+    * Token-less docs (empty or punctuation-only text) have NO
+    * fingerprint — simhash64 of an empty token array would collapse
+    * every such doc to fingerprint 0 and silently drop distinct
+    * non-duplicates (e.g. "!!!" vs "???") as dups of each other. They
+    * carry a null `simhash` and pass through un-deduped: exact dedup
+    * owns them, the same routing as q61/q76/[[dedupAgainstIndex]]. */
   def fingerprintDedup(
       docs: DataFrame,
       textCol: String = "text",
       watermarkDelay: String = "10 minutes"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs
-      .withColumn("simhash", expr(
-        s"simhash64(array_remove(split(lower(`$textCol`), '\\\\W+'), ''))"))
+    val withFp = docs
+      .withColumn("__fp_toks", array_remove(split(lower(col(s"`$textCol`")), "\\W+"), ""))
+      .withColumn("simhash",
+        when(size(col("__fp_toks")) > 0, expr("simhash64(__fp_toks)")))
+      .drop("__fp_toks")
+    val deduped = withFp
+      .filter(col("simhash").isNotNull)
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("simhash")
+    deduped.unionByName(withFp.filter(col("simhash").isNull))
   }
 
   /** Stream-static enrichment join: the static side is broadcast per

@@ -125,6 +125,41 @@ class SchemaConfigSpec extends AnyFunSuite {
     assert(renames(3).rename("nomatch") == "nomatch")
   }
 
+  test("re.sub templates accept CPython character/octal escapes; unknown non-letter escapes keep the backslash") {
+    // newname values are double-quoted YAML so the backslashes reach the
+    // template parser literally (snakeyaml "\\t" -> \t two-char sequence)
+    val cfg = SchemaConfig.parse(
+      """schema:
+        |  t:
+        |    - type: rename_regex
+        |      oldname: ^(ab)_(cd)$
+        |      newname: "\\1\\t\\2"
+        |    - type: rename_regex
+        |      oldname: ^(ab)_(cd)$
+        |      newname: "a\\nb\\rc\\fd\\ve\\af"
+        |    - type: rename_regex
+        |      oldname: ^(ab)_(cd)$
+        |      newname: "o\\060k\\0z"
+        |    - type: rename_regex
+        |      oldname: ^(ab)_(cd)$
+        |      newname: "\\$\\1"
+        |    - type: rename_regex
+        |      oldname: ^(ab)_(cd)$
+        |      newname: "\\x41"
+        |""".stripMargin)
+    val renames = cfg.forCollection("t").collect { case r: RenameRule => r }
+    // \t etc. are literal character escapes, as in CPython's template
+    // ESCAPES table (the reference's re.sub path, config.py:154)
+    assert(renames(0).rename("ab_cd") == "ab\tcd")
+    assert(renames(1).rename("ab_cd") == "a\nb\rc\fd\u000Be\u0007f")
+    // \060 = three-digit octal '0'; \0 = NUL (not a group reference)
+    assert(renames(2).rename("ab_cd") == "o0k\u0000z")
+    // unknown NON-letter escape keeps its backslash: re.sub('a', r'\$', 'a') == '\\$'
+    assert(renames(3).rename("ab_cd") == "\\$ab")
+    // \x IS a bad escape in templates (raised at apply time, like re.sub)
+    intercept[IllegalArgumentException] { renames(4).rename("ab_cd") }
+  }
+
   test("useConfig: first-match-wins, one retype + one rename per field (schema.py:60-84)") {
     val schema = InferredSchema("telemetry", Vector(
       "telemetry_snapshot_time" -> AString,

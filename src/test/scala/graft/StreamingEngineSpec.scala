@@ -42,6 +42,7 @@ class StreamingEngineSpec extends SparkSuite {
     import org.apache.spark.sql.functions.col
     import graft.sources.ExtendedJsonSource
     import graft.types.AType
+    graft.functions.GraftFunctions.register(spark) // textUnwrap uses py_norm
     val df = Seq("42", "1.5", "-2.75", "", """{"$numberLong": "8589934592"}""").toDF("n")
     val out = df.select(ExtendedJsonSource.textUnwrap(col("n"), AType.AInt64).as("v"))
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
@@ -55,6 +56,26 @@ class StreamingEngineSpec extends SparkSuite {
         .select(ExtendedJsonSource.textUnwrap(col("n"), AType.AInt64).as("v")).collect()
     }
     assert(err.isInstanceOf[org.apache.spark.SparkThrowable], err.getClass.getName)
+  }
+
+  test("textUnwrap accepts Python literal grammar numerics like the batch py_norm path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.ExtendedJsonSource
+    import graft.types.AType
+    graft.functions.GraftFunctions.register(spark)
+    // underscored, Unicode-digit, and Unicode-whitespace-padded ints —
+    // all valid Python int() literals the batch path accepts via
+    // py_norm/parsePythonInt (ADVICE r2: these threw on the stream path)
+    val ints = Seq("1_0", "٤٢", "  42  ").toDF("n")
+      .select(ExtendedJsonSource.textUnwrap(col("n"), AType.AInt64).as("v"))
+      .collect().map(_.getLong(0))
+    assert(ints.toSeq == Seq(10L, 42L, 42L))
+    val floats = Seq("1_0.5", "inf", "-Infinity", "nan", "1e3").toDF("n")
+      .select(ExtendedJsonSource.textUnwrap(col("n"), AType.AFloat64).as("v"))
+      .collect().map(_.getDouble(0))
+    assert(floats(0) == 10.5 && floats(1).isPosInfinity &&
+      floats(2).isNegInfinity && floats(3).isNaN && floats(4) == 1000.0)
   }
 
   test("streaming unwraps BSON wrappers identically to the batch path") {

@@ -90,6 +90,34 @@ class StreamingSpec extends SparkSuite {
     assert(kept.intersect(Set(1L, 2L)).size == 1)
   }
 
+  test("fingerprintDedup passes token-less docs through un-deduped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamOps.fingerprintDedup(df, "text", "10 minutes")
+      .writeStream.format("memory").queryName("fpdedup_tokenless")
+      .outputMode("append").start()
+    input.addData(
+      // distinct punctuation-only docs: no tokens, no fingerprint —
+      // must NOT collapse into one (exact dedup owns them)
+      (ts("2024-01-01 10:00:00"), 1L, "!!!"),
+      (ts("2024-01-01 10:01:00"), 2L, "???"),
+      (ts("2024-01-01 10:02:00"), 3L, ""),
+      // tokened dup pair still dedups alongside
+      (ts("2024-01-01 10:03:00"), 4L, "real document text"),
+      (ts("2024-01-01 10:04:00"), 5L, "real DOCUMENT text"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("fpdedup_tokenless")
+      .select($"doc_id", $"simhash".isNull.as("nofp")).collect()
+    val kept = rows.map(_.getLong(0)).toSet
+    assert(kept.intersect(Set(1L, 2L, 3L)) == Set(1L, 2L, 3L), s"got $kept")
+    assert(kept.intersect(Set(4L, 5L)).size == 1, s"got $kept")
+    // the passthrough rows carry a null fingerprint
+    assert(rows.filter(r => Set(1L, 2L, 3L)(r.getLong(0))).forall(_.getBoolean(1)))
+  }
+
   test("sliding windows produce overlapping buckets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
