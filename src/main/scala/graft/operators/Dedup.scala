@@ -276,10 +276,10 @@ object Dedup {
     // components and keeps one doc per component. Spark side: min-label
     // propagation — per iteration one equi-join + min-aggregate, with
     // localCheckpoint truncating the lineage (the standard distributed
-    // CC shape; iterations = component diameter, driver only sees one
-    // monotone checksum per round). Oracle: a recursive-CTE transitive
-    // closure in DuckDB — a completely different algorithm, same
-    // components.
+    // CC shape; iterations = component diameter, one Spark job per
+    // round carrying both the propagation and the changed-label
+    // convergence count). Oracle: a recursive-CTE transitive closure in
+    // DuckDB — a completely different algorithm, same components.
     Q("q66_dup_components",
       (s, dir) => components(s, dir).orderBy(col("doc_id")),
       Some(s"""$componentsCte
@@ -318,10 +318,11 @@ object Dedup {
 
   /** Min-label propagation over the verified near-dup pair graph:
     * `(doc_id, component)` for every doc appearing in a pair. Per
-    * iteration one equi-join + min-aggregate with localCheckpoint
-    * truncating lineage (standard distributed CC; iterations =
-    * component diameter, driver sees one monotone checksum per round).
-    * Shared by q66 (published labels) and q79 (canonical corpus). */
+    * iteration ONE Spark job: the lazy localCheckpoint is materialized
+    * by the changed-label count that doubles as the convergence check
+    * (labels only decrease; an unchanged round is the fixpoint). Init
+    * folds the first round in (label = min(id, neighbors)). Shared by
+    * q66 (published labels) and q79 (canonical corpus). */
   private[operators] def components(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = nearDupPairs(s, dir)
@@ -329,28 +330,33 @@ object Dedup {
       .select($"ida", $"idb")
     val edges = pairs.union(pairs.select($"idb", $"ida")).toDF("src", "dst")
       .localCheckpoint(true)
-    var labels = edges.select($"src".as("id")).distinct()
-      .withColumn("label", $"id").localCheckpoint(true)
-    def checksum(): Long =
-      labels.agg(coalesce(sum($"label"), lit(0L))).first().getLong(0)
-    var prevSum = -1L
-    var curSum = checksum()
+    // init folds the first propagation round in: label = min(id, nbrs)
+    var labels = edges.groupBy($"src").agg(min($"dst").as("m"))
+      .select($"src".as("id"), least($"src", $"m").as("label"))
+      .localCheckpoint(true)
+    var converged = false
     var iters = 0
     val maxIters = 200 // iterations = component diameter; a chain of
                        // drifting near-dups can be long, so the cap
                        // is generous — and hitting it FAILS LOUDLY
                        // below rather than returning wrong components
-    while (curSum != prevSum && iters < maxIters) {
+    while (!converged && iters < maxIters) {
       val prop = edges.join(labels, col("dst") === col("id"))
         .groupBy($"src").agg(min($"label").as("nbr"))
-      labels = labels.join(prop, $"id" === $"src", "left")
-        .select($"id", least($"label", coalesce($"nbr", $"label")).as("label"))
-        .localCheckpoint(true)
-      prevSum = curSum
-      curSum = checksum()
+      // LAZY checkpoint materialized by the changed-count action below:
+      // one Spark job per iteration carries both the propagation and
+      // the convergence check (labels only decrease, so an unchanged
+      // round is the fixpoint)
+      val next = labels.join(prop, $"id" === $"src", "left")
+        .select($"id", $"label".as("prev"),
+          least($"label", coalesce($"nbr", $"label")).as("label"))
+        .localCheckpoint(false)
+      val changed = next.filter($"label" =!= $"prev").count()
+      labels = next.select($"id", $"label")
+      converged = changed == 0L
       iters += 1
     }
-    require(curSum == prevSum,
+    require(converged,
       s"components: label propagation did not converge within $maxIters iterations " +
         "(a component's diameter exceeds the cap) — refusing to emit non-minimal labels")
     labels.select($"id".as("doc_id"), $"label".as("component"))
