@@ -76,6 +76,40 @@ class RegistrySmokeSpec extends SparkSuite {
     }
   }
 
+  test("sign-pair candidates come from a band equi-join (q86 plan guard)") {
+    // at test scale AQE broadcasts the tiny band side (no exchange to
+    // reuse); at corpus scale the identical self-join inputs collapse
+    // into ReusedExchange — either shape is the intended equi-join,
+    // and a nested-loop join (all-pairs) is the failure mode
+    val df = SparkEntry.queries("q86_sign_dup_pairs")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("BroadcastHashJoin"),
+      plan.take(1200))
+    assert(!plan.contains("NestedLoop"), plan.take(1200))
+  }
+
+  test("contamination levels broadcast the benchmark gram set (q81 plan guard)") {
+    val plan = SparkEntry.queries("q81_contamination_levels")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("keyword top-k truncates map-side; df join broadcasts (q82 plan guard)") {
+    val plan = SparkEntry.queries("q82_tfidf_keywords")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
+  test("sign sketch is map-only: the only exchange is the output sort (q85 plan guard)") {
+    val plan = SparkEntry.queries("q85_sign_sketch")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange ".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected only the sort exchange, got $exchanges:\n${plan.take(1500)}")
+    assert(!plan.contains("HashAggregate"), plan.take(1500))
+  }
+
   test("source caps truncate map-side before the shuffle (q72 plan guard)") {
     // the rn <= cap filter must plan as WindowGroupLimit(Partial)
     // UPSTREAM of the exchange: each map task forwards at most cap rows
