@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SaveMode
 
 /** Skew-mitigation utilities for hot-key aggregation at cluster scale.
   *
@@ -27,4 +28,27 @@ object Scale {
     partial.groupBy(col("k"))
       .agg(sum(col("pn")).as("n"), sum(col("ps")).as("s"))
   }
+
+  /** Write `df` as a bucketed, bucket-sorted parquet table: rows are
+    * hash-distributed into `buckets` files per partition by `key` and
+    * sorted by `key` within each bucket.
+    *
+    * This is the shuffle-ELIMINATION primitive for repeated big-big
+    * joins at cluster scale: two tables bucketed by their join key
+    * with the same bucket count satisfy the join's distribution
+    * requirement straight off the scan, so the exchange (and at 100 TB
+    * that exchange IS the job) never happens — pay one shuffle at
+    * write time, join shuffle-free forever after. The same property
+    * serves repeated `groupBy(key)` aggregations. BucketedJoinSpec
+    * pins the no-exchange plan.
+    *
+    * Bucketing requires the table catalog (`saveAsTable`): bucket
+    * metadata lives in the catalog, not the parquet footer. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .format("parquet")
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
 }
