@@ -8,8 +8,8 @@ import org.apache.spark.sql.types._
 /** Round-3 curation & representation operators [EXT]: corpus-wide
   * segment-level dedup (RefinedWeb-style repeated-span removal,
   * Penedo et al. 2023 §3.3), benchmark-contamination severity levels
-  * (the graded form of q71's binary gate), TF-IDF keyword extraction,
-  * binary-column (multimodal blob) plumbing with a cross-engine
+  * (the graded form of q71's binary gate), rational-idf keyword
+  * extraction, binary-column (multimodal blob) plumbing with a cross-engine
   * oracle, token-budget mixture packing, and sign-bit embedding
   * sketches with banded near-dup pairing (1-bit quantization, the
   * memory-lean sibling of the q33/q55 cosine paths).
@@ -21,8 +21,25 @@ import org.apache.spark.sql.types._
 object CurationOps {
   import Tables._
 
-  private val toksCte =
-    """toksc AS (SELECT doc_id, source, string_split_regex(lower(text), '\W+') AS w FROM documents)"""
+  private val toksCte = Dedup.toksCteSql
+
+  /** The 63-sign-bit sketch — the single source of truth shared by q85
+    * (published fingerprints) and q86 (pairing built ON those
+    * fingerprints), so an edit to the packing can't silently diverge
+    * them. Spark expression and oracle CTE are the same construction:
+    * bit j set iff embedding[j] > 0, bit 63 unused (keeps the packed
+    * value in signed-64 range in both engines). */
+  private val sketchExpr: String =
+    """aggregate(sequence(0, 62), 0L, (acc, j) ->
+         acc + CASE WHEN element_at(embedding, j + 1) > 0.0
+                    THEN shiftleft(1L, j) ELSE 0L END)"""
+
+  private val sketchCteSql: String =
+    """sk AS (SELECT vec_id,
+         CAST(list_sum(list_transform(range(0, 63), j ->
+           CASE WHEN embedding[j + 1] > 0 THEN (CAST(1 AS BIGINT) << j)
+                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sketch
+       FROM embeddings)"""
 
   def queries: Vector[Q] = Vector(
     // ---- corpus-wide segment dedup -----------------------------------
@@ -79,13 +96,18 @@ object CurationOps {
     // The graded form of q71: per corpus doc, the fraction of its
     // DISTINCT 5-grams that appear in the benchmark slice (source =
     // 'src0'), bucketed clean / low / high. Drop-vs-keep policies at
-    // scale key off the severity, not the binary flag. Same broadcast
-    // shape as q71: the benchmark gram set is small by construction,
-    // the corpus side never shuffles for the membership test.
+    // scale key off the severity, not the binary flag, so EVERY corpus
+    // doc gets a row: docs too short to carry a 5-gram (< 5 tokens)
+    // can't overlap anything and are 'clean' with zero grams — a
+    // severity join against the corpus must never come back empty.
+    // Same broadcast shape as q71: the benchmark gram set is small by
+    // construction, the corpus side never shuffles for the membership
+    // test.
     Q("q81_contamination_levels",
       (s, dir) => {
         import s.implicits._
-        val g5 = Dedup.withToks(documents(s, dir))
+        val docs = documents(s, dir)
+        val g5 = Dedup.withToks(docs)
           .select($"doc_id", $"source", explode(expr(Dedup.gramArraySql(5))).as("g"))
           .distinct()
         val bench = g5.filter($"source" === "src0").select($"g").distinct()
@@ -93,10 +115,16 @@ object CurationOps {
         val agg = g5.filter($"source" =!= "src0")
           .join(broadcast(bench), Seq("g"), "left")
           .groupBy($"doc_id")
-          .agg(count(lit(1)).as("n_grams"),
-            sum(coalesce($"hit", lit(0))).cast(LongType).as("n_hits"))
-        agg.select($"doc_id", $"n_grams", $"n_hits",
-            round($"n_hits".cast(DoubleType) / $"n_grams", 6).as("share"),
+          .agg(count(lit(1)).as("gram_count"),
+            sum(coalesce($"hit", lit(0))).cast(LongType).as("hit_count"))
+        docs.filter($"source" =!= "src0").select($"doc_id")
+          .join(agg, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"gram_count", lit(0L)).as("n_grams"),
+            coalesce($"hit_count", lit(0L)).as("n_hits"))
+          .select($"doc_id", $"n_grams", $"n_hits",
+            when($"n_grams" === 0, lit(0.0))
+              .otherwise(round($"n_hits".cast(DoubleType) / $"n_grams", 6)).as("share"),
             when($"n_hits" === 0, lit("clean"))
               .when(round($"n_hits".cast(DoubleType) / $"n_grams", 6) < 0.1, lit("low"))
               .otherwise(lit("high")).as("level"))
@@ -109,26 +137,38 @@ object CurationOps {
                FROM toksc, UNNEST(range(1, len(w) - 3)) AS t(i)),
         bench AS (SELECT DISTINCT g FROM g5 WHERE source = 'src0'),
         agg AS (SELECT c.doc_id,
-                  CAST(COUNT(*) AS BIGINT) AS n_grams,
-                  CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+                  CAST(COUNT(*) AS BIGINT) AS gram_count,
+                  CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_count
                 FROM (SELECT doc_id, g FROM g5 WHERE source <> 'src0') c
                 LEFT JOIN bench b ON c.g = b.g
-                GROUP BY c.doc_id)
+                GROUP BY c.doc_id),
+        full_docs AS (SELECT d.doc_id,
+                  COALESCE(a.gram_count, 0) AS n_grams,
+                  COALESCE(a.hit_count, 0) AS n_hits
+                FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+                WHERE d.source <> 'src0')
         SELECT doc_id, n_grams, n_hits,
-          ROUND(CAST(n_hits AS DOUBLE) / n_grams, 6) AS share,
+          CASE WHEN n_grams = 0 THEN 0.0
+               ELSE ROUND(CAST(n_hits AS DOUBLE) / n_grams, 6) END AS share,
           CASE WHEN n_hits = 0 THEN 'clean'
                WHEN ROUND(CAST(n_hits AS DOUBLE) / n_grams, 6) < 0.1 THEN 'low'
                ELSE 'high' END AS level
-        FROM agg ORDER BY doc_id""")),
+        FROM full_docs ORDER BY doc_id""")),
 
-    // ---- TF-IDF keyword extraction -----------------------------------
-    // Top-3 terms per doc by tf * (N / df). The idf is the rational
-    // N/df (no log: libm transcendentals drift across engines — the
-    // ranking is unchanged because x -> log x is monotone). Scale: tf
-    // is one doc-keyed aggregate; df is vocabulary-sized (small) and
-    // BROADCAST back; the top-k window partitions by doc_id (uniform,
-    // and row_number <= k plans as WindowGroupLimit in Spark 4).
-    Q("q82_tfidf_keywords",
+    // ---- keyword extraction (rational-idf salience) ------------------
+    // Top-3 terms per doc by tf * (N / df) — a log-free idf variant.
+    // NOT literal TF-IDF: log only preserves ordering between terms of
+    // EQUAL tf, so when tf varies the rational score over-weights rare
+    // terms relative to tf * log(N/df) (e.g. tf=1,N/df=16 outranks
+    // tf=3,N/df=4 here but not under log-idf). That bias is the price
+    // of bit-reproducibility — libm's log drifts across engines and a
+    // last-ulp flip near a rounding boundary would fail the oracle's
+    // hash compare; the score is a keyword-salience heuristic, not a
+    // drop-in TF-IDF. Scale: tf is one doc-keyed aggregate; df is
+    // vocabulary-sized (small) and BROADCAST back; the top-k window
+    // partitions by doc_id (uniform, and row_number <= k plans as
+    // WindowGroupLimit in Spark 4).
+    Q("q82_keyword_scores",
       (s, dir) => {
         import s.implicits._
         val docs = documents(s, dir)
@@ -212,11 +252,12 @@ object CurationOps {
           .select($"doc_id", $"source", $"ntok", $"cum")
           .orderBy($"source", $"cum", $"doc_id")
       },
-      Some("""
-        WITH d AS (SELECT doc_id, source,
-            CAST(len(list_filter(string_split_regex(lower(text), '\W+'), t -> len(t) > 0)) AS BIGINT) AS ntok,
+      Some(s"""
+        WITH $toksCte,
+        d AS (SELECT doc_id, source,
+            CAST(len(list_filter(w, t -> len(t) > 0)) AS BIGINT) AS ntok,
             md5(CAST(doc_id AS VARCHAR)) AS ord
-          FROM documents),
+          FROM toksc),
         c AS (SELECT doc_id, source, ntok,
             CAST(SUM(ntok) OVER (PARTITION BY source ORDER BY ord
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
@@ -236,18 +277,12 @@ object CurationOps {
       (s, dir) => {
         import s.implicits._
         embeddings(s, dir)
-          .select($"vec_id", expr(
-            """aggregate(sequence(0, 62), 0L, (acc, j) ->
-                 acc + CASE WHEN element_at(embedding, j + 1) > 0.0
-                            THEN shiftleft(1L, j) ELSE 0L END)""").as("sketch"))
+          .select($"vec_id", expr(sketchExpr).as("sketch"))
           .orderBy($"vec_id")
       },
-      Some("""
-        SELECT vec_id,
-          CAST(list_sum(list_transform(range(0, 63), j ->
-            CASE WHEN embedding[j + 1] > 0 THEN (CAST(1 AS BIGINT) << j)
-                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sketch
-        FROM embeddings ORDER BY vec_id""")),
+      Some(s"""
+        WITH $sketchCteSql
+        SELECT vec_id, sketch FROM sk ORDER BY vec_id""")),
 
     // ---- sign-sketch near-dup pairs (banded LSH) ---------------------
     // Embedding near-dup via the q85 sketch: 8 bands of 8 bits, a pair
@@ -264,10 +299,7 @@ object CurationOps {
       (s, dir) => {
         import s.implicits._
         val sk = embeddings(s, dir)
-          .select($"vec_id", expr(
-            """aggregate(sequence(0, 62), 0L, (acc, j) ->
-                 acc + CASE WHEN element_at(embedding, j + 1) > 0.0
-                            THEN shiftleft(1L, j) ELSE 0L END)""").as("sketch"))
+          .select($"vec_id", expr(sketchExpr).as("sketch"))
         val bandCols = (0 until 8).map(b => s"$b, shiftright(sketch, ${b * 8}) & 255")
         val bands = sk.selectExpr("vec_id", "sketch",
           s"stack(8, ${bandCols.mkString(", ")}) AS (band, bv)")
@@ -282,12 +314,8 @@ object CurationOps {
           .filter($"hamming" <= 16)
           .orderBy($"ida", $"idb")
       },
-      Some("""
-        WITH sk AS (SELECT vec_id,
-            CAST(list_sum(list_transform(range(0, 63), j ->
-              CASE WHEN embedding[j + 1] > 0 THEN (CAST(1 AS BIGINT) << j)
-                   ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sketch
-          FROM embeddings),
+      Some(s"""
+        WITH $sketchCteSql,
         bands AS (SELECT vec_id, sketch, b AS band,
             (sketch >> (b * 8)) & 255 AS bv
           FROM sk, UNNEST(range(0, 8)) AS t(b)),

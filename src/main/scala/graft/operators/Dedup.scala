@@ -61,9 +61,16 @@ object Dedup {
       .withColumn("s", explode(expr(gramArraySql(3))))
       .select(col("doc_id"), col("s"))
 
+  /** The oracle-side tokenizer CTE body — the single source of truth
+    * for `toksc(doc_id, source, w)` (the SQL twin of [[withToks]]),
+    * shared by Dedup/TrainingOps/CurationOps oracles so a tokenizer
+    * change can't silently diverge operator families. */
+  private[graft] val toksCteSql: String =
+    """toksc AS (SELECT doc_id, source, string_split_regex(lower(text), '\W+') AS w FROM documents)"""
+
   /** The shared shingle CTE prefix for oracle SQL. */
-  private[operators] val shingleCte: String = """
-    WITH toksc AS (SELECT doc_id, string_split_regex(lower(text), '\W+') AS w FROM documents),
+  private[operators] val shingleCte: String = s"""
+    WITH $toksCteSql,
     sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
            FROM toksc, UNNEST(range(1, len(w) - 1)) AS t(i))"""
 

@@ -31,8 +31,7 @@ object TrainingOps {
     s"SELECT doc_id, $parts AS g FROM toksc, UNNEST(range(1, len(w) - ${n - 2})) AS t(i)"
   }
 
-  private val toksCte =
-    """toksc AS (SELECT doc_id, source, string_split_regex(lower(text), '\W+') AS w FROM documents)"""
+  private val toksCte = Dedup.toksCteSql
 
   def queries: Vector[Q] = Vector(
     // ---- intra-doc repetition ratios (Gopher quality signals) --------

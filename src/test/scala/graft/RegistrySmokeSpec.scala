@@ -96,7 +96,7 @@ class RegistrySmokeSpec extends SparkSuite {
   }
 
   test("keyword top-k truncates map-side; df join broadcasts (q82 plan guard)") {
-    val plan = SparkEntry.queries("q82_tfidf_keywords")(spark, dir)
+    val plan = SparkEntry.queries("q82_keyword_scores")(spark, dir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(1500))
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
