@@ -325,6 +325,61 @@ object CurationOps {
                    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id)
         SELECT ida, idb, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
         FROM cand WHERE bit_count(xor(ha, hb)) <= 16
-        ORDER BY ida, idb"""))
+        ORDER BY ida, idb""")),
+
+    // ---- per-source curation funnel ----------------------------------
+    // The dataset-card view of the whole curation pipeline: per source,
+    // how many docs survive each stage — exact dedup (keep-min-doc_id
+    // per text, q25/q58 stage 1), component-canonical near-dup removal
+    // (q79's survivorship), and the quality gate (q58's shared
+    // formula). Stages NEST (each flag implies the previous) so the
+    // funnel is monotone per source. One pass over the corpus with
+    // three left joins against doc_id sets that are each a small
+    // fraction of the corpus; counting is a conditional aggregate, no
+    // per-stage rescans. Oracle: the recursive-CTE component closure +
+    // the shared quality CTE, a completely different evaluation
+    // strategy over the same definitions.
+    Q("q88_curation_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val docs = documents(s, dir)
+        val exact = docs.groupBy($"text").agg(min($"doc_id").as("doc_id"))
+          .select($"doc_id").withColumn("is_exact", lit(1L))
+        val nonCanon = Dedup.components(s, dir)
+          .filter($"doc_id" =!= $"component")
+          .select($"doc_id").withColumn("is_noncanon", lit(1L))
+        val qual = Dedup.qualityScores(s, dir)
+          .filter(round($"quality", 6) >= 0.4)
+          .select($"doc_id").withColumn("is_qual", lit(1L))
+        docs.select($"doc_id", $"source")
+          .join(exact, Seq("doc_id"), "left")
+          .join(nonCanon, Seq("doc_id"), "left")
+          .join(qual, Seq("doc_id"), "left")
+          .withColumn("e", coalesce($"is_exact", lit(0L)))
+          .withColumn("c", $"e" * when($"is_noncanon".isNull, lit(1L)).otherwise(lit(0L)))
+          .withColumn("q", $"c" * coalesce($"is_qual", lit(0L)))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"e").as("n_exact"),
+            sum($"c").as("n_canonical"), sum($"q").as("n_quality"))
+          .orderBy($"source")
+      },
+      Some(s"""${Dedup.componentsCte},
+        exact AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+        ${Dedup.qualityCte},
+        flags AS (SELECT d.doc_id, d.source,
+            CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS e,
+            CASE WHEN e.doc_id IS NOT NULL AND NOT EXISTS (
+                   SELECT 1 FROM comp c
+                   WHERE c.doc_id = d.doc_id AND c.doc_id <> c.component)
+                 THEN 1 ELSE 0 END AS c
+          FROM documents d LEFT JOIN exact e ON d.doc_id = e.doc_id),
+        qpass AS (SELECT doc_id FROM quality WHERE quality >= 0.4)
+        SELECT source,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(e) AS BIGINT) AS n_exact,
+          CAST(SUM(c) AS BIGINT) AS n_canonical,
+          CAST(SUM(CASE WHEN flags.c = 1 AND q.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+        FROM flags LEFT JOIN qpass q ON flags.doc_id = q.doc_id
+        GROUP BY source ORDER BY source"""))
   )
 }

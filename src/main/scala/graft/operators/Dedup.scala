@@ -171,21 +171,9 @@ object Dedup {
         val nearDupLosers = nearDupPairs(s, dir)
           .filter(round($"jraw", 6) >= 0.5)
           .select($"idb".as("doc_id")).distinct()
-        // stage 3: quality gate (same formula as q30). Empty or
-        // token-less docs are dropped up front: a quality gate rejects
-        // them by definition, and the score's ratios are undefined
-        // (0/0) for them — at 100 TB empty docs DO occur.
-        graft.functions.GraftFunctions.register(s)
-        val quality = withToks(docs)
-          .withColumn("wne", array_remove($"toks", ""))
-          .filter(length($"text") > 0 && size($"wne") > 0)
-          .withColumn("n_tokens", size($"wne").cast(LongType))
-          .withColumn("n_punct", length(regexp_replace($"text", "[^.!?,;:]", "")).cast(LongType))
-          .withColumn("q",
-            lit(0.4) * least($"n_tokens".cast(DoubleType) / 200.0, lit(1.0)) +
-            lit(0.3) * (lit(1.0) - $"n_punct".cast(DoubleType) / length($"text")) +
-            lit(0.3) * (expr("count_in_set(wne, array('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))").cast(DoubleType) / $"n_tokens"))
-          .select($"doc_id", $"n_tokens", round($"q", 6).as("quality"))
+        // stage 3: quality gate (same formula as q30) — the shared
+        // [[qualityScores]] frame (also feeds q88's funnel)
+        val quality = qualityScores(s, dir)
         keepExact
           .join(nearDupLosers, Seq("doc_id"), "left_anti")
           .join(quality, "doc_id")
@@ -206,15 +194,7 @@ object Dedup {
                    JOIN card ca ON ca.doc_id = i2.ida JOIN card cb ON cb.doc_id = i2.idb
                    WHERE ROUND(CAST(i2.i AS DOUBLE) / (ca.n + cb.n - i2.i), 6) >= 0.5),
         keep_exact AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
-        quality AS (SELECT doc_id,
-            CAST(len(wne) AS BIGINT) AS n_tokens,
-            ROUND(0.4 * LEAST(CAST(len(wne) AS BIGINT) / 200.0, 1.0)
-              + 0.3 * (1.0 - CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) * 1.0 / len(text))
-              + 0.3 * (CAST(len(list_filter(wne, t -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'], t))) AS BIGINT) * 1.0 / CAST(len(wne) AS BIGINT)), 6) AS quality
-          FROM (SELECT doc_id, text,
-                  list_filter(string_split_regex(lower(text), '\\W+'), t -> len(t) > 0) AS wne
-                FROM documents) tq
-          WHERE len(text) > 0 AND len(wne) > 0)
+        $qualityCte
         SELECT k.doc_id, q.n_tokens, q.quality
         FROM keep_exact k
         JOIN quality q ON q.doc_id = k.doc_id
@@ -394,6 +374,39 @@ object Dedup {
                     SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src),
         comp AS (SELECT node AS doc_id, CAST(MIN(reach) AS BIGINT) AS component
                  FROM closure GROUP BY node)"""
+
+  /** Per-doc quality frame `(doc_id, n_tokens, quality)` — the q30
+    * formula (token-count, punctuation-ratio and stopword-ratio
+    * blend), shared by q58's gate stage and q88's funnel so the gate
+    * can't silently diverge between the two. Empty or token-less docs
+    * are dropped up front: a quality gate rejects them by definition
+    * and the ratios are undefined (0/0) for them — at 100 TB empty
+    * docs DO occur. Map-only per row. */
+  private[operators] def qualityScores(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    withToks(documents(s, dir))
+      .withColumn("wne", array_remove(col("toks"), ""))
+      .filter(length(col("text")) > 0 && size(col("wne")) > 0)
+      .withColumn("n_tokens", size(col("wne")).cast(LongType))
+      .withColumn("n_punct", length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast(LongType))
+      .withColumn("q",
+        lit(0.4) * least(col("n_tokens").cast(DoubleType) / 200.0, lit(1.0)) +
+        lit(0.3) * (lit(1.0) - col("n_punct").cast(DoubleType) / length(col("text"))) +
+        lit(0.3) * (expr("count_in_set(wne, array('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))").cast(DoubleType) / col("n_tokens")))
+      .select(col("doc_id"), col("n_tokens"), round(col("q"), 6).as("quality"))
+  }
+
+  /** Matching oracle CTE, ending in `quality(doc_id, n_tokens, quality)`. */
+  private[operators] val qualityCte: String =
+    """quality AS (SELECT doc_id,
+            CAST(len(wne) AS BIGINT) AS n_tokens,
+            ROUND(0.4 * LEAST(CAST(len(wne) AS BIGINT) / 200.0, 1.0)
+              + 0.3 * (1.0 - CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) * 1.0 / len(text))
+              + 0.3 * (CAST(len(list_filter(wne, t -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'], t))) AS BIGINT) * 1.0 / CAST(len(wne) AS BIGINT)), 6) AS quality
+          FROM (SELECT doc_id, text,
+                  list_filter(string_split_regex(lower(text), '\W+'), t -> len(t) > 0) AS wne
+                FROM documents) tq
+          WHERE len(text) > 0 AND len(wne) > 0)"""
 
   /** Verified near-dup candidate pairs: (ida, idb, jraw) with raw
     * Jaccard similarity, shared by q27/q58/q66. A single

@@ -174,6 +174,50 @@ object Similarity {
         SELECT qid, cid, cosr AS cosine, rank FROM ranked
         WHERE rank <= 5 ORDER BY qid, rank""")),
 
+    // ---- k-NN majority-vote labeling ---------------------------------
+    // Similarity search powering classification: each query vector
+    // (the q34 probe set) takes the majority label of its 5 nearest
+    // corpus vectors by cosine; ties break to the smallest label
+    // (deterministic). Same scale shape as q34 — broadcast query set,
+    // map-only scoring, per-query top-k window (WindowGroupLimit) —
+    // plus one tiny per-query vote aggregate. The `agree` flag makes
+    // the output a self-contained accuracy report for the probe set.
+    Q("q87_knn_label",
+      (s, dir) => {
+        import s.implicits._
+        val e = prepared(s, dir)
+        val q = e.filter($"vec_id" < 50)
+          .select($"vec_id".as("qid"), $"label".as("qlabel"), $"v".as("av"), $"nrm".as("na"))
+        val c = e.select($"vec_id".as("cid"), $"label".as("clabel"), $"v".as("bv"), $"nrm".as("nb"))
+        val scored = broadcast(q).join(c, $"qid" =!= $"cid")
+          .withColumn("cosr", round(expr(dotExpr) / ($"na" * $"nb"), 6))
+        val w = Window.partitionBy($"qid").orderBy($"cosr".desc, $"cid")
+        val nn = scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+        val votes = nn.groupBy($"qid", $"qlabel", $"clabel").agg(count(lit(1)).as("votes"))
+        val w2 = Window.partitionBy($"qid").orderBy($"votes".desc, $"clabel")
+        votes.withColumn("rk", row_number().over(w2)).filter($"rk" === 1)
+          .select($"qid", $"qlabel".as("label"), $"clabel".as("pred_label"),
+            $"votes", ($"qlabel" === $"clabel").as("agree"))
+          .orderBy($"qid")
+      },
+      Some(s"""$prepCte,
+        scored AS (SELECT a.vec_id AS qid, a.label AS qlabel,
+                     b.vec_id AS cid, b.label AS clabel,
+                     ROUND($oracleDot / (a.nrm * b.nrm), 6) AS cosr
+                   FROM n a JOIN n b ON a.vec_id <> b.vec_id
+                   WHERE a.vec_id < 50),
+        nn AS (SELECT * FROM (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosr DESC, cid) AS rank
+               FROM scored) t WHERE rank <= 5),
+        votes AS (SELECT qid, qlabel, clabel, CAST(COUNT(*) AS BIGINT) AS votes
+                  FROM nn GROUP BY 1, 2, 3),
+        top AS (SELECT * FROM (SELECT *,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, clabel) AS rk
+                FROM votes) t WHERE rk = 1)
+        SELECT qid, qlabel AS label, clabel AS pred_label, votes,
+          qlabel = clabel AS agree
+        FROM top ORDER BY qid""")),
+
     // ---- k-means Lloyd iteration (IVF index TRAINING) ----------------
     // q35 probes pre-assigned clusters; this trains them: one full
     // Lloyd iteration — assign each vector to its nearest of K=8 seed
