@@ -49,6 +49,36 @@ object Similarity {
 
   private val oracleDot = "list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])"
 
+  /** The probe-set top-5 neighbor frame shared by q34 (published
+    * ranking) and q87 (labeling built ON that ranking): query vectors
+    * `vec_id < 50`, broadcast against the corpus, cosine rounded to
+    * 1e-6 BEFORE ranking, rank<=5 with cid tiebreak. Single source of
+    * truth so an edit to the neighbor definition (probe set, rounding,
+    * self-exclusion, k) can't silently diverge the two. */
+  private def knnTop5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = prepared(s, dir)
+    val q = e.filter($"vec_id" < 50)
+      .select($"vec_id".as("qid"), $"label".as("qlabel"), $"v".as("av"), $"nrm".as("na"))
+    val c = e.select($"vec_id".as("cid"), $"label".as("clabel"), $"v".as("bv"), $"nrm".as("nb"))
+    val scored = broadcast(q).join(c, $"qid" =!= $"cid")
+      .withColumn("cosr", round(expr(dotExpr) / ($"na" * $"nb"), 6))
+    val w = Window.partitionBy($"qid").orderBy($"cosr".desc, $"cid")
+    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+  }
+
+  /** Matching oracle CTE, ending in
+    * `nn(qid, qlabel, cid, clabel, cosr, rank)` with rank <= 5. */
+  private val knnTop5Cte: String = s"""
+        scored AS (SELECT a.vec_id AS qid, a.label AS qlabel,
+                     b.vec_id AS cid, b.label AS clabel,
+                     ROUND($oracleDot / (a.nrm * b.nrm), 6) AS cosr
+                   FROM n a JOIN n b ON a.vec_id <> b.vec_id
+                   WHERE a.vec_id < 50),
+        nn AS (SELECT * FROM (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosr DESC, cid) AS rank
+               FROM scored) t WHERE rank <= 5)"""
+
   def queries: Vector[Q] = Vector(
     // ---- near-duplicate pairs by cosine, blocked on label ------------
     // Scale contract: the equi-join on the block key distributes work
@@ -81,28 +111,14 @@ object Similarity {
     Q("q34_ann_topk",
       (s, dir) => {
         import s.implicits._
-        val e = prepared(s, dir)
-        val q = e.filter($"vec_id" < 50)
-          .select($"vec_id".as("qid"), $"v".as("av"), $"nrm".as("na"))
-        val c = e.select($"vec_id".as("cid"), $"v".as("bv"), $"nrm".as("nb"))
-        val scored = broadcast(q).join(c, $"qid" =!= $"cid")
-          .withColumn("cosr", round(expr(dotExpr) / ($"na" * $"nb"), 6))
-        val w = Window.partitionBy($"qid").orderBy($"cosr".desc, $"cid")
-        scored.withColumn("rank", row_number().over(w))
-          .filter($"rank" <= 5)
+        knnTop5(s, dir)
           .select($"qid", $"cid", $"cosr".as("cosine"), $"rank")
           .orderBy($"qid", $"rank")
       },
       Some(s"""$prepCte,
-        scored AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
-                     ROUND($oracleDot / (a.nrm * b.nrm), 6) AS cosr
-                   FROM n a JOIN n b ON a.vec_id <> b.vec_id
-                   WHERE a.vec_id < 50),
-        ranked AS (SELECT qid, cid, cosr,
-                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosr DESC, cid) AS rank
-                   FROM scored)
-        SELECT qid, cid, cosr AS cosine, rank FROM ranked
-        WHERE rank <= 5 ORDER BY qid, rank""")),
+        $knnTop5Cte
+        SELECT qid, cid, cosr AS cosine, rank FROM nn
+        ORDER BY qid, rank""")),
 
     // ---- hyperplane-LSH bucketed near-dup (scale path #2) ------------
     // 8-bit signature: sign of the dot product with 8 fixed hyperplanes
@@ -185,14 +201,7 @@ object Similarity {
     Q("q87_knn_label",
       (s, dir) => {
         import s.implicits._
-        val e = prepared(s, dir)
-        val q = e.filter($"vec_id" < 50)
-          .select($"vec_id".as("qid"), $"label".as("qlabel"), $"v".as("av"), $"nrm".as("na"))
-        val c = e.select($"vec_id".as("cid"), $"label".as("clabel"), $"v".as("bv"), $"nrm".as("nb"))
-        val scored = broadcast(q).join(c, $"qid" =!= $"cid")
-          .withColumn("cosr", round(expr(dotExpr) / ($"na" * $"nb"), 6))
-        val w = Window.partitionBy($"qid").orderBy($"cosr".desc, $"cid")
-        val nn = scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+        val nn = knnTop5(s, dir)
         val votes = nn.groupBy($"qid", $"qlabel", $"clabel").agg(count(lit(1)).as("votes"))
         val w2 = Window.partitionBy($"qid").orderBy($"votes".desc, $"clabel")
         votes.withColumn("rk", row_number().over(w2)).filter($"rk" === 1)
@@ -201,14 +210,7 @@ object Similarity {
           .orderBy($"qid")
       },
       Some(s"""$prepCte,
-        scored AS (SELECT a.vec_id AS qid, a.label AS qlabel,
-                     b.vec_id AS cid, b.label AS clabel,
-                     ROUND($oracleDot / (a.nrm * b.nrm), 6) AS cosr
-                   FROM n a JOIN n b ON a.vec_id <> b.vec_id
-                   WHERE a.vec_id < 50),
-        nn AS (SELECT * FROM (SELECT *,
-                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosr DESC, cid) AS rank
-               FROM scored) t WHERE rank <= 5),
+        $knnTop5Cte,
         votes AS (SELECT qid, qlabel, clabel, CAST(COUNT(*) AS BIGINT) AS votes
                   FROM nn GROUP BY 1, 2, 3),
         top AS (SELECT * FROM (SELECT *,

@@ -58,11 +58,33 @@ class CurationOpsSpec extends SparkSuite {
     }
   }
 
-  test("q84 never starts a doc past its source budget") {
-    run("q84_token_budget_pack").collect().foreach { r =>
-      val (ntok, cum) = (r.getLong(2), r.getLong(3))
-      assert(cum - ntok < 3000L, r.toString)
-    }
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("q84 equals an independent Scala re-derivation of the budget pack") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // reference: per source, md5(doc_id) order, cumsum of non-empty
+    // token counts, keep docs that START inside the 3000-token budget
+    val expected = docs
+      .map { case (id, src, text) =>
+        val ntok = text.toLowerCase(java.util.Locale.ROOT)
+          .split("\\W+", -1).count(_.nonEmpty).toLong
+        (src, md5hex(id.toString), id, ntok)
+      }
+      .groupBy(_._1).values.flatMap { rows =>
+        var cum = 0L
+        rows.toSeq.sortBy(_._2).flatMap { case (src, _, id, ntok) =>
+          val start = cum; cum += ntok
+          if (start < 3000L) Some((id, src, ntok, cum)) else None
+        }
+      }.toSet
+    val got = run("q84_token_budget_pack").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
   }
 
   test("q86 pairs respect the hamming threshold and the sketch they claim") {
@@ -76,13 +98,38 @@ class CurationOpsSpec extends SparkSuite {
     }
   }
 
-  test("q87 predictions are the deterministic majority of the top-5 neighbors") {
-    run("q87_knn_label").collect().foreach { r =>
-      val (label, pred, votes, agree) =
-        (r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4))
-      assert(votes >= 1L && votes <= 5L, r.toString)
-      assert(agree == (label == pred), r.toString)
+  test("q87 predictions equal an independent Scala k-NN majority vote") {
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding", "label").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        (r.getLong(0), v, r.getInt(2))
+      }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
     }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nrm = raw.map { case (id, v, _) => id -> math.sqrt(dot(v, v)) }.toMap
+    val byId = raw.map { case (id, v, l) => id -> ((v, l)) }.toMap
+    val expected = raw.filter(_._1 < 50).map { case (qid, qv, qlabel) =>
+      val top5 = raw.filter(_._1 != qid)
+        .map { case (cid, cv, clabel) =>
+          (cid, clabel, r6(dot(qv, cv) / (nrm(qid) * nrm(cid))))
+        }
+        .sortBy { case (cid, _, cosr) => (-cosr, cid) }.take(5)
+      val (predLabel, votes) = top5.groupBy(_._2).view
+        .mapValues(_.size).toSeq
+        .sortBy { case (l, n) => (-n, l) }.head
+      (qid, qlabel, predLabel, votes.toLong, qlabel == predLabel)
+    }.toSet
+    val got = run("q87_knn_label").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
   }
 
   test("q88 funnel is monotone per source and totals match the corpus") {
