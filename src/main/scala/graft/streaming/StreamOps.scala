@@ -193,6 +193,76 @@ object StreamOps {
       .drop("__dedup_toks", "__dedup_fp")
   }
 
+  /** Streaming ingestion with a GROWING near-dup index — the
+    * `foreachBatch` form [[dedupAgainstIndex]]'s doc points to for an
+    * index too large to broadcast: each micro-batch
+    *
+    *  1. fingerprints its docs row-local (`simhash64`; token-less docs
+    *     carry a null fingerprint and always pass — exact dedup owns
+    *     them, as everywhere else);
+    *  2. drops docs within hamming <= 1 of the persisted index via the
+    *     half-band EQUI-JOIN (the batch q76 shape — the index is read
+    *     as a table, never collected to the driver);
+    *  3. keeps one doc per surviving fingerprint within the batch
+    *     (deterministic keep-first);
+    *  4. appends survivors to `outPath` and their fingerprints to the
+    *     index, so later batches dedup against everything ingested.
+    *
+    * Scale: per batch this is one scan of the batch + an equi-join on
+    * the 32-bit half-band key against the index — the index side
+    * prunes to matching buckets, nothing is quadratic and nothing is
+    * driver-sized. foreachBatch is at-least-once: a replayed batch
+    * can re-append rows (the usual trade for multi-sink batches);
+    * exact replays are then dropped by the index probe itself on the
+    * next batch, and downstream exact dedup (q25) removes any
+    * re-appended duplicates — document-level correctness, not
+    * byte-level write idempotence. */
+  def incrementalIndexedDedup(
+      docs: DataFrame,
+      indexPath: String,
+      outPath: String,
+      checkpoint: String,
+      textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        graft.functions.GraftFunctions.register(spark)
+        val fp = batch
+          .withColumn("__toks", array_remove(split(lower(col(s"`$textCol`")), "\\W+"), ""))
+          .withColumn("__fp", when(size(col("__toks")) > 0, expr("simhash64(__toks)")))
+          .drop("__toks")
+        val index: DataFrame =
+          try spark.read.parquet(indexPath).select(col("simhash"))
+          catch { case _: Exception => // first batch: no index yet
+            spark.range(0).select(col("id").as("simhash")) }
+        // half-band probe as an equi-join (q76's batch shape): a
+        // hamming<=1 pair agrees on a whole 32-bit half (pigeonhole)
+        def bands(df: DataFrame, fpCol: String, idCol: String) = df
+          .select(col(fpCol).as(idCol),
+            explode(expr(s"array(struct(0 AS band, $fpCol & 4294967295 AS half)," +
+              s" struct(1 AS band, shiftright($fpCol, 32) & 4294967295 AS half))")).as("b"))
+          .select(col(idCol), col("b.band"), col("b.half"))
+        val hits = bands(fp.filter(col("__fp").isNotNull).select(col("__fp")).distinct(), "__fp", "pf")
+          .join(bands(index, "simhash", "ix"), Seq("band", "half"))
+          .filter(expr("bit_count(pf ^ ix) <= 1"))
+          .select(col("pf")).distinct()
+        val fresh = fp.join(hits, fp("__fp") === hits("pf"), "left_anti")
+        // keep-first per fingerprint WITHIN the batch (null fps all pass)
+        val w = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
+        val kept = fresh
+          .withColumn("__rn", when(col("__fp").isNull, lit(1)).otherwise(row_number().over(w)))
+          .filter(col("__rn") === 1).drop("__rn")
+        kept.drop("__fp").write.mode("append").parquet(outPath)
+        kept.filter(col("__fp").isNotNull)
+          .select(col("__fp").as("simhash")).distinct()
+          .write.mode("append").parquet(indexPath)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming benchmark decontamination — the streaming form of q71:
     * docs sharing any word `n`-gram with the static benchmark are
     * dropped as they arrive. The benchmark gram set is collected once

@@ -90,6 +90,41 @@ class StreamingSpec extends SparkSuite {
     assert(kept.intersect(Set(1L, 2L)).size == 1)
   }
 
+  test("incrementalIndexedDedup grows the index across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val indexPath = java.nio.file.Files.createTempDirectory("iidx").resolve("index").toString
+    val outPath = java.nio.file.Files.createTempDirectory("iout").resolve("out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ickpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.incrementalIndexedDedup(
+      input.toDF().toDF("doc_id", "text"), indexPath, outPath, ckpt)
+    // batch 1: within-batch fingerprint dup (same token set) collapses
+    // to the smallest doc_id; a distinct doc survives
+    input.addData(
+      (1L, "alpha beta gamma delta"),
+      (2L, "ALPHA beta, gamma delta"), // same token set -> same fp
+      (3L, "a completely different document"))
+    q.processAllAvailable()
+    val afterOne = spark.read.parquet(outPath).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(afterOne == Set(1L, 3L), s"got $afterOne")
+    // batch 2: dup of batch 1 (caught by the PERSISTED index, not
+    // batch-local state), one fresh doc, one token-less passthrough
+    input.addData(
+      (4L, "alpha beta gamma delta"), // fp already in the index -> dropped
+      (5L, "another brand new document entirely"),
+      (6L, "!!!")) // token-less: no fingerprint, always passes
+    q.processAllAvailable()
+    q.stop()
+    val afterTwo = spark.read.parquet(outPath).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(afterTwo == Set(1L, 3L, 5L, 6L), s"got $afterTwo")
+    // the index holds exactly the surviving fingerprints (no nulls)
+    val idx = spark.read.parquet(indexPath)
+    assert(idx.count() == 3 && idx.filter($"simhash".isNull).count() == 0)
+  }
+
   test("fingerprintDedup passes token-less docs through un-deduped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
