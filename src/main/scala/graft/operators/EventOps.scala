@@ -81,6 +81,78 @@ object EventOps {
         FROM events e WHERE e.event_type = 'error'
         ORDER BY error_id""")),
 
+    // ---- nearest as-of join (both directions) ------------------------
+    // For every error, the click by the same user CLOSEST in time —
+    // before or after — with ties preferring the earlier click. Same
+    // union+window scale shape as q22 (one shuffle by user, no per-row
+    // subquery): the backward candidate is `last(click)` over the
+    // at-or-before frame, the forward candidate `first(click)` over
+    // the strictly-after frame, then one projection picks the smaller
+    // gap. Candidate tie rules are pinned: among equal-ts backward
+    // clicks the largest click_id (last in (ts, click_id) order),
+    // among forward the smallest — the oracle's QUALIFY re-derivation
+    // states the same rules explicitly.
+    Q("q89_asof_nearest",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir)
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", lit(0).as("kind"),
+            struct($"ts".as("cts"), $"event_id".as("click_id")).as("c"),
+            lit(null).cast(LongType).as("error_id"))
+        val errors = ev.filter($"event_type" === "error")
+          .select($"user_id", $"ts", lit(1).as("kind"),
+            lit(null).cast(StructType(Seq(
+              StructField("cts", TimestampType), StructField("click_id", LongType)))).as("c"),
+            $"event_id".as("error_id"))
+        val ord = Seq($"ts", $"kind", $"c.click_id", $"error_id")
+        val wb = Window.partitionBy($"user_id").orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wf = Window.partitionBy($"user_id").orderBy(ord: _*)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        clicks.union(errors)
+          .withColumn("b", last($"c", ignoreNulls = true).over(wb))
+          .withColumn("f", first($"c", ignoreNulls = true).over(wf))
+          .filter($"kind" === 1)
+          .withColumn("gap_b", unix_micros($"ts") - unix_micros($"b.cts"))
+          .withColumn("gap_f", unix_micros($"f.cts") - unix_micros($"ts"))
+          .withColumn("pick_b",
+            $"b".isNotNull && ($"f".isNull || $"gap_b" <= $"gap_f"))
+          .filter($"b".isNotNull || $"f".isNotNull)
+          .select($"error_id",
+            when($"pick_b", $"b.click_id").otherwise($"f.click_id").as("click_id"),
+            when($"pick_b", lit("before")).otherwise(lit("after")).as("direction"),
+            when($"pick_b", $"gap_b").otherwise($"gap_f").as("gap_us"))
+          .orderBy($"error_id")
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        err AS (SELECT user_id, event_id AS error_id, ts FROM ev WHERE event_type = 'error'),
+        b AS (SELECT e.error_id, c.event_id AS click_id,
+                epoch_us(e.ts) - epoch_us(c.ts) AS gap
+              FROM err e JOIN ev c
+                ON c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY e.error_id
+                ORDER BY c.ts DESC, c.event_id DESC) = 1),
+        f AS (SELECT e.error_id, c.event_id AS click_id,
+                epoch_us(c.ts) - epoch_us(e.ts) AS gap
+              FROM err e JOIN ev c
+                ON c.user_id = e.user_id AND c.event_type = 'click' AND c.ts > e.ts
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY e.error_id
+                ORDER BY c.ts ASC, c.event_id ASC) = 1)
+        SELECT err.error_id AS error_id,
+          CASE WHEN b.gap IS NOT NULL AND (f.gap IS NULL OR b.gap <= f.gap)
+               THEN b.click_id ELSE f.click_id END AS click_id,
+          CASE WHEN b.gap IS NOT NULL AND (f.gap IS NULL OR b.gap <= f.gap)
+               THEN 'before' ELSE 'after' END AS direction,
+          CAST(CASE WHEN b.gap IS NOT NULL AND (f.gap IS NULL OR b.gap <= f.gap)
+               THEN b.gap ELSE f.gap END AS BIGINT) AS gap_us
+        FROM err
+        LEFT JOIN b ON b.error_id = err.error_id
+        LEFT JOIN f ON f.error_id = err.error_id
+        WHERE b.click_id IS NOT NULL OR f.click_id IS NOT NULL
+        ORDER BY err.error_id""")),
+
     // ---- tumbling window aggregation (batch form of streaming window)
     Q("q23_tumbling_window",
       (s, dir) => {

@@ -492,6 +492,39 @@ object Extras {
           .orderBy($"doc_id")
       },
       Some(s"""${Dedup.simhash64Cte}
-        SELECT doc_id, simhash FROM sims ORDER BY doc_id"""))
+        SELECT doc_id, simhash FROM sims ORDER BY doc_id""")),
+
+    // ---- incremental aggregate maintenance (base + delta merge) ------
+    // The don't-rescan-history pattern: a precomputed BASE aggregate
+    // (orders before the watermark date) merges with a DELTA aggregate
+    // (orders at-or-after it) by re-aggregating the partials — counts
+    // add, and the exact-decimal sums add EXACTLY (the whole point of
+    // routing doubles through DECIMAL: partial-sum merge is
+    // associative with zero float drift, so incremental == full-scan
+    // bit-for-bit). The oracle is the single-pass full scan — if the
+    // merge were subtly wrong (lost month, double-counted boundary
+    // date, drifting sum) the hash compare fails. At 100 TB the base
+    // side is a tiny precomputed table and only the delta scans.
+    Q("q90_incremental_agg",
+      (s, dir) => {
+        import s.implicits._
+        val watermark = "1997-01-01"
+        def partial(df: DataFrame): DataFrame = df
+          .groupBy(date_trunc("month", $"o_orderdate").cast(DateType).as("month"))
+          .agg(count(lit(1)).as("n"),
+            sum($"o_totalprice".cast(DecimalType(30, 4))).as("rev_partial"))
+        val base = partial(orders(s, dir).filter($"o_orderdate" < lit(watermark)))
+        val delta = partial(orders(s, dir).filter($"o_orderdate" >= lit(watermark)))
+        base.unionByName(delta)
+          .groupBy($"month")
+          .agg(sum($"n").as("n_orders"),
+            sum($"rev_partial").cast(DoubleType).as("revenue"))
+          .orderBy($"month")
+      },
+      Some("""
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+          CAST(COUNT(*) AS BIGINT) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1 ORDER BY month"""))
   )
 }
