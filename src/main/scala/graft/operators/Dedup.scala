@@ -61,6 +61,13 @@ object Dedup {
       .withColumn("s", explode(expr(gramArraySql(3))))
       .select(col("doc_id"), col("s"))
 
+  /** The unsigned-32-bit half-band split of a 64-bit fingerprint — the
+    * single source of truth for the hamming<=1 probe key (pigeonhole
+    * over 2 bands), shared by q61, q76 and the streaming index dedup.
+    * Use with `selectExpr`/`expr`: produces `(band, half)` rows. */
+  private[graft] def halfBandsSql(fpCol: String): String =
+    s"stack(2, 0, $fpCol & 4294967295, 1, shiftrightunsigned($fpCol, 32)) AS (band, half)"
+
   /** The oracle-side tokenizer CTE body — the single source of truth
     * for `toksc(doc_id, source, w)` (the SQL twin of [[withToks]]),
     * shared by Dedup/TrainingOps/CurationOps oracles so a tokenizer
@@ -233,7 +240,7 @@ object Dedup {
         // unsigned halves: & masks off sign-extension, so both engines
         // see the same band values even when bit 63 is set
         val bands = sims.selectExpr("doc_id", "simhash",
-          "stack(2, 0, simhash & 4294967295, 1, shiftrightunsigned(simhash, 32)) AS (band, half)")
+          halfBandsSql("simhash"))
         bands.as("sa").join(bands.as("sb"),
             col("sa.band") === col("sb.band") && col("sa.half") === col("sb.half") &&
             col("sa.doc_id") < col("sb.doc_id"))

@@ -503,12 +503,16 @@ object Extras {
     // associative with zero float drift, so incremental == full-scan
     // bit-for-bit). The oracle is the single-pass full scan — if the
     // merge were subtly wrong (lost month, double-counted boundary
-    // date, drifting sum) the hash compare fails. At 100 TB the base
+    // date, drifting sum) the hash compare fails. The watermark is
+    // deliberately MID-month so the split month carries one partial
+    // from each side and the merge is genuinely exercised (a
+    // month-aligned watermark would give every month exactly one
+    // partial and a broken merge could pass). At 100 TB the base
     // side is a tiny precomputed table and only the delta scans.
     Q("q90_incremental_agg",
       (s, dir) => {
         import s.implicits._
-        val watermark = "1997-01-01"
+        val watermark = "1997-03-15"
         def partial(df: DataFrame): DataFrame = df
           .groupBy(date_trunc("month", $"o_orderdate").cast(DateType).as("month"))
           .agg(count(lit(1)).as("n"),

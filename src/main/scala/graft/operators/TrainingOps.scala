@@ -310,7 +310,7 @@ object TrainingOps {
           .filter(size($"toks_ne") > 0)
           .select($"doc_id", $"grp", expr("simhash64(toks_ne)").as("simhash"))
         def bandsOf(df: DataFrame): DataFrame = df.selectExpr("doc_id", "simhash",
-          "stack(2, 0, simhash & 4294967295, 1, shiftrightunsigned(simhash, 32)) AS (band, half)")
+          Dedup.halfBandsSql("simhash"))
         val matched = bandsOf(sims.filter($"grp" >= 10)).as("nb")
           .join(bandsOf(sims.filter($"grp" < 10)).as("ob"),
             $"nb.band" === $"ob.band" && $"nb.half" === $"ob.half")

@@ -123,17 +123,24 @@ object StreamOps {
       docs: DataFrame,
       textCol: String = "text",
       watermarkDelay: String = "10 minutes"): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val withFp = docs
-      .withColumn("__fp_toks", array_remove(split(lower(col(s"`$textCol`")), "\\W+"), ""))
-      .withColumn("simhash",
-        when(size(col("__fp_toks")) > 0, expr("simhash64(__fp_toks)")))
-      .drop("__fp_toks")
+    val withFp = withFingerprint(docs, textCol, "simhash")
     val deduped = withFp
       .filter(col("simhash").isNotNull)
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("simhash")
     deduped.unionByName(withFp.filter(col("simhash").isNull))
+  }
+
+  /** Row-local content fingerprint: distinct-token `simhash64`, NULL
+    * for token-less docs (exact dedup owns them — the engine-wide
+    * routing rule). The single source of truth for the streaming
+    * side's tokenize+fingerprint, shared by [[fingerprintDedup]],
+    * [[dedupAgainstIndex]] and [[incrementalIndexedDedup]]. */
+  private def withFingerprint(df: DataFrame, textCol: String, fpCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("__fp_toks", array_remove(split(lower(col(s"`$textCol`")), "\\W+"), ""))
+      .withColumn(fpCol, when(size(col("__fp_toks")) > 0, expr("simhash64(__fp_toks)")))
+      .drop("__fp_toks")
   }
 
   /** Stream-static enrichment join: the static side is broadcast per
@@ -185,12 +192,9 @@ object StreamOps {
         probe(0, f & 0xffffffffL) || probe(1, f >>> 32)
       }
     }
-    docs
-      .withColumn("__dedup_toks", array_remove(split(lower(col(s"`$textCol`")), "\\W+"), ""))
-      .withColumn("__dedup_fp",
-        when(size(col("__dedup_toks")) > 0, expr("simhash64(__dedup_toks)")))
+    withFingerprint(docs, textCol, "__dedup_fp")
       .filter(!matchesIndex(col("__dedup_fp")))
-      .drop("__dedup_toks", "__dedup_fp")
+      .drop("__dedup_fp")
   }
 
   /** Streaming ingestion with a GROWING near-dup index — the
@@ -203,61 +207,78 @@ object StreamOps {
     *  2. drops docs within hamming <= 1 of the persisted index via the
     *     half-band EQUI-JOIN (the batch q76 shape — the index is read
     *     as a table, never collected to the driver);
-    *  3. keeps one doc per surviving fingerprint within the batch
-    *     (deterministic keep-first);
+    *  3. dedups WITHIN the batch: keep-first per exact fingerprint,
+    *     then pair-based hamming<=1 removal across different
+    *     fingerprints (the q61 band self-join, smaller `idCol` wins) —
+    *     without this step the output would depend on micro-batch
+    *     boundaries (two near-dups in one batch would BOTH survive
+    *     where split batches drop the second). Like q58's pair stage
+    *     this is pair-based, not component-canonical: a chain
+    *     A~B~C in ONE batch keeps only A.
     *  4. appends survivors to `outPath` and their fingerprints to the
     *     index, so later batches dedup against everything ingested.
     *
-    * Scale: per batch this is one scan of the batch + an equi-join on
-    * the 32-bit half-band key against the index — the index side
-    * prunes to matching buckets, nothing is quadratic and nothing is
-    * driver-sized. foreachBatch is at-least-once: a replayed batch
-    * can re-append rows (the usual trade for multi-sink batches);
-    * exact replays are then dropped by the index probe itself on the
-    * next batch, and downstream exact dedup (q25) removes any
-    * re-appended duplicates — document-level correctness, not
-    * byte-level write idempotence. */
+    * Scale: per batch, one scan of the batch plus one equi-join against
+    * the full index on the 32-bit half-band key (the index is appended
+    * unpartitioned parquet, so it IS rescanned each batch and gains a
+    * file per batch — for long-lived streams, periodically compact it
+    * and/or partition by a band prefix; the join itself stays hash-
+    * based and never quadratic). foreachBatch is at-least-once: a
+    * replayed batch can re-append rows (the usual trade for multi-sink
+    * batches); replays are then caught by the index probe on the next
+    * batch, and downstream exact dedup (q25) removes re-appended
+    * duplicates — document-level correctness, not byte-level write
+    * idempotence. Only a MISSING index path reads as empty (first
+    * batch); any other read failure fails the batch so the checkpoint
+    * retries it — swallowing a transient storage error would silently
+    * disable dedup for that batch. */
   def incrementalIndexedDedup(
       docs: DataFrame,
       indexPath: String,
       outPath: String,
       checkpoint: String,
-      textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery = {
+      textCol: String = "text",
+      idCol: String = "doc_id"): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.expressions.Window
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        graft.functions.GraftFunctions.register(spark)
-        val fp = batch
-          .withColumn("__toks", array_remove(split(lower(col(s"`$textCol`")), "\\W+"), ""))
-          .withColumn("__fp", when(size(col("__toks")) > 0, expr("simhash64(__toks)")))
-          .drop("__toks")
+        val fp = withFingerprint(batch, textCol, "__fp")
+        val hadoopPath = new org.apache.hadoop.fs.Path(indexPath)
+        val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val index: DataFrame =
-          try spark.read.parquet(indexPath).select(col("simhash"))
-          catch { case _: Exception => // first batch: no index yet
-            spark.range(0).select(col("id").as("simhash")) }
-        // half-band probe as an equi-join (q76's batch shape): a
-        // hamming<=1 pair agrees on a whole 32-bit half (pigeonhole)
-        def bands(df: DataFrame, fpCol: String, idCol: String) = df
-          .select(col(fpCol).as(idCol),
-            explode(expr(s"array(struct(0 AS band, $fpCol & 4294967295 AS half)," +
-              s" struct(1 AS band, shiftright($fpCol, 32) & 4294967295 AS half))")).as("b"))
-          .select(col(idCol), col("b.band"), col("b.half"))
+          if (fs.exists(hadoopPath)) spark.read.parquet(indexPath).select(col("simhash"))
+          else spark.range(0).select(col("id").as("simhash"))
+        def bands(df: DataFrame, fpCol: String, outCol: String) =
+          df.selectExpr(s"$fpCol AS $outCol", graft.operators.Dedup.halfBandsSql(fpCol))
         val hits = bands(fp.filter(col("__fp").isNotNull).select(col("__fp")).distinct(), "__fp", "pf")
           .join(bands(index, "simhash", "ix"), Seq("band", "half"))
           .filter(expr("bit_count(pf ^ ix) <= 1"))
           .select(col("pf")).distinct()
         val fresh = fp.join(hits, fp("__fp") === hits("pf"), "left_anti")
-        // keep-first per fingerprint WITHIN the batch (null fps all pass)
-        val w = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
-        val kept = fresh
+        // keep-first per exact fingerprint (null fps all pass)
+        val w = Window.partitionBy(col("__fp")).orderBy(col(s"`$idCol`"))
+        val firstPerFp = fresh
           .withColumn("__rn", when(col("__fp").isNull, lit(1)).otherwise(row_number().over(w)))
           .filter(col("__rn") === 1).drop("__rn")
-        kept.drop("__fp").write.mode("append").parquet(outPath)
-        kept.filter(col("__fp").isNotNull)
-          .select(col("__fp").as("simhash")).distinct()
-          .write.mode("append").parquet(indexPath)
+        // pair-based hamming<=1 removal across the batch's survivors
+        val bbands = firstPerFp.filter(col("__fp").isNotNull)
+          .selectExpr(s"`$idCol` AS __id", "__fp", graft.operators.Dedup.halfBandsSql("__fp"))
+        val losers = bbands.as("x").join(bbands.as("y"),
+            col("x.band") === col("y.band") && col("x.half") === col("y.half") &&
+            col("x.__id") > col("y.__id"))
+          .filter(expr("bit_count(x.__fp ^ y.__fp) <= 1"))
+          .select(col("x.__id").as(idCol)).distinct()
+        // persist: both writes below consume `kept`, and the second
+        // must not re-trigger the index scan while appending to it
+        val kept = firstPerFp.join(losers, Seq(idCol), "left_anti").persist()
+        try {
+          kept.drop("__fp").write.mode("append").parquet(outPath)
+          kept.filter(col("__fp").isNotNull)
+            .select(col("__fp").as("simhash")).distinct()
+            .write.mode("append").parquet(indexPath)
+        } finally kept.unpersist()
         ()
       }
       .start()
