@@ -205,6 +205,70 @@ object EventOps {
           CAST(n_events AS BIGINT) AS n_events, total_value
         FROM sess ORDER BY user_id, s_start""")),
 
+    // ---- event funnel (ordered multi-step conversion) ----------------
+    // How many users progressed view -> click (after their first view)
+    // -> purchase (after that click)? Each step is one per-user
+    // conditional MIN — three doc-keyed aggregates and two broadcast-
+    // sized joins on user_id, no window over the full event stream and
+    // no self-join of events against events. Step timestamps chain
+    // strictly (>), so the funnel is genuinely ordered, not mere
+    // set-membership.
+    Q("q93_event_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir)
+        val v = ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"ts").as("vts"))
+        val c = ev.filter($"event_type" === "click")
+          .join(v, "user_id").filter($"ts" > $"vts")
+          .groupBy($"user_id").agg(min($"ts").as("cts"))
+        val p = ev.filter($"event_type" === "purchase")
+          .join(c, "user_id").filter($"ts" > $"cts")
+          .groupBy($"user_id").agg(min($"ts").as("pts"))
+        v.agg(count(lit(1)).as("n_viewed"))
+          .crossJoin(c.agg(count(lit(1)).as("n_clicked_after")))
+          .crossJoin(p.agg(count(lit(1)).as("n_purchased_after")))
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        v AS (SELECT user_id, MIN(ts) AS vts FROM ev WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) AS cts FROM ev e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.vts GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS pts FROM ev e JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.cts GROUP BY e.user_id)
+        SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+               (SELECT COUNT(*) FROM c) AS n_clicked_after,
+               (SELECT COUNT(*) FROM p) AS n_purchased_after""")),
+
+    // ---- retention cohorts --------------------------------------------
+    // The classic retention triangle: users grouped by first-activity
+    // week (cohort), counted in each later week they return. Weeks are
+    // integer epoch-microsecond divisions — exact in both engines, no
+    // date arithmetic to drift. Two shuffles total: the per-user
+    // cohort aggregate and the (cohort, offset) count-distinct.
+    Q("q94_retention_cohorts",
+      (s, dir) => {
+        import s.implicits._
+        val weekUs = 604800000000L
+        val act = events(s, dir)
+          .select($"user_id", expr(s"unix_micros(ts) div $weekUs").as("wk"))
+          .distinct()
+        val cohort = act.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+        act.join(cohort, "user_id")
+          .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("week_offset"))
+          .agg(countDistinct($"user_id").as("n_users"))
+          .orderBy($"cohort_wk", $"week_offset")
+      },
+      Some("""
+        WITH act AS (SELECT DISTINCT user_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+          FROM events),
+        cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM act GROUP BY user_id)
+        SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_offset,
+          CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+        FROM act a JOIN cohort c ON a.user_id = c.user_id
+        GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""")),
+
     // ---- deterministic hash sample (A4-analogue, reproducible) -------
     Q("q24_hash_sample",
       (s, dir) => {

@@ -529,6 +529,68 @@ object Extras {
         SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
           CAST(COUNT(*) AS BIGINT) AS n_orders,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS revenue
-        FROM orders GROUP BY 1 ORDER BY month"""))
+        FROM orders GROUP BY 1 ORDER BY month""")),
+
+    // ---- SCD-2 history build (temporal versioning) -------------------
+    // Each customer's orders become versioned dimension rows: a row is
+    // valid from its order date until the customer's NEXT order
+    // (NULL = still current) — the slowly-changing-dimension type-2
+    // construction, built with one lead() window per customer (one
+    // shuffle on the natural key, no self-join; ties on the same date
+    // version deterministically by o_orderkey, yielding zero-length
+    // intervals rather than ambiguity).
+    Q("q91_scd2_history",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        orders(s, dir)
+          .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+          .withColumn("valid_from", $"o_orderdate")
+          .withColumn("valid_to", lead($"o_orderdate", 1).over(w))
+          .withColumn("is_current", $"valid_to".isNull)
+          .select($"o_custkey", $"o_orderkey", $"valid_from", $"valid_to", $"is_current")
+          .orderBy($"o_custkey", $"valid_from", $"o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+          o_orderdate AS valid_from,
+          LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS valid_to,
+          LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+        FROM orders
+        ORDER BY o_custkey, valid_from, o_orderkey""")),
+
+    // ---- salted join (skew-proof big-big join) ------------------------
+    // The join form of q51's salted aggregate: the dim side is
+    // replicated SALT times and the fact side carries a deterministic
+    // salt, so one hot join key's rows spread over SALT reducers
+    // instead of stalling one. Results are oracle-identical to the
+    // plain join — the salt is pure partitioning, invisible to the
+    // aggregate (which still routes through exact decimals). AQE's
+    // skew-join split is the automatic form; this is the explicit one
+    // for when the skew is known and the optimizer's stats are not.
+    Q("q92_salted_join",
+      (s, dir) => {
+        import s.implicits._
+        val salt = 8
+        val fact = lineitem(s, dir)
+          .select($"l_orderkey", $"l_extendedprice",
+            pmod($"l_linenumber", lit(salt)).as("__salt"))
+        val dim = orders(s, dir)
+          .select($"o_orderkey", $"o_orderstatus")
+          .withColumn("__salt", explode(expr(s"sequence(0, ${salt - 1})")))
+        fact.join(dim,
+            $"l_orderkey" === $"o_orderkey" && fact("__salt") === dim("__salt"))
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice", 4).as("revenue"))
+          .orderBy($"o_orderstatus")
+      },
+      Some(s"""
+        SELECT o.o_orderstatus, COUNT(*) AS n_items,
+          ${dsumSql("l.l_extendedprice", 4)} AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus"""))
   )
 }
