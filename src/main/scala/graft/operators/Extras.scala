@@ -544,19 +544,21 @@ object Extras {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        // validity bounds output as DATE, never raw timestamps — the
+        // engines disagree on parquet tz annotation (determinism rule)
         orders(s, dir)
-          .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
-          .withColumn("valid_from", $"o_orderdate")
-          .withColumn("valid_to", lead($"o_orderdate", 1).over(w))
+          .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+          .withColumn("valid_from", $"o_orderdate".cast(DateType))
+          .withColumn("valid_to", lead($"o_orderdate", 1).over(w).cast(DateType))
           .withColumn("is_current", $"valid_to".isNull)
           .select($"o_custkey", $"o_orderkey", $"valid_from", $"valid_to", $"is_current")
           .orderBy($"o_custkey", $"valid_from", $"o_orderkey")
       },
       Some("""
         SELECT o_custkey, o_orderkey,
-          o_orderdate AS valid_from,
-          LEAD(o_orderdate) OVER (PARTITION BY o_custkey
-            ORDER BY o_orderdate, o_orderkey) AS valid_to,
+          CAST(o_orderdate AS DATE) AS valid_from,
+          CAST(LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS DATE) AS valid_to,
           LEAD(o_orderdate) OVER (PARTITION BY o_custkey
             ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
         FROM orders
@@ -575,9 +577,12 @@ object Extras {
       (s, dir) => {
         import s.implicits._
         val salt = 8
+        // salt from a hash so it covers the full 0..SALT-1 range
+        // (l_linenumber alone is 1..7 — one replica would join nothing);
+        // the salt only affects partitioning, never the output
         val fact = lineitem(s, dir)
           .select($"l_orderkey", $"l_extendedprice",
-            pmod($"l_linenumber", lit(salt)).as("__salt"))
+            pmod(hash($"l_orderkey", $"l_linenumber"), lit(salt)).as("__salt"))
         val dim = orders(s, dir)
           .select($"o_orderkey", $"o_orderstatus")
           .withColumn("__salt", explode(expr(s"sequence(0, ${salt - 1})")))
