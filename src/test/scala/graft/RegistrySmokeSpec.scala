@@ -110,6 +110,21 @@ class RegistrySmokeSpec extends SparkSuite {
     assert(!plan.contains("HashAggregate"), plan.take(1500))
   }
 
+  test("SCD-2 history is one window pass, no self-join (q91 plan guard)") {
+    val plan = SparkEntry.queries("q91_scd2_history")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(1200))
+    assert("Window ".r.findAllIn(plan).size >= 1, plan.take(1200))
+  }
+
+  test("event funnel never self-joins the event stream (q93 plan guard)") {
+    // the only nested-loop joins are the 1-row aggregate crossJoins;
+    // a CartesianProduct over event-sized inputs is the failure mode
+    val plan = SparkEntry.queries("q93_event_funnel")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
   test("source caps truncate map-side before the shuffle (q72 plan guard)") {
     // the rn <= cap filter must plan as WindowGroupLimit(Partial)
     // UPSTREAM of the exchange: each map task forwards at most cap rows
