@@ -17,7 +17,8 @@ object SparkEntry {
   val registry: Vector[Q] =
     Relational.queries ++ EventOps.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ Pipeline.queries ++
-      Extras.queries ++ TrainingOps.queries ++ CurationOps.queries
+      Extras.queries ++ TrainingOps.queries ++ CurationOps.queries ++
+      AnalyticsOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Snowflake join + broadcast dims + exact-decimal aggregation. */

@@ -1,0 +1,409 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-3 continuation operators [EXT]: corpus/event analytics a
+  * training-data pipeline runs alongside curation — calendar
+  * densification, weighted mixture sampling, lexical-diversity quality
+  * signals, cross-source overlap matrices, bloom-filter join
+  * reduction, daily anomaly detection, stride chunking into training
+  * windows, equi-depth histograms, and exact-integer correlation.
+  *
+  * Cross-engine determinism (same contract as the rest of the
+  * registry): all randomness is md5-derived; every score that feeds an
+  * ordering or threshold is either pure integer arithmetic or a SINGLE
+  * IEEE double operation chain written identically in both engines
+  * (division / multiply / subtract / sqrt are correctly-rounded IEEE
+  * ops — bit-identical everywhere — unlike libm's ln/exp/pow, which
+  * this file deliberately avoids: Gini–Simpson instead of Shannon
+  * entropy, rational u/w instead of u^(1/w)).
+  */
+object AnalyticsOps {
+  import Tables._
+
+  def queries: Vector[Q] = Vector(
+    // ---- calendar densification (gap fill) ---------------------------
+    // Zero-fill missing (event_type, day) cells between the corpus'
+    // min and max day — the densification step before any time-series
+    // model or day-over-day diff (a LEFT JOIN against a generated
+    // calendar, not a window trick that can't see absent rows).
+    // Scale: the raw stream is touched ONCE by the counting aggregate;
+    // the calendar grid is |types| x |days| rows — metadata-sized no
+    // matter how big the stream — so the grid join is a broadcast.
+    // Day arithmetic is integer epoch-days in both engines (no tz, no
+    // interval semantics to disagree on).
+    Q("q95_gap_fill",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir)
+          .withColumn("d", datediff(to_date($"ts"), to_date(lit("1970-01-01"))))
+        val cnt = ev.groupBy($"event_type", $"d").agg(count(lit(1)).as("n_events"))
+        val cal = ev.agg(min($"d").as("mn"), max($"d").as("mx"))
+          .select(explode(sequence($"mn", $"mx")).as("d"))
+        val grid = ev.select($"event_type").distinct().crossJoin(broadcast(cal))
+        grid.join(broadcast(cnt), Seq("event_type", "d"), "left")
+          .select($"event_type",
+            date_add(to_date(lit("1970-01-01")), $"d").as("day"),
+            coalesce($"n_events", lit(0L)).as("n_events"))
+          .orderBy($"event_type", $"day")
+      },
+      Some("""
+        WITH ev AS (SELECT event_type, (ts::DATE - DATE '1970-01-01') AS d FROM events),
+        cnt AS (SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS n_events FROM ev GROUP BY 1, 2),
+        cal AS (SELECT unnest(range(mn, mx + 1)) AS d
+                FROM (SELECT MIN(d) AS mn, MAX(d) AS mx FROM ev)),
+        grid AS (SELECT t.event_type, cal.d
+                 FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN cal)
+        SELECT g.event_type, DATE '1970-01-01' + CAST(g.d AS INT) AS day,
+          COALESCE(c.n_events, 0) AS n_events
+        FROM grid g LEFT JOIN cnt c ON c.event_type = g.event_type AND c.d = g.d
+        ORDER BY g.event_type, day""")),
+
+    // ---- weighted mixture sampling -----------------------------------
+    // Deterministic weighted sampling: per source, take the 5 docs with
+    // the smallest u/w where u is a 32-bit md5 draw and w = n_chars+1 —
+    // the rational-score cousin of Efraimidis–Spirakis A-Res (whose
+    // u^(1/w) key needs pow/ln; u/w preserves the weight-biased-order
+    // idea with ONE IEEE division, bit-identical cross-engine — same
+    // libm-avoidance trade as q82's rational idf). Bigger docs are
+    // proportionally likelier to be drawn first, draws are reproducible
+    // run-to-run and engine-to-engine. Scale: map-only scoring + a
+    // per-source top-k window (WindowGroupLimit in Spark 4 — no full
+    // sort, each partition keeps 5 rows).
+    Q("q96_weighted_sample",
+      (s, dir) => {
+        import s.implicits._
+        val scored = documents(s, dir)
+          .withColumn("u", conv(substring(md5($"doc_id".cast(StringType)), 1, 8), 16, 10).cast(LongType))
+          .withColumn("weight", ($"n_chars" + lit(1)).cast(LongType))
+          .withColumn("score", round($"u".cast(DoubleType) / $"weight", 6))
+        val w = Window.partitionBy($"source").orderBy($"score", $"doc_id")
+        scored.withColumn("pick_rank", row_number().over(w))
+          .filter($"pick_rank" <= 5)
+          .select($"source", $"pick_rank", $"doc_id", $"weight", $"score")
+          .orderBy($"source", $"pick_rank")
+      },
+      Some("""
+        WITH scored AS (SELECT doc_id, source,
+            CAST(n_chars + 1 AS BIGINT) AS weight,
+            ROUND(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+                  / (n_chars + 1), 6) AS score
+          FROM documents),
+        rk AS (SELECT source, doc_id, weight, score,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY score, doc_id) AS pick_rank
+          FROM scored)
+        SELECT source, CAST(pick_rank AS INT) AS pick_rank, doc_id, weight, score
+        FROM rk WHERE pick_rank <= 5 ORDER BY source, pick_rank""")),
+
+    // ---- lexical diversity (Gini–Simpson) ----------------------------
+    // Per-doc vocabulary-diversity quality signal: 1 - sum(p_i^2) over
+    // token frequencies — the Gini–Simpson index, the entropy-family
+    // diversity measure that needs NO logarithm: (n^2 - sum(tf^2))/n^2
+    // is exact BIGINT arithmetic up to one IEEE division, so the score
+    // is bit-reproducible cross-engine where Shannon entropy's ln
+    // would drift. Low diversity = repetitive/boilerplate doc (the
+    // same family of signals as q69's repetition ratios). Every doc
+    // gets a row (token-less docs score 0.0 — the q81 completeness
+    // rule: a quality join against the corpus must never lose rows).
+    // Scale: one doc-keyed aggregate over the exploded token stream.
+    Q("q97_lexical_diversity",
+      (s, dir) => {
+        import s.implicits._
+        val docs = documents(s, dir)
+        val tf = Dedup.withToks(docs)
+          .select($"doc_id", explode($"toks").as("tok"))
+          .filter(length($"tok") > 0)
+          .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        val agg = tf.groupBy($"doc_id")
+          .agg(sum($"tf").as("n_tok"),
+            count(lit(1)).as("n_distinct"),
+            sum($"tf" * $"tf").as("s2"))
+        docs.select($"doc_id")
+          .join(agg, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"n_tok", lit(0L)).as("n_tok"),
+            coalesce($"n_distinct", lit(0L)).as("n_distinct"),
+            when($"n_tok".isNull, lit(0.0)).otherwise(
+              round(($"n_tok" * $"n_tok" - $"s2").cast(DoubleType)
+                    / ($"n_tok" * $"n_tok"), 6)).as("diversity"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH ${Dedup.toksCteSql},
+        tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM (SELECT doc_id, UNNEST(w) AS tok FROM toksc) u
+               WHERE len(tok) > 0 GROUP BY doc_id, tok),
+        agg AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+                  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                  CAST(SUM(tf * tf) AS BIGINT) AS s2
+                FROM tf GROUP BY doc_id)
+        SELECT d.doc_id,
+          COALESCE(a.n_tok, 0) AS n_tok,
+          COALESCE(a.n_distinct, 0) AS n_distinct,
+          CASE WHEN a.n_tok IS NULL THEN 0.0
+               ELSE ROUND(CAST(a.n_tok * a.n_tok - a.s2 AS DOUBLE)
+                          / (a.n_tok * a.n_tok), 6) END AS diversity
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id""")),
+
+    // ---- cross-source overlap matrix ---------------------------------
+    // Pairwise shingle-Jaccard between SOURCES (the dataset-card
+    // "how much do my mixture components overlap" table): distinct
+    // 3-gram sets per source, intersections from an inverted index on
+    // the gram, Jaccard = inter / (|A| + |B| - inter). ALL pairs get a
+    // row (zero-overlap pairs included — the matrix must be complete).
+    // Scale: the gram->source index is deduped FIRST, so per-gram
+    // fan-out is bounded by #sources (pairs per gram <= C(k,2) for k
+    // sources, k small by construction) — never doc x doc; the final
+    // matrix is k^2 rows, metadata-sized.
+    Q("q98_source_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val sg = Dedup.withToks(documents(s, dir))
+          .select($"source", explode(expr(Dedup.gramArraySql(3))).as("g"))
+          .distinct()
+        val sizes = sg.groupBy($"source").agg(count(lit(1)).as("n"))
+        val inter = sg.as("a").join(sg.as("b"),
+            $"a.g" === $"b.g" && $"a.source" < $"b.source")
+          .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+          .agg(count(lit(1)).as("inter"))
+        val srcs = sizes.select($"source")
+        srcs.as("x").join(srcs.as("y"), $"x.source" < $"y.source")
+          .select($"x.source".as("src_a"), $"y.source".as("src_b"))
+          .join(inter, Seq("src_a", "src_b"), "left")
+          .join(broadcast(sizes.withColumnRenamed("source", "src_a").withColumnRenamed("n", "n_a")), Seq("src_a"))
+          .join(broadcast(sizes.withColumnRenamed("source", "src_b").withColumnRenamed("n", "n_b")), Seq("src_b"))
+          .select($"src_a", $"src_b", $"n_a", $"n_b",
+            coalesce($"inter", lit(0L)).as("inter"),
+            round(coalesce($"inter", lit(0L)).cast(DoubleType)
+                  / ($"n_a" + $"n_b" - coalesce($"inter", lit(0L))), 6).as("jaccard"))
+          .orderBy($"src_a", $"src_b")
+      },
+      Some(s"""
+        WITH ${Dedup.toksCteSql},
+        sg AS (SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+               FROM toksc, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sg GROUP BY source),
+        inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                    CAST(COUNT(*) AS BIGINT) AS inter
+                  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+                  GROUP BY 1, 2)
+        SELECT x.source AS src_a, y.source AS src_b, sx.n AS n_a, sy.n AS n_b,
+          COALESCE(i.inter, 0) AS inter,
+          ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+                / (sx.n + sy.n - COALESCE(i.inter, 0)), 6) AS jaccard
+        FROM sizes x JOIN sizes y ON x.source < y.source
+        LEFT JOIN inter i ON i.src_a = x.source AND i.src_b = y.source
+        JOIN sizes sx ON sx.source = x.source
+        JOIN sizes sy ON sy.source = y.source
+        ORDER BY src_a, src_b""")),
+
+    // ---- bloom-filter join reduction ---------------------------------
+    // Semi-join reduction with a bloom filter: build a tiny bloom over
+    // the filtered dim's keys, pre-filter the FACT side before the
+    // exact join. The join output is IDENTICAL to the plain join (the
+    // exact join removes bloom false positives), so the oracle is the
+    // plain SQL join — what the bloom buys at 100 TB is shuffle volume:
+    // a selective dim predicate means most fact rows exchange-then-drop
+    // in a plain shuffle join; the bloom (a few KB broadcast regardless
+    // of dim size — it keeps working after the dim outgrows a broadcast
+    // HASH join) drops them at the scan. The membership probe is a UDF
+    // because Spark doesn't expose BloomFilterMightContain as a public
+    // Column function — one non-codegen boundary, amortized by the
+    // shuffle it removes.
+    Q("q99_bloom_join",
+      (s, dir) => {
+        import s.implicits._
+        val cust = customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+          .select($"c_custkey", $"c_mktsegment")
+        val bf = cust.stat.bloomFilter("c_custkey", 100000L, 0.03)
+        val mightContain = udf((k: Long) => bf.mightContain(k))
+        orders(s, dir)
+          .filter(mightContain($"o_custkey"))
+          .join(cust, $"o_custkey" === $"c_custkey")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice", 4).as("revenue"))
+          .orderBy($"c_mktsegment")
+      },
+      Some(s"""
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+          ${dsumSql("o_totalprice", 4)} AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- daily anomaly detection -------------------------------------
+    // Days where an event type's volume exceeds its own mean by more
+    // than 2 sigma — the monitoring query every ingestion pipeline runs
+    // on its daily partition counts. Determinism: per-type sums and
+    // sums-of-squares are exact BIGINTs; mean/variance/sigma are then a
+    // fixed chain of IEEE ops (division, multiply, subtract, sqrt —
+    // all correctly rounded, so both engines produce the same bits and
+    // the >2-sigma threshold can't flip). sigma>0 is implied for every
+    // flagged row (n > mean requires variance > 0), so the z-score
+    // division is safe. Scale: one aggregate to daily counts (tiny),
+    // then a broadcast join of per-type stats back onto them.
+    Q("q100_daily_anomalies",
+      (s, dir) => {
+        import s.implicits._
+        val daily = events(s, dir)
+          .withColumn("d", datediff(to_date($"ts"), to_date(lit("1970-01-01"))))
+          .groupBy($"event_type", $"d").agg(count(lit(1)).as("n_events"))
+        val stats = daily.groupBy($"event_type")
+          .agg(count(lit(1)).as("days"), sum($"n_events").as("sn"),
+            sum($"n_events" * $"n_events").as("s2"))
+          .withColumn("mean", $"sn".cast(DoubleType) / $"days")
+          .withColumn("variance", $"s2".cast(DoubleType) / $"days" - $"mean" * $"mean")
+          .withColumn("sigma", sqrt(when($"variance" < 0, lit(0.0)).otherwise($"variance")))
+        daily.join(broadcast(stats), Seq("event_type"))
+          .filter($"n_events" > $"mean" + lit(2.0) * $"sigma")
+          .select($"event_type",
+            date_add(to_date(lit("1970-01-01")), $"d").as("day"),
+            $"n_events",
+            round(($"n_events" - $"mean") / $"sigma", 6).as("zscore"))
+          .orderBy($"event_type", $"day")
+      },
+      Some("""
+        WITH daily AS (SELECT event_type, (ts::DATE - DATE '1970-01-01') AS d,
+                         CAST(COUNT(*) AS BIGINT) AS n_events
+                       FROM events GROUP BY 1, 2),
+        st0 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS days,
+                  CAST(SUM(n_events) AS BIGINT) AS sn,
+                  CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+                FROM daily GROUP BY event_type),
+        st1 AS (SELECT event_type, CAST(sn AS DOUBLE) / days AS mean,
+                  CAST(s2 AS DOUBLE) / days - (CAST(sn AS DOUBLE) / days) * (CAST(sn AS DOUBLE) / days) AS variance
+                FROM st0),
+        st AS (SELECT event_type, mean,
+                 sqrt(CASE WHEN variance < 0 THEN 0.0 ELSE variance END) AS sigma
+               FROM st1)
+        SELECT d.event_type, DATE '1970-01-01' + CAST(d.d AS INT) AS day, d.n_events,
+          ROUND((d.n_events - st.mean) / st.sigma, 6) AS zscore
+        FROM daily d JOIN st ON d.event_type = st.event_type
+        WHERE d.n_events > st.mean + 2.0 * st.sigma
+        ORDER BY d.event_type, day""")),
+
+    // ---- stride chunking into training windows -----------------------
+    // Cut each doc into fixed-size token windows (32 tokens, stride 24
+    // => 8-token overlap) — the pre-tokenization chunking step for
+    // context-window training data, where the overlap preserves
+    // cross-boundary n-grams. Chunk count and lengths are pure integer
+    // arithmetic: 1 + ceil((n-32)/24) tail chunks via (n-9) div 24.
+    // Token-less docs have no trainable content and are excluded (the
+    // same routing rule as near-dup's sub-3-token docs — exact dedup
+    // owns them; pinned by AnalyticsOpsSpec). Scale: map-only explode,
+    // output rows ~ n/stride per doc, no shuffle at all before the
+    // driver's ORDER BY.
+    Q("q101_doc_chunks",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.withToks(documents(s, dir))
+          .withColumn("w2", filter($"toks", t => length(t) > 0))
+          .withColumn("n", size($"w2"))
+          .filter($"n" >= 1)
+          .withColumn("nch",
+            lit(1) + when($"n" > 32, expr("CAST((n - 9) div 24 AS INT)")).otherwise(lit(0)))
+          .select($"doc_id", $"n",
+            posexplode(expr(
+              "transform(sequence(0, nch - 1), i -> concat_ws(' ', slice(w2, i * 24 + 1, 32)))")))
+          .select($"doc_id",
+            $"pos".cast(IntegerType).as("chunk_id"),
+            when($"pos" * 24 + 32 <= $"n", lit(32))
+              .otherwise($"n" - $"pos" * 24).cast(IntegerType).as("chunk_ntok"),
+            $"col".as("chunk_text"))
+          .orderBy($"doc_id", $"chunk_id")
+      },
+      Some(s"""
+        WITH ${Dedup.toksCteSql},
+        t2 AS (SELECT doc_id, list_filter(w, t -> len(t) > 0) AS w2 FROM toksc),
+        t3 AS (SELECT doc_id, w2, len(w2) AS n,
+                 1 + CASE WHEN len(w2) > 32 THEN (len(w2) - 9) // 24 ELSE 0 END AS nch
+               FROM t2 WHERE len(w2) >= 1),
+        ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_id,
+                 CAST(CASE WHEN i * 24 + 32 <= n THEN 32 ELSE n - i * 24 END AS INT) AS chunk_ntok,
+                 array_to_string(list_slice(w2, i * 24 + 1, i * 24 + 32), ' ') AS chunk_text
+               FROM t3, UNNEST(range(0, nch)) AS u(i))
+        SELECT doc_id, chunk_id, chunk_ntok, chunk_text
+        FROM ch ORDER BY doc_id, chunk_id""")),
+
+    // ---- equi-depth histogram ----------------------------------------
+    // 10 equal-population price buckets via ntile over a TOTAL order
+    // (price + key tie-breaks, so both engines assign identical bucket
+    // boundaries — ntile's distribution rule is standard SQL in both).
+    // This is the EXACT form; at 100 TB the global sort is the cost and
+    // approx_percentile (q67) is the scale path — this pair is the
+    // same exact/approx contract as q14/q41 for distinct counts.
+    Q("q102_equidepth_hist",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+        lineitem(s, dir)
+          .withColumn("bucket", ntile(10).over(w))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"),
+            min($"l_extendedprice").as("lo"),
+            max($"l_extendedprice").as("hi"),
+            dsum($"l_extendedprice", 4).as("price_sum"))
+          .orderBy($"bucket")
+      },
+      Some(s"""
+        WITH b AS (SELECT l_extendedprice,
+            ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+          FROM lineitem)
+        SELECT CAST(bucket AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+          MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+          ${dsumSql("l_extendedprice", 4)} AS price_sum
+        FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    // ---- exact-integer Pearson correlation ---------------------------
+    // Per-language corr(n_chars, token count) — a data-quality sanity
+    // check (chars-per-token drift flags tokenizer problems per
+    // language). Both variables are BIGINTs, so all five sufficient
+    // statistics are EXACT integer sums; corr is then a fixed IEEE
+    // chain (products, subtract, sqrt, one division) — bit-identical
+    // cross-engine, unlike the engines' own corr() whose double
+    // accumulation is summation-order-dependent. Zero-variance groups
+    // define corr = 0. Scale: one doc-keyed map + one small aggregate;
+    // the sufficient-statistic form is the standard single-pass
+    // distributed corr.
+    Q("q103_corr_lang",
+      (s, dir) => {
+        import s.implicits._
+        val d = Dedup.withToks(documents(s, dir))
+          .select($"lang", $"n_chars".as("x"),
+            size(filter($"toks", t => length(t) > 0)).cast(LongType).as("y"))
+        val stats = d.groupBy($"lang").agg(
+          count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+          sum($"x" * $"y").as("sxy"))
+        stats.select($"lang", $"n".as("n_docs"),
+          when(($"n" * $"sxx" - $"sx" * $"sx") === 0 || ($"n" * $"syy" - $"sy" * $"sy") === 0,
+            lit(0.0))
+            .otherwise(round(
+              ($"n" * $"sxy" - $"sx" * $"sy").cast(DoubleType)
+                / (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast(DoubleType))
+                   * sqrt(($"n" * $"syy" - $"sy" * $"sy").cast(DoubleType))), 6))
+            .as("corr_chars_toks"))
+          .orderBy($"lang")
+      },
+      Some(s"""
+        WITH ${Dedup.toksCteSql},
+        j AS (SELECT dd.lang, dd.n_chars AS x,
+                CAST(len(list_filter(t.w, s -> len(s) > 0)) AS BIGINT) AS y
+              FROM documents dd JOIN toksc t ON dd.doc_id = t.doc_id),
+        st AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+               FROM j GROUP BY lang)
+        SELECT lang, n AS n_docs,
+          CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 THEN 0.0
+               ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                             * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) END AS corr_chars_toks
+        FROM st ORDER BY lang"""))
+  )
+}

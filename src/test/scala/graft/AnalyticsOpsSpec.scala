@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant + dual-implementation checks for the continuation
+  * operators (q95–q103) — complements the DuckDB oracle (cross-engine
+  * equality) with checks that the SEMANTICS are the intended ones. */
+class AnalyticsOpsSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("q95 gap-fill grid is complete and zero-filled cells exist") {
+    import spark.implicits._
+    val out = run("q95_gap_fill").collect()
+    val types = out.map(_.getString(0)).distinct.length
+    val days = out.map(_.getDate(1)).distinct.length
+    assert(out.length == types * days, s"grid ${out.length} != $types x $days")
+    // the whole point of densification: every absent (type, day) cell
+    // exists as an explicit 0 (count is data-dependent; at sf0.001 the
+    // grid may be fully occupied and the count is 0)
+    val rawPairs = graft.operators.Tables.events(spark, dir)
+      .select($"event_type", to_date($"ts")).distinct().count()
+    assert(out.count(_.getLong(2) == 0L).toLong == types.toLong * days - rawPairs)
+    // totals preserved: sum over grid == raw event count
+    val total = out.map(_.getLong(2)).sum
+    val raw = graft.operators.Tables.events(spark, dir).count()
+    assert(total == raw, s"grid total $total != raw $raw")
+  }
+
+  test("q96 draws exactly 5 per source with non-decreasing scores") {
+    val out = run("q96_weighted_sample").collect()
+    out.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      assert(rows.length == 5, s"$src has ${rows.length} picks")
+      val byRank = rows.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to 5), s"$src ranks")
+      val scores = byRank.map(_.getDouble(4))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a <= b },
+        s"$src scores not sorted: ${scores.mkString(",")}")
+    }
+  }
+
+  test("q96 equals an independent Scala ranking over the raw table") {
+    val raw = graft.operators.Tables.documents(spark, dir)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def u32(docId: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = raw.groupBy(_._2).flatMap { case (src, rows) =>
+      rows.map { case (id, _, nc) =>
+        val score = BigDecimal(u32(id).toDouble / (nc + 1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (src, id, score)
+      }.sortBy(t => (t._3, t._2)).take(5).zipWithIndex
+        .map { case ((s, id, sc), i) => (s, i + 1, id, sc) }.toSeq
+    }.toSet
+    val got = run("q96_weighted_sample").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(4))).toSet
+    assert(got == expected)
+  }
+
+  test("q97 diversity is in [0,1]; token-less docs get 0; uniform docs near max") {
+    val out = run("q97_lexical_diversity").collect()
+    out.foreach { r =>
+      val (n, d) = (r.getLong(1), r.getDouble(3))
+      assert(d >= 0.0 && d < 1.0, s"doc ${r.getLong(0)} diversity $d")
+      if (n == 0) assert(d == 0.0)
+      // all-distinct doc: 1 - n/n^2 = 1 - 1/n
+      if (n == r.getLong(2) && n > 0)
+        assert(math.abs(d - (1.0 - 1.0 / n)) < 1e-6)
+    }
+    // every doc gets a row
+    val docs = graft.operators.Tables.documents(spark, dir).count()
+    assert(out.length.toLong == docs)
+  }
+
+  test("q98 overlap matrix is complete and Jaccard bounded") {
+    val out = run("q98_source_overlap").collect()
+    val sources = graft.operators.Tables.documents(spark, dir)
+      .select("source").distinct().count().toInt
+    assert(out.length == sources * (sources - 1) / 2, s"${out.length} pairs")
+    out.foreach { r =>
+      val (na, nb, inter, j) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(inter <= math.min(na, nb), r.toString)
+      assert(j >= 0.0 && j <= 1.0, r.toString)
+      assert(r.getString(0) < r.getString(1), "pairs must be ordered")
+    }
+  }
+
+  test("q99 bloom-reduced join equals the plain join") {
+    import spark.implicits._
+    val got = run("q99_bloom_join").collect()
+    val cust = graft.operators.Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING")
+    val plain = graft.operators.Tables.orders(spark, dir)
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.operators.Tables.dsum($"o_totalprice", 4).as("revenue"))
+      .orderBy($"c_mktsegment").collect()
+    assert(got.toSeq == plain.toSeq)
+  }
+
+  test("q100 flagged days satisfy the 2-sigma rule recomputed independently") {
+    val out = run("q100_daily_anomalies").collect()
+    import spark.implicits._
+    val daily = graft.operators.Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    out.foreach { r =>
+      val (t, day, n) = (r.getString(0), r.getDate(1), r.getLong(2))
+      val ns = byType(t).map(_._3.toDouble)
+      val mean = ns.sum / ns.length
+      val sigma = math.sqrt(ns.map(x => x * x).sum / ns.length - mean * mean)
+      assert(n > mean + 2 * sigma, s"$t $day n=$n mean=$mean sigma=$sigma")
+      assert(r.getDouble(3) > 2.0, "zscore must exceed 2")
+    }
+    // and no flagged day is missing: recompute the flag set
+    // (byType.toSeq: flatMap over a Map with pair elements would
+    // rebuild a Map keyed by event_type and collapse multi-day flags)
+    val expected = byType.toSeq.flatMap { case (t, rows) =>
+      val ns = rows.map(_._3.toDouble)
+      val mean = ns.sum / ns.length
+      val sigma = math.sqrt(ns.map(x => x * x).sum / ns.length - mean * mean)
+      rows.filter(_._3 > mean + 2 * sigma).map(r => (t, r._2.toString)).toSeq
+    }.toSet
+    assert(out.map(r => (r.getString(0), r.getDate(1).toString)).toSet == expected)
+  }
+
+  test("q101 chunks tile each doc: stride coverage and tail bounds") {
+    val out = run("q101_doc_chunks").collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == sorted.indices.toSeq, s"doc $doc ids")
+      // every non-tail chunk is full-width; tail covers to exactly n
+      sorted.dropRight(1).foreach(r => assert(r.getInt(2) == 32, s"doc $doc"))
+      val tail = sorted.last.getInt(2)
+      if (sorted.length > 1) assert(tail >= 9 && tail <= 32, s"doc $doc tail $tail")
+      // chunk text token count matches chunk_ntok
+      sorted.foreach { r =>
+        val ntok = r.getString(3).split(" ", -1).count(_.nonEmpty)
+        assert(ntok == r.getInt(2), s"doc $doc chunk ${r.getInt(1)}: $ntok vs ${r.getInt(2)}")
+      }
+    }
+    // token-less docs excluded, all others present
+    import spark.implicits._
+    val withTok = graft.operators.Tables.documents(spark, dir)
+      .select(size(filter(split(lower($"text"), "\\W+"), t => length(t) > 0)).as("n"))
+      .filter($"n" >= 1).count()
+    assert(byDoc.size.toLong == withTok)
+  }
+
+  test("q102 equi-depth buckets are balanced and ordered") {
+    val out = run("q102_equidepth_hist").collect().sortBy(_.getInt(0))
+    assert(out.map(_.getInt(0)).toSeq == (1 to 10))
+    val ns = out.map(_.getLong(1))
+    assert(ns.max - ns.min <= 1, s"bucket sizes ${ns.mkString(",")}")
+    // ranges must be non-decreasing across buckets
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2) + 1e-9,
+        s"bucket ${a.getInt(0)} hi ${a.getDouble(3)} > bucket ${b.getInt(0)} lo ${b.getDouble(2)}")
+    case _ => ()
+    }
+  }
+
+  test("q103 correlations are bounded and match an independent computation") {
+    val out = run("q103_corr_lang").collect()
+    out.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0, r.toString))
+    import spark.implicits._
+    val raw = graft.operators.Tables.documents(spark, dir)
+      .select($"lang", $"n_chars",
+        size(filter(split(lower($"text"), "\\W+"), t => length(t) > 0)).cast("long").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1).toDouble, r.getLong(2).toDouble))
+    val expected = raw.groupBy(_._1).map { case (lang, rows) =>
+      val n = rows.length.toDouble
+      val (sx, sy) = (rows.map(_._2).sum, rows.map(_._3).sum)
+      val sxx = rows.map(t => t._2 * t._2).sum
+      val syy = rows.map(t => t._3 * t._3).sum
+      val sxy = rows.map(t => t._2 * t._3).sum
+      val den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+      lang -> (if (den == 0) 0.0 else (n * sxy - sx * sy) / den)
+    }
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(2) - expected(r.getString(0))) < 1e-5,
+        s"${r.getString(0)}: ${r.getDouble(2)} vs ${expected(r.getString(0))}")
+    }
+  }
+}
