@@ -102,6 +102,69 @@ object StreamOps {
       }
   }
 
+  /** Streaming anomaly detection against a batch-trained baseline —
+    * the streaming form of q100: finalized tumbling-window counts per
+    * event type are compared to STATIC per-type (mean, sigma) stats
+    * (trained by the batch job, e.g. q100's sufficient statistics) and
+    * windows above mean + k*sigma are emitted. One stateful operator
+    * (the windowed count, watermark-bounded); the baseline joins as a
+    * broadcast — the same static-side shape as [[dedupAgainstIndex]].
+    * At scale the baseline is metadata-sized (one row per key) no
+    * matter how much history trained it. */
+  def anomaliesVsBaseline(
+      events: DataFrame,
+      baseline: DataFrame, // (event_type, mean, sigma)
+      k: Double = 2.0,
+      watermarkDelay: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame =
+    tumblingAgg(events, watermarkDelay, windowLen)
+      .join(broadcast(baseline), Seq("event_type"))
+      .filter(col("n") > col("mean") + lit(k) * col("sigma"))
+      .select(col("event_type"), col("w_start"), col("n"),
+        ((col("n") - col("mean")) / col("sigma")).as("zscore"))
+
+  final case class ValueEvent(event_type: String, ts: java.sql.Timestamp, value: Double)
+  final case class RunningStats(n: Long, sum: Double, sumSq: Double)
+  final case class ValueAnomaly(event_type: String, ts: java.sql.Timestamp,
+      value: Double, zscore: Double, n_seen: Long)
+
+  /** Self-updating running anomaly detector via flatMapGroupsWithState:
+    * per event type, keep running (n, sum, sumsq) of VALUES; each event
+    * is scored against the stats of the events seen BEFORE it (so an
+    * outlier can't mask itself) and emitted when |z| > k, then folded
+    * into the state. The first `minHistory` events per key only train.
+    * State is three numbers per key — bounded forever, no watermark
+    * needed. The within-batch fold processes events in batch order,
+    * which MemoryStream makes deterministic for tests; at scale each
+    * key's state lives on one partition (groupByKey hash), the same
+    * skew surface as any keyed aggregation. */
+  def runningValueAnomalies(
+      events: Dataset[ValueEvent],
+      k: Double = 3.0,
+      minHistory: Long = 10L): Dataset[ValueAnomaly] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[RunningStats, ValueAnomaly](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[ValueEvent], state: GroupState[RunningStats]) =>
+          var s = state.getOption.getOrElse(RunningStats(0L, 0.0, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ValueAnomaly]
+          rows.foreach { e =>
+            if (s.n >= minHistory) {
+              val mean = s.sum / s.n
+              val variance = s.sumSq / s.n - mean * mean
+              val sigma = math.sqrt(math.max(variance, 0.0))
+              if (sigma > 0.0 && math.abs(e.value - mean) > k * sigma)
+                out += ValueAnomaly(key, e.ts, e.value, (e.value - mean) / sigma, s.n)
+            }
+            s = RunningStats(s.n + 1, s.sum + e.value, s.sumSq + e.value * e.value)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Streaming near-identical dedup by content fingerprint: each doc's
     * 64-bit `simhash64` is computed row-local (codegen, no shuffle),
     * then stateful dedup runs on the FINGERPRINT within the watermark

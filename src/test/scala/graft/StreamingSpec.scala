@@ -252,4 +252,59 @@ class StreamingSpec extends SparkSuite {
       Seq((1L, textA)).toDF("doc_id", "text"), index, maxHamming = 0)
     assert(strict.count() == 1)
   }
+
+  test("anomaliesVsBaseline flags only windows above the trained threshold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // baseline: click windows average 2 events, sigma 1 -> threshold 4
+    val baseline = Seq(("click", 2.0, 1.0)).toDF("event_type", "mean", "sigma")
+    val input = MemoryStream[Ev]
+    val q = StreamOps.anomaliesVsBaseline(input.toDF(), baseline,
+        k = 2.0, watermarkDelay = "10 minutes", windowLen = "1 hour")
+      .writeStream.format("memory").queryName("anom")
+      .outputMode("append").start()
+    // hour 10: 5 clicks (anomalous, 5 > 2 + 2*1); hour 11: 2 clicks (normal)
+    input.addData(
+      (1 to 5).map(i => Ev(ts(s"2024-01-01 10:0$i:00"), "click", 1.0)) ++
+      Seq(Ev(ts("2024-01-01 11:10:00"), "click", 1.0),
+          Ev(ts("2024-01-01 11:20:00"), "click", 1.0)): _*)
+    q.processAllAvailable()
+    // advance watermark past both windows so they finalize
+    input.addData(Ev(ts("2024-01-01 13:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("anom")
+      .select(date_format($"w_start", "HH").as("h"), $"n", $"zscore")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSet == Set("10"), s"only hour 10 should flag: ${rows.toSeq}")
+    assert(rows.head._2 == 5L && math.abs(rows.head._3 - 3.0) < 1e-9)
+  }
+
+  test("runningValueAnomalies scores against prior history and keeps training") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.ValueEvent]
+    val q = StreamOps.runningValueAnomalies(input.toDS(), k = 3.0, minHistory = 4L)
+      .writeStream.format("memory").queryName("vanom")
+      .outputMode("append").start()
+    // batch 1: four training values around 10 (n reaches minHistory)
+    input.addData(
+      StreamOps.ValueEvent("click", ts("2024-01-01 10:00:00"), 10.0),
+      StreamOps.ValueEvent("click", ts("2024-01-01 10:01:00"), 11.0),
+      StreamOps.ValueEvent("click", ts("2024-01-01 10:02:00"), 9.0),
+      StreamOps.ValueEvent("click", ts("2024-01-01 10:03:00"), 10.0))
+    q.processAllAvailable()
+    assert(spark.table("vanom").count() == 0, "training events must not flag")
+    // batch 2: an extreme value flags; a normal one doesn't; state
+    // persisted across batches (n_seen = 4 proves batch-1 history)
+    input.addData(
+      StreamOps.ValueEvent("click", ts("2024-01-01 10:04:00"), 100.0),
+      StreamOps.ValueEvent("click", ts("2024-01-01 10:05:00"), 10.5))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("vanom").as[StreamOps.ValueAnomaly].collect()
+    assert(out.length == 1, out.mkString(","))
+    assert(out.head.value == 100.0 && out.head.n_seen == 4L)
+    assert(out.head.zscore > 3.0)
+  }
 }
