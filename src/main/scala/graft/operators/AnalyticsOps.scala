@@ -404,6 +404,72 @@ object AnalyticsOps {
                ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) END AS corr_chars_toks
-        FROM st ORDER BY lang"""))
+        FROM st ORDER BY lang""")),
+
+    // ---- temperature-flattened mixture rebalancing -------------------
+    // Multilingual/multi-source training mixes flatten the source
+    // distribution with temperature sampling: keep-rate per source
+    // r_i = sqrt(min_n / n_i), so kept_i = sqrt(n_i * min_n) — the
+    // geometric mean pulls every source toward the smallest one
+    // (T = 2 flattening of p_i ∝ n_i). The keep decision is the
+    // registry's standard md5-threshold filter: u32 < r_i * 2^32, so
+    // the sample is deterministic, engine-independent (sqrt and one
+    // multiply are IEEE-exact — no libm), and resamples stably as the
+    // corpus grows. Scale: two passes — a count aggregate (tiny) and a
+    // map-only filtered count with the rates broadcast back.
+    Q("q104_mixture_rebalance",
+      (s, dir) => {
+        import s.implicits._
+        val docs = documents(s, dir)
+          .withColumn("u", conv(substring(md5($"doc_id".cast(StringType)), 1, 8), 16, 10).cast(LongType))
+        val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        val mn = counts.agg(min($"n_docs").as("mn"))
+        val rates = counts.crossJoin(broadcast(mn))
+          .withColumn("rate", sqrt($"mn".cast(DoubleType) / $"n_docs"))
+        docs.join(broadcast(rates.select($"source", $"n_docs", $"rate")), Seq("source"))
+          .groupBy($"source")
+          .agg(first($"n_docs").as("n_docs"),
+            sum(when($"u" < $"rate" * lit(4294967296.0), 1L).otherwise(0L)).as("n_kept"),
+            round(first($"rate"), 6).as("rate"))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH u AS (SELECT source,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
+          FROM documents),
+        counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM u GROUP BY source),
+        rates AS (SELECT source, n_docs,
+            sqrt(CAST((SELECT MIN(n_docs) FROM counts) AS DOUBLE) / n_docs) AS rate
+          FROM counts)
+        SELECT u.source, r.n_docs,
+          CAST(SUM(CASE WHEN u.u < r.rate * 4294967296.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          ROUND(r.rate, 6) AS rate
+        FROM u JOIN rates r ON u.source = r.source
+        GROUP BY u.source, r.n_docs, r.rate ORDER BY u.source""")),
+
+    // ---- mergeable MinHash union (sketch mergeability) ---------------
+    // THE distributed-sketch property: the MinHash signature of a
+    // union of documents is the element-wise MIN of their signatures —
+    // partial signatures merge map-side exactly like partial sums, so
+    // at 100 TB per-shard sketches combine without ever reshuffling
+    // shingles. The query builds shard-level signatures from per-doc
+    // signatures (min-of-mins); the ORACLE computes each shard's
+    // signature from scratch over the union of its docs' shingles — a
+    // different evaluation strategy whose hash-equality PROVES the
+    // mergeability identity on real data.
+    Q("q105_minhash_union",
+      (s, dir) => {
+        import s.implicits._
+        val sig = Dedup.signatures(s, dir)
+          .withColumn("shard", $"doc_id" % 50)
+        val aggs = (0 until 4).map(k => min(col(s"mh$k")).as(s"mh$k"))
+        sig.groupBy($"shard").agg(aggs.head, aggs.tail: _*)
+          .orderBy($"shard")
+      },
+      Some(s"""${Dedup.shingleCte}
+        SELECT doc_id % 50 AS shard,
+          min(md5(s || '#0')) AS mh0, min(md5(s || '#1')) AS mh1,
+          min(md5(s || '#2')) AS mh2, min(md5(s || '#3')) AS mh3
+        FROM sh GROUP BY doc_id % 50 ORDER BY shard"""))
   )
 }

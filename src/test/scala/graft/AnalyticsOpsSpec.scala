@@ -192,4 +192,43 @@ class AnalyticsOpsSpec extends SparkSuite {
         s"${r.getString(0)}: ${r.getDouble(2)} vs ${expected(r.getString(0))}")
     }
   }
+
+  test("q104 rebalance keeps everything from the smallest source, rate = sqrt(min/n)") {
+    val out = run("q104_mixture_rebalance").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val minN = out.map(_._2).min
+    out.foreach { case (src, n, kept, rate) =>
+      assert(kept <= n, src)
+      val expRate = BigDecimal(math.sqrt(minN.toDouble / n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rate == expRate, s"$src rate $rate != $expRate")
+      if (n == minN) assert(kept == n, s"min source $src must keep all ($kept of $n)")
+    }
+  }
+
+  test("q105 min-of-mins shard signatures equal from-scratch union signatures") {
+    import spark.implicits._
+    val got = run("q105_minhash_union").collect()
+      .map(r => (r.getLong(0), Seq(r.getString(1), r.getString(2), r.getString(3), r.getString(4))))
+      .toMap
+    // from scratch: shingle every doc, key by shard, min per seed over
+    // the UNION of shingles — a different evaluation strategy
+    val docs = graft.operators.Tables.documents(spark, dir)
+    val fresh = docs
+      .select(($"doc_id" % 50).as("shard"),
+        explode(expr(
+          """CASE WHEN size(split(lower(text), '\\W+')) >= 3
+               THEN transform(sequence(0, size(split(lower(text), '\\W+')) - 3),
+                 i -> concat_ws(' ', slice(split(lower(text), '\\W+'), i + 1, 3)))
+               ELSE CAST(array() AS ARRAY<STRING>) END""")).as("s"))
+      .groupBy($"shard")
+      .agg(min(md5(concat($"s", lit("#0")))).as("mh0"),
+        min(md5(concat($"s", lit("#1")))).as("mh1"),
+        min(md5(concat($"s", lit("#2")))).as("mh2"),
+        min(md5(concat($"s", lit("#3")))).as("mh3"))
+      .collect()
+      .map(r => (r.getLong(0), Seq(r.getString(1), r.getString(2), r.getString(3), r.getString(4))))
+      .toMap
+    assert(got == fresh)
+  }
 }
