@@ -470,6 +470,41 @@ object AnalyticsOps {
         SELECT doc_id % 50 AS shard,
           min(md5(s || '#0')) AS mh0, min(md5(s || '#1')) AS mh1,
           min(md5(s || '#2')) AS mh2, min(md5(s || '#3')) AS mh3
-        FROM sh GROUP BY doc_id % 50 ORDER BY shard"""))
+        FROM sh GROUP BY doc_id % 50 ORDER BY shard""")),
+
+    // ---- frame-level feature extraction (multimodal plumbing) --------
+    // The dense-array sibling of the Multimodal blob path: treat each
+    // embedding as a 64-sample PCM buffer and extract per-frame
+    // features — RMS energy and peak amplitude over 4 frames of 16
+    // samples. This is the real Spark-side shape of audio feature
+    // extraction (fixed-stride windows over a dense column, map-only,
+    // one output row per frame); the codec that would DECODE real
+    // audio into such buffers stays behind Multimodal's stubbed
+    // boundary. The frame dot product runs the codegen DotProduct
+    // kernel on an array slice; sqrt is IEEE-exact and the 1e-6 round
+    // matches the q33-q35 convention for fold-order ulps.
+    Q("q106_frame_energy",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        embeddings(s, dir)
+          .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .select($"vec_id", explode(expr("sequence(0, 3)")).as("frame"), $"v")
+          .withColumn("fr", expr("slice(v, frame * 16 + 1, 16)"))
+          .select($"vec_id", $"frame",
+            round(sqrt(expr("dot_product(fr, fr)") / 16.0), 6).as("rms"),
+            round(expr("array_max(transform(fr, x -> abs(x)))"), 6).as("peak"))
+          .orderBy($"vec_id", $"frame")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        fr AS (SELECT vec_id, CAST(f AS INT) AS frame,
+                 list_slice(v, f * 16 + 1, f * 16 + 16) AS fr
+               FROM e, UNNEST(range(0, 4)) AS t(f))
+        SELECT vec_id, frame,
+          ROUND(sqrt(list_sum(list_transform(fr, x -> x * x)) / 16.0), 6) AS rms,
+          ROUND(list_max(list_transform(fr, x -> abs(x))), 6) AS peak
+        FROM fr ORDER BY vec_id, frame"""))
   )
 }

@@ -231,4 +231,24 @@ class AnalyticsOpsSpec extends SparkSuite {
       .toMap
     assert(got == fresh)
   }
+
+  test("q106 frame features equal an independent Scala fold") {
+    val got = run("q106_frame_energy").collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    val raw = graft.operators.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+    raw.foreach { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      (0 until 4).foreach { f =>
+        val fr = v.slice(f * 16, f * 16 + 16)
+        def r6(x: Double) =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val rms = r6(math.sqrt(fr.foldLeft(0.0)((a, x) => a + x * x) / 16.0))
+        val peak = r6(fr.map(math.abs).max)
+        assert(got((id, f)) == ((rms, peak)), s"vec $id frame $f")
+      }
+    }
+    assert(got.size == raw.length * 4)
+  }
 }
