@@ -23,6 +23,42 @@ class ScaleSpec extends SparkSuite {
     assert(salted.collect().toSeq == plain.collect().toSeq)
   }
 
+  test("AQE splits the skewed partition of a shuffle join at runtime") {
+    import spark.implicits._
+    // ~64 MB-at-scale analogue shrunk to test size: one hot key owns
+    // ~90% of the left side's bytes. With broadcast off, a static plan
+    // sends every hot row to ONE reducer; AQE's skew-join rule must
+    // split that partition into parallel sub-reads instead.
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.adaptive.coalescePartitions.enabled" -> spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // 60% of all rows (and bytes) carry key 0 -> with 4 shuffle
+      // partitions the hot partition is ~2.5x the median. The payload
+      // must depend on a column or constant folding hoists it past the
+      // exchange and the hot partition's bytes vanish.
+      val left = spark.range(50000)
+        .select(when($"id" % 5 < 3, lit(0L)).otherwise($"id").as("k"),
+          concat(lit("x" * 128), $"id" % 97).as("pay"))
+      val right = spark.range(50000).select($"id".as("k"), lit(1L).as("m"))
+      val joined = left.join(right, "k")
+      // collect() executes THIS queryExecution (count() would plan a
+      // separate one and leave joined's adaptive plan unfinalized)
+      assert(joined.collect().length == 50000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected a skew-split SMJ in the adaptive plan:\n$finalPlan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("GraftExtensions injects dot_product/rolling_hash at session build") {
     // getOrCreate would silently return the active session and ignore
     // withExtensions — stop it first so the extension path really runs
