@@ -505,6 +505,95 @@ object AnalyticsOps {
         SELECT vec_id, frame,
           ROUND(sqrt(list_sum(list_transform(fr, x -> x * x)) / 16.0), 6) AS rms,
           ROUND(list_max(list_transform(fr, x -> abs(x))), 6) AS peak
-        FROM fr ORDER BY vec_id, frame"""))
+        FROM fr ORDER BY vec_id, frame""")),
+
+    // ---- moving average over the densified series --------------------
+    // 7-day trailing moving average per event type, composed ON the
+    // q95 gap-fill: the dense calendar is what makes the moving window
+    // honest (on a sparse series, RANGE 6 PRECEDING would silently
+    // average over present days only and a quiet week would LOOK
+    // normal). Ragged leading edge uses the true window row count, so
+    // day 1..6 average over what exists. Integer sums + one IEEE
+    // division per row. Scale: the window runs over the grid
+    // (|types| x |days| rows — metadata-sized), partitioned by type;
+    // the raw stream was already reduced by q95's single aggregate.
+    Q("q107_moving_avg",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir)
+          .withColumn("d", datediff(to_date($"ts"), to_date(lit("1970-01-01"))))
+        val cnt = ev.groupBy($"event_type", $"d").agg(count(lit(1)).as("n_events"))
+        val cal = ev.agg(min($"d").as("mn"), max($"d").as("mx"))
+          .select(explode(sequence($"mn", $"mx")).as("d"))
+        val grid = ev.select($"event_type").distinct().crossJoin(broadcast(cal))
+          .join(broadcast(cnt), Seq("event_type", "d"), "left")
+          .select($"event_type", $"d", coalesce($"n_events", lit(0L)).as("n_events"))
+        val w = Window.partitionBy($"event_type").orderBy($"d").rangeBetween(-6, 0)
+        grid.select($"event_type",
+            date_add(to_date(lit("1970-01-01")), $"d").as("day"),
+            $"n_events",
+            round(sum($"n_events").over(w).cast(DoubleType)
+                  / count(lit(1)).over(w), 6).as("ma7"))
+          .orderBy($"event_type", $"day")
+      },
+      Some("""
+        WITH ev AS (SELECT event_type, (ts::DATE - DATE '1970-01-01') AS d FROM events),
+        cnt AS (SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS n_events FROM ev GROUP BY 1, 2),
+        cal AS (SELECT unnest(range(mn, mx + 1)) AS d
+                FROM (SELECT MIN(d) AS mn, MAX(d) AS mx FROM ev)),
+        grid AS (SELECT t.event_type, cal.d, COALESCE(c.n_events, 0) AS n_events
+                 FROM (SELECT DISTINCT event_type FROM ev) t
+                 CROSS JOIN cal
+                 LEFT JOIN cnt c ON c.event_type = t.event_type AND c.d = cal.d)
+        SELECT event_type, DATE '1970-01-01' + CAST(d AS INT) AS day, n_events,
+          ROUND(CAST(SUM(n_events) OVER wma AS DOUBLE)
+                / COUNT(*) OVER wma, 6) AS ma7
+        FROM grid
+        WINDOW wma AS (PARTITION BY event_type ORDER BY d
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY event_type, day""")),
+
+    // ---- winsorized robust statistics --------------------------------
+    // Outlier-robust per-group stats: values clipped to the group's
+    // [p10, p90] before averaging — the robust-aggregation step of any
+    // metrics pipeline fed by heavy-tailed data. The interpolated
+    // percentiles hash-match cross-engine (the q44 contract:
+    // percentile() ≡ QUANTILE_CONT bit-for-bit), so the clip
+    // comparisons agree everywhere; the clipped mean goes through the
+    // standard decimal route. Scale: one percentile aggregate (small),
+    // broadcast back, map-only clip, one final aggregate.
+    Q("q108_winsorized_stats",
+      (s, dir) => {
+        import s.implicits._
+        val li = lineitem(s, dir)
+        val p = li.groupBy($"l_returnflag")
+          .agg(percentile($"l_extendedprice", lit(0.1)).as("p10"),
+            percentile($"l_extendedprice", lit(0.9)).as("p90"))
+        li.join(broadcast(p), Seq("l_returnflag"))
+          .withColumn("clipped", greatest(least($"l_extendedprice", $"p90"), $"p10"))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"l_extendedprice" < $"p10", 1L).otherwise(0L)).as("n_low"),
+            sum(when($"l_extendedprice" > $"p90", 1L).otherwise(0L)).as("n_high"),
+            round(first($"p10"), 6).as("p10"),
+            round(first($"p90"), 6).as("p90"),
+            round(davg($"clipped", 4), 6).as("wins_mean"))
+          .orderBy($"l_returnflag")
+      },
+      Some(s"""
+        WITH p AS (SELECT l_returnflag,
+            QUANTILE_CONT(l_extendedprice, 0.1) AS p10,
+            QUANTILE_CONT(l_extendedprice, 0.9) AS p90
+          FROM lineitem GROUP BY l_returnflag),
+        c AS (SELECT li.l_returnflag, li.l_extendedprice, p.p10, p.p90,
+                GREATEST(LEAST(li.l_extendedprice, p.p90), p.p10) AS clipped
+              FROM lineitem li JOIN p ON li.l_returnflag = p.l_returnflag)
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN l_extendedprice < p10 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+          CAST(SUM(CASE WHEN l_extendedprice > p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+          ROUND(ANY_VALUE(p10), 6) AS p10,
+          ROUND(ANY_VALUE(p90), 6) AS p90,
+          ROUND(${davgSql("clipped", 4)}, 6) AS wins_mean
+        FROM c GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -251,4 +251,43 @@ class AnalyticsOpsSpec extends SparkSuite {
     }
     assert(got.size == raw.length * 4)
   }
+
+  test("q107 moving average equals a Scala recompute over the gap-filled series") {
+    val grid = run("q95_gap_fill").collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay, r.getLong(2)))
+    val series = grid.groupBy(_._1).map { case (t, rows) =>
+      t -> rows.sortBy(_._2).map(r => (r._2, r._3))
+    }
+    val out = run("q107_moving_avg").collect()
+    assert(out.length == grid.length, "ma7 must cover the full dense grid")
+    out.foreach { r =>
+      val (t, day, ma) = (r.getString(0), r.getDate(1).toLocalDate.toEpochDay, r.getDouble(3))
+      val s = series(t)
+      val win = s.filter(x => x._1 <= day && x._1 > day - 7)
+      val exp = BigDecimal(win.map(_._2).sum.toDouble / win.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(ma == exp, s"$t $day: $ma vs $exp over ${win.length} days")
+    }
+  }
+
+  test("q108 winsorized stats: clip counts bounded, mean inside [p10,p90]") {
+    val out = run("q108_winsorized_stats").collect()
+    out.foreach { r =>
+      val (n, nLow, nHigh) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (p10, p90, wm) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      // interpolated percentiles clip AT MOST ~10% strictly outside each side
+      assert(nLow <= n / 10 + 1 && nHigh <= n / 10 + 1, r.toString)
+      assert(p10 <= p90 && wm >= p10 - 1e-6 && wm <= p90 + 1e-6, r.toString)
+      // winsorizing must pull the mean toward the median relative to raw
+    }
+    // the winsorized mean differs from the raw mean (outliers exist at
+    // both ends of l_extendedprice, so clipping must move something)
+    import spark.implicits._
+    val raw = graft.operators.Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg((sum($"l_extendedprice".cast("decimal(30,4)")).cast("double") /
+        count(lit(1))).as("rawmean"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.exists(r => math.abs(r.getDouble(6) - raw(r.getString(0))) > 1e-3))
+  }
 }
