@@ -594,6 +594,93 @@ object AnalyticsOps {
           ROUND(ANY_VALUE(p10), 6) AS p10,
           ROUND(ANY_VALUE(p90), 6) AS p90,
           ROUND(${davgSql("clipped", 4)}, 6) AS wins_mean
-        FROM c GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM c GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- event-type transition matrix --------------------------------
+    // First-order Markov transitions over each user's event sequence:
+    // lag(event_type) per user (total order: ts, event_id tiebreak),
+    // then (prev, next) counts and the per-prev transition share — the
+    // sequence-model statistics behind session analysis and behavioral
+    // anomaly scoring, and a different shape from q93's ordered funnel
+    // (ALL adjacent pairs, not one target path). Share is one IEEE
+    // division of exact counts. Scale: one user-keyed window (uniform
+    // partitioning) + one small aggregate; the matrix is |types|² rows.
+    Q("q109_transitions",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val pairs = events(s, dir)
+          .withColumn("prev_type", lag($"event_type", 1).over(w))
+          .filter($"prev_type".isNotNull)
+          .groupBy($"prev_type", $"event_type".as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = pairs.groupBy($"prev_type").agg(sum($"n").as("tot"))
+        pairs.join(broadcast(totals), Seq("prev_type"))
+          .select($"prev_type", $"next_type", $"n",
+            round($"n".cast(DoubleType) / $"tot", 6).as("share"))
+          .orderBy($"prev_type", $"next_type")
+      },
+      Some("""
+        WITH seq AS (SELECT user_id, event_type,
+            LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events),
+        pairs AS (SELECT prev_type, event_type AS next_type,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS tot FROM pairs GROUP BY prev_type)
+        SELECT p.prev_type, p.next_type, p.n,
+          ROUND(CAST(p.n AS DOUBLE) / t.tot, 6) AS share
+        FROM pairs p JOIN tot t ON p.prev_type = t.prev_type
+        ORDER BY p.prev_type, p.next_type""")),
+
+    // ---- token collocation lift (log-free PMI) -----------------------
+    // Corpus collocations: for token pairs co-occurring in >= 5 docs,
+    // lift = N * n(a,b) / (n(a) * n(b)) — exactly exp(PMI), ordered
+    // identically to PMI without the log (the q82/q96/q97 libm-free
+    // rule again). Presence, not frequency: the doc-token index is
+    // DISTINCT first, so per-doc pair fan-out is bounded by the
+    // distinct vocabulary of the doc — the q70-style inverted-index
+    // shape, never corpus × corpus. Top-20 by (rounded) lift with
+    // total tiebreaks.
+    Q("q110_collocation_lift",
+      (s, dir) => {
+        import s.implicits._
+        val docs = documents(s, dir)
+        val dt = Dedup.withToks(docs)
+          .select($"doc_id", explode($"toks").as("tok"))
+          .filter(length($"tok") > 0)
+          .distinct()
+        val cnt = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val pairs = dt.as("a").join(dt.as("b"),
+            $"a.doc_id" === $"b.doc_id" && $"a.tok" < $"b.tok")
+          .groupBy($"a.tok".as("tok_a"), $"b.tok".as("tok_b"))
+          .agg(count(lit(1)).as("nab"))
+          .filter($"nab" >= 5)
+        pairs
+          .join(broadcast(cnt.select($"tok".as("tok_a"), $"df".as("na"))), Seq("tok_a"))
+          .join(broadcast(cnt.select($"tok".as("tok_b"), $"df".as("nb"))), Seq("tok_b"))
+          .crossJoin(broadcast(nDocs))
+          .select($"tok_a", $"tok_b", $"na", $"nb", $"nab",
+            round(($"n_docs" * $"nab").cast(DoubleType) / ($"na" * $"nb"), 6).as("lift"))
+          .orderBy($"lift".desc, $"tok_a", $"tok_b")
+          .limit(20)
+      },
+      Some(s"""
+        WITH ${Dedup.toksCteSql},
+        dt AS (SELECT DISTINCT doc_id, tok
+               FROM (SELECT doc_id, UNNEST(w) AS tok FROM toksc) u WHERE len(tok) > 0),
+        cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        pairs AS (SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS nab
+                  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        SELECT p.tok_a, p.tok_b, ca.df AS na, cb.df AS nb, p.nab,
+          ROUND(CAST(nd.n_docs * p.nab AS DOUBLE) / (ca.df * cb.df), 6) AS lift
+        FROM pairs p
+        JOIN cnt ca ON ca.tok = p.tok_a
+        JOIN cnt cb ON cb.tok = p.tok_b
+        CROSS JOIN nd
+        ORDER BY lift DESC, tok_a, tok_b LIMIT 20"""))
   )
 }

@@ -290,4 +290,40 @@ class AnalyticsOpsSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(out.exists(r => math.abs(r.getDouble(6) - raw(r.getString(0))) > 1e-3))
   }
+
+  test("q109 transition counts conserve events and shares sum to 1 per row") {
+    val out = run("q109_transitions").collect()
+    import spark.implicits._
+    val ev = graft.operators.Tables.events(spark, dir)
+    val nEvents = ev.count()
+    val nUsers = ev.select($"user_id").distinct().count()
+    // each user with k events contributes k-1 transitions
+    assert(out.map(_.getLong(2)).sum == nEvents - nUsers)
+    out.groupBy(_.getString(0)).foreach { case (prev, rows) =>
+      val s = rows.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"$prev shares sum to $s")
+    }
+  }
+
+  test("q110 collocation lift equals a full Scala recompute") {
+    val docs = graft.operators.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split("\\W+").filter(_.nonEmpty).toSet))
+    val nDocs = docs.length.toLong
+    val df = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val nab = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    docs.foreach { case (_, toks) =>
+      toks.foreach(t => df(t) += 1)
+      val sorted = toks.toSeq.sorted
+      for (i <- sorted.indices; j <- i + 1 until sorted.length)
+        nab((sorted(i), sorted(j))) += 1
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = nab.toSeq.collect { case ((a, b), n) if n >= 5 =>
+      (a, b, df(a), df(b), n, r6(nDocs.toDouble * n / (df(a) * df(b))))
+    }.sortBy(t => (-t._6, t._1, t._2)).take(20)
+    val got = run("q110_collocation_lift").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == expected)
+  }
 }
