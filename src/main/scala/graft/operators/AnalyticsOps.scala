@@ -24,6 +24,50 @@ import org.apache.spark.sql.types._
 object AnalyticsOps {
   import Tables._
 
+  /** (event_type, d, n_events) daily counts on integer epoch days —
+    * the shared base frame for q95/q100/q107. Materialized EAGERLY
+    * (localCheckpoint, the q66-components pattern) so the calendar
+    * bounds, the type list and the count lookup all derive from ONE
+    * scan of the raw stream: without it each branch re-plans its own
+    * FileScan and the "fact table touched once" invariant is a lie at
+    * 100 TB. The frame itself is |types| x |days| rows — metadata. */
+  private def dailyCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .withColumn("d", datediff(to_date($"ts"), to_date(lit("1970-01-01"))))
+      .groupBy($"event_type", $"d").agg(count(lit(1)).as("n_events"))
+      .localCheckpoint(true)
+  }
+
+  /** Oracle twin of [[dailyCounts]] — single source of truth for the
+    * daily CTE shared by the q95/q100/q107 oracles. */
+  private val dailyCteSql: String =
+    """daily AS (SELECT event_type, (ts::DATE - DATE '1970-01-01') AS d,
+         CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2)"""
+
+  /** Dense (event_type, d, n_events) grid between the corpus' min and
+    * max day, zero-filled — shared by q95 (published) and q107 (the
+    * moving average composed on it), so a densification fix can't
+    * silently diverge them. */
+  private def denseGrid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cnt = dailyCounts(s, dir)
+    val cal = cnt.agg(min($"d").as("mn"), max($"d").as("mx"))
+      .select(explode(sequence($"mn", $"mx")).as("d"))
+    cnt.select($"event_type").distinct().crossJoin(broadcast(cal))
+      .join(broadcast(cnt), Seq("event_type", "d"), "left")
+      .select($"event_type", $"d", coalesce($"n_events", lit(0L)).as("n_events"))
+  }
+
+  /** Oracle twin of [[denseGrid]]: `grid(event_type, d, n_events)`. */
+  private val gridCteSql: String = s"""$dailyCteSql,
+        cal AS (SELECT unnest(range(mn, mx + 1)) AS d
+                FROM (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily)),
+        grid AS (SELECT t.event_type, cal.d, COALESCE(c.n_events, 0) AS n_events
+                 FROM (SELECT DISTINCT event_type FROM daily) t
+                 CROSS JOIN cal
+                 LEFT JOIN daily c ON c.event_type = t.event_type AND c.d = cal.d)"""
+
   def queries: Vector[Q] = Vector(
     // ---- calendar densification (gap fill) ---------------------------
     // Zero-fill missing (event_type, day) cells between the corpus'
@@ -38,29 +82,16 @@ object AnalyticsOps {
     Q("q95_gap_fill",
       (s, dir) => {
         import s.implicits._
-        val ev = events(s, dir)
-          .withColumn("d", datediff(to_date($"ts"), to_date(lit("1970-01-01"))))
-        val cnt = ev.groupBy($"event_type", $"d").agg(count(lit(1)).as("n_events"))
-        val cal = ev.agg(min($"d").as("mn"), max($"d").as("mx"))
-          .select(explode(sequence($"mn", $"mx")).as("d"))
-        val grid = ev.select($"event_type").distinct().crossJoin(broadcast(cal))
-        grid.join(broadcast(cnt), Seq("event_type", "d"), "left")
+        denseGrid(s, dir)
           .select($"event_type",
             date_add(to_date(lit("1970-01-01")), $"d").as("day"),
-            coalesce($"n_events", lit(0L)).as("n_events"))
+            $"n_events")
           .orderBy($"event_type", $"day")
       },
-      Some("""
-        WITH ev AS (SELECT event_type, (ts::DATE - DATE '1970-01-01') AS d FROM events),
-        cnt AS (SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS n_events FROM ev GROUP BY 1, 2),
-        cal AS (SELECT unnest(range(mn, mx + 1)) AS d
-                FROM (SELECT MIN(d) AS mn, MAX(d) AS mx FROM ev)),
-        grid AS (SELECT t.event_type, cal.d
-                 FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN cal)
-        SELECT g.event_type, DATE '1970-01-01' + CAST(g.d AS INT) AS day,
-          COALESCE(c.n_events, 0) AS n_events
-        FROM grid g LEFT JOIN cnt c ON c.event_type = g.event_type AND c.d = g.d
-        ORDER BY g.event_type, day""")),
+      Some(s"""
+        WITH $gridCteSql
+        SELECT event_type, DATE '1970-01-01' + CAST(d AS INT) AS day, n_events
+        FROM grid ORDER BY event_type, day""")),
 
     // ---- weighted mixture sampling -----------------------------------
     // Deterministic weighted sampling: per source, take the 5 docs with
@@ -249,9 +280,7 @@ object AnalyticsOps {
     Q("q100_daily_anomalies",
       (s, dir) => {
         import s.implicits._
-        val daily = events(s, dir)
-          .withColumn("d", datediff(to_date($"ts"), to_date(lit("1970-01-01"))))
-          .groupBy($"event_type", $"d").agg(count(lit(1)).as("n_events"))
+        val daily = dailyCounts(s, dir)
         val stats = daily.groupBy($"event_type")
           .agg(count(lit(1)).as("days"), sum($"n_events").as("sn"),
             sum($"n_events" * $"n_events").as("s2"))
@@ -266,10 +295,8 @@ object AnalyticsOps {
             round(($"n_events" - $"mean") / $"sigma", 6).as("zscore"))
           .orderBy($"event_type", $"day")
       },
-      Some("""
-        WITH daily AS (SELECT event_type, (ts::DATE - DATE '1970-01-01') AS d,
-                         CAST(COUNT(*) AS BIGINT) AS n_events
-                       FROM events GROUP BY 1, 2),
+      Some(s"""
+        WITH $dailyCteSql,
         st0 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS days,
                   CAST(SUM(n_events) AS BIGINT) AS sn,
                   CAST(SUM(n_events * n_events) AS BIGINT) AS s2
@@ -520,31 +547,16 @@ object AnalyticsOps {
     Q("q107_moving_avg",
       (s, dir) => {
         import s.implicits._
-        val ev = events(s, dir)
-          .withColumn("d", datediff(to_date($"ts"), to_date(lit("1970-01-01"))))
-        val cnt = ev.groupBy($"event_type", $"d").agg(count(lit(1)).as("n_events"))
-        val cal = ev.agg(min($"d").as("mn"), max($"d").as("mx"))
-          .select(explode(sequence($"mn", $"mx")).as("d"))
-        val grid = ev.select($"event_type").distinct().crossJoin(broadcast(cal))
-          .join(broadcast(cnt), Seq("event_type", "d"), "left")
-          .select($"event_type", $"d", coalesce($"n_events", lit(0L)).as("n_events"))
         val w = Window.partitionBy($"event_type").orderBy($"d").rangeBetween(-6, 0)
-        grid.select($"event_type",
+        denseGrid(s, dir).select($"event_type",
             date_add(to_date(lit("1970-01-01")), $"d").as("day"),
             $"n_events",
             round(sum($"n_events").over(w).cast(DoubleType)
                   / count(lit(1)).over(w), 6).as("ma7"))
           .orderBy($"event_type", $"day")
       },
-      Some("""
-        WITH ev AS (SELECT event_type, (ts::DATE - DATE '1970-01-01') AS d FROM events),
-        cnt AS (SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS n_events FROM ev GROUP BY 1, 2),
-        cal AS (SELECT unnest(range(mn, mx + 1)) AS d
-                FROM (SELECT MIN(d) AS mn, MAX(d) AS mx FROM ev)),
-        grid AS (SELECT t.event_type, cal.d, COALESCE(c.n_events, 0) AS n_events
-                 FROM (SELECT DISTINCT event_type FROM ev) t
-                 CROSS JOIN cal
-                 LEFT JOIN cnt c ON c.event_type = t.event_type AND c.d = cal.d)
+      Some(s"""
+        WITH $gridCteSql
         SELECT event_type, DATE '1970-01-01' + CAST(d AS INT) AS day, n_events,
           ROUND(CAST(SUM(n_events) OVER wma AS DOUBLE)
                 / COUNT(*) OVER wma, 6) AS ma7
@@ -566,24 +578,29 @@ object AnalyticsOps {
       (s, dir) => {
         import s.implicits._
         val li = lineitem(s, dir)
+        // bounds are rounded to 1e-6 BEFORE the clip: a clipped row is
+        // then either a raw 2-decimal price or the 6-decimal bound, so
+        // the decimal-sum route (scale 6) never rounds an ambiguous
+        // full-precision interpolated double — the dsum contract
+        // ("scale must exceed the data's true decimal scale") holds.
         val p = li.groupBy($"l_returnflag")
-          .agg(percentile($"l_extendedprice", lit(0.1)).as("p10"),
-            percentile($"l_extendedprice", lit(0.9)).as("p90"))
+          .agg(round(percentile($"l_extendedprice", lit(0.1)), 6).as("p10"),
+            round(percentile($"l_extendedprice", lit(0.9)), 6).as("p90"))
         li.join(broadcast(p), Seq("l_returnflag"))
           .withColumn("clipped", greatest(least($"l_extendedprice", $"p90"), $"p10"))
           .groupBy($"l_returnflag")
           .agg(count(lit(1)).as("n"),
             sum(when($"l_extendedprice" < $"p10", 1L).otherwise(0L)).as("n_low"),
             sum(when($"l_extendedprice" > $"p90", 1L).otherwise(0L)).as("n_high"),
-            round(first($"p10"), 6).as("p10"),
-            round(first($"p90"), 6).as("p90"),
-            round(davg($"clipped", 4), 6).as("wins_mean"))
+            first($"p10").as("p10"),
+            first($"p90").as("p90"),
+            round(davg($"clipped", 6), 6).as("wins_mean"))
           .orderBy($"l_returnflag")
       },
       Some(s"""
         WITH p AS (SELECT l_returnflag,
-            QUANTILE_CONT(l_extendedprice, 0.1) AS p10,
-            QUANTILE_CONT(l_extendedprice, 0.9) AS p90
+            ROUND(QUANTILE_CONT(l_extendedprice, 0.1), 6) AS p10,
+            ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 6) AS p90
           FROM lineitem GROUP BY l_returnflag),
         c AS (SELECT li.l_returnflag, li.l_extendedprice, p.p10, p.p90,
                 GREATEST(LEAST(li.l_extendedprice, p.p90), p.p10) AS clipped
@@ -591,9 +608,9 @@ object AnalyticsOps {
         SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(CASE WHEN l_extendedprice < p10 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
           CAST(SUM(CASE WHEN l_extendedprice > p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
-          ROUND(ANY_VALUE(p10), 6) AS p10,
-          ROUND(ANY_VALUE(p90), 6) AS p90,
-          ROUND(${davgSql("clipped", 4)}, 6) AS wins_mean
+          ANY_VALUE(p10) AS p10,
+          ANY_VALUE(p90) AS p90,
+          ROUND(${davgSql("clipped", 6)}, 6) AS wins_mean
         FROM c GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- event-type transition matrix --------------------------------
@@ -657,9 +674,12 @@ object AnalyticsOps {
           .groupBy($"a.tok".as("tok_a"), $"b.tok".as("tok_b"))
           .agg(count(lit(1)).as("nab"))
           .filter($"nab" >= 5)
+        // cnt is VOCABULARY-sized (grows with the corpus), so it is
+        // NOT broadcast-hinted — AQE picks broadcast at test scale and
+        // falls back to a shuffle join when the vocabulary outgrows it
         pairs
-          .join(broadcast(cnt.select($"tok".as("tok_a"), $"df".as("na"))), Seq("tok_a"))
-          .join(broadcast(cnt.select($"tok".as("tok_b"), $"df".as("nb"))), Seq("tok_b"))
+          .join(cnt.select($"tok".as("tok_a"), $"df".as("na")), Seq("tok_a"))
+          .join(cnt.select($"tok".as("tok_b"), $"df".as("nb")), Seq("tok_b"))
           .crossJoin(broadcast(nDocs))
           .select($"tok_a", $"tok_b", $"na", $"nb", $"nab",
             round(($"n_docs" * $"nab").cast(DoubleType) / ($"na" * $"nb"), 6).as("lift"))

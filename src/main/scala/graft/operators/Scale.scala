@@ -81,8 +81,13 @@ object Scale {
       min(col(colA)).cast("double").as("amn"), max(col(colA)).cast("double").as("amx"),
       min(col(colB)).cast("double").as("bmn"), max(col(colB)).cast("double").as("bmx"))
     val m = (1L << bits) - 1
+    // span guard must only catch the degenerate mx == mn case: a
+    // floor like greatest(span, 1.0) would silently collapse the
+    // curve's resolution for any column with a sub-1.0 value range
+    // (e.g. normalized scores) — exactly the columns worth z-ordering
     def scaled(c: String, mn: Column, mx: Column): Column =
-      ((col(c).cast("double") - mn) * m / greatest(mx - mn, lit(1.0))).cast("long")
+      ((col(c).cast("double") - mn) * m /
+        when(mx === mn, lit(1.0)).otherwise(mx - mn)).cast("long")
     df.crossJoin(broadcast(bounds))
       .withColumn("__z", morton(
         scaled(colA, col("amn"), col("amx")),

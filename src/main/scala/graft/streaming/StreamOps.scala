@@ -119,7 +119,11 @@ object StreamOps {
       windowLen: String = "1 hour"): DataFrame =
     tumblingAgg(events, watermarkDelay, windowLen)
       .join(broadcast(baseline), Seq("event_type"))
-      .filter(col("n") > col("mean") + lit(k) * col("sigma"))
+      // sigma > 0 guard: a zero-variance baseline (legitimate q100
+      // output for an all-equal-days type) cannot express a k-sigma
+      // threshold — without the guard any above-mean window would
+      // emit with a divide-by-zero NULL zscore
+      .filter(col("sigma") > 0 && col("n") > col("mean") + lit(k) * col("sigma"))
       .select(col("event_type"), col("w_start"), col("n"),
         ((col("n") - col("mean")) / col("sigma")).as("zscore"))
 

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Invariant + dual-implementation checks for the continuation
-  * operators (q95–q103) — complements the DuckDB oracle (cross-engine
+  * operators (q95–q110) — complements the DuckDB oracle (cross-engine
   * equality) with checks that the SEMANTICS are the intended ones. */
 class AnalyticsOpsSpec extends SparkSuite {
 

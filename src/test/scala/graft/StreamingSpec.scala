@@ -256,17 +256,25 @@ class StreamingSpec extends SparkSuite {
   test("anomaliesVsBaseline flags only windows above the trained threshold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    // baseline: click windows average 2 events, sigma 1 -> threshold 4
-    val baseline = Seq(("click", 2.0, 1.0)).toDF("event_type", "mean", "sigma")
+    // baseline: click windows average 2 events, sigma 1 -> threshold 4;
+    // view has a ZERO-variance baseline, which cannot express a
+    // k-sigma threshold -> its windows must never emit (a missing
+    // sigma>0 guard would emit every above-mean view window with a
+    // divide-by-zero NULL zscore)
+    val baseline = Seq(("click", 2.0, 1.0), ("view", 0.5, 0.0))
+      .toDF("event_type", "mean", "sigma")
     val input = MemoryStream[Ev]
     val q = StreamOps.anomaliesVsBaseline(input.toDF(), baseline,
         k = 2.0, watermarkDelay = "10 minutes", windowLen = "1 hour")
       .writeStream.format("memory").queryName("anom")
       .outputMode("append").start()
-    // hour 10: 5 clicks (anomalous, 5 > 2 + 2*1); hour 11: 2 clicks (normal)
+    // hour 10: 5 clicks (anomalous, 5 > 2 + 2*1) and 2 views (above
+    // the view mean but sigma=0 -> guarded); hour 11: 2 clicks (normal)
     input.addData(
       (1 to 5).map(i => Ev(ts(s"2024-01-01 10:0$i:00"), "click", 1.0)) ++
-      Seq(Ev(ts("2024-01-01 11:10:00"), "click", 1.0),
+      Seq(Ev(ts("2024-01-01 10:15:00"), "view", 1.0),
+          Ev(ts("2024-01-01 10:25:00"), "view", 1.0),
+          Ev(ts("2024-01-01 11:10:00"), "click", 1.0),
           Ev(ts("2024-01-01 11:20:00"), "click", 1.0)): _*)
     q.processAllAvailable()
     // advance watermark past both windows so they finalize
@@ -274,10 +282,11 @@ class StreamingSpec extends SparkSuite {
     q.processAllAvailable()
     q.stop()
     val rows = spark.table("anom")
-      .select(date_format($"w_start", "HH").as("h"), $"n", $"zscore")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-    assert(rows.map(_._1).toSet == Set("10"), s"only hour 10 should flag: ${rows.toSeq}")
-    assert(rows.head._2 == 5L && math.abs(rows.head._3 - 3.0) < 1e-9)
+      .select($"event_type", date_format($"w_start", "HH").as("h"), $"n", $"zscore")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(r => (r._1, r._2)).toSet == Set(("click", "10")),
+      s"only click hour 10 should flag: ${rows.toSeq}")
+    assert(rows.head._3 == 5L && math.abs(rows.head._4 - 3.0) < 1e-9)
   }
 
   test("runningValueAnomalies scores against prior history and keeps training") {

@@ -56,4 +56,20 @@ class ZOrderSpec extends SparkSuite {
     assert(zx <= nFiles / 2, s"z-order x-files $zx")
     assert(zy <= nFiles / 2, s"z-order y-files $zy")
   }
+
+  test("z-order keeps resolution for sub-1.0 value ranges") {
+    import spark.implicits._
+    val nFiles = 16
+    // normalized-score-like columns in [0, 0.63] — a naive
+    // greatest(span, 1.0) guard would collapse the curve to 1 bit
+    val grid = spark.range(64L * 64)
+      .select((($"id" % 64) / 100.0).as("x"), (($"id" / 64).cast("long") / 100.0).as("y"))
+    val dir = s"/tmp/zorder_spec_${System.nanoTime()}/small"
+    Scale.writeZOrdered(grid, dir, "x", "y", nFiles, bits = 6)
+    def filesTouched(cond: String): Long =
+      spark.read.parquet(dir).filter(cond)
+        .select(input_file_name()).distinct().count()
+    assert(filesTouched("x < 0.16") <= nFiles / 2, "x pruning lost on small range")
+    assert(filesTouched("y < 0.16") <= nFiles / 2, "y pruning lost on small range")
+  }
 }
