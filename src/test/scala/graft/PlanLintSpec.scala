@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Registry-wide plan lint: the automated form of the per-round plan
+  * audit (docs/PLANS_r*.md). Every registered query's physical plan is
+  * checked for the two operators that do not survive 100 TB:
+  *
+  *  - CartesianProductExec: quadratic row fan-out with a shuffle on
+  *    both sides — never acceptable; the registry has none.
+  *  - BroadcastNestedLoopJoinExec: acceptable ONLY when the broadcast
+  *    side is provably tiny BY CONSTRUCTION (a scalar aggregate, a
+  *    generated calendar, a fixed hyperplane set). Those sites are
+  *    whitelisted per query; anything new must justify itself here.
+  *
+  * Plans are built at sf0.001 without executing the final query (some
+  * operators run eager prep actions by design — bloom build, label
+  * propagation, the dense-grid checkpoint — which is fine). */
+class PlanLintSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // queries whose BNLJ is a by-construction-tiny broadcast side
+  // (each audited in docs/PLANS_r*.md); the check below is two-sided,
+  // so a stale entry fails the lint just like a missing one
+  private val bnljWhitelist = Set(
+    "q55_ann_lsh",            // 8 fixed hyperplane vectors
+    "q64_kmeans_iter",        // 8 centroids per Lloyd round
+    "q82_keyword_scores",     // 1-row corpus-count scalar
+    "q110_collocation_lift",  // 1-row corpus-count scalar
+    "q93_event_funnel",       // three 1-row funnel-stage counts
+    "q95_gap_fill",           // generated calendar x |types| grid
+    "q107_moving_avg",        // same grid via denseGrid
+    "q104_mixture_rebalance", // 1-row min-count scalar
+    "q34_ann_topk",           // fixed 50-vector probe set (declared brute-force baseline)
+    "q87_knn_label",          // same probe-set frame as q34
+    "q78_corpus_stats",       // 1-row dataset-card scalars
+    "q98_source_overlap")     // |sources| x |sources| pair grid (metadata-sized)
+
+  private def operators(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => operators(a.executedPlan)
+      case other => Seq(other)
+    }
+    self ++ p.children.flatMap(operators) ++
+      p.subqueries.flatMap(operators)
+  }
+
+  test("no registered query plans a cartesian product") {
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val plan = q.build(spark, dir).queryExecution.executedPlan
+      if (operators(plan).exists(_.isInstanceOf[CartesianProductExec]))
+        Some(q.name)
+      else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
+  test("broadcast nested-loop joins only where the broadcast side is tiny by construction") {
+    val withBnlj = SparkEntry.registry.flatMap { q =>
+      val plan = q.build(spark, dir).queryExecution.executedPlan
+      if (operators(plan).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+        Some(q.name)
+      else None
+    }.toSet
+    val offenders = withBnlj -- bnljWhitelist
+    val stale = bnljWhitelist -- withBnlj
+    assert(offenders.isEmpty,
+      s"unexpected BroadcastNestedLoopJoin in: ${offenders.mkString(", ")} — " +
+        "justify and whitelist, or restructure the join")
+    assert(stale.isEmpty,
+      s"stale whitelist entries (no BNLJ planned): ${stale.mkString(", ")}")
+  }
+}
