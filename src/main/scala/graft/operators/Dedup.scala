@@ -443,9 +443,17 @@ object Dedup {
     * and the DF-capped inverted-index path (q70). */
   private[operators] def verifyJaccard(cand: DataFrame, dsh: DataFrame): DataFrame = {
     val card = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // the shingle frames are corpus-scale TEXT: their compressed
+    // shuffle stats understate deserialized size by ~10x, so AQE's
+    // SMJ->broadcast conversion can pick a "small" side that then
+    // OOMs the driver (reproduced at 10x sf0.1 in a 1 GB driver).
+    // The shuffle_hash hint keeps these two joins partitioned —
+    // text-heavy corpus frames must never ship to the driver; the
+    // per-partition hash build is executor-local and spillable. card
+    // (narrow numerics) and everything else stay AQE-chosen.
     cand
-      .join(dsh.as("x"), col("ida") === col("x.doc_id"))
-      .join(dsh.as("y"), col("idb") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .join(dsh.as("x").hint("shuffle_hash"), col("ida") === col("x.doc_id"))
+      .join(dsh.as("y").hint("shuffle_hash"), col("idb") === col("y.doc_id") && col("x.s") === col("y.s"))
       .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("i"))
       .join(card.as("ca"), col("ida") === col("ca.doc_id"))
       .join(card.as("cb"), col("idb") === col("cb.doc_id"))
