@@ -701,6 +701,123 @@ object AnalyticsOps {
         JOIN cnt ca ON ca.tok = p.tok_a
         JOIN cnt cb ON cb.tok = p.tok_b
         CROSS JOIN nd
-        ORDER BY lift DESC, tok_a, tok_b LIMIT 20"""))
+        ORDER BY lift DESC, tok_a, tok_b LIMIT 20""")),
+
+    // ---- upsert / merge apply (SCD-1, latest wins) -------------------
+    // The incremental-pipeline write primitive (q90 maintains an
+    // AGGREGATE incrementally; q91 keeps SCD-2 history; this is the
+    // SCD-1 current-state table): apply a change batch onto a base
+    // snapshot, key-matched rows replaced, new keys inserted —
+    // delta UNION (base ANTI-JOIN delta), the shuffle-minimal merge
+    // (one anti join keyed on the merge key; at scale both sides
+    // bucket/partition on the key and the union is append-only).
+    // Base/delta are derived deterministically from orders: the base
+    // is missing keys ≡0 (mod 7); the delta revises keys ≡0 (mod 3)
+    // with +1.5 on the price (decimal-exact arithmetic).
+    Q("q111_upsert_apply",
+      (s, dir) => {
+        import s.implicits._
+        val o = orders(s, dir)
+        val base = o.filter($"o_orderkey" % 7 =!= 0)
+        val delta = o.filter($"o_orderkey" % 3 === 0)
+          .withColumn("o_totalprice", $"o_totalprice" + lit(1.5))
+        val merged = delta.unionByName(
+          base.join(delta.select($"o_orderkey"), Seq("o_orderkey"), "left_anti"))
+        merged.groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum($"o_totalprice", 4).as("price_sum"))
+          .orderBy($"o_orderstatus")
+      },
+      Some(s"""
+        WITH base AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+        delta AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                    o_totalprice + 1.5 AS o_totalprice, o_orderdate, o_orderpriority
+                  FROM orders WHERE o_orderkey % 3 = 0),
+        merged AS (SELECT * FROM delta
+                   UNION ALL
+                   SELECT * FROM base
+                   WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta))
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+          ${dsumSql("o_totalprice", 4)} AS price_sum
+        FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- snapshot diff (CDC classification) --------------------------
+    // The reverse primitive: given two snapshots of a keyed table,
+    // classify every key as inserted / deleted / updated / unchanged —
+    // the change-data-capture feed an incremental pipeline consumes
+    // when the source can't produce one. One full-outer join on the
+    // key; value comparison on the decimal-cast price so "updated" is
+    // exact cross-engine. Snapshot B = the q111 merge minus keys ≡0
+    // (mod 11), so all four classes are non-empty.
+    Q("q112_snapshot_diff",
+      (s, dir) => {
+        import s.implicits._
+        val o = orders(s, dir)
+        val snapA = o.filter($"o_orderkey" % 7 =!= 0)
+          .select($"o_orderkey", $"o_totalprice".cast(DecimalType(18, 2)).as("va"))
+        val delta = o.filter($"o_orderkey" % 3 === 0)
+          .withColumn("o_totalprice", $"o_totalprice" + lit(1.5))
+        val merged = delta.unionByName(
+          o.filter($"o_orderkey" % 7 =!= 0)
+            .join(delta.select($"o_orderkey"), Seq("o_orderkey"), "left_anti"))
+        val snapB = merged.filter($"o_orderkey" % 11 =!= 0)
+          .select($"o_orderkey", $"o_totalprice".cast(DecimalType(18, 2)).as("vb"))
+        snapA.join(snapB, Seq("o_orderkey"), "full_outer")
+          .select(
+            when($"va".isNull, lit("inserted"))
+              .when($"vb".isNull, lit("deleted"))
+              .when($"va" =!= $"vb", lit("updated"))
+              .otherwise(lit("unchanged")).as("change"))
+          .groupBy($"change").agg(count(lit(1)).as("n"))
+          .orderBy($"change")
+      },
+      Some("""
+        WITH snap_a AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS va
+                        FROM orders WHERE o_orderkey % 7 <> 0),
+        delta AS (SELECT o_orderkey, o_totalprice + 1.5 AS o_totalprice
+                  FROM orders WHERE o_orderkey % 3 = 0),
+        merged AS (SELECT o_orderkey, o_totalprice FROM delta
+                   UNION ALL
+                   SELECT o_orderkey, o_totalprice FROM orders
+                   WHERE o_orderkey % 7 <> 0
+                     AND o_orderkey NOT IN (SELECT o_orderkey FROM delta)),
+        snap_b AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS vb
+                   FROM merged WHERE o_orderkey % 11 <> 0)
+        SELECT CASE WHEN a.va IS NULL THEN 'inserted'
+                    WHEN b.vb IS NULL THEN 'deleted'
+                    WHEN a.va <> b.vb THEN 'updated'
+                    ELSE 'unchanged' END AS change,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+        GROUP BY 1 ORDER BY change""")),
+
+    // ---- two-level stratified split assignment -----------------------
+    // Deterministic train/val/test split, stratified by (lang, source):
+    // the md5-threshold trick on a 16-way hash digit — 12/2/2 within
+    // every stratum, stable under corpus growth (a doc's split never
+    // changes when other docs arrive — the property random shuffles
+    // lack). The canonical last step before training-data export.
+    Q("q113_split_assign",
+      (s, dir) => {
+        import s.implicits._
+        val h = substring(md5($"doc_id".cast(StringType)), 1, 1)
+        documents(s, dir)
+          .withColumn("split",
+            when(h.isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b"), "train")
+              .when(h.isin("c", "d"), "val")
+              .otherwise("test"))
+          .groupBy($"lang", $"source", $"split")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").cast(LongType).as("chars"))
+          .orderBy($"lang", $"source", $"split")
+      },
+      Some("""
+        WITH s AS (SELECT lang, source, n_chars,
+            CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+                 WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents)
+        SELECT lang, source, split, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM s GROUP BY lang, source, split ORDER BY lang, source, split"""))
   )
 }

@@ -326,4 +326,61 @@ class AnalyticsOpsSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
     assert(got.toSeq == expected)
   }
+
+  test("q111 merge equals a full-outer coalesce merge (different construction)") {
+    import spark.implicits._
+    val o = graft.operators.Tables.orders(spark, dir)
+    val base = o.filter($"o_orderkey" % 7 =!= 0)
+    val delta = o.filter($"o_orderkey" % 3 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" + lit(1.5))
+    // alternative merge: full outer join, delta wins on conflict
+    val alt = base.select($"o_orderkey", $"o_orderstatus".as("sa"), $"o_totalprice".as("pa"))
+      .join(delta.select($"o_orderkey", $"o_orderstatus".as("sd"), $"o_totalprice".as("pd")),
+        Seq("o_orderkey"), "full_outer")
+      .select(coalesce($"sd", $"sa").as("o_orderstatus"),
+        coalesce($"pd", $"pa").as("o_totalprice"))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        graft.operators.Tables.dsum($"o_totalprice", 4).as("price_sum"))
+      .orderBy($"o_orderstatus").collect()
+    val got = run("q111_upsert_apply").collect()
+    assert(got.toSeq == alt.toSeq)
+  }
+
+  test("q112 diff classes are all present and conserve keys") {
+    val out = run("q112_snapshot_diff").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("inserted", "deleted", "updated", "unchanged"),
+      s"classes: $out")
+    import spark.implicits._
+    val o = graft.operators.Tables.orders(spark, dir)
+    val aKeys = o.filter($"o_orderkey" % 7 =!= 0).count()
+    // total classified rows = |A ∪ B| = |A| + inserted
+    assert(out.values.sum == aKeys + out("inserted"))
+    // deleted = keys of the merged snapshot divisible by 11 that were in A
+    val deletedExpected = o.filter($"o_orderkey" % 7 =!= 0)
+      .filter($"o_orderkey" % 11 === 0).count()
+    assert(out("deleted") == deletedExpected)
+  }
+
+  test("q113 split assignment is stable, stratified, and complete") {
+    val out = run("q113_split_assign").collect()
+    val total = out.map(_.getLong(3)).sum
+    val docs = graft.operators.Tables.documents(spark, dir).count()
+    assert(total == docs, "every doc gets exactly one split")
+    // split of a given doc_id is reproducible from the md5 rule
+    def split(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.head
+      if ("0123456789ab".contains(h)) "train" else if ("cd".contains(h)) "val" else "test"
+    }
+    import spark.implicits._
+    val sample = graft.operators.Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source").limit(50).collect()
+    val bySplit = out.map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    sample.foreach { r =>
+      val key = (r.getString(1), r.getString(2), split(r.getLong(0)))
+      assert(bySplit.contains(key), s"doc ${r.getLong(0)} expected in stratum $key")
+    }
+  }
 }
