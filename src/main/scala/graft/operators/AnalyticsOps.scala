@@ -68,6 +68,32 @@ object AnalyticsOps {
                  CROSS JOIN cal
                  LEFT JOIN daily c ON c.event_type = t.event_type AND c.d = cal.d)"""
 
+  /** The q111/q112 latest-wins merge — single source of truth for the
+    * upsert rule (base = keys ≢0 mod 7, delta = keys ≡0 mod 3 at
+    * +1.5 price, merged = delta ∪ base ANTI delta), shared by q111
+    * (the published merge) and q112 (the snapshot diffed AGAINST that
+    * merge) so an edit to the rule can't silently diverge them. */
+  private def upsertMerged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = orders(s, dir)
+    val base = o.filter($"o_orderkey" % 7 =!= 0)
+    val delta = o.filter($"o_orderkey" % 3 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" + lit(1.5))
+    delta.unionByName(
+      base.join(delta.select($"o_orderkey"), Seq("o_orderkey"), "left_anti"))
+  }
+
+  /** Oracle twin of [[upsertMerged]]: `merged(*)` over orders' columns. */
+  private val upsertMergedCteSql: String = """
+        base AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+        delta AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                    o_totalprice + 1.5 AS o_totalprice, o_orderdate, o_orderpriority
+                  FROM orders WHERE o_orderkey % 3 = 0),
+        merged AS (SELECT * FROM delta
+                   UNION ALL
+                   SELECT * FROM base
+                   WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta))"""
+
   def queries: Vector[Q] = Vector(
     // ---- calendar densification (gap fill) ---------------------------
     // Zero-fill missing (event_type, day) cells between the corpus'
@@ -674,12 +700,14 @@ object AnalyticsOps {
           .groupBy($"a.tok".as("tok_a"), $"b.tok".as("tok_b"))
           .agg(count(lit(1)).as("nab"))
           .filter($"nab" >= 5)
-        // cnt is VOCABULARY-sized (grows with the corpus), so it is
-        // NOT broadcast-hinted — AQE picks broadcast at test scale and
-        // falls back to a shuffle join when the vocabulary outgrows it
+        // cnt is VOCABULARY-sized TEXT (grows with the corpus): pinned
+        // shuffle_hash for the same reason as Dedup.verifyJaccard —
+        // compressed stats understate deserialized text ~10x, so in
+        // the mid-scale hazard zone AQE would still broadcast it and
+        // OOM the driver (docs/SCALING.md)
         pairs
-          .join(cnt.select($"tok".as("tok_a"), $"df".as("na")), Seq("tok_a"))
-          .join(cnt.select($"tok".as("tok_b"), $"df".as("nb")), Seq("tok_b"))
+          .join(cnt.select($"tok".as("tok_a"), $"df".as("na")).hint("shuffle_hash"), Seq("tok_a"))
+          .join(cnt.select($"tok".as("tok_b"), $"df".as("nb")).hint("shuffle_hash"), Seq("tok_b"))
           .crossJoin(broadcast(nDocs))
           .select($"tok_a", $"tok_b", $"na", $"nb", $"nab",
             round(($"n_docs" * $"nab").cast(DoubleType) / ($"na" * $"nb"), 6).as("lift"))
@@ -717,25 +745,12 @@ object AnalyticsOps {
     Q("q111_upsert_apply",
       (s, dir) => {
         import s.implicits._
-        val o = orders(s, dir)
-        val base = o.filter($"o_orderkey" % 7 =!= 0)
-        val delta = o.filter($"o_orderkey" % 3 === 0)
-          .withColumn("o_totalprice", $"o_totalprice" + lit(1.5))
-        val merged = delta.unionByName(
-          base.join(delta.select($"o_orderkey"), Seq("o_orderkey"), "left_anti"))
-        merged.groupBy($"o_orderstatus")
+        upsertMerged(s, dir).groupBy($"o_orderstatus")
           .agg(count(lit(1)).as("n"), dsum($"o_totalprice", 4).as("price_sum"))
           .orderBy($"o_orderstatus")
       },
       Some(s"""
-        WITH base AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
-        delta AS (SELECT o_orderkey, o_custkey, o_orderstatus,
-                    o_totalprice + 1.5 AS o_totalprice, o_orderdate, o_orderpriority
-                  FROM orders WHERE o_orderkey % 3 = 0),
-        merged AS (SELECT * FROM delta
-                   UNION ALL
-                   SELECT * FROM base
-                   WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta))
+        WITH $upsertMergedCteSql
         SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
           ${dsumSql("o_totalprice", 4)} AS price_sum
         FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
@@ -751,15 +766,9 @@ object AnalyticsOps {
     Q("q112_snapshot_diff",
       (s, dir) => {
         import s.implicits._
-        val o = orders(s, dir)
-        val snapA = o.filter($"o_orderkey" % 7 =!= 0)
+        val snapA = orders(s, dir).filter($"o_orderkey" % 7 =!= 0)
           .select($"o_orderkey", $"o_totalprice".cast(DecimalType(18, 2)).as("va"))
-        val delta = o.filter($"o_orderkey" % 3 === 0)
-          .withColumn("o_totalprice", $"o_totalprice" + lit(1.5))
-        val merged = delta.unionByName(
-          o.filter($"o_orderkey" % 7 =!= 0)
-            .join(delta.select($"o_orderkey"), Seq("o_orderkey"), "left_anti"))
-        val snapB = merged.filter($"o_orderkey" % 11 =!= 0)
+        val snapB = upsertMerged(s, dir).filter($"o_orderkey" % 11 =!= 0)
           .select($"o_orderkey", $"o_totalprice".cast(DecimalType(18, 2)).as("vb"))
         snapA.join(snapB, Seq("o_orderkey"), "full_outer")
           .select(
@@ -770,16 +779,10 @@ object AnalyticsOps {
           .groupBy($"change").agg(count(lit(1)).as("n"))
           .orderBy($"change")
       },
-      Some("""
-        WITH snap_a AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS va
-                        FROM orders WHERE o_orderkey % 7 <> 0),
-        delta AS (SELECT o_orderkey, o_totalprice + 1.5 AS o_totalprice
-                  FROM orders WHERE o_orderkey % 3 = 0),
-        merged AS (SELECT o_orderkey, o_totalprice FROM delta
-                   UNION ALL
-                   SELECT o_orderkey, o_totalprice FROM orders
-                   WHERE o_orderkey % 7 <> 0
-                     AND o_orderkey NOT IN (SELECT o_orderkey FROM delta)),
+      Some(s"""
+        WITH $upsertMergedCteSql,
+        snap_a AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS va
+                   FROM orders WHERE o_orderkey % 7 <> 0),
         snap_b AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS vb
                    FROM merged WHERE o_orderkey % 11 <> 0)
         SELECT CASE WHEN a.va IS NULL THEN 'inserted'

@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Invariant + dual-implementation checks for the continuation
-  * operators (q95–q110) — complements the DuckDB oracle (cross-engine
-  * equality) with checks that the SEMANTICS are the intended ones. */
+  * operators (q95 and onward; one test per query below) — complements
+  * the DuckDB oracle (cross-engine equality) with checks that the
+  * SEMANTICS are the intended ones. */
 class AnalyticsOpsSpec extends SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"

@@ -48,22 +48,24 @@ class PlanLintSpec extends SparkSuite {
       p.subqueries.flatMap(operators)
   }
 
+  // ONE registry sweep shared by both tests: q.build is not free (the
+  // dense-grid checkpoint, label-propagation loops and bloom builds
+  // run eager prep jobs), so plan everything once
+  private lazy val plansByQuery: Map[String, Seq[SparkPlan]] =
+    SparkEntry.registry.map { q =>
+      q.name -> operators(q.build(spark, dir).queryExecution.executedPlan)
+    }.toMap
+
   test("no registered query plans a cartesian product") {
-    val offenders = SparkEntry.registry.flatMap { q =>
-      val plan = q.build(spark, dir).queryExecution.executedPlan
-      if (operators(plan).exists(_.isInstanceOf[CartesianProductExec]))
-        Some(q.name)
-      else None
+    val offenders = plansByQuery.collect {
+      case (name, ops) if ops.exists(_.isInstanceOf[CartesianProductExec]) => name
     }
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
   test("broadcast nested-loop joins only where the broadcast side is tiny by construction") {
-    val withBnlj = SparkEntry.registry.flatMap { q =>
-      val plan = q.build(spark, dir).queryExecution.executedPlan
-      if (operators(plan).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
-        Some(q.name)
-      else None
+    val withBnlj = plansByQuery.collect {
+      case (name, ops) if ops.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) => name
     }.toSet
     val offenders = withBnlj -- bnljWhitelist
     val stale = bnljWhitelist -- withBnlj
