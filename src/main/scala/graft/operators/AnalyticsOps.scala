@@ -821,6 +821,54 @@ object AnalyticsOps {
           FROM documents)
         SELECT lang, source, split, CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(n_chars) AS BIGINT) AS chars
-        FROM s GROUP BY lang, source, split ORDER BY lang, source, split"""))
+        FROM s GROUP BY lang, source, split ORDER BY lang, source, split""")),
+
+    // ---- count-min sketch frequency estimates ------------------------
+    // The fixed-size mergeable frequency summary (Cormode &
+    // Muthukrishnan 2005), completing the sketch family: q41 is
+    // distinct-count (HLL), q105 is set-similarity (MinHash), this is
+    // point frequency. 4 rows x 256 columns; cell(r, c) = count of
+    // token instances with md5-hash(tok#r) = c; estimate = min over
+    // the 4 rows (never undercounts — pinned by the spec against ALL
+    // tokens). At 100 TB the sketch build is ONE aggregate whose
+    // map-side combine reduces every partition to <= 1024 cells —
+    // partial aggregation IS the sketch merge, the same mergeability
+    // story proved for MinHash in q105. Published output: the top-10
+    // true-frequency tokens with their estimates and overcounts.
+    Q("q114_countmin",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Dedup.withToks(documents(s, dir))
+          .select(explode($"toks").as("tok")).filter(length($"tok") > 0)
+        val keyed = toks.select($"tok", explode(expr("sequence(0, 3)")).as("r"))
+          .withColumn("c", conv(substring(md5(concat($"tok", lit("#"), $"r")), 1, 2), 16, 10).cast(LongType))
+        val cells = keyed.groupBy($"r", $"c").agg(count(lit(1)).as("cell"))
+        val truth = toks.groupBy($"tok").agg(count(lit(1)).as("true_cnt"))
+        val top = truth.orderBy($"true_cnt".desc, $"tok").limit(10)
+        top.select($"tok", $"true_cnt", explode(expr("sequence(0, 3)")).as("r"))
+          .withColumn("c", conv(substring(md5(concat($"tok", lit("#"), $"r")), 1, 2), 16, 10).cast(LongType))
+          .join(broadcast(cells), Seq("r", "c"))
+          .groupBy($"tok", $"true_cnt").agg(min($"cell").as("est_cnt"))
+          .select($"tok", $"true_cnt", $"est_cnt",
+            ($"est_cnt" - $"true_cnt").as("overcount"))
+          .orderBy($"true_cnt".desc, $"tok")
+      },
+      Some(s"""
+        WITH ${Dedup.toksCteSql},
+        t AS (SELECT tok FROM (SELECT UNNEST(w) AS tok FROM toksc) u WHERE len(tok) > 0),
+        keyed AS (SELECT tok, r,
+            ('0x' || substr(md5(tok || '#' || CAST(r AS VARCHAR)), 1, 2))::BIGINT AS c
+          FROM t, UNNEST(range(0, 4)) AS s(r)),
+        cells AS (SELECT r, c, CAST(COUNT(*) AS BIGINT) AS cell FROM keyed GROUP BY r, c),
+        truth AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM t GROUP BY tok),
+        top AS (SELECT tok, true_cnt FROM truth ORDER BY true_cnt DESC, tok LIMIT 10),
+        probe AS (SELECT top.tok, top.true_cnt, r,
+            ('0x' || substr(md5(top.tok || '#' || CAST(r AS VARCHAR)), 1, 2))::BIGINT AS c
+          FROM top, UNNEST(range(0, 4)) AS s(r)),
+        est AS (SELECT p.tok, p.true_cnt, CAST(MIN(cells.cell) AS BIGINT) AS est_cnt
+                FROM probe p JOIN cells ON cells.r = p.r AND cells.c = p.c
+                GROUP BY p.tok, p.true_cnt)
+        SELECT tok, true_cnt, est_cnt, est_cnt - true_cnt AS overcount
+        FROM est ORDER BY true_cnt DESC, tok"""))
   )
 }

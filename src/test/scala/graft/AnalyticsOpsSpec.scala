@@ -384,4 +384,34 @@ class AnalyticsOpsSpec extends SparkSuite {
       assert(bySplit.contains(key), s"doc ${r.getLong(0)} expected in stratum $key")
     }
   }
+
+  test("q114 count-min never undercounts, for EVERY token, recomputed in Scala") {
+    // rebuild the sketch and the truth table in plain Scala and check
+    // the count-min guarantee (est >= true) across the whole
+    // vocabulary, not just the published top-10
+    val docs = graft.operators.Tables.documents(spark, dir)
+      .select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split("\\W+").filter(_.nonEmpty))
+    def cellOf(tok: String, r: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tok#$r".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(2)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val truth = docs.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long].withDefaultValue(0L)
+    docs.foreach(t => (0 until 4).foreach(r => cells((r, cellOf(t, r))) += 1))
+    truth.foreach { case (t, n) =>
+      val est = (0 until 4).map(r => cells((r, cellOf(t, r)))).min
+      assert(est >= n, s"count-min undercounted $t: $est < $n")
+    }
+    // and the published top-10 agrees with this independent sketch
+    val got = run("q114_countmin").collect()
+    got.foreach { r =>
+      val (tok, tr, est) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(truth(tok) == tr)
+      assert((0 until 4).map(x => cells((x, cellOf(tok, x)))).min == est, tok)
+      assert(r.getLong(3) == est - tr)
+    }
+    assert(got.length == 10)
+  }
 }
