@@ -351,6 +351,64 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming SCD-1 upsert via foreachBatch — the streaming form of
+    * q111: each micro-batch is applied latest-wins onto a persisted
+    * keyed current-state table. The merge is one latest-wins window
+    * over state ∪ batch (highest `orderCol` per key survives; bake
+    * any tiebreak into orderCol), so the final state is the latest
+    * row per key over ALL input — independent of micro-batch
+    * boundaries AND robust to cross-batch late data: a stale version
+    * arriving after a newer one is already in state loses, where the
+    * q111-style "batch replaces state on key match" would regress the
+    * row. Since the simple form rewrites the full state anyway, the
+    * global window costs the same as the anti-join merge here; at
+    * partitioned-state scale, apply the window within touched
+    * partitions only.
+    *
+    * The state is rewritten atomically per batch: merged output goes
+    * to `<statePath>.staging`, then a filesystem rename swaps it in
+    * (atomic on HDFS/local; on object stores without atomic rename,
+    * point statePath at a rename-capable layer). Only a MISSING state
+    * path reads as empty (first batch); any other read failure fails
+    * the batch for checkpoint retry — the [[incrementalIndexedDedup]]
+    * hardening rule. foreachBatch is at-least-once: a replayed batch
+    * re-applies the same latest-wins merge, which is idempotent, so
+    * the state converges (unlike append sinks, no duplicate rows).
+    *
+    * Scale: one shuffle of the batch (tiny) for the per-key window,
+    * one key-equi anti-join against the state. The full-state rewrite
+    * is the simple-and-correct form; at 100 TB state, partition the
+    * state by key range and rewrite only partitions the batch
+    * touches. */
+  def streamingUpsert(
+      stream: DataFrame,
+      statePath: String,
+      checkpoint: String,
+      keyCol: String,
+      orderCol: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val hadoopPath = new org.apache.hadoop.fs.Path(statePath)
+        val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val all =
+          if (fs.exists(hadoopPath)) batch.unionByName(spark.read.parquet(statePath))
+          else batch
+        val w = Window.partitionBy(col(s"`$keyCol`")).orderBy(col(s"`$orderCol`").desc)
+        val merged = all.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val staging = new org.apache.hadoop.fs.Path(statePath + ".staging")
+        merged.write.mode("overwrite").parquet(staging.toString)
+        fs.delete(hadoopPath, true)
+        if (!fs.rename(staging, hadoopPath))
+          throw new java.io.IOException(s"state swap failed: $staging -> $hadoopPath")
+        ()
+      }
+      .start()
+  }
+
   /** Streaming benchmark decontamination — the streaming form of q71:
     * docs sharing any word `n`-gram with the static benchmark are
     * dropped as they arrive. The benchmark gram set is collected once
