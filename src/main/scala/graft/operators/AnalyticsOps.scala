@@ -835,20 +835,31 @@ object AnalyticsOps {
     // point frequency. 4 rows x 256 columns; cell(r, c) = count of
     // token instances with md5-hash(tok#r) = c; estimate = min over
     // the 4 rows (never undercounts — pinned by the spec against ALL
-    // tokens). At 100 TB the sketch build is ONE aggregate whose
+    // tokens). Production builds ONLY the sketch: one aggregate whose
     // map-side combine reduces every partition to <= 1024 cells —
     // partial aggregation IS the sketch merge, the same mergeability
-    // story proved for MinHash in q105. Published output: the top-10
-    // true-frequency tokens with their estimates and overcounts.
+    // story proved for MinHash in q105. This CALIBRATION query also
+    // needs the exact counts, so it aggregates the corpus once into
+    // the vocabulary-sized truth table and derives the cells from it.
+    // Published output: the top-10 true-frequency tokens with their
+    // estimates and overcounts.
     Q("q114_countmin",
       (s, dir) => {
         import s.implicits._
         val toks = Dedup.withToks(documents(s, dir))
           .select(explode($"toks").as("tok")).filter(length($"tok") > 0)
-        val keyed = toks.select($"tok", explode(expr("sequence(0, 3)")).as("r"))
-          .withColumn("c", conv(substring(md5(concat($"tok", lit("#"), $"r")), 1, 2), 16, 10).cast(LongType))
-        val cells = keyed.groupBy($"r", $"c").agg(count(lit(1)).as("cell"))
+        // ONE corpus scan: the exact per-token counts (vocabulary-
+        // sized) are materialized eagerly (the dailyCounts pattern),
+        // and the sketch cells derive FROM them — all instances of a
+        // token hash to the same cells, so cell(r,c) = sum of
+        // true_cnt over tokens landing there, identical to counting
+        // instances directly (which is what the oracle still does —
+        // a deliberately different evaluation strategy)
         val truth = toks.groupBy($"tok").agg(count(lit(1)).as("true_cnt"))
+          .localCheckpoint(true)
+        val keyed = truth.select($"tok", $"true_cnt", explode(expr("sequence(0, 3)")).as("r"))
+          .withColumn("c", conv(substring(md5(concat($"tok", lit("#"), $"r")), 1, 2), 16, 10).cast(LongType))
+        val cells = keyed.groupBy($"r", $"c").agg(sum($"true_cnt").as("cell"))
         val top = truth.orderBy($"true_cnt".desc, $"tok").limit(10)
         top.select($"tok", $"true_cnt", explode(expr("sequence(0, 3)")).as("r"))
           .withColumn("c", conv(substring(md5(concat($"tok", lit("#"), $"r")), 1, 2), 16, 10).cast(LongType))

@@ -365,21 +365,23 @@ object StreamOps {
     * partitioned-state scale, apply the window within touched
     * partitions only.
     *
-    * The state is rewritten atomically per batch: merged output goes
-    * to `<statePath>.staging`, then a filesystem rename swaps it in
-    * (atomic on HDFS/local; on object stores without atomic rename,
-    * point statePath at a rename-capable layer). Only a MISSING state
-    * path reads as empty (first batch); any other read failure fails
-    * the batch for checkpoint retry — the [[incrementalIndexedDedup]]
-    * hardening rule. foreachBatch is at-least-once: a replayed batch
-    * re-applies the same latest-wins merge, which is idempotent, so
-    * the state converges (unlike append sinks, no duplicate rows).
+    * The state is VERSIONED, never swapped in place: each batch
+    * writes `<statePath>/v<N+1>` and only then deletes older
+    * versions; a read takes the highest COMMITTED version (dir with
+    * Spark's _SUCCESS marker). There is no window in which the
+    * current state is deleted before its successor is durable — a
+    * crash at any point leaves either vN (batch replays and re-merges
+    * idempotently) or vN+1 (replay merges onto the already-merged
+    * state, also idempotent), and a partially-written version without
+    * _SUCCESS is ignored. No version present reads as empty (first
+    * batch); a LISTING/read failure fails the batch for checkpoint
+    * retry — the [[incrementalIndexedDedup]] hardening rule.
     *
-    * Scale: one shuffle of the batch (tiny) for the per-key window,
-    * one key-equi anti-join against the state. The full-state rewrite
-    * is the simple-and-correct form; at 100 TB state, partition the
-    * state by key range and rewrite only partitions the batch
-    * touches. */
+    * Scale: the merge windows over state ∪ batch, so every
+    * micro-batch shuffles and rewrites the FULL state — the
+    * simple-and-correct form, right when state is dimension-sized.
+    * At 100 TB state, partition the state by key range and apply the
+    * same versioned merge only to partitions the batch touches. */
   def streamingUpsert(
       stream: DataFrame,
       statePath: String,
@@ -391,22 +393,50 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val hadoopPath = new org.apache.hadoop.fs.Path(statePath)
-        val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val all =
-          if (fs.exists(hadoopPath)) batch.unionByName(spark.read.parquet(statePath))
-          else batch
+        val root = new org.apache.hadoop.fs.Path(statePath)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // committed versions = v<N> dirs carrying Spark's _SUCCESS
+        def versions(): Seq[Long] =
+          if (!fs.exists(root)) Seq.empty
+          else fs.listStatus(root).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+            .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+            .map(_.getPath.getName.drop(1).toLong)
+        val cur = versions().sorted.lastOption
+        val all = cur match {
+          case Some(n) => batch.unionByName(spark.read.parquet(s"$statePath/v$n"))
+          case None => batch
+        }
         val w = Window.partitionBy(col(s"`$keyCol`")).orderBy(col(s"`$orderCol`").desc)
         val merged = all.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-        val staging = new org.apache.hadoop.fs.Path(statePath + ".staging")
-        merged.write.mode("overwrite").parquet(staging.toString)
-        fs.delete(hadoopPath, true)
-        if (!fs.rename(staging, hadoopPath))
-          throw new java.io.IOException(s"state swap failed: $staging -> $hadoopPath")
+        val next = cur.getOrElse(0L) + 1
+        merged.write.mode("overwrite").parquet(s"$statePath/v$next")
+        // cleanup strictly AFTER the successor is committed
+        versions().filter(_ < next).foreach { n =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"v$n"), true)
+        }
         ()
       }
       .start()
+  }
+
+  /** The current committed state of a [[streamingUpsert]] table: the
+    * highest `v<N>` version carrying _SUCCESS, or an empty frame with
+    * `schema` if no batch has committed yet. */
+  def upsertState(spark: org.apache.spark.sql.SparkSession, statePath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+        .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+        .map(_.getPath.getName.drop(1).toLong)
+    vs.sorted.lastOption match {
+      case Some(n) => spark.read.parquet(s"$statePath/v$n")
+      case None => spark.emptyDataFrame
+    }
   }
 
   /** Streaming benchmark decontamination — the streaming form of q71:

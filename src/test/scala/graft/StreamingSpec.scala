@@ -328,19 +328,26 @@ class StreamingSpec extends SparkSuite {
     // batch 1: two keys, key 1 twice (ver 2 wins within the batch)
     input.addData((1L, 1L, "a1"), (1L, 2L, "a2"), (2L, 1L, "b1"))
     q.processAllAvailable()
-    val s1 = spark.read.parquet(s"$base/state")
+    val s1 = StreamOps.upsertState(spark, s"$base/state")
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(s1 == Map(1L -> "a2", 2L -> "b1"), s1.toString)
+    // a partially-written (no _SUCCESS) higher version must be
+    // invisible to both readers and the next batch's merge
+    new java.io.File(s"$base/state/v999").mkdirs()
     // batch 2: update key 2, insert key 3, a late lower version of
     // key 2 (loses to the batch's own ver 3), and a CROSS-BATCH late
     // row for key 1 (ver 0 must lose to the ver 2 already in state)
     input.addData((2L, 3L, "b3"), (2L, 2L, "b2"), (3L, 1L, "c1"), (1L, 0L, "a0-late"))
     q.processAllAvailable()
     q.stop()
-    val s2 = spark.read.parquet(s"$base/state")
+    val s2 = StreamOps.upsertState(spark, s"$base/state")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
     assert(s2 == Map(1L -> ((2L, "a2")), 2L -> ((3L, "b3")), 3L -> ((1L, "c1"))), s2.toString)
     // exactly one row per key — an upsert, not an append
-    assert(spark.read.parquet(s"$base/state").count() == 3)
+    assert(StreamOps.upsertState(spark, s"$base/state").count() == 3)
+    // superseded committed versions are cleaned up; the uncommitted
+    // marker dir is inert
+    val dirs = new java.io.File(s"$base/state").listFiles().map(_.getName).toSet
+    assert(dirs.filter(_.matches("v\\d+")) == Set("v2", "v999"), dirs.toString)
   }
 }
