@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -383,18 +383,70 @@ object AnalyticsOps {
         FROM ch ORDER BY doc_id, chunk_id""")),
 
     // ---- equi-depth histogram ----------------------------------------
-    // 10 equal-population price buckets via ntile over a TOTAL order
-    // (price + key tie-breaks, so both engines assign identical bucket
-    // boundaries — ntile's distribution rule is standard SQL in both).
-    // This is the EXACT form; at 100 TB the global sort is the cost and
-    // approx_percentile (q67) is the scale path — this pair is the
-    // same exact/approx contract as q14/q41 for distinct counts.
+    // 10 equal-population price buckets with EXACT ntile semantics over
+    // the TOTAL order (price + key tie-breaks) — but computed with a
+    // range-partitioned global rank, never a single-partition window
+    // (the naive `ntile(10) OVER (ORDER BY ...)` funnels the whole
+    // table into ONE task — the r3 verdict's scale-killer). Shape:
+    //   1. approx cutpoints on price split the table into P ranges
+    //      (P = spark.sql.shuffle.partitions — config, not data);
+    //   2. rows get a DATA-DETERMINISTIC range id from a codegen'd
+    //      CASE chain over the literal cutpoints (equal prices share a
+    //      range, so (rid, tie-break order) == the global total order —
+    //      and both passes below see identical rids, unlike
+    //      spark_partition_id() which can diverge across jobs);
+    //   3. row_number() windows PER RANGE run in parallel;
+    //   4. global rank = per-range offset + local rank, offsets from
+    //      the O(P) per-range counts; bucket = the standard ntile
+    //      fill rule (first N%10 buckets get one extra row).
+    // The only driver-side materializations are the cutpoint array and
+    // the per-range counts — both O(P), bounded by config at any data
+    // size (the same class as q64's per-round centroids). Skew note:
+    // a single price value repeated across a whole range cannot be
+    // split further (ties must share a range); pathological constant
+    // columns degrade to one task per distinct value, documented in
+    // docs/SCALE_DESIGN.md. approx_percentile (q67) remains the
+    // one-pass sketch path of this exact/approx pair (like q14/q41).
     Q("q102_equidepth_hist",
       (s, dir) => {
         import s.implicits._
-        val w = Window.orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
-        lineitem(s, dir)
-          .withColumn("bucket", ntile(10).over(w))
+        val li = lineitem(s, dir)
+        val nRanges = s.conf.get("spark.sql.shuffle.partitions").toInt.max(1)
+        // 1. approximate range cutpoints (accuracy only affects balance,
+        //    never correctness); distinct+sorted so the CASE chain is a
+        //    proper strictly-increasing search
+        val probs = (1 until nRanges).map(_.toDouble / nRanges)
+        val cutRow = li.agg(percentile_approx($"l_extendedprice",
+          typedLit(probs), lit(10000)).as("c")).head()
+        val cuts: Seq[Double] =
+          if (cutRow.isNullAt(0)) Seq.empty
+          else cutRow.getSeq[Double](0).distinct.sorted
+        // 2. rid = index of the first cutpoint >= price (codegen CASE
+        //    chain; equal prices always share a rid)
+        val rid = cuts.zipWithIndex.foldRight(lit(cuts.size): Column) {
+          case ((c, i), rest) => when($"l_extendedprice" <= lit(c), lit(i)).otherwise(rest)
+        }
+        val withRid = li.withColumn("rid", rid)
+        // 3+4. offsets from the O(P) counts, then parallel local ranks
+        val cnts = withRid.groupBy($"rid").agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val offsets = new Array[Long](cuts.size + 1)
+        var acc = 0L
+        for (p <- 0 until (cuts.size + 1)) { offsets(p) = acc; acc += cnts.getOrElse(p, 0L) }
+        val n = acc
+        val (qsz, rem) = (n / 10, n % 10)
+        val lw = Window.partitionBy($"rid")
+          .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+        withRid
+          .withColumn("r",
+            element_at(typedLit(offsets.toSeq), $"rid" + 1) + row_number().over(lw))
+          // standard ntile fill: ranks 1..rem*(qsz+1) land in the first
+          // rem (size qsz+1) buckets, the rest in size-qsz buckets
+          .withColumn("bucket", expr(
+            s"""CAST(CASE WHEN r <= ${rem * (qsz + 1)}
+                 THEN (r - 1) div ${qsz + 1} + 1
+                 ELSE $rem + (r - 1 - ${rem * (qsz + 1)}) div ${qsz.max(1)} + 1
+               END AS INT)"""))
           .groupBy($"bucket")
           .agg(count(lit(1)).as("n"),
             min($"l_extendedprice").as("lo"),

@@ -169,6 +169,23 @@ class AnalyticsOpsSpec extends SparkSuite {
         s"bucket ${a.getInt(0)} hi ${a.getDouble(3)} > bucket ${b.getInt(0)} lo ${b.getDouble(2)}")
     case _ => ()
     }
+    // the range-partitioned rank must reproduce naive global ntile
+    // EXACTLY (same buckets, counts, bounds, sums) — the scale-safe
+    // plan is a pure re-planning, not an approximation
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val naive = graft.operators.Tables.lineitem(spark, dir)
+      .withColumn("bucket",
+        ntile(10).over(Window.orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        min($"l_extendedprice").as("lo"),
+        max($"l_extendedprice").as("hi"),
+        sum($"l_extendedprice".cast("decimal(30,4)")).cast("double").as("price_sum"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    val got = out.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == naive.toSeq)
   }
 
   test("q103 correlations are bounded and match an independent computation") {

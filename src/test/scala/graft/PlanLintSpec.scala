@@ -3,10 +3,11 @@ package graft
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
 /** Registry-wide plan lint: the automated form of the per-round plan
   * audit (docs/PLANS_r*.md). Every registered query's physical plan is
-  * checked for the two operators that do not survive 100 TB:
+  * checked for the three operators that do not survive 100 TB:
   *
   *  - CartesianProductExec: quadratic row fan-out with a shuffle on
   *    both sides — never acceptable; the registry has none.
@@ -14,6 +15,11 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   *    side is provably tiny BY CONSTRUCTION (a scalar aggregate, a
   *    generated calendar, a fixed hyperplane set). Those sites are
   *    whitelisted per query; anything new must justify itself here.
+  *  - WindowExec / WindowGroupLimitExec with an EMPTY partition spec:
+  *    requires AllTuples ⇒ SinglePartition — the entire input funnels
+  *    through ONE task (the r3 q102 scale-killer). A global SortExec
+  *    is deliberately NOT in this list: global sorts require
+  *    OrderedDistribution ⇒ RangePartitioning, which stays parallel.
   *
   * Plans are built at sf0.001 without executing the final query (some
   * operators run eager prep actions by design — bloom build, label
@@ -74,5 +80,34 @@ class PlanLintSpec extends SparkSuite {
         "justify and whitelist, or restructure the join")
     assert(stale.isEmpty,
       s"stale whitelist entries (no BNLJ planned): ${stale.mkString(", ")}")
+  }
+
+  private def hasSinglePartitionWindow(ops: Seq[SparkPlan]): Boolean =
+    ops.exists {
+      case w: WindowExec           => w.partitionSpec.isEmpty
+      case w: WindowGroupLimitExec => w.partitionSpec.isEmpty
+      case _                       => false
+    }
+
+  test("no registered query plans a single-partition window") {
+    val offenders = plansByQuery.collect {
+      case (name, ops) if hasSinglePartitionWindow(ops) => name
+    }
+    assert(offenders.isEmpty,
+      s"single-partition windows (empty PARTITION BY over the full input) in: " +
+        s"${offenders.mkString(", ")} — range-partition a deterministic rank " +
+        "instead (see q102_equidepth_hist)")
+  }
+
+  test("the single-partition-window detector fires on the pattern it forbids") {
+    // the exact plan shape q102 had before r4: ntile over a global
+    // ORDER BY — proof the lint above is load-bearing, not vacuous
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val bad = graft.operators.Tables.lineitem(spark, dir)
+      .withColumn("b", ntile(10).over(
+        Window.orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")))
+    assert(hasSinglePartitionWindow(operators(bad.queryExecution.executedPlan)))
   }
 }
