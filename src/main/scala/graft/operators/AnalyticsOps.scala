@@ -211,11 +211,14 @@ object AnalyticsOps {
     // "how much do my mixture components overlap" table): distinct
     // 3-gram sets per source, intersections from an inverted index on
     // the gram, Jaccard = inter / (|A| + |B| - inter). ALL pairs get a
-    // row (zero-overlap pairs included — the matrix must be complete).
-    // Scale: the gram->source index is deduped FIRST, so per-gram
-    // fan-out is bounded by #sources (pairs per gram <= C(k,2) for k
-    // sources, k small by construction) — never doc x doc; the final
-    // matrix is k^2 rows, metadata-sized.
+    // row BY CONSTRUCTION: the pair grid is derived from DOCUMENTS
+    // (not from the gram index, whose sources vanish when every doc is
+    // shorter than a 3-gram — r3 advice), sizes COALESCE to 0 and
+    // Jaccard is defined 0 on an empty union, so even all-short
+    // sources appear. Scale: the gram->source index is deduped FIRST,
+    // so per-gram fan-out is bounded by #sources (pairs per gram <=
+    // C(k,2) for k sources, k small by construction) — never
+    // doc x doc; the final matrix is k^2 rows, metadata-sized.
     Q("q98_source_overlap",
       (s, dir) => {
         import s.implicits._
@@ -227,16 +230,20 @@ object AnalyticsOps {
             $"a.g" === $"b.g" && $"a.source" < $"b.source")
           .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
           .agg(count(lit(1)).as("inter"))
-        val srcs = sizes.select($"source")
+        val srcs = documents(s, dir).select($"source").distinct()
+        val uni = $"n_a" + $"n_b" - coalesce($"inter", lit(0L))
         srcs.as("x").join(srcs.as("y"), $"x.source" < $"y.source")
           .select($"x.source".as("src_a"), $"y.source".as("src_b"))
           .join(inter, Seq("src_a", "src_b"), "left")
-          .join(broadcast(sizes.withColumnRenamed("source", "src_a").withColumnRenamed("n", "n_a")), Seq("src_a"))
-          .join(broadcast(sizes.withColumnRenamed("source", "src_b").withColumnRenamed("n", "n_b")), Seq("src_b"))
+          .join(broadcast(sizes.withColumnRenamed("source", "src_a").withColumnRenamed("n", "n_a")), Seq("src_a"), "left")
+          .join(broadcast(sizes.withColumnRenamed("source", "src_b").withColumnRenamed("n", "n_b")), Seq("src_b"), "left")
+          .withColumn("n_a", coalesce($"n_a", lit(0L)))
+          .withColumn("n_b", coalesce($"n_b", lit(0L)))
           .select($"src_a", $"src_b", $"n_a", $"n_b",
             coalesce($"inter", lit(0L)).as("inter"),
-            round(coalesce($"inter", lit(0L)).cast(DoubleType)
-                  / ($"n_a" + $"n_b" - coalesce($"inter", lit(0L))), 6).as("jaccard"))
+            when(uni === 0L, lit(0.0))
+              .otherwise(round(coalesce($"inter", lit(0L)).cast(DoubleType) / uni, 6))
+              .as("jaccard"))
           .orderBy($"src_a", $"src_b")
       },
       Some(s"""
@@ -247,15 +254,19 @@ object AnalyticsOps {
         inter AS (SELECT a.source AS src_a, b.source AS src_b,
                     CAST(COUNT(*) AS BIGINT) AS inter
                   FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
-                  GROUP BY 1, 2)
-        SELECT x.source AS src_a, y.source AS src_b, sx.n AS n_a, sy.n AS n_b,
+                  GROUP BY 1, 2),
+        srcs AS (SELECT DISTINCT source FROM documents)
+        SELECT x.source AS src_a, y.source AS src_b,
+          COALESCE(sx.n, 0) AS n_a, COALESCE(sy.n, 0) AS n_b,
           COALESCE(i.inter, 0) AS inter,
-          ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE)
-                / (sx.n + sy.n - COALESCE(i.inter, 0)), 6) AS jaccard
-        FROM sizes x JOIN sizes y ON x.source < y.source
+          CASE WHEN COALESCE(sx.n, 0) + COALESCE(sy.n, 0) - COALESCE(i.inter, 0) = 0
+               THEN 0.0
+               ELSE ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+                / (COALESCE(sx.n, 0) + COALESCE(sy.n, 0) - COALESCE(i.inter, 0)), 6) END AS jaccard
+        FROM srcs x JOIN srcs y ON x.source < y.source
         LEFT JOIN inter i ON i.src_a = x.source AND i.src_b = y.source
-        JOIN sizes sx ON sx.source = x.source
-        JOIN sizes sy ON sy.source = y.source
+        LEFT JOIN sizes sx ON sx.source = x.source
+        LEFT JOIN sizes sy ON sy.source = y.source
         ORDER BY src_a, src_b""")),
 
     // ---- bloom-filter join reduction ---------------------------------
@@ -295,21 +306,26 @@ object AnalyticsOps {
     // ---- daily anomaly detection -------------------------------------
     // Days where an event type's volume exceeds its own mean by more
     // than 2 sigma — the monitoring query every ingestion pipeline runs
-    // on its daily partition counts. Determinism: per-type sums and
-    // sums-of-squares are exact BIGINTs; mean/variance/sigma are then a
-    // fixed chain of IEEE ops (division, multiply, subtract, sqrt —
-    // all correctly rounded, so both engines produce the same bits and
-    // the >2-sigma threshold can't flip). sigma>0 is implied for every
-    // flagged row (n > mean requires variance > 0), so the z-score
-    // division is safe. Scale: one aggregate to daily counts (tiny),
-    // then a broadcast join of per-type stats back onto them.
+    // on its daily partition counts. Determinism: per-type sums are
+    // exact BIGINTs and sums-of-squares exact DECIMAL(38,0) — the
+    // per-row square is (19,0)x(19,0), so no int64 value can wrap it,
+    // and the group sum holds every corpus below 1e38 (r3 advice:
+    // int64 squares overflow SILENTLY in Spark's non-ANSI mode at
+    // exactly the scale this query targets). mean/variance/sigma are
+    // then a fixed chain of IEEE ops (division, multiply, subtract,
+    // sqrt — all correctly rounded, so both engines produce the same
+    // bits and the >2-sigma threshold can't flip). sigma>0 is implied
+    // for every flagged row (n > mean requires variance > 0), so the
+    // z-score division is safe. Scale: one aggregate to daily counts
+    // (tiny), then a broadcast join of per-type stats back onto them.
     Q("q100_daily_anomalies",
       (s, dir) => {
         import s.implicits._
         val daily = dailyCounts(s, dir)
         val stats = daily.groupBy($"event_type")
           .agg(count(lit(1)).as("days"), sum($"n_events").as("sn"),
-            sum($"n_events" * $"n_events").as("s2"))
+            sum($"n_events".cast(DecimalType(19, 0))
+              * $"n_events".cast(DecimalType(19, 0))).as("s2"))
           .withColumn("mean", $"sn".cast(DoubleType) / $"days")
           .withColumn("variance", $"s2".cast(DoubleType) / $"days" - $"mean" * $"mean")
           .withColumn("sigma", sqrt(when($"variance" < 0, lit(0.0)).otherwise($"variance")))
@@ -325,7 +341,7 @@ object AnalyticsOps {
         WITH $dailyCteSql,
         st0 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS days,
                   CAST(SUM(n_events) AS BIGINT) AS sn,
-                  CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+                  SUM(CAST(n_events AS DECIMAL(19,0)) * CAST(n_events AS DECIMAL(19,0))) AS s2
                 FROM daily GROUP BY event_type),
         st1 AS (SELECT event_type, CAST(sn AS DOUBLE) / days AS mean,
                   CAST(s2 AS DOUBLE) / days - (CAST(sn AS DOUBLE) / days) * (CAST(sn AS DOUBLE) / days) AS variance
@@ -463,34 +479,45 @@ object AnalyticsOps {
           ${dsumSql("l_extendedprice", 4)} AS price_sum
         FROM b GROUP BY bucket ORDER BY bucket""")),
 
-    // ---- exact-integer Pearson correlation ---------------------------
+    // ---- exact-sum Pearson correlation --------------------------------
     // Per-language corr(n_chars, token count) — a data-quality sanity
     // check (chars-per-token drift flags tokenizer problems per
-    // language). Both variables are BIGINTs, so all five sufficient
-    // statistics are EXACT integer sums; corr is then a fixed IEEE
-    // chain (products, subtract, sqrt, one division) — bit-identical
-    // cross-engine, unlike the engines' own corr() whose double
-    // accumulation is summation-order-dependent. Zero-variance groups
-    // define corr = 0. Scale: one doc-keyed map + one small aggregate;
-    // the sufficient-statistic form is the standard single-pass
+    // language). All five sufficient statistics are EXACT sums: the
+    // linear ones in BIGINT, the squares/products in DECIMAL(38,0) —
+    // the per-row product is (19,0)x(19,0), so no int64 pair can wrap
+    // it, and the group sum holds every corpus below 1e38 (r3 advice:
+    // the old int64 squares overflow SILENTLY in Spark's non-ANSI mode
+    // exactly at the 100 TB scale this narrative targets, while the
+    // DuckDB oracle raises — silent cross-engine divergence). The
+    // combination (n·sxx − sx², etc.) happens in DOUBLE via one cast
+    // per statistic — the identical correctly-rounded IEEE chain in
+    // both engines, so the result is still bit-identical cross-engine;
+    // variance terms are clamped at 0 (the subtraction can round a
+    // true 0 slightly negative) and corr is defined 0 when the
+    // denominator is 0 — both guards written identically in both
+    // engines. Scale: one doc-keyed map + one small aggregate; the
+    // sufficient-statistic form is the standard single-pass
     // distributed corr.
     Q("q103_corr_lang",
       (s, dir) => {
         import s.implicits._
+        val dec = DecimalType(19, 0)
         val d = Dedup.withToks(documents(s, dir))
           .select($"lang", $"n_chars".as("x"),
             size(filter($"toks", t => length(t) > 0)).cast(LongType).as("y"))
         val stats = d.groupBy($"lang").agg(
           count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
-          sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
-          sum($"x" * $"y").as("sxy"))
+          sum($"x".cast(dec) * $"x".cast(dec)).as("sxx"),
+          sum($"y".cast(dec) * $"y".cast(dec)).as("syy"),
+          sum($"x".cast(dec) * $"y".cast(dec)).as("sxy"))
+        val D = DoubleType
+        val vx = $"n".cast(D) * $"sxx".cast(D) - $"sx".cast(D) * $"sx".cast(D)
+        val vy = $"n".cast(D) * $"syy".cast(D) - $"sy".cast(D) * $"sy".cast(D)
+        val den = sqrt(greatest(vx, lit(0.0))) * sqrt(greatest(vy, lit(0.0)))
         stats.select($"lang", $"n".as("n_docs"),
-          when(($"n" * $"sxx" - $"sx" * $"sx") === 0 || ($"n" * $"syy" - $"sy" * $"sy") === 0,
-            lit(0.0))
+          when(den === 0.0, lit(0.0))
             .otherwise(round(
-              ($"n" * $"sxy" - $"sx" * $"sy").cast(DoubleType)
-                / (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast(DoubleType))
-                   * sqrt(($"n" * $"syy" - $"sy" * $"sy").cast(DoubleType))), 6))
+              ($"n".cast(D) * $"sxy".cast(D) - $"sx".cast(D) * $"sy".cast(D)) / den, 6))
             .as("corr_chars_toks"))
           .orderBy($"lang")
       },
@@ -501,15 +528,21 @@ object AnalyticsOps {
               FROM documents dd JOIN toksc t ON dd.doc_id = t.doc_id),
         st AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-                 CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
-                 CAST(SUM(x * y) AS BIGINT) AS sxy
-               FROM j GROUP BY lang)
+                 SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+                 SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
+                 SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy
+               FROM j GROUP BY lang),
+        cmb AS (SELECT lang, n,
+                 sqrt(greatest(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+                 * sqrt(greatest(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0)) AS den,
+                 CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num
+               FROM st)
         SELECT lang, n AS n_docs,
-          CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 THEN 0.0
-               ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                             * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) END AS corr_chars_toks
-        FROM st ORDER BY lang""")),
+          CASE WHEN den = 0.0 THEN 0.0 ELSE ROUND(num / den, 6) END AS corr_chars_toks
+        FROM cmb ORDER BY lang""")),
 
     // ---- temperature-flattened mixture rebalancing -------------------
     // Multilingual/multi-source training mixes flatten the source

@@ -412,19 +412,29 @@ object StreamOps {
           .filter(col("__rn") === 1).drop("__rn")
         val next = cur.getOrElse(0L) + 1
         merged.write.mode("overwrite").parquet(s"$statePath/v$next")
-        // cleanup strictly AFTER the successor is committed
-        versions().filter(_ < next).foreach { n =>
-          fs.delete(new org.apache.hadoop.fs.Path(root, s"v$n"), true)
-        }
+        // cleanup strictly AFTER the successor is committed — and
+        // including UNcommitted v<N> dirs below it (a crashed write
+        // leaves a _SUCCESS-less dir readers already ignore; without
+        // this they'd accumulate forever)
+        if (fs.exists(root)) fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+          .filter(_.getPath.getName.drop(1).toLong < next)
+          .foreach(s => fs.delete(s.getPath, true))
         ()
       }
       .start()
   }
 
   /** The current committed state of a [[streamingUpsert]] table: the
-    * highest `v<N>` version carrying _SUCCESS, or an empty frame with
-    * `schema` if no batch has committed yet. */
-  def upsertState(spark: org.apache.spark.sql.SparkSession, statePath: String): DataFrame = {
+    * highest `v<N>` version carrying _SUCCESS. Before the first commit
+    * it returns an empty frame WITH `schema` when one is supplied —
+    * callers can select the key/value columns unconditionally — and
+    * the column-less `emptyDataFrame` otherwise (r3 advice: the old
+    * docstring promised a schema the code never had). */
+  def upsertState(
+      spark: org.apache.spark.sql.SparkSession,
+      statePath: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(statePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vs =
@@ -435,7 +445,10 @@ object StreamOps {
         .map(_.getPath.getName.drop(1).toLong)
     vs.sorted.lastOption match {
       case Some(n) => spark.read.parquet(s"$statePath/v$n")
-      case None => spark.emptyDataFrame
+      case None =>
+        schema.map(sc => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc))
+          .getOrElse(spark.emptyDataFrame)
     }
   }
 

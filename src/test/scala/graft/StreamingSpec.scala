@@ -334,6 +334,9 @@ class StreamingSpec extends SparkSuite {
     // a partially-written (no _SUCCESS) higher version must be
     // invisible to both readers and the next batch's merge
     new java.io.File(s"$base/state/v999").mkdirs()
+    // a crashed LOWER write (no _SUCCESS) must be garbage-collected by
+    // the next commit, not accumulate forever
+    new java.io.File(s"$base/state/v0").mkdirs()
     // batch 2: update key 2, insert key 3, a late lower version of
     // key 2 (loses to the batch's own ver 3), and a CROSS-BATCH late
     // row for key 1 (ver 0 must lose to the ver 2 already in state)
@@ -345,9 +348,16 @@ class StreamingSpec extends SparkSuite {
     assert(s2 == Map(1L -> ((2L, "a2")), 2L -> ((3L, "b3")), 3L -> ((1L, "c1"))), s2.toString)
     // exactly one row per key — an upsert, not an append
     assert(StreamOps.upsertState(spark, s"$base/state").count() == 3)
-    // superseded committed versions are cleaned up; the uncommitted
-    // marker dir is inert
+    // superseded committed versions AND crashed uncommitted lower
+    // versions are cleaned up; only a higher-numbered uncommitted dir
+    // (possibly someone else's in-flight write) is left alone
     val dirs = new java.io.File(s"$base/state").listFiles().map(_.getName).toSet
     assert(dirs.filter(_.matches("v\\d+")) == Set("v2", "v999"), dirs.toString)
+    // before any commit, upsertState with a schema yields a selectable
+    // empty frame (the column-less emptyDataFrame otherwise)
+    val sc = StreamOps.upsertState(spark, s"$base/nonexistent",
+      Some(org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, ver BIGINT, v STRING")))
+    assert(sc.select("k", "ver", "v").count() == 0)
+    assert(StreamOps.upsertState(spark, s"$base/nonexistent").columns.isEmpty)
   }
 }
