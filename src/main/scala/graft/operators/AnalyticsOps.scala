@@ -606,8 +606,7 @@ object AnalyticsOps {
       },
       Some(s"""${Dedup.shingleCte}
         SELECT doc_id % 50 AS shard,
-          min(md5(s || '#0')) AS mh0, min(md5(s || '#1')) AS mh1,
-          min(md5(s || '#2')) AS mh2, min(md5(s || '#3')) AS mh3
+          ${(0 until 4).map(k => s"min(${Dedup.bandSliceSql(k)}) AS mh$k").mkString(", ")}
         FROM sh GROUP BY doc_id % 50 ORDER BY shard""")),
 
     // ---- frame-level feature extraction (multimodal plumbing) --------

@@ -15,9 +15,10 @@ import graft.functions.GraftFunctions
   *
   * Cross-engine determinism: all hashing is md5 (identical hex output
   * in Spark and DuckDB), so the MinHash signature is the *lexicographic
-  * minimum of md5 hex digests* per band seed — a valid MinHash family
-  * and bit-reproducible in the oracle. SimHash uses the low bit of each
-  * md5 nibble.
+  * minimum of an 8-hex md5 slice* per band (band k reads digest chars
+  * 8k+1..8k+8 — independent 32-bit hash functions from ONE digest) — a
+  * valid MinHash family and bit-reproducible in the oracle. SimHash
+  * uses the low bit of each md5 nibble.
   *
   * Scale design: near-dup never compares all pairs. Signatures are one
   * shuffle (groupBy doc); LSH candidates come from an equi-join on
@@ -83,14 +84,31 @@ object Dedup {
 
   private val nBands = 4
 
+  /** The minhash band family: band k's hash of a shingle is the k-th
+    * 8-hex slice of ONE md5 digest — four independent 32-bit hash
+    * functions for the price of one digest (md5's output bytes are
+    * independent), against r3's md5(s || '#k') which spent FOUR
+    * digests per shingle occurrence and dominated the map CPU of the
+    * whole near-dup family. The digest is materialized in a projection
+    * BELOW the aggregate (`h`), so it is computed once per row even
+    * under ObjectHashAggregate, where codegen subexpression
+    * elimination does not apply. Shared (with [[bandSliceSql]]) by
+    * q26/q27/q58/q66/q79/q80/q105 and their oracles. */
+  private def bandMins: Seq[Column] =
+    (0 until nBands).map(k => min(substring(col("h"), k * 8 + 1, 8)).as(s"mh$k"))
+
+  /** Oracle twin of [[bandMins]]'s band-k slice over a shingle column. */
+  private[operators] def bandSliceSql(k: Int, shingleExpr: String = "s"): String =
+    s"substr(md5($shingleExpr), ${k * 8 + 1}, 8)"
+
   /** doc_id, mh0..mh3 minhash signature frame. */
-  private[operators] def signatures(s: SparkSession, dir: String): DataFrame = {
-    val aggs = (0 until nBands).map(k => min(md5(concat(col("s"), lit(s"#$k")))).as(s"mh$k"))
-    shingles(documents(s, dir)).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-  }
+  private[operators] def signatures(s: SparkSession, dir: String): DataFrame =
+    shingles(documents(s, dir))
+      .select(col("doc_id"), md5(col("s")).as("h"))
+      .groupBy(col("doc_id")).agg(bandMins.head, bandMins.tail: _*)
 
   private[operators] val signatureSql: String = {
-    val cols = (0 until nBands).map(k => s"min(md5(s || '#$k')) AS mh$k").mkString(", ")
+    val cols = (0 until nBands).map(k => s"min(${bandSliceSql(k)}) AS mh$k").mkString(", ")
     s"sig AS (SELECT doc_id, $cols FROM sh GROUP BY doc_id)"
   }
 
@@ -324,10 +342,13 @@ object Dedup {
       .select($"ida", $"idb")
     val edges = pairs.union(pairs.select($"idb", $"ida")).toDF("src", "dst")
       .localCheckpoint(true)
-    // init folds the first propagation round in: label = min(id, nbrs)
+    // init folds the first propagation round in: label = min(id, nbrs).
+    // LAZY checkpoint: round 1's changed-count materializes it inside
+    // that same job (an eager one here would spend a whole extra pass
+    // on a frame that is one cheap aggregate above checkpointed edges)
     var labels = edges.groupBy($"src").agg(min($"dst").as("m"))
       .select($"src".as("id"), least($"src", $"m").as("label"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var converged = false
     var iters = 0
     val maxIters = 200 // iterations = component diameter; a chain of
@@ -415,50 +436,81 @@ object Dedup {
                 FROM documents) tq
           WHERE len(text) > 0 AND len(wne) > 0)"""
 
+  /** Per-doc near-dup state in ONE exchange: the md5 minhash signature
+    * (mh0..mh3, the q26 contract), the doc's DISTINCT shingle set as
+    * 64-bit xxhash64 values (`shs`), and its cardinality (`n`).
+    * Eagerly checkpointed so the banding branch and both verification
+    * join sides read ONE materialization — without it, Catalyst's
+    * per-branch column pruning makes the subtrees differ and the
+    * scan+explode+aggregate runs two or three times (the r3 shape).
+    * Set ops (cardinality, intersection) are hash-invariant, so
+    * nothing downstream ever touches shingle TEXT (~5x smaller rows;
+    * collision odds are ~|doc set|^2/2^65 per doc, and the DuckDB
+    * oracle keeps raw text, so a collision FAILS the gate loudly
+    * instead of agreeing silently). Row width is bounded by the doc's
+    * own distinct-shingle count — the same order as the doc text the
+    * corpus already carries. */
+  private[operators] def docShingleSets(s: SparkSession, dir: String): DataFrame = {
+    val sh0 = shingles(documents(s, dir))
+      .select(col("doc_id"), md5(col("s")).as("h"), xxhash64(col("s")).as("sh"))
+    val aggs = bandMins :+ collect_set(col("sh")).as("shs")
+    sh0.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .withColumn("n", size(col("shs")).cast(LongType))
+      .localCheckpoint(true)
+  }
+
+  /** The map-side exact-Jaccard column over two hashed shingle sets —
+    * the single source of truth shared by [[nearDupPairs]] and
+    * [[verifyJaccard]]. */
+  private def jaccardCol(a: Column, na: Column, b: Column, nb: Column): Column = {
+    val i = size(array_intersect(a, b)).cast(LongType)
+    i.cast(DoubleType) / (na + nb - i)
+  }
+
   /** Verified near-dup candidate pairs: (ida, idb, jraw) with raw
-    * Jaccard similarity, shared by q27/q58/q66. A single
-    * distinct-shingle subtree feeds signatures, cardinalities and the
-    * intersection join — identical subplans collapse into one
-    * ReusedExchange, so the explode+md5 scan runs once, not three
-    * times (min over distinct shingles == min over all shingles, so
-    * the signature is unchanged). */
+    * Jaccard similarity, shared by q27/q58/q66. Candidates from the
+    * banded-signature self-join; verification is ONE join pair against
+    * [[docShingleSets]] with a map-side `array_intersect` — no
+    * exploded shingle-intersection join, no separate cardinality
+    * joins (the r3 shape spent five exchanges on what is now two). */
   private[operators] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val dsh = shingles(documents(s, dir)).distinct()
-    val aggs = (0 until nBands).map(k => min(md5(concat(col("s"), lit(s"#$k")))).as(s"mh$k"))
-    val sig = dsh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val ds = docShingleSets(s, dir)
     val stackExpr = (0 until nBands).map(k => s"$k, mh$k").mkString(s"stack($nBands, ", ", ", ") AS (band, sg)")
-    val bands = sig.selectExpr("doc_id", stackExpr)
+    val bands = ds.selectExpr("doc_id", stackExpr)
     val cand = bands.as("ba").join(bands.as("bb"),
         col("ba.band") === col("bb.band") && col("ba.sg") === col("bb.sg") &&
         col("ba.doc_id") < col("bb.doc_id"))
       .select(col("ba.doc_id").as("ida"), col("bb.doc_id").as("idb"))
       .distinct()
-    verifyJaccard(cand, dsh)
+    // shuffle_hash: the set frames are corpus-scale; AQE's broadcast
+    // conversion trusts compressed stats that understate deserialized
+    // size ~10x and can OOM the driver (reproduced at 10x sf0.1 in a
+    // 1 GB driver) — corpus frames must never ship to the driver; the
+    // per-partition hash build is executor-local and spillable.
+    cand
+      .join(ds.as("x").hint("shuffle_hash"), col("ida") === col("x.doc_id"))
+      .join(ds.as("y").hint("shuffle_hash"), col("idb") === col("y.doc_id"))
+      .select(col("ida"), col("idb"),
+        jaccardCol(col("x.shs"), col("x.n"), col("y.shs"), col("y.n")).as("jraw"))
   }
 
   /** Full-Jaccard verification of candidate `(ida, idb)` pairs against
-    * a distinct-shingle frame `dsh(doc_id, s)` → `(ida, idb, jraw)`.
-    * Joins only the candidate pairs' shingle sets — never all pairs.
-    * Shared by the minhash LSH path ([[nearDupPairs]], q27/q58/q66)
-    * and the DF-capped inverted-index path (q70). */
+    * a shingle frame `dsh(doc_id, s)` (duplicates allowed — set
+    * semantics are restored internally) → `(ida, idb, jraw)`. Joins
+    * only the candidate pairs' sets — never all pairs. Used by the
+    * DF-capped inverted-index path (q70); the minhash LSH path
+    * ([[nearDupPairs]]) fuses the same verification into its
+    * signature aggregate. Same scale shape: per-doc hashed sets, one
+    * join pair, map-side intersection. */
   private[operators] def verifyJaccard(cand: DataFrame, dsh: DataFrame): DataFrame = {
-    val card = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // the shingle frames are corpus-scale TEXT: their compressed
-    // shuffle stats understate deserialized size by ~10x, so AQE's
-    // SMJ->broadcast conversion can pick a "small" side that then
-    // OOMs the driver (reproduced at 10x sf0.1 in a 1 GB driver).
-    // The shuffle_hash hint keeps these two joins partitioned —
-    // text-heavy corpus frames must never ship to the driver; the
-    // per-partition hash build is executor-local and spillable. card
-    // (narrow numerics) and everything else stay AQE-chosen.
+    val sets = dsh.groupBy(col("doc_id"))
+      .agg(collect_set(xxhash64(col("s"))).as("shs"))
+      .withColumn("n", size(col("shs")).cast(LongType))
     cand
-      .join(dsh.as("x").hint("shuffle_hash"), col("ida") === col("x.doc_id"))
-      .join(dsh.as("y").hint("shuffle_hash"), col("idb") === col("y.doc_id") && col("x.s") === col("y.s"))
-      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("i"))
-      .join(card.as("ca"), col("ida") === col("ca.doc_id"))
-      .join(card.as("cb"), col("idb") === col("cb.doc_id"))
+      .join(sets.as("x").hint("shuffle_hash"), col("ida") === col("x.doc_id"))
+      .join(sets.as("y").hint("shuffle_hash"), col("idb") === col("y.doc_id"))
       .select(col("ida"), col("idb"),
-        (col("i").cast(DoubleType) / (col("ca.n") + col("cb.n") - col("i"))).as("jraw"))
+        jaccardCol(col("x.shs"), col("x.n"), col("y.shs"), col("y.n")).as("jraw"))
   }
 
   /** doc_id -> 16-bit aggregate simhash frame (Charikar), one md5

@@ -240,10 +240,10 @@ class AnalyticsOpsSpec extends SparkSuite {
                  i -> concat_ws(' ', slice(split(lower(text), '\\W+'), i + 1, 3)))
                ELSE CAST(array() AS ARRAY<STRING>) END""")).as("s"))
       .groupBy($"shard")
-      .agg(min(md5(concat($"s", lit("#0")))).as("mh0"),
-        min(md5(concat($"s", lit("#1")))).as("mh1"),
-        min(md5(concat($"s", lit("#2")))).as("mh2"),
-        min(md5(concat($"s", lit("#3")))).as("mh3"))
+      .agg(min(substring(md5($"s"), 1, 8)).as("mh0"),
+        min(substring(md5($"s"), 9, 8)).as("mh1"),
+        min(substring(md5($"s"), 17, 8)).as("mh2"),
+        min(substring(md5($"s"), 25, 8)).as("mh3"))
       .collect()
       .map(r => (r.getLong(0), Seq(r.getString(1), r.getString(2), r.getString(3), r.getString(4))))
       .toMap
