@@ -70,7 +70,35 @@ object Bench {
     val qs = jsonMap(_._1)
     val qsMin = jsonMap(_._2)
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
+
+    // Round-over-round regression gate: compare this run's per-query
+    // MIN against the best value recorded in the latest BENCH_r{N}.json
+    // (the driver keeps only a 2000-char output tail, so parse whatever
+    // "qname":seconds pairs survive and take the min per name — medians
+    // >= mins, so that is the tightest baseline available; queries cut
+    // off by the truncation are simply not compared). >30% min-vs-min
+    // growth = regression (median-only movement is environment noise,
+    // see the measurement protocol above). Emitted at the END of the
+    // line so the driver's tail capture always retains it.
+    val prevFile = Option(new java.io.File(".").listFiles())
+      .map(_.map(_.getName).filter(_.matches("BENCH_r\\d+\\.json")).toSeq)
+      .getOrElse(Seq.empty)
+      .sortBy(n => "\\d+".r.findFirstIn(n).get.toInt).lastOption
+    val baseline: Map[String, Double] = prevFile match {
+      case None => Map.empty
+      case Some(f) =>
+        val src = scala.io.Source.fromFile(f)
+        val text = try src.mkString finally src.close()
+        val pair = "\"(q\\d+[a-z0-9_]*)\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?)".r
+        pair.findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble)
+          .toSeq.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    }
+    val regressions = results.collect {
+      case (name, (_, mn)) if mn >= 0 && baseline.get(name).exists(b => mn > b * 1.3) => name
+    }
+    val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val vsJson = prevFile.map("\"" + _ + "\"").getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","regressions_vs":$vsJson,"regressions":$regJson}""")
     spark.stop()
   }
 }
