@@ -125,6 +125,61 @@ class StreamingSpec extends SparkSuite {
     assert(idx.count() == 3 && idx.filter($"simhash".isNull).count() == 0)
   }
 
+  test("incrementalIndexedDedup: a replayed batch leaves corpus and index unchanged") {
+    import spark.implicits._
+    // replay simulation: run batch 0 to completion, then restart the
+    // query over the SAME source file with a FRESH checkpoint — the
+    // worst-case recovery (checkpoint lost entirely), so the whole
+    // batch re-runs through foreachBatch with bit-identical content.
+    // (Deleting just the commit marker would be the narrower window,
+    // but Spark 4's checkpoint concurrency guard keeps a JVM-wide
+    // cache of commit-log entries per path, and re-running batch 0 on
+    // the same checkpoint in-process trips STREAM_FAILED
+    // "concurrently using"; the sink effects exercised are the same.)
+    val base = java.nio.file.Files.createTempDirectory("iidx_replay")
+    val srcDir = base.resolve("src").toString
+    val indexPath = base.resolve("index").toString
+    val outPath = base.resolve("out").toString
+    Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "ALPHA beta, gamma delta"), // same token set -> in-batch dup of 1
+      (3L, "a completely different document"),
+      (6L, "!!!")) // token-less: null fingerprint, passes un-deduped
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(srcDir)
+    def start(ckpt: String) = StreamOps.incrementalIndexedDedup(
+      spark.readStream.schema("doc_id BIGINT, text STRING").parquet(srcDir),
+      indexPath, outPath, base.resolve(ckpt).toString)
+    val q1 = start("ckpt1")
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(outPath).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 6L))
+    assert(spark.read.parquet(indexPath).count() == 2)
+    val q2 = start("ckpt2")
+    q2.processAllAvailable(); q2.stop()
+    // fingerprinted docs: caught by the PERSISTED index on replay —
+    // corpus rows and index size unchanged (document-level idempotence)
+    val replayed = spark.read.parquet(outPath).select($"doc_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(replayed.filter(_ != 6L) == Seq(1L, 3L), s"got $replayed")
+    assert(spark.read.parquet(indexPath).count() == 2, "index must not grow on replay")
+    // the DOCUMENTED at-least-once exception: token-less docs carry no
+    // fingerprint, so a replay re-appends them (downstream exact dedup
+    // owns them — StreamOps.scala's contract)
+    assert(replayed.count(_ == 6L) == 2, s"got $replayed")
+    // and the stream keeps deduping correctly after recovery: ckpt2
+    // committed the replayed batch, so only the new file processes
+    Seq((4L, "alpha beta gamma delta"), (5L, "another brand new document"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val q3 = start("ckpt2")
+    q3.processAllAvailable(); q3.stop()
+    val after = spark.read.parquet(outPath).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(after == Set(1L, 3L, 5L, 6L), s"got $after")
+    assert(spark.read.parquet(indexPath).count() == 3)
+  }
+
   test("fingerprintDedup passes token-less docs through un-deduped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
