@@ -139,10 +139,11 @@ object Engine {
     * seed of documents. Wrapper-capable scalars are parsed as raw text
     * and unwrapped with [[ExtendedJsonSource.textUnwrap]] — so `$oid`/
     * `$numberLong`/`$date`/`$binary` documents land identically to the
-    * batch path (wrappers nested inside struct/array columns are NOT
-    * unwrapped on this path — documented limitation). Then the
-    * normalize projection is the same `Normalizer.columns` call as
-    * batch: same falsy-drop, casts and renames.
+    * batch path, including wrappers nested inside struct/array columns
+    * (parse types and unwrap recurse; r4 — previously a documented
+    * limitation). Then the normalize projection is the same
+    * `Normalizer.columns` call as batch: same falsy-drop, casts and
+    * renames.
     */
   def runStreaming(
       spark: SparkSession,

@@ -141,6 +141,28 @@ object Normalizer {
         pyCast(srcName, c, "int", t.sparkType)
       case (t @ (AFloat16 | AFloat32 | AFloat64), _) if srcType == StringType =>
         pyCast(srcName, c, "float", t.sparkType)
+      case (AStruct(fs), _) =>
+        srcType match {
+          case st: StructType =>
+            // Spark struct casts are POSITIONAL, but parsed field order
+            // (spark.read.json sorts alphabetically) need not match the
+            // inferred order (first-seen) — align BY NAME recursively;
+            // a source field absent from the parse is null
+            val aligned = struct(fs.map { case (n, ft) =>
+              st.fields.find(_.name == n) match {
+                case Some(sf) => castTo(s"$srcName.$n", c.getField(n), sf.dataType, ft, mode).alias(n)
+                case None     => lit(null).cast(ft.sparkType).alias(n)
+              }
+            }: _*)
+            when(c.isNull, lit(null)).otherwise(aligned)
+          case _ => c.cast(AStruct(fs).sparkType)
+        }
+      case (AList(et), _) =>
+        srcType match {
+          case ArrayType(set, _) =>
+            transform(c, x => castTo(s"$srcName[]", x, set, et, mode))
+          case _ => c.cast(AList(et).sparkType)
+        }
       case (t, _) => c.cast(t.sparkType)
     }
   }

@@ -90,24 +90,29 @@ object ExtendedJsonSource {
   // the text isn't that wrapper shape), falling back to the plain
   // scalar. The output types match what the batch path's `spark.read
   // .json` + [[unwrap]] produce, so `Normalizer` behaves identically
-  // downstream. Nested struct/array columns keep their parsed shape;
-  // wrappers INSIDE nested columns are not unwrapped on the streaming
-  // path (documented limitation — batch ingest handles those).
+  // downstream. Nested struct/array columns RECURSE: their
+  // wrapper-capable scalar leaves also parse as raw text (Spark's
+  // JSON parser stringifies any token declared StringType at any
+  // depth) and unwrap element-wise via `transform`/per-field structs
+  // — r3's "wrappers inside nested columns are not unwrapped"
+  // limitation is closed (StreamingEngineSpec pins it).
 
   private def jsonField(c: Column, schemaDDL: String, path: Seq[String]): Column =
     path.foldLeft(from_json(c, org.apache.spark.sql.types.DataType.fromDDL(schemaDDL)
       .asInstanceOf[StructType]))(_.getField(_))
 
   /** The streaming parse type for a target lattice type: wrapper-capable
-    * scalars arrive as raw text; bools and nested shapes parse natively. */
+    * scalars arrive as raw text — at ANY nesting depth; bools parse
+    * natively; lists/structs recurse. */
   def streamParseType(t: graft.types.AType): DataType = {
     import graft.types.AType._
     t match {
       case ABool => BooleanType
-      case other => other.sparkType match {
-        case n @ (_: ArrayType | _: StructType) => n
-        case _ => StringType
-      }
+      case AList(e) => ArrayType(streamParseType(e))
+      case AStruct(fs) => StructType(fs.map { case (n, ft) =>
+        org.apache.spark.sql.types.StructField(n, streamParseType(ft))
+      }.toArray)
+      case _ => StringType
     }
   }
 
@@ -125,7 +130,27 @@ object ExtendedJsonSource {
     def numDouble: Column = jsonField(c, "`$numberDouble` STRING", Seq("$numberDouble"))
     t match {
       case AString =>
-        coalesce(jsonField(c, "`$oid` STRING", Seq("$oid")), c)
+        // a STRING target still receives wrapper-shaped values when the
+        // lattice widened a mixed column to string (e.g. an empty array
+        // unifying a $numberLong list to AList(AString)): unwrap every
+        // scalar wrapper to the same text the batch path's
+        // unwrap-then-cast-to-string produces, then fall back to the
+        // raw text for plain strings
+        val dateTxt = coalesce(
+          jsonField(c, "`$date` STRUCT<`$numberLong`: STRING>", Seq("$date", "$numberLong")),
+          jsonField(c, "`$date` STRING", Seq("$date")))
+        val wrapperTs = when(dateTxt.rlike("^[+-]?[0-9]+$"),
+            (dateTxt.cast(LongType) / lit(1000.0)).cast(TimestampType))
+          .otherwise(dateTxt.cast(TimestampType))
+        val b64 = coalesce(
+          jsonField(c, "`$binary` STRUCT<base64: STRING, subType: STRING>", Seq("$binary", "base64")),
+          jsonField(c, "`$binary` STRING", Seq("$binary")))
+        coalesce(
+          jsonField(c, "`$oid` STRING", Seq("$oid")),
+          numLong, numInt, numDouble,
+          when(dateTxt.isNotNull, wrapperTs.cast(StringType)),
+          when(b64.isNotNull, unbase64(b64).cast(StringType)),
+          c)
       case AInt8 | AInt16 | AInt32 | AInt64 | AUInt8 | AUInt16 | AUInt32 | AUInt64 =>
         // batch parse type for plain JSON ints is LongType. Normalize
         // through the PYTHON int grammar first (py_norm: underscores,
@@ -166,7 +191,18 @@ object ExtendedJsonSource {
           jsonField(c, "`$binary` STRUCT<base64: STRING, subType: STRING>", Seq("$binary", "base64")),
           jsonField(c, "`$binary` STRING", Seq("$binary")))
         when(b64.isNotNull, unbase64(b64)).otherwise(c.cast(BinaryType))
-      case _ => raw // bool (parsed natively) and nested shapes
+      case AList(e) =>
+        // element-wise unwrap; parse type recursed, so elements are raw
+        // text (or nested shapes) and the scalar branches above apply
+        transform(raw, x => textUnwrap(x, e))
+      case AStruct(fs) =>
+        // per-field unwrap; a null struct stays null (struct() of nulls
+        // would fabricate a non-null row the batch path never produces)
+        when(raw.isNull, lit(null))
+          .otherwise(struct(fs.map { case (n, ft) =>
+            textUnwrap(raw.getField(n), ft).alias(n)
+          }: _*))
+      case _ => raw // bool — parsed natively
     }
   }
 }

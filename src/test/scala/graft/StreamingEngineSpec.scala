@@ -121,4 +121,44 @@ class StreamingEngineSpec extends SparkSuite {
       })
     assert(streamRows.toSeq == batchRows.toSeq)
   }
+
+  test("streaming unwraps wrappers NESTED in struct/array columns like the batch path") {
+    // the r3 documented limitation, now closed: wrapper scalars inside
+    // arrays and sub-documents unwrap on the stream path via recursed
+    // parse types + element-wise textUnwrap
+    val in = Files.createTempDirectory("nestwrap")
+    val out = Files.createTempDirectory("nestwrapout").toString
+    val ckpt = Files.createTempDirectory("nestwrapckpt").toString
+    val docs = Seq(
+      """{"_id": "a", "tags": [{"$numberLong": "1"}, {"$numberLong": "2"}], "meta": {"uid": {"$oid": "65a1b2c3d4e5f60718293a4b"}, "hits": {"$numberLong": "10"}}}""",
+      """{"_id": "b", "tags": [{"$numberLong": "3"}], "meta": {"uid": {"$oid": "65a1b2c3d4e5f60718293a4c"}, "hits": {"$numberLong": "20"}}}""",
+      """{"_id": "c", "tags": [], "meta": {"uid": {"$oid": "65a1b2c3d4e5f60718293a4d"}, "hits": {"$numberLong": "30"}}}""")
+    val src = Files.createTempDirectory("nestsrc").resolve("docs.jsonl")
+    Files.writeString(src, docs.mkString("", "\n", "\n"))
+    val schema = SchemaInference.inferFile(spark, src.toString, "nested",
+      samples = 0, nowEpochSec = 1767225600.0)
+    val batchOut = Files.createTempDirectory("nestbatch").toString
+    val batch = Engine.run(spark, Engine.JobConfig(
+      input = src.toString, collection = "nested", outDir = batchOut, samples = 0))
+    Files.copy(src, in.resolve("batch1.jsonl"))
+    val q = Engine.runStreaming(spark, in.toString, schema, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    val cols = spark.read.parquet(batch.outPath).columns
+    val batchRows = spark.read.parquet(batch.outPath)
+      .orderBy("_id").collect().map(_.toSeq)
+    val streamRows = spark.read.parquet(out)
+      .selectExpr(cols.map(c => s"`$c`"): _*)
+      .orderBy("_id").collect().map(_.toSeq)
+    assert(streamRows.toSeq == batchRows.toSeq)
+    // and the unwrap really landed values, not wrapper JSON text: the
+    // empty array in doc c widens tags to AList(AString), so elements
+    // are the unwrapped digits as strings — same as batch
+    val row = spark.read.parquet(out).orderBy("_id").collect().head
+    val tags = row.getSeq[String](row.fieldIndex("tags")).toList
+    assert(tags == List("1", "2"), tags.toString)
+    // the struct landed in inferred field order with typed leaves
+    val meta = row.getStruct(row.fieldIndex("meta"))
+    assert(meta.getString(0) == "65a1b2c3d4e5f60718293a4b" && meta.getLong(1) == 10L)
+  }
 }
