@@ -6,8 +6,11 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
 /** Registry-wide plan lint: the automated form of the per-round plan
-  * audit (docs/PLANS_r*.md). Every registered query's physical plan is
-  * checked for the three operators that do not survive 100 TB:
+  * audit (docs/PLANS_r*.md) — the mechanical subset of the scale
+  * contract in docs/SCALE_DESIGN.md (rule 1; the rest of that page is
+  * what a new operator is reviewed against). Every registered query's
+  * physical plan is checked for the three operators that do not
+  * survive 100 TB:
   *
   *  - CartesianProductExec: quadratic row fan-out with a shuffle on
   *    both sides — never acceptable; the registry has none.

@@ -55,4 +55,30 @@ class SourceSpec extends SparkSuite {
     }
     assert(err.getMessage.contains("mongo-spark-connector"))
   }
+
+  test("LIVE MongoDB path: probe + catalog (auto-canceled where no connector jar ships)") {
+    // ENVIRONMENT VERDICT (A1, carried since r1, closed r4): this image
+    // has no mongo-spark-connector jar, no mongod, and zero network
+    // egress, so the live path can never execute here — this test
+    // CANCELS on the jar precondition and runs anywhere the jar and a
+    // server exist (set GRAFT_MONGO_URI). The offline guards above pin
+    // the failure mode this environment can observe; README records the
+    // same verdict.
+    val connectorPresent =
+      try { Class.forName("com.mongodb.spark.sql.connector.MongoTableProvider"); true }
+      catch { case _: ClassNotFoundException => false }
+    assume(connectorPresent,
+      "mongo-spark-connector absent (image ships without it; no egress to fetch it)")
+    val uri = sys.env.getOrElse("GRAFT_MONGO_URI", "mongodb://localhost:27017")
+    val src = new MongoSource(spark, uri, checkConnection = false)
+    val reachable = try { src.probe(); true } catch { case _: IllegalStateException => false }
+    assume(reachable, s"no mongod reachable at $uri")
+    // the reference surface: list catalogs, then read one collection
+    val dbs = src.listDatabases()
+    assert(dbs.nonEmpty)
+    val colls = src.listCollections(dbs.head)
+    colls.headOption.foreach { c =>
+      assert(src.read(dbs.head, c).columns.nonEmpty)
+    }
+  }
 }
