@@ -47,6 +47,16 @@ object Bench {
     }
 
     def measure(name: String): (Double, Double) = {
+      // several operators eagerly localCheckpoint bounded frames
+      // (docShingleSets, components' edge list, the daily-counts grid);
+      // their blocks are reclaimed by ContextCleaner only after a GC,
+      // which a 100 GiB mostly-idle heap rarely runs — so 114 queries
+      // x reps accumulate dead blocks until later queries pay eviction
+      // churn (q48 measured 0.85s alone vs 6.7s late in a full run).
+      // Between queries nothing is live: drop dead checkpoint blocks
+      // and nudge the GC so every query measures steady-state cost.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc()
       val ts = Seq.fill(reps)(once(name))
       if (ts.exists(_ < 0)) (-1.0, -1.0)
       else {
@@ -89,7 +99,10 @@ object Bench {
       case Some(f) =>
         val src = scala.io.Source.fromFile(f)
         val text = try src.mkString finally src.close()
-        val pair = "\"(q\\d+[a-z0-9_]*)\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?)".r
+        // the driver wrapper stores the bench line as an ESCAPED JSON
+        // string (\"name\":1.23), so tolerate an optional backslash
+        // before each quote
+        val pair = "\\\\?\"(q\\d+[a-z0-9_]*)\\\\?\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?)".r
         pair.findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble)
           .toSeq.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
     }
