@@ -502,9 +502,15 @@ object Dedup {
     * ([[nearDupPairs]]) fuses the same verification into its
     * signature aggregate. Same scale shape: per-doc hashed sets, one
     * join pair, map-side intersection. */
-  private[operators] def verifyJaccard(cand: DataFrame, dsh: DataFrame): DataFrame = {
-    val sets = dsh.groupBy(col("doc_id"))
-      .agg(collect_set(xxhash64(col("s"))).as("shs"))
+  private[operators] def verifyJaccard(cand: DataFrame, dsh: DataFrame): DataFrame =
+    verifyJaccardHashed(cand, dsh.select(col("doc_id"), xxhash64(col("s")).as("sh")))
+
+  /** [[verifyJaccard]] over an ALREADY-hashed `(doc_id, sh)` frame —
+    * for callers whose candidate pipeline runs on shingle hashes too
+    * (q70's inverted index), so the text never enters any exchange. */
+  private[operators] def verifyJaccardHashed(cand: DataFrame, dshH: DataFrame): DataFrame = {
+    val sets = dshH.groupBy(col("doc_id"))
+      .agg(collect_set(col("sh")).as("shs"))
       .withColumn("n", size(col("shs")).cast(LongType))
     cand
       .join(sets.as("x").hint("shuffle_hash"), col("ida") === col("x.doc_id"))

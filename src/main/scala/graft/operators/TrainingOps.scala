@@ -87,16 +87,22 @@ object TrainingOps {
     Q("q70_ngram_jaccard",
       (s, dir) => {
         import s.implicits._
-        val dsh = Dedup.shingles(documents(s, dir)).distinct()
-        val rare = dsh.join(
-          dsh.groupBy($"s").agg(count(lit(1)).as("dfc")).filter($"dfc" <= 8), "s")
+        // r4: the whole index pipeline runs on 64-bit shingle hashes —
+        // the distinct, the df count, the inverted-index self-join and
+        // the set verify all exchange (id, int64) rows, never shingle
+        // text (same collision contract as Dedup.verifyJaccard: the
+        // oracle keeps raw text, so a collision fails the gate loudly)
+        val dshH = Dedup.shingles(documents(s, dir))
+          .select($"doc_id", xxhash64($"s").as("sh")).distinct()
+        val rare = dshH.join(
+          dshH.groupBy($"sh").agg(count(lit(1)).as("dfc")).filter($"dfc" <= 8), "sh")
         val cand = rare.as("a").join(rare.as("b"),
-            $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+            $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
           .groupBy($"a.doc_id".as("ida"), $"b.doc_id".as("idb"))
           .agg(count(lit(1)).as("shared"))
           .filter($"shared" >= 2)
           .select($"ida", $"idb")
-        Dedup.verifyJaccard(cand, dsh)
+        Dedup.verifyJaccardHashed(cand, dshH)
           .select($"ida", $"idb", round($"jraw", 6).as("jacc"))
           .filter($"jacc" >= 0.5)
           .orderBy($"ida", $"idb")
