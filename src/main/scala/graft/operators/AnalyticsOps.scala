@@ -94,6 +94,22 @@ object AnalyticsOps {
                    SELECT * FROM base
                    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta))"""
 
+  /** The exact SQL-standard ntile(k) fill rule for a global rank
+    * column named `r` over a total row count `n`: ranks
+    * 1..rem*(qsz+1) land in the first rem buckets (size qsz+1), the
+    * rest in size-qsz buckets. Extracted from q102 so the rem > 0
+    * branch is property-testable — the driver parquet row counts are
+    * all multiples of 10, so the gate alone never exercises it
+    * (AnalyticsOpsSpec pins it against Spark's own ntile for many n,
+    * including n < k and n % k != 0). */
+  private[graft] def ntileBucketSql(n: Long, k: Int): String = {
+    val (qsz, rem) = (n / k, n % k)
+    s"""CAST(CASE WHEN r <= ${rem * (qsz + 1)}
+         THEN (r - 1) div ${qsz + 1} + 1
+         ELSE $rem + (r - 1 - ${rem * (qsz + 1)}) div ${qsz.max(1)} + 1
+       END AS INT)"""
+  }
+
   def queries: Vector[Q] = Vector(
     // ---- calendar densification (gap fill) ---------------------------
     // Zero-fill missing (event_type, day) cells between the corpus'
@@ -450,19 +466,12 @@ object AnalyticsOps {
         var acc = 0L
         for (p <- 0 until (cuts.size + 1)) { offsets(p) = acc; acc += cnts.getOrElse(p, 0L) }
         val n = acc
-        val (qsz, rem) = (n / 10, n % 10)
         val lw = Window.partitionBy($"rid")
           .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
         withRid
           .withColumn("r",
             element_at(typedLit(offsets.toSeq), $"rid" + 1) + row_number().over(lw))
-          // standard ntile fill: ranks 1..rem*(qsz+1) land in the first
-          // rem (size qsz+1) buckets, the rest in size-qsz buckets
-          .withColumn("bucket", expr(
-            s"""CAST(CASE WHEN r <= ${rem * (qsz + 1)}
-                 THEN (r - 1) div ${qsz + 1} + 1
-                 ELSE $rem + (r - 1 - ${rem * (qsz + 1)}) div ${qsz.max(1)} + 1
-               END AS INT)"""))
+          .withColumn("bucket", expr(ntileBucketSql(n, 10)))
           .groupBy($"bucket")
           .agg(count(lit(1)).as("n"),
             min($"l_extendedprice").as("lo"),

@@ -188,6 +188,22 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(got.toSeq == naive.toSeq)
   }
 
+  test("ntile fill formula matches Spark's ntile for every n shape (rem > 0 included)") {
+    // the driver tables all have row counts divisible by 10, so the
+    // correctness gate never exercises the rem > 0 branch — pin the
+    // extracted formula against Spark's own ntile across n < k, n = k,
+    // prime n, and large-n-with-remainder
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(1L, 2L, 7L, 9L, 10L, 11L, 13L, 19L, 20L, 23L, 97L, 100L, 101L, 997L)) {
+      val df = spark.range(1, n + 1).toDF("r")
+        .withColumn("bucket", expr(graft.operators.AnalyticsOps.ntileBucketSql(n, 10)))
+        .withColumn("expected", ntile(10).over(Window.orderBy($"r")))
+      val bad = df.filter($"bucket" =!= $"expected").count()
+      assert(bad == 0L, s"n=$n: $bad ranks mis-bucketed")
+    }
+  }
+
   test("q103 correlations are bounded and match an independent computation") {
     val out = run("q103_corr_lang").collect()
     out.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0, r.toString))
