@@ -343,7 +343,10 @@ object CurationOps {
       (s, dir) => {
         import s.implicits._
         val docs = documents(s, dir)
-        val exact = docs.groupBy($"text").agg(min($"doc_id").as("doc_id"))
+        // keyed by content hash like q25/q58 — text never enters the
+        // exchange (oracle groups raw text: collisions fail loudly)
+        val exact = docs.groupBy(xxhash64($"text").as("h"))
+          .agg(min($"doc_id").as("doc_id"))
           .select($"doc_id").withColumn("is_exact", lit(1L))
         val nonCanon = Dedup.components(s, dir)
           .filter($"doc_id" =!= $"component")

@@ -114,11 +114,17 @@ object Dedup {
 
   def queries: Vector[Q] = Vector(
     // ---- exact dedup (hash groupBy on content) -----------------------
+    // The group key is the 64-bit content hash, not the text: the
+    // shuffle ships (8B, doc_id) pairs instead of whole documents —
+    // the industry-standard exact-dedup shape at corpus scale. Same
+    // collision contract as the near-dup family: the oracle groups by
+    // RAW text, so a 2^-64 collision fails the gate loudly instead of
+    // silently merging two documents.
     Q("q25_dedup_exact",
       (s, dir) => {
         import s.implicits._
         documents(s, dir)
-          .groupBy($"text")
+          .groupBy(xxhash64($"text").as("h"))
           .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
           .select($"keep_id", $"n_copies")
           .orderBy($"keep_id")
@@ -189,8 +195,10 @@ object Dedup {
       (s, dir) => {
         import s.implicits._
         val docs = documents(s, dir)
-        // stage 1: exact dedup
-        val keepExact = docs.groupBy($"text").agg(min($"doc_id").as("doc_id"))
+        // stage 1: exact dedup — keyed by content hash like q25 (the
+        // shuffle never ships document text; oracle groups raw text)
+        val keepExact = docs.groupBy(xxhash64($"text").as("h"))
+          .agg(min($"doc_id").as("doc_id"))
           .select($"doc_id")
         // stage 2: near-dup pairs (same construction as q27)
         val nearDupLosers = nearDupPairs(s, dir)
