@@ -41,6 +41,40 @@ object CurationOps {
                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sketch
        FROM embeddings)"""
 
+  /** q115's PII surface — (pattern, placeholder) in application order
+    * (email first so its digits can't be half-eaten by the IP rule).
+    * Patterns stay in the Java-regex/RE2 common subset so Spark and
+    * DuckDB agree. Shared with CurationOpsSpec, which proves the
+    * chain leaves NO residual match of any pattern. */
+  private[graft] val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    "\\b555-[0-9]{4}\\b" -> "[PHONE]",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "[IP]")
+
+  /** The three-stage redaction chain over an arbitrary string column. */
+  private[graft] def piiRedacted(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    piiPatterns.foldLeft(c) { case (acc, (pat, tag)) => regexp_replace(acc, pat, tag) }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
+    * token 3-gram hashes (12-hex md5 prefixes — fixed-width lowercase
+    * hex, so lexicographic min == numeric min in both engines), then
+    * the min of each sliding window of w=4 gram hashes, deduplicated.
+    * Guarantee: two docs sharing >= k+w-1 = 6 consecutive tokens share
+    * at least one fingerprint (tested in CurationOpsSpec). Returns the
+    * exploded (doc_id, fp) frame. Row-local array work — no explode of
+    * raw grams, no shuffle until the caller aggregates. */
+  private[graft] def winnowFps(docs: DataFrame): DataFrame =
+    Dedup.withToks(docs)
+      .withColumn("gh",
+        expr(s"transform(${Dedup.gramArraySql(3)}, g -> substring(md5(g), 1, 12))"))
+      .withColumn("fps", expr(
+        """CASE WHEN size(gh) >= 4
+             THEN array_distinct(transform(sequence(1, size(gh) - 3),
+                                 i -> array_min(slice(gh, i, 4))))
+             WHEN size(gh) > 0 THEN array(array_min(gh))
+             ELSE CAST(array() AS ARRAY<STRING>) END"""))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+
   def queries: Vector[Q] = Vector(
     // ---- corpus-wide segment dedup -----------------------------------
     // Repeated-span removal: docs are cut into consecutive 8-token
@@ -383,6 +417,178 @@ object CurationOps {
           CAST(SUM(c) AS BIGINT) AS n_canonical,
           CAST(SUM(CASE WHEN flags.c = 1 AND q.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
         FROM flags LEFT JOIN qpass q ON flags.doc_id = q.doc_id
-        GROUP BY source ORDER BY source"""))
+        GROUP BY source ORDER BY source""")),
+
+    // ---- PII detection + redaction (q115) ----------------------------
+    // Regex-based PII scrubbing — the standard privacy pass every
+    // released training corpus runs (emails, phone numbers, IPv4
+    // addresses -> typed placeholders). The synthetic corpus contains
+    // no PII, so the query first derives a PII-bearing column
+    // DETERMINISTICALLY from real inputs (doc_id/source embedded as an
+    // email, a 555- phone and a 10.x address mid-text) — the operator
+    // under test is the redaction chain, and both engines build the
+    // same input. Patterns stay in the Java-regex/RE2 common subset
+    // (\b, classes, bounded quantifiers) so the engines agree.
+    // Scale: redaction is per-row map work inside codegen
+    // (regexp_replace/regexp_extract_all are built-ins, no UDF); the
+    // only exchange is the final |sources|-sized aggregate. Counts and
+    // char sums are exact integers — exact oracle.
+    Q("q115_pii_redact",
+      (s, dir) => {
+        import s.implicits._
+        val Seq((emailPat, _), (phonePat, _), (ipPat, _)) = piiPatterns
+        documents(s, dir)
+          .withColumn("aug", concat(
+            expr("substr(text, 1, 40)"), lit(" reach "), $"source", lit("_"),
+            $"doc_id".cast("string"), lit("@example.com or 555-"),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0"), lit(" from 10."),
+            ($"doc_id" % 256).cast("string"), lit(".0."),
+            expr("(doc_id div 7) % 256").cast("string"), lit(" "),
+            expr("substr(text, 41)")))
+          .withColumn("redacted", piiRedacted($"aug"))
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(regexp_extract_all($"aug", lit(emailPat), lit(0)))).as("n_email"),
+            sum(size(regexp_extract_all($"aug", lit(phonePat), lit(0)))).as("n_phone"),
+            sum(size(regexp_extract_all($"aug", lit(ipPat), lit(0)))).as("n_ip"),
+            sum(length($"redacted")).as("redacted_chars"))
+          .orderBy($"source")
+      },
+      Some(raw"""
+        WITH aug AS (SELECT source,
+            concat(substr(text, 1, 40), ' reach ', source, '_',
+              CAST(doc_id AS VARCHAR), '@example.com or 555-',
+              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' from 10.',
+              CAST(doc_id % 256 AS VARCHAR), '.0.',
+              CAST((doc_id // 7) % 256 AS VARCHAR), ' ',
+              substr(text, 41)) AS aug
+          FROM documents)
+        SELECT source,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_email,
+          CAST(SUM(len(regexp_extract_all(aug, '\b555-[0-9]{4}\b'))) AS BIGINT) AS n_phone,
+          CAST(SUM(len(regexp_extract_all(aug, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS BIGINT) AS n_ip,
+          CAST(SUM(len(regexp_replace(regexp_replace(regexp_replace(aug,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\b555-[0-9]{4}\b', '[PHONE]', 'g'),
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'))) AS BIGINT) AS redacted_chars
+        FROM aug GROUP BY source ORDER BY source""")),
+
+    // ---- winnowing fingerprints + overlap pairs (q116) ---------------
+    // Document fingerprinting by winnowing (Schleimer, Wilkerson,
+    // Aiken, SIGMOD 2003 — the MOSS algorithm): hash every token
+    // 3-gram (k=3, via the shared gramArraySql so tokenization can't
+    // diverge from the shingle family), then keep the MINIMUM hash of
+    // each sliding window of w=4 consecutive gram hashes. The distinct
+    // selected hashes are the doc's fingerprint set; any shared
+    // substring of >= k+w-1 = 6 tokens is GUARANTEED to contribute at
+    // least one common fingerprint. Docs sharing >= 3 fingerprints are
+    // overlap pairs (partial plagiarism / boilerplate reuse — the gap
+    // between whole-doc fingerprints q32/q43 and Jaccard near-dup
+    // q27/q70). Fingerprints are 12-hex-char md5 prefixes: fixed-width
+    // lowercase hex compares lexicographically == numerically, so
+    // array_min/list_min agree across engines bit-for-bit.
+    // Scale: gram hashing and window-min selection are ROW-LOCAL array
+    // ops (no explode of raw grams, no shuffle); only the ~n_toks/w
+    // selected fingerprints per doc enter the exchange. The pair join
+    // is a DF-capped inverted index exactly like q70: fingerprints
+    // seen in > 50 docs are boilerplate and carry no pair evidence, so
+    // the self-join fan-out per fingerprint is bounded by the cap.
+    Q("q116_winnow_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val fps = winnowFps(documents(s, dir))
+        val card = fps.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val rare = fps.join(
+          fps.groupBy($"fp").agg(count(lit(1)).as("dfc")).filter($"dfc" <= 50), "fp")
+        rare.as("a").join(rare.as("b"),
+            $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("ida"), $"b.doc_id".as("idb"))
+          .agg(count(lit(1)).as("shared"))
+          .filter($"shared" >= 3)
+          .join(card.select($"doc_id".as("ida"), $"n".as("na")), "ida")
+          .join(card.select($"doc_id".as("idb"), $"n".as("nb")), "idb")
+          .select($"ida", $"idb", $"shared",
+            round($"shared".cast(DoubleType) / least($"na", $"nb"), 6).as("overlap"))
+          .orderBy($"ida", $"idb")
+      },
+      Some(raw"""
+        WITH toksc AS (SELECT doc_id, string_split_regex(lower(text), '\W+') AS w
+                       FROM documents),
+        gh AS (SELECT doc_id,
+            list_transform(range(1, len(w) - 1), i ->
+              substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 12)) AS gh
+          FROM toksc),
+        wins AS (SELECT doc_id,
+            CASE WHEN len(gh) >= 4
+                 THEN list_distinct(list_transform(range(1, len(gh) - 2),
+                                    i -> list_min(list_slice(gh, i, i + 3))))
+                 WHEN len(gh) > 0 THEN [list_min(gh)]
+                 ELSE [] END AS fps
+          FROM gh),
+        fpx AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+        card AS (SELECT doc_id, COUNT(*) AS n FROM fpx GROUP BY doc_id),
+        dfc AS (SELECT fp FROM fpx GROUP BY fp HAVING COUNT(*) <= 50),
+        rare AS (SELECT f.doc_id, f.fp FROM fpx f JOIN dfc USING (fp)),
+        pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+                    CAST(COUNT(*) AS BIGINT) AS shared
+                  FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        SELECT ida, idb, shared,
+          ROUND(CAST(shared AS DOUBLE) / least(ca.n, cb.n), 6) AS overlap
+        FROM pairs JOIN card ca ON ida = ca.doc_id
+                   JOIN card cb ON idb = cb.doc_id
+        ORDER BY ida, idb""")),
+
+    // ---- unigram-LM document scoring (q117) --------------------------
+    // Corpus-frequency quality scoring — the exact-arithmetic form of
+    // the CCNet/Wenzek-style "score each doc under a language model of
+    // the corpus" filter: build the corpus unigram table, join it back,
+    // and score each doc by its tokens' corpus frequencies (mean
+    // frequency, rarest-token frequency, and the fraction of tokens
+    // that are RARE). Rare is defined RELATIVE to the corpus — token
+    // count c is rare iff c * 2 * vocab < total_tokens (i.e. c is
+    // under half the mean token count) — so the threshold is
+    // scale-invariant and the comparison stays in exact integer/
+    // decimal arithmetic (a log-prob formulation would put libm ulp
+    // drift between the engines; frequencies ARE the model here).
+    // Scale: one explode (corpus token stream), one vocabulary-sized
+    // aggregate BROADCAST back to the stream, one doc-keyed aggregate
+    // (uniform). The 1-row (total, vocab) scalar rides a whitelisted
+    // broadcast. Divisions happen once per doc on exact ints, then
+    // round(…, 6) — both engines correctly-round IEEE doubles.
+    Q("q117_unigram_rarity",
+      (s, dir) => {
+        import s.implicits._
+        val tx = TextAnalysis.withToksNe(documents(s, dir))
+          .select($"doc_id", explode($"toks_ne").as("tok"))
+        val freq = tx.groupBy($"tok").agg(count(lit(1)).as("c"))
+        val tot = freq.agg(sum($"c").as("t"), count(lit(1)).as("v"))
+        tx.join(broadcast(freq), "tok").crossJoin(tot)
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n_toks"),
+            min($"c").as("min_freq"),
+            round(davg($"c", 0), 6).as("mean_freq"),
+            round(sum(when($"c".cast(DecimalType(38, 0)) * lit(2) * $"v" < $"t", 1L)
+              .otherwise(0L)).cast(DoubleType) / count(lit(1)), 6).as("rare_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some(raw"""
+        WITH toksc AS (SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\W+'), t -> len(t) > 0) AS toks
+          FROM documents),
+        tx AS (SELECT doc_id, unnest(toks) AS tok FROM toksc),
+        freq AS (SELECT tok, COUNT(*) AS c FROM tx GROUP BY tok),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS v FROM freq)
+        SELECT tx.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_toks,
+          MIN(f.c) AS min_freq,
+          ROUND(${Tables.davgSql("f.c", 0)}, 6) AS mean_freq,
+          ROUND(CAST(SUM(CASE WHEN CAST(f.c AS DECIMAL(38,0)) * 2 * tot.v < tot.t
+                              THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS rare_ratio
+        FROM tx JOIN freq f ON tx.tok = f.tok, tot
+        GROUP BY tx.doc_id ORDER BY tx.doc_id"""))
   )
 }

@@ -141,4 +141,87 @@ class CurationOpsSpec extends SparkSuite {
     val total = out.map(_.getLong(1)).sum
     assert(total == graft.operators.Tables.documents(spark, dir).count())
   }
+
+  test("q115 redaction chain leaves no residual PII match on the shipped chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.CurationOps
+    // Exactly the shipped chain (shared helper), applied to the same
+    // augmented column the query builds — after redaction, every PII
+    // pattern must have ZERO remaining matches, and each placeholder
+    // must appear (each doc gets one of each kind injected).
+    val aug = graft.operators.Tables.documents(spark, dir)
+      .withColumn("aug", concat(
+        expr("substr(text, 1, 40)"), lit(" reach "), $"source", lit("_"),
+        $"doc_id".cast("string"), lit("@example.com or 555-"),
+        lpad(($"doc_id" % 10000).cast("string"), 4, "0"), lit(" from 10."),
+        ($"doc_id" % 256).cast("string"), lit(".0."),
+        expr("(doc_id div 7) % 256").cast("string"), lit(" "),
+        expr("substr(text, 41)")))
+      .withColumn("redacted", CurationOps.piiRedacted($"aug"))
+    val residual = CurationOps.piiPatterns.map { case (pat, _) =>
+      sum(size(regexp_extract_all($"redacted", lit(pat), lit(0))))
+    }
+    val missingTag = CurationOps.piiPatterns.map { case (_, tag) =>
+      sum(when(!$"redacted".contains(tag), 1L).otherwise(0L))
+    }
+    val row = aug.agg(residual.head, (residual.tail ++ missingTag): _*).head()
+    (0 until 3).foreach(i => assert(row.getLong(i) == 0L, s"residual matches for ${CurationOps.piiPatterns(i)._1}"))
+    (3 until 6).foreach(i => assert(row.getLong(i) == 0L, s"docs missing ${CurationOps.piiPatterns(i - 3)._2}"))
+    // and the registry aggregate tags every doc at least once per kind
+    val out = run("q115_pii_redact").collect()
+    out.foreach { r =>
+      val n = r.getLong(1)
+      assert(r.getLong(2) >= n && r.getLong(3) >= n && r.getLong(4) >= n, r.toString)
+    }
+  }
+
+  test("q116 winnowing guarantees a shared fingerprint for a shared 6-token run") {
+    import spark.implicits._
+    import graft.operators.CurationOps
+    // Schleimer et al. §2: with k=3, w=4 any common substring of
+    // k+w-1 = 6 tokens contributes at least one common fingerprint.
+    // Two docs share exactly one 6-token run amid disjoint junk.
+    val shared = "quick brown foxes jump over walls"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $shared epsilon zeta eta theta"),
+      (2L, s"one two three four five six $shared seven eight nine ten"),
+      (3L, "totally unrelated words with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    val fps = CurationOps.winnowFps(docs).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getString(1)).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty, "guaranteed shared fingerprint missing")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "disjoint docs must not share fingerprints")
+    // pairs on real data: shared >= 3, overlap in (0, 1]
+    run("q116_winnow_overlap").collect().foreach { r =>
+      assert(r.getLong(2) >= 3L, r.toString)
+      val ov = r.getDouble(3)
+      assert(ov > 0.0 && ov <= 1.0, r.toString)
+    }
+  }
+
+  test("q117 scores equal an independent Scala unigram re-derivation") {
+    val docs = graft.operators.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split("\\W+").filter(_.nonEmpty).toSeq).toMap
+    val freq = docs.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = freq.values.sum
+    val vocab = freq.size.toLong
+    // Spark's round(double, 6) rounds the double's shortest-decimal
+    // form HALF_UP, and davg divides in IEEE doubles — replicate both.
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = run("q117_unigram_rarity").collect()
+    assert(got.length == docs.count(_._2.nonEmpty))
+    got.foreach { r =>
+      val toks = docs(r.getLong(0))
+      val cs = toks.map(freq)
+      assert(r.getLong(1) == toks.size.toLong, s"n_toks ${r.toString}")
+      assert(r.getLong(2) == cs.min, s"min_freq ${r.toString}")
+      assert(r.getDouble(3) == r6(cs.sum.toDouble / cs.size), s"mean_freq ${r.toString}")
+      val rare = cs.count(c => c * 2 * vocab < total)
+      assert(r.getDouble(4) == r6(rare.toDouble / cs.size), s"rare_ratio ${r.toString}")
+    }
+  }
 }
