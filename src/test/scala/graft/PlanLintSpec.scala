@@ -46,7 +46,8 @@ class PlanLintSpec extends SparkSuite {
     "q34_ann_topk",           // fixed 50-vector probe set (declared brute-force baseline)
     "q87_knn_label",          // same probe-set frame as q34
     "q78_corpus_stats",       // 1-row dataset-card scalars
-    "q98_source_overlap")     // |sources| x |sources| pair grid (metadata-sized)
+    "q98_source_overlap",     // |sources| x |sources| pair grid (metadata-sized)
+    "q117_unigram_rarity")    // 1-row (total, vocab) corpus scalar
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {
