@@ -199,9 +199,11 @@ object CurationOps {
     // last-ulp flip near a rounding boundary would fail the oracle's
     // hash compare; the score is a keyword-salience heuristic, not a
     // drop-in TF-IDF. Scale: tf is one doc-keyed aggregate; df is
-    // vocabulary-sized (small) and BROADCAST back; the top-k window
-    // partitions by doc_id (uniform, and row_number <= k plans as
-    // WindowGroupLimit in Spark 4).
+    // vocabulary-sized — CORPUS-DERIVED, so it carries no broadcast
+    // hint (SCALE_DESIGN rule 2): AQE broadcasts it while it fits and
+    // shuffle-joins on `tok` at web-corpus vocab sizes. The top-k
+    // window partitions by doc_id (uniform, and row_number <= k plans
+    // as WindowGroupLimit in Spark 4).
     Q("q82_keyword_scores",
       (s, dir) => {
         import s.implicits._
@@ -212,7 +214,7 @@ object CurationOps {
         val tf = dtok.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
         val dfc = tf.groupBy($"tok").agg(count(lit(1)).as("dfc"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
-        val scored = tf.join(broadcast(dfc), "tok").crossJoin(broadcast(n))
+        val scored = tf.join(dfc, "tok").crossJoin(broadcast(n))
           .withColumn("score", round($"tf".cast(DoubleType) * $"n_docs" / $"dfc", 6))
         val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"tok")
         scored.withColumn("kw_rank", row_number().over(w))
@@ -554,10 +556,14 @@ object CurationOps {
     // decimal arithmetic (a log-prob formulation would put libm ulp
     // drift between the engines; frequencies ARE the model here).
     // Scale: one explode (corpus token stream), one vocabulary-sized
-    // aggregate BROADCAST back to the stream, one doc-keyed aggregate
-    // (uniform). The 1-row (total, vocab) scalar rides a whitelisted
-    // broadcast. Divisions happen once per doc on exact ints, then
-    // round(…, 6) — both engines correctly-round IEEE doubles.
+    // aggregate joined back to the stream, one doc-keyed aggregate
+    // (uniform). The freq frame is CORPUS-DERIVED (web-corpus vocab is
+    // 1e8+ rows), so it carries no broadcast hint — SCALE_DESIGN rule 2;
+    // AQE broadcasts it only when runtime stats say it is actually
+    // small, and falls back to a shuffle join on `tok` at corpus scale.
+    // The 1-row (total, vocab) scalar rides a whitelisted broadcast.
+    // Divisions happen once per doc on exact ints, then round(…, 6) —
+    // both engines correctly-round IEEE doubles.
     Q("q117_unigram_rarity",
       (s, dir) => {
         import s.implicits._
@@ -565,7 +571,7 @@ object CurationOps {
           .select($"doc_id", explode($"toks_ne").as("tok"))
         val freq = tx.groupBy($"tok").agg(count(lit(1)).as("c"))
         val tot = freq.agg(sum($"c").as("t"), count(lit(1)).as("v"))
-        tx.join(broadcast(freq), "tok").crossJoin(tot)
+        tx.join(freq, "tok").crossJoin(tot)
           .groupBy($"doc_id")
           .agg(
             count(lit(1)).as("n_toks"),
@@ -589,6 +595,68 @@ object CurationOps {
           ROUND(CAST(SUM(CASE WHEN CAST(f.c AS DECIMAL(38,0)) * 2 * tot.v < tot.t
                               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS rare_ratio
         FROM tx JOIN freq f ON tx.tok = f.tok, tot
-        GROUP BY tx.doc_id ORDER BY tx.doc_id"""))
+        GROUP BY tx.doc_id ORDER BY tx.doc_id""")),
+
+    // ---- duplicated-span coverage per source (q119) ------------------
+    // The measurement companion to q80's segment REWRITE: how much of
+    // each source is corpus-repeated boilerplate? Every 8-token
+    // segment is keyed by a 16-hex md5 (fixed-width exchange payload —
+    // the same function in both engines, so hash collisions, were any
+    // to occur, collide identically and cannot diverge the oracle);
+    // a segment occurring > 1 time anywhere in the corpus is
+    // duplicated. Per source: pooled (micro) duplicated-segment
+    // coverage and the count of docs that are >= half duplicates —
+    // the number policy decisions key off. All integer arithmetic
+    // except ONE division rounded to 1e-6; the >= half test is exact
+    // (2*n_dup >= n_segs — no float boundary).
+    // Scale: q80 needs a WINDOW on the segment key (row_number — no
+    // partial aggregation, a mega-frequent boilerplate segment lands
+    // on one task). Counting needs neither ordering nor row identity,
+    // so q119 uses groupBy(seg) + join-back instead: the count
+    // aggregate partial-combines map-side (a 1e9-occurrence segment
+    // contributes ONE row per input partition to the exchange) and the
+    // join-back is an equi-join AQE can skew-split. Both sides are
+    // corpus-derived — no broadcast hint (SCALE_DESIGN rule 2).
+    Q("q119_dup_span_coverage",
+      (s, dir) => {
+        import s.implicits._
+        val seg = 8
+        val chunks = Dedup.withToks(documents(s, dir))
+          .select($"doc_id", $"source", posexplode(expr(
+            s"""transform(sequence(0, CAST((size(toks) + ${seg - 1}) div $seg AS INT) - 1),
+                          i -> substring(md5(concat_ws(' ', slice(toks, i * $seg + 1, $seg))), 1, 16))""")))
+          .toDF("doc_id", "source", "pos", "seg_h")
+        val occ = chunks.groupBy($"seg_h").agg(count(lit(1)).as("occ"))
+        val perDoc = chunks.join(occ, "seg_h")
+          .groupBy($"doc_id", $"source")
+          .agg(count(lit(1)).as("n_segs"),
+            sum(when($"occ" > 1, 1L).otherwise(0L)).as("n_dup"))
+        perDoc.groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"n_segs").as("total_segs"),
+            sum($"n_dup").as("dup_segs"),
+            round(sum($"n_dup").cast(DoubleType) / sum($"n_segs"), 6).as("dup_coverage"),
+            sum(when($"n_dup" * 2 >= $"n_segs", 1L).otherwise(0L)).as("n_heavy"))
+          .orderBy($"source")
+      },
+      Some(s"""
+        WITH $toksCte,
+        chunks AS (SELECT doc_id, source, i AS pos,
+            substr(md5(array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ')), 1, 16) AS seg_h
+          FROM toksc, UNNEST(range(0, (len(w) + 7) // 8)) AS t(i)),
+        occ AS (SELECT seg_h, COUNT(*) AS occ FROM chunks GROUP BY seg_h),
+        per_doc AS (SELECT doc_id, source,
+            CAST(COUNT(*) AS BIGINT) AS n_segs,
+            CAST(SUM(CASE WHEN occ.occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+          FROM chunks JOIN occ USING (seg_h)
+          GROUP BY doc_id, source)
+        SELECT source,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_segs) AS BIGINT) AS total_segs,
+          CAST(SUM(n_dup) AS BIGINT) AS dup_segs,
+          ROUND(CAST(SUM(n_dup) AS DOUBLE) / SUM(n_segs), 6) AS dup_coverage,
+          CAST(SUM(CASE WHEN n_dup * 2 >= n_segs THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy
+        FROM per_doc GROUP BY source ORDER BY source"""))
   )
 }

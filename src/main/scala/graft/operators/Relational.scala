@@ -12,8 +12,12 @@ import org.apache.spark.sql.types._
   *
   * Scale notes (designed for a 1000-executor cluster even though tested
   * at local[32]):
-  *  - dimension tables (region/nation/part/supplier) are explicitly
-  *    `broadcast()` so the big fact side never shuffles for those joins;
+  *  - FIXED-SIZE dimension tables (region = 5 rows, nation = 25 rows by
+  *    the TPC-H spec at every SF) are explicitly `broadcast()` so the
+  *    big fact side never shuffles for those joins; tables that SCALE
+  *    with the data (part, supplier, customer) carry NO hint — AQE
+  *    broadcasts them while they fit and shuffle-joins beyond that
+  *    (SCALE_DESIGN rule 2: never force-broadcast a corpus-scale frame);
   *  - fact-fact joins are plain equi-joins — Catalyst/AQE picks
   *    sort-merge with both sides hash-partitioned on the key;
   *  - the band join avoids O(n²) nested-loop by time-bucketing into
@@ -136,12 +140,15 @@ object Relational {
         GROUP BY r_name, n_name
         ORDER BY r_name, n_name""")),
 
-    // ---- broadcast dim join + agg ------------------------------------
+    // ---- dim join + agg ----------------------------------------------
+    // part SCALES with SF (200k rows/SF -> 2e10 rows at the 100 TB
+    // target), so unlike nation/region it gets no broadcast hint: AQE
+    // broadcasts it at small SF and shuffle-joins at scale.
     Q("q05_brand_volume",
       (s, dir) => {
         import s.implicits._
         lineitem(s, dir)
-          .join(broadcast(part(s, dir).filter($"p_size" <= 25)), $"l_partkey" === $"p_partkey")
+          .join(part(s, dir).filter($"p_size" <= 25), $"l_partkey" === $"p_partkey")
           .groupBy($"p_brand")
           .agg(dsum($"l_quantity", 3).as("total_qty"),
             davg($"l_extendedprice", 3).as("avg_price"),

@@ -282,6 +282,56 @@ object Similarity {
         cnt AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n FROM a1 GROUP BY cluster)
         SELECT cnt.cluster, cnt.n, ROUND(c1n.cc, 6) AS center_norm2
         FROM cnt JOIN c1n ON c1n.cid = cnt.cluster
-        ORDER BY cluster"""))
+        ORDER BY cluster""")),
+
+    // ---- per-label centroid + semantic overlap matrix (q118) ---------
+    // The embedding-space complement of q98's lexical 3-gram overlap
+    // matrix: per label, the centroid of its vectors, then the full
+    // pairwise cosine matrix between centroids — "which sources say
+    // the same things" at the semantic level (mixture design and
+    // cross-source near-dup triage key off exactly this table).
+    // Determinism: each centroid component is an EXACT decimal(30,15)
+    // average (the q64 means pattern — cross-row float summation order
+    // cannot drift the value), so the downstream double chain (norms,
+    // dots, one division) folds over bit-identical inputs in both
+    // engines; the final round(…, 6) is the q33 tolerance contract.
+    // Scale: one posexplode (|corpus| x 64 rows), one (label, dim)-
+    // keyed exact aggregate (partial-combines map-side), and from
+    // there everything is |labels|-sized metadata — the pair join is
+    // a by-construction-tiny BNLJ (whitelisted like q98's grid).
+    Q("q118_label_centroid_overlap",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val dims = embeddings(s, dir)
+          .select($"label", posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
+          .toDF("label", "dim", "x")
+        val cent = dims.groupBy($"label", $"dim")
+          .agg(davg($"x", 15).as("cx"), count(lit(1)).as("n"))
+        val c = cent.groupBy($"label")
+          .agg(
+            expr("transform(array_sort(collect_list(struct(dim, cx))), t -> t.cx)").as("cv"),
+            max($"n").as("n_vecs"))
+          .withColumn("nrm", sqrt(expr("dot_product(cv, cv)")))
+        val ca = c.select($"label".as("la"), $"cv".as("cva"), $"nrm".as("nrma"), $"n_vecs".as("na"))
+        val cb = c.select($"label".as("lb"), $"cv".as("cvb"), $"nrm".as("nrmb"), $"n_vecs".as("nb"))
+        ca.join(cb, $"la" < $"lb")
+          .select($"la", $"lb", $"na", $"nb",
+            round(expr("dot_product(cva, cvb)") / ($"nrma" * $"nrmb"), 6).as("cosine"))
+          .orderBy($"la", $"lb")
+      },
+      Some(s"""
+        WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        dims AS (SELECT label, i - 1 AS dim, v[i] AS x
+                 FROM e, UNNEST(range(1, len(v) + 1)) AS t(i)),
+        cent AS (SELECT label, dim, ${davgSql("x", 15)} AS cx, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM dims GROUP BY label, dim),
+        c AS (SELECT label, list(cx ORDER BY dim) AS cv, MAX(n) AS n_vecs FROM cent GROUP BY label),
+        cn AS (SELECT label, cv, n_vecs,
+                 sqrt(list_sum(list_transform(cv, x -> x * x))) AS nrm FROM c)
+        SELECT a.label AS la, b.label AS lb, a.n_vecs AS na, b.n_vecs AS nb,
+          ROUND(list_sum([a.cv[i] * b.cv[i] for i in range(1, len(a.cv) + 1)]) / (a.nrm * b.nrm), 6) AS cosine
+        FROM cn a JOIN cn b ON a.label < b.label
+        ORDER BY la, lb"""))
   )
 }

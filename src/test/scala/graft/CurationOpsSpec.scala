@@ -224,4 +224,37 @@ class CurationOpsSpec extends SparkSuite {
       assert(r.getDouble(4) == r6(rare.toDouble / cs.size), s"rare_ratio ${r.toString}")
     }
   }
+
+  test("q119 equals an independent Scala re-derivation of span coverage") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // mirror Spark's split(lower(text), '\\W+') — limit -1 KEEPS
+    // trailing empty tokens (the q84 precedent), and they are part of
+    // the segment text here
+    val segs = docs.flatMap { case (id, src, text) =>
+      val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\W+", -1)
+      val n = (toks.length + 7) / 8
+      (0 until n).map { i =>
+        (id, src, md5hex(toks.slice(i * 8, i * 8 + 8).mkString(" ")).take(16))
+      }
+    }
+    val occ = segs.groupBy(_._3).view.mapValues(_.length).toMap
+    val perDoc = segs.groupBy(s => (s._1, s._2)).map { case ((id, src), ss) =>
+      (id, src, ss.length.toLong, ss.count(x => occ(x._3) > 1).toLong)
+    }.toSeq
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = perDoc.groupBy(_._2).map { case (src, ds) =>
+      val total = ds.map(_._3).sum
+      val dup = ds.map(_._4).sum
+      (src, ds.size.toLong, total, dup, r6(dup.toDouble / total),
+        ds.count(d => d._4 * 2 >= d._3).toLong)
+    }.toSet
+    val got = run("q119_dup_span_coverage").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+      .toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
 }

@@ -47,7 +47,8 @@ class PlanLintSpec extends SparkSuite {
     "q87_knn_label",          // same probe-set frame as q34
     "q78_corpus_stats",       // 1-row dataset-card scalars
     "q98_source_overlap",     // |sources| x |sources| pair grid (metadata-sized)
-    "q117_unigram_rarity")    // 1-row (total, vocab) corpus scalar
+    "q117_unigram_rarity",    // 1-row (total, vocab) corpus scalar
+    "q118_label_centroid_overlap") // |labels| x |labels| centroid grid (metadata-sized)
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {

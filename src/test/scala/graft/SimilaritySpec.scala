@@ -1,0 +1,47 @@
+package graft
+
+/** Dual-implementation checks for the similarity family's round-4
+  * addition — the DuckDB oracle proves cross-engine equality; this
+  * proves the SEMANTICS (exact-decimal centroids, IEEE cosine chain)
+  * are the intended ones. */
+class SimilaritySpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("q118 equals an independent Scala centroid cosine computation") {
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    // mirror davg(x, 15): each double rounds to decimal(30,15) via its
+    // shortest-decimal form HALF_UP (Spark's Decimal(double) path),
+    // the decimal sum is exact, then ONE IEEE division by the count
+    def d15(x: Double) = BigDecimal(x).setScale(15, BigDecimal.RoundingMode.HALF_UP)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cents = raw.groupBy(_._1).map { case (l, vs) =>
+      val n = vs.length
+      val cv = vs.head._2.indices.map { j =>
+        vs.map(v => d15(v._2(j))).sum.toDouble / n
+      }.toArray
+      l -> ((cv, n.toLong))
+    }
+    val expected = (for {
+      (la, (cva, na)) <- cents
+      (lb, (cvb, nb)) <- cents if la < lb
+    } yield (la, lb, na, nb,
+      r6(dot(cva, cvb) / (math.sqrt(dot(cva, cva)) * math.sqrt(dot(cvb, cvb)))))).toSet
+    val got = run("q118_label_centroid_overlap").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(got.size == expected.size && got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // the matrix is complete: C(|labels|, 2) pairs
+    val nLabels = cents.size
+    assert(got.size == nLabels * (nLabels - 1) / 2)
+  }
+}
