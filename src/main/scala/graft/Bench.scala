@@ -74,7 +74,13 @@ object Bench {
     // Optional comma-separated subset for local profiling runs.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').map(_.trim).toSet)
     val names = SparkEntry.registry.map(_.name).filter(n => only.forall(_.contains(n)))
-    val results = names.map(n => n -> measure(n))
+    val results = names.map { n =>
+      val r = measure(n)
+      // stderr progress (stdout stays a single JSON line): makes a
+      // hung or pathological query identifiable from a partial log
+      System.err.println(f"[bench] $n ${r._1}%.3f s (min ${r._2}%.3f)")
+      n -> r
+    }
     def jsonMap(f: ((Double, Double)) => Double): String =
       results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val qs = jsonMap(_._1)

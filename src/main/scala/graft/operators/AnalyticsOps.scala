@@ -978,6 +978,112 @@ object AnalyticsOps {
                 FROM probe p JOIN cells ON cells.r = p.r AND cells.c = p.c
                 GROUP BY p.tok, p.true_cnt)
         SELECT tok, true_cnt, est_cnt, est_cnt - true_cnt AS overcount
-        FROM est ORDER BY true_cnt DESC, tok"""))
+        FROM est ORDER BY true_cnt DESC, tok""")),
+
+    // ---- per-type OLS volume trend -----------------------------------
+    // Least-squares slope of daily event volume over the dense
+    // calendar (q95's zero-filled grid, so dropout days pull the trend
+    // down instead of silently vanishing) — the capacity-planning
+    // companion to q100's anomaly flags. Same sufficient-statistic
+    // contract as q103: n/sx/sy exact BIGINTs, sxx/sxy exact
+    // DECIMAL(38,0) (the per-row product is (19,0)x(19,0) — no int64
+    // wrap at any corpus size), one fixed chain of correctly-rounded
+    // IEEE ops for the combination, slope defined 0 when the variance
+    // denominator is 0, written identically in both engines. Scale:
+    // the grid is |types| x |days| (metadata after one fact-table
+    // aggregate); the stats aggregate partial-combines map-side and
+    // the output is |types| rows.
+    Q("q121_ols_trend",
+      (s, dir) => {
+        import s.implicits._
+        val dec = DecimalType(19, 0)
+        val g = denseGrid(s, dir)
+        val stats = g.groupBy($"event_type").agg(
+          count(lit(1)).as("n"),
+          sum($"d".cast(LongType)).as("sx"),
+          sum($"n_events").as("sy"),
+          sum($"d".cast(dec) * $"d".cast(dec)).as("sxx"),
+          sum($"d".cast(dec) * $"n_events".cast(dec)).as("sxy"))
+        val D = DoubleType
+        val den = $"n".cast(D) * $"sxx".cast(D) - $"sx".cast(D) * $"sx".cast(D)
+        val num = $"n".cast(D) * $"sxy".cast(D) - $"sx".cast(D) * $"sy".cast(D)
+        stats.select($"event_type", $"n".as("n_days"),
+            when(den === 0.0, lit(0.0)).otherwise(round(num / den, 6)).as("slope_per_day"),
+            round($"sy".cast(D) / $"n", 6).as("avg_daily"))
+          .orderBy($"event_type")
+      },
+      Some(s"""
+        WITH $gridCteSql,
+        st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(d) AS BIGINT) AS sx, CAST(SUM(n_events) AS BIGINT) AS sy,
+                 SUM(CAST(d AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))) AS sxx,
+                 SUM(CAST(d AS DECIMAL(19,0)) * CAST(n_events AS DECIMAL(19,0))) AS sxy
+               FROM grid GROUP BY event_type),
+        cmb AS (SELECT event_type, n,
+                 CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+                 CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                 CAST(sy AS DOUBLE) / n AS avg_daily
+               FROM st)
+        SELECT event_type, n AS n_days,
+          CASE WHEN den = 0.0 THEN 0.0 ELSE ROUND(num / den, 6) END AS slope_per_day,
+          ROUND(avg_daily, 6) AS avg_daily
+        FROM cmb ORDER BY event_type""")),
+
+    // ---- robust (median/MAD) daily outliers --------------------------
+    // The robust complement to q100's mean/sigma z-scores on the SAME
+    // observed-days base: a handful of genuine spikes inflate sigma and
+    // mask each other, while the median/MAD center doesn't move. The
+    // textbook flag |x - med| > 3 * 1.4826 * MAD is evaluated as PURE
+    // INTEGER arithmetic so no float boundary can flip a row between
+    // engines: med2 := 2*median and mad4 := 2*median(|2x - med2|) are
+    // exactly-representable half-integers scaled to BIGINTs (both
+    // engines' interpolating percentile yields k or k.5 on integer
+    // input — the q44-verified behavior), and the flag becomes
+    // 10000*dev2 > 22239*mad4 (dev2 := |2x - med2|; 3*1.4826 = 4.4478,
+    // halved twice for the 2x/4x scaling). Types whose MAD is 0 (a
+    // majority-constant series, where the estimator is undefined) are
+    // excluded, documented here. The published robust_z is one
+    // multiply + one divide on the exact integers, rounded — identical
+    // IEEE chain both engines. Scale: the fact table collapses to
+    // |types| x |days| counts in one aggregate; both percentile passes
+    // are GROUPED buffers (the q44 contract) over that metadata-sized
+    // frame, and the per-type stats broadcast back.
+    Q("q123_mad_outliers",
+      (s, dir) => {
+        import s.implicits._
+        val daily = dailyCounts(s, dir)
+        val med = daily.groupBy($"event_type")
+          .agg((percentile($"n_events", lit(0.5)) * 2).cast(LongType).as("med2"))
+        val dev = daily.join(broadcast(med), Seq("event_type"))
+          .withColumn("dev2", abs($"n_events" * 2 - $"med2"))
+        val mad = dev.groupBy($"event_type")
+          .agg((percentile($"dev2", lit(0.5)) * 2).cast(LongType).as("mad4"))
+        dev.join(broadcast(mad), Seq("event_type"))
+          .filter($"mad4" > 0 && $"dev2" * 10000 > $"mad4" * 22239)
+          .select($"event_type",
+            date_add(to_date(lit("1970-01-01")), $"d").as("day"),
+            $"n_events",
+            round(($"dev2" * lit(2.0)) / ($"mad4" * lit(1.4826)), 6).as("robust_z"))
+          .orderBy($"event_type", $"day")
+      },
+      Some(s"""
+        WITH $dailyCteSql,
+        med AS (SELECT event_type,
+                  CAST(QUANTILE_CONT(n_events, 0.5) * 2 AS BIGINT) AS med2
+                FROM daily GROUP BY event_type),
+        dev AS (SELECT d.event_type, d.d, d.n_events,
+                  ABS(d.n_events * 2 - m.med2) AS dev2
+                FROM daily d JOIN med m ON d.event_type = m.event_type),
+        mad AS (SELECT event_type,
+                  CAST(QUANTILE_CONT(dev2, 0.5) * 2 AS BIGINT) AS mad4
+                FROM dev GROUP BY event_type)
+        SELECT dev.event_type, DATE '1970-01-01' + CAST(dev.d AS INT) AS day,
+          dev.n_events,
+          ROUND((dev.dev2 * 2.0) / (mad.mad4 * 1.4826), 6) AS robust_z
+        FROM dev JOIN mad ON dev.event_type = mad.event_type
+        WHERE mad.mad4 > 0 AND dev.dev2 * 10000 > mad.mad4 * 22239
+        ORDER BY dev.event_type, day"""))
   )
 }

@@ -63,17 +63,40 @@ object CurationOps {
     * at least one fingerprint (tested in CurationOpsSpec). Returns the
     * exploded (doc_id, fp) frame. Row-local array work — no explode of
     * raw grams, no shuffle until the caller aggregates. */
-  private[graft] def winnowFps(docs: DataFrame): DataFrame =
-    Dedup.withToks(docs)
-      .withColumn("gh",
-        expr(s"transform(${Dedup.gramArraySql(3)}, g -> substring(md5(g), 1, 12))"))
-      .withColumn("fps", expr(
-        """CASE WHEN size(gh) >= 4
-             THEN array_distinct(transform(sequence(1, size(gh) - 3),
-                                 i -> array_min(slice(gh, i, 4))))
-             WHEN size(gh) > 0 THEN array(array_min(gh))
-             ELSE CAST(array() AS ARRAY<STRING>) END"""))
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
+  private[graft] def winnowFps(docs: DataFrame): DataFrame = {
+    // Plan shape (rebuilt in r4 after a measured blow-up): the first
+    // form kept everything row-local in nested higher-order-function
+    // lambdas. Two problems at once: (a) HOFs never enter codegen, and
+    // CollapseProject inlines the gram-hash alias into EVERY sliding-
+    // window reference, so each window re-derived the whole gram array
+    // — split, n-gram assembly, one md5 per gram — O(n^2) md5 work in
+    // interpreted eval (measured: 500+ s of CPU on ONE sf0.1 task);
+    // (b) q116 consumes the fingerprint frame five times (cardinality,
+    // DF cap, both sides of the pair join), re-running that projection
+    // each time. This is exactly the shape the near-dup family solved:
+    // EXPLODE the grams (one Generate per doc), hash per ROW inside
+    // whole-stage codegen, take the w=4 window min with a real window
+    // frame — whose doc_id exchange is also what parallelizes a
+    // byte-dense single-file scan across cores — and materialize the
+    // selected fingerprints ONCE (eager localCheckpoint, the
+    // docShingleSets pattern). Winnowing keeps the min of each
+    // COMPLETE window (pos <= n-4); docs with fewer than 4 grams keep
+    // the min of what they have (the pos=0 truncated window).
+    import org.apache.spark.sql.expressions.Window
+    val grams = Dedup.withToks(docs)
+      .select(col("doc_id"), posexplode(expr(Dedup.gramArraySql(3))))
+      .toDF("doc_id", "pos", "g")
+      .withColumn("gh", substring(md5(col("g")), 1, 12))
+    val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 3)
+    val wAll = Window.partitionBy(col("doc_id"))
+    grams
+      .withColumn("wmin", min(col("gh")).over(wWin))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("pos") <= greatest(col("n") - 4, lit(0)))
+      .select(col("doc_id"), col("wmin").as("fp"))
+      .distinct()
+      .localCheckpoint(true)
+  }
 
   def queries: Vector[Q] = Vector(
     // ---- corpus-wide segment dedup -----------------------------------
@@ -491,12 +514,14 @@ object CurationOps {
     // q27/q70). Fingerprints are 12-hex-char md5 prefixes: fixed-width
     // lowercase hex compares lexicographically == numerically, so
     // array_min/list_min agree across engines bit-for-bit.
-    // Scale: gram hashing and window-min selection are ROW-LOCAL array
-    // ops (no explode of raw grams, no shuffle); only the ~n_toks/w
-    // selected fingerprints per doc enter the exchange. The pair join
-    // is a DF-capped inverted index exactly like q70: fingerprints
-    // seen in > 50 docs are boilerplate and carry no pair evidence, so
-    // the self-join fan-out per fingerprint is bounded by the cap.
+    // Scale: gram hashing runs per exploded row inside whole-stage
+    // codegen; window-min selection is one doc_id-keyed window pass
+    // (the only full-gram-stream exchange), and the ~n_toks/w selected
+    // fingerprints are materialized ONCE for all five consumers (see
+    // winnowFps). The pair join is a DF-capped inverted index exactly
+    // like q70: fingerprints seen in > 50 docs are boilerplate and
+    // carry no pair evidence, so the self-join fan-out per fingerprint
+    // is bounded by the cap.
     Q("q116_winnow_overlap",
       (s, dir) => {
         import s.implicits._
@@ -657,6 +682,67 @@ object CurationOps {
           CAST(SUM(n_dup) AS BIGINT) AS dup_segs,
           ROUND(CAST(SUM(n_dup) AS DOUBLE) / SUM(n_segs), 6) AS dup_coverage,
           CAST(SUM(CASE WHEN n_dup * 2 >= n_segs THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy
-        FROM per_doc GROUP BY source ORDER BY source"""))
+        FROM per_doc GROUP BY source ORDER BY source""")),
+
+    // ---- out-of-vocabulary rate (corpus-vocab quality gate) ----------
+    // Per-doc fraction of token OCCURRENCES outside the corpus'
+    // top-1000 vocabulary — the classic cheap quality signal: gibberish,
+    // boilerplate-stripped residue and wrong-language docs all surface
+    // as high OOV mass. Vocabulary = top-1000 tokens by total corpus
+    // frequency with (count DESC, tok) as the total tie-break order, so
+    // the 1000-boundary is deterministic. The rate is one exact
+    // integer division rounded once; token-less docs publish 0.0 (the
+    // q97 left-join convention). Scale: the token stream collapses to
+    // (doc_id, tok, tf) in ONE doc-keyed aggregate before any join —
+    // the vocab probe joins per DISTINCT doc-term, not per occurrence;
+    // the vocab side is corpus-derived (vocabulary-sized), so it
+    // carries NO broadcast hint (SCALE_DESIGN rule 2) — AQE broadcasts
+    // the 1000-row frame at every realistic size, and the top-1000
+    // itself plans as TakeOrderedAndProject over the (already
+    // aggregated) term-frequency frame — per-partition heaps, no full
+    // sort.
+    Q("q122_oov_rate",
+      (s, dir) => {
+        import s.implicits._
+        val docs = documents(s, dir)
+        val tf = Dedup.withToks(docs)
+          .select($"doc_id", explode($"toks").as("tok"))
+          .filter(length($"tok") > 0)
+          .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        val vocab = tf.groupBy($"tok").agg(sum($"tf").as("cf"))
+          .orderBy($"cf".desc, $"tok").limit(1000)
+          .select($"tok", lit(1).as("in_vocab"))
+        val perDoc = tf.join(vocab, Seq("tok"), "left")
+          .groupBy($"doc_id")
+          .agg(sum($"tf").as("n_tok"),
+            sum(when($"in_vocab".isNull, $"tf").otherwise(lit(0L))).as("n_oov"))
+        docs.select($"doc_id")
+          .join(perDoc, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"n_tok", lit(0L)).as("n_tok"),
+            coalesce($"n_oov", lit(0L)).as("n_oov"),
+            when($"n_tok".isNull, lit(0.0))
+              .otherwise(round($"n_oov".cast(DoubleType) / $"n_tok", 6)).as("oov_rate"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH $toksCte,
+        tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM (SELECT doc_id, UNNEST(w) AS tok FROM toksc) u
+               WHERE len(tok) > 0 GROUP BY 1, 2),
+        vocab AS (SELECT tok FROM
+                    (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY tok)
+                  ORDER BY cf DESC, tok LIMIT 1000),
+        per_doc AS (SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tok,
+                      CAST(SUM(CASE WHEN v.tok IS NULL THEN tf.tf ELSE 0 END) AS BIGINT) AS n_oov
+                    FROM tf LEFT JOIN vocab v ON tf.tok = v.tok
+                    GROUP BY tf.doc_id)
+        SELECT d.doc_id,
+          COALESCE(p.n_tok, 0) AS n_tok,
+          COALESCE(p.n_oov, 0) AS n_oov,
+          CASE WHEN p.n_tok IS NULL THEN 0.0
+               ELSE ROUND(CAST(p.n_oov AS DOUBLE) / p.n_tok, 6) END AS oov_rate
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        ORDER BY d.doc_id"""))
   )
 }

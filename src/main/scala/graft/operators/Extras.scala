@@ -280,6 +280,43 @@ object Extras {
           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup
         FROM events GROUP BY 1 ORDER BY day""")),
 
+    // ---- unpivot (wide -> long melt, the inverse of q47) -------------
+    // Spark's Dataset.unpivot plans as a single Expand over the
+    // aggregated frame — map-only, no shuffle after the upstream
+    // aggregate, and |metrics|x fan-out happens on |groups| rows
+    // (metadata-sized), never on the fact table. All three metrics are
+    // cast to DOUBLE before melting (unpivot needs one common value
+    // type); the sums themselves are exact — all three go through the
+    // dsum decimal route (order-insensitive), so the final cast is the
+    // single deterministic rounding in both engines.
+    // The oracle is the portable UNION ALL spelling of the same melt.
+    Q("q120_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        val wide = lineitem(s, dir).groupBy($"l_returnflag")
+          .agg(dsum($"l_quantity", 2).as("sum_qty"),
+            dsum($"l_extendedprice", 4).as("sum_price"),
+            dsum($"l_discount", 4).as("sum_disc"))
+        wide.unpivot(
+            Array($"l_returnflag"),
+            Array($"sum_qty", $"sum_price", $"sum_disc"),
+            "metric", "value")
+          .orderBy($"l_returnflag", $"metric")
+      },
+      Some(s"""
+        WITH wide AS (SELECT l_returnflag,
+            ${dsumSql("l_quantity", 2)} AS sum_qty,
+            ${dsumSql("l_extendedprice", 4)} AS sum_price,
+            ${dsumSql("l_discount", 4)} AS sum_disc
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, metric, value FROM (
+          SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+          UNION ALL
+          SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide
+          UNION ALL
+          SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS value FROM wide)
+        ORDER BY l_returnflag, metric""")),
+
     // ---- generator: posexplode with ordinality -----------------------
     Q("q48_posexplode",
       (s, dir) => {

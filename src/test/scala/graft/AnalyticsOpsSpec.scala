@@ -447,4 +447,81 @@ class AnalyticsOpsSpec extends SparkSuite {
     }
     assert(got.length == 10)
   }
+
+  test("q120 melt emits 3 rows per flag and preserves the wide totals") {
+    def r(x: Double, scale: Int) =
+      BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+    val raw = graft.operators.Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
+      .collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2), x.getDouble(3)))
+    val expected = raw.groupBy(_._1).flatMap { case (flag, rows) =>
+      Seq(
+        (flag, "sum_disc", rows.map(t => r(t._4, 4)).sum.toDouble),
+        (flag, "sum_price", rows.map(t => r(t._3, 4)).sum.toDouble),
+        (flag, "sum_qty", rows.map(t => r(t._2, 2)).sum.toDouble))
+    }.toSet
+    val got = run("q120_unpivot").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getDouble(2))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    val flags = raw.map(_._1).distinct.length
+    assert(got.size == flags * 3)
+  }
+
+  test("q121 equals a Scala OLS over the zero-filled dense calendar") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val raw = graft.operators.Tables.events(spark, dir)
+      .select($"event_type", to_date($"ts").as("day")).collect()
+      .map(x => (x.getString(0), x.getDate(1).toLocalDate.toEpochDay))
+    val (mn, mx) = (raw.map(_._2).min, raw.map(_._2).max)
+    val counts = raw.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val expected = raw.map(_._1).distinct.map { t =>
+      val ys = (mn to mx).map(d => (d, counts.getOrElse((t, d), 0L)))
+      val n = ys.size.toLong
+      val sx = BigInt(ys.map(_._1).sum)
+      val sy = BigInt(ys.map(_._2).sum)
+      val sxx = ys.map(p => BigInt(p._1) * BigInt(p._1)).sum
+      val sxy = ys.map(p => BigInt(p._1) * BigInt(p._2)).sum
+      val den = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+      val num = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+      val slope = if (den == 0.0) 0.0 else r6(num / den)
+      (t, n, slope, r6(sy.toDouble / n))
+    }.toSet
+    val got = run("q121_ols_trend").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2), x.getDouble(3))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
+  test("q123 flags match a Scala median/MAD re-derivation (exact-integer gate)") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // interpolating median of sorted longs, scaled x2 so it's an exact Long
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.size
+      s((n - 1) / 2) + s(n / 2)
+    }
+    val raw = graft.operators.Tables.events(spark, dir)
+      .select($"event_type", to_date($"ts").as("day")).collect()
+      .map(x => (x.getString(0), x.getDate(1)))
+    val daily = raw.groupBy(identity).map { case ((t, d), v) => (t, d, v.length.toLong) }.toSeq
+    val expected = daily.groupBy(_._1).flatMap { case (t, rows) =>
+      val m2 = med2(rows.map(_._3))
+      val devs = rows.map { case (_, d, n) => (d, n, math.abs(2 * n - m2)) }
+      val mad4 = med2(devs.map(_._3))
+      if (mad4 == 0) Seq.empty
+      else devs.filter(_._3 * 10000 > mad4 * 22239).map { case (d, n, dev2) =>
+        (t, d, n, r6(dev2 * 2.0 / (mad4 * 1.4826)))
+      }
+    }.toSet
+    val got = run("q123_mad_outliers").collect()
+      .map(x => (x.getString(0), x.getDate(1), x.getLong(2), x.getDouble(3))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // the estimator's point: a median/MAD gate survives the spikes it
+    // flags — every flagged count sits strictly off its type's median
+    got.foreach { case (t, _, n, z) => assert(z > 0.0, s"$t/$n zero z") }
+  }
 }

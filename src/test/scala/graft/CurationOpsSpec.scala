@@ -257,4 +257,27 @@ class CurationOpsSpec extends SparkSuite {
     assert(got == expected,
       s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
   }
+
+  test("q122 equals an independent Scala OOV re-derivation") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = graft.operators.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq))
+    val cf = docs.flatMap(_._2).groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val vocab = cf.toSeq.sortBy { case (t, n) => (-n, t) }.take(1000).map(_._1).toSet
+    val expected = docs.map { case (id, toks) =>
+      val nTok = toks.size.toLong
+      val nOov = toks.count(t => !vocab(t)).toLong
+      (id, nTok, nOov, if (nTok == 0) 0.0 else r6(nOov.toDouble / nTok))
+    }.toSet
+    val got = run("q122_oov_rate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // sanity of the signal itself: rates live in [0,1] and the corpus
+    // contains at least one doc with OOV mass when |vocab| was capped
+    got.foreach { case (id, _, _, rate) =>
+      assert(rate >= 0.0 && rate <= 1.0, s"doc $id rate $rate") }
+    if (cf.size > 1000) assert(got.exists(_._3 > 0L))
+  }
 }

@@ -42,6 +42,7 @@ class PlanLintSpec extends SparkSuite {
     "q93_event_funnel",       // three 1-row funnel-stage counts
     "q95_gap_fill",           // generated calendar x |types| grid
     "q107_moving_avg",        // same grid via denseGrid
+    "q121_ols_trend",         // same grid via denseGrid
     "q104_mixture_rebalance", // 1-row min-count scalar
     "q34_ann_topk",           // fixed 50-vector probe set (declared brute-force baseline)
     "q87_knn_label",          // same probe-set frame as q34
