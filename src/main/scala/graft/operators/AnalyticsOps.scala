@@ -238,9 +238,13 @@ object AnalyticsOps {
     Q("q98_source_overlap",
       (s, dir) => {
         import s.implicits._
+        // one materialization for the three consumers (sizes + both
+        // sides of the inverted-index join) — the docShingleSets
+        // pattern; without it the explode + distinct exchange runs 3x
         val sg = Dedup.withToks(documents(s, dir))
           .select($"source", explode(expr(Dedup.gramArraySql(3))).as("g"))
           .distinct()
+          .localCheckpoint(true)
         val sizes = sg.groupBy($"source").agg(count(lit(1)).as("n"))
         val inter = sg.as("a").join(sg.as("b"),
             $"a.g" === $"b.g" && $"a.source" < $"b.source")
@@ -393,7 +397,10 @@ object AnalyticsOps {
             lit(1) + when($"n" > 32, expr("CAST((n - 9) div 24 AS INT)")).otherwise(lit(0)))
           .select($"doc_id", $"n",
             posexplode(expr(
-              "transform(sequence(0, nch - 1), i -> concat_ws(' ', slice(w2, i * 24 + 1, 32)))")))
+              // let-bound w2 (the gramArraySql idiom): the per-chunk
+              // slice must not re-derive the filtered split
+              """transform(array(w2), __tk ->
+                   transform(sequence(0, nch - 1), i -> concat_ws(' ', slice(__tk, i * 24 + 1, 32))))[0]""")))
           .select($"doc_id",
             $"pos".cast(IntegerType).as("chunk_id"),
             when($"pos" * 24 + 32 <= $"n", lit(32))

@@ -117,10 +117,14 @@ object CurationOps {
         import s.implicits._
         val seg = 8
         val docs = Dedup.withToks(documents(s, dir))
+        // let-bound toks (the gramArraySql idiom): the lambda's
+        // per-segment slice must not re-run the split via
+        // CollapseProject inlining
         val chunks = docs.select($"doc_id",
             posexplode(expr(
-              s"""transform(sequence(0, CAST((size(toks) + ${seg - 1}) div $seg AS INT) - 1),
-                            i -> concat_ws(' ', slice(toks, i * $seg + 1, $seg)))""")))
+              s"""transform(array(toks), __tk ->
+                    transform(sequence(0, CAST((size(__tk) + ${seg - 1}) div $seg AS INT) - 1),
+                              i -> concat_ws(' ', slice(__tk, i * $seg + 1, $seg))))[0]""")))
           .toDF("doc_id", "pos", "chunk")
         val w = Window.partitionBy($"chunk").orderBy($"doc_id", $"pos")
         chunks.withColumn("rn", row_number().over(w))
@@ -646,10 +650,12 @@ object CurationOps {
       (s, dir) => {
         import s.implicits._
         val seg = 8
+        // let-bound toks, as in q80 — see gramArraySql's scaladoc
         val chunks = Dedup.withToks(documents(s, dir))
           .select($"doc_id", $"source", posexplode(expr(
-            s"""transform(sequence(0, CAST((size(toks) + ${seg - 1}) div $seg AS INT) - 1),
-                          i -> substring(md5(concat_ws(' ', slice(toks, i * $seg + 1, $seg))), 1, 16))""")))
+            s"""transform(array(toks), __tk ->
+                  transform(sequence(0, CAST((size(__tk) + ${seg - 1}) div $seg AS INT) - 1),
+                            i -> substring(md5(concat_ws(' ', slice(__tk, i * $seg + 1, $seg))), 1, 16)))[0]""")))
           .toDF("doc_id", "source", "pos", "seg_h")
         val occ = chunks.groupBy($"seg_h").agg(count(lit(1)).as("occ"))
         val perDoc = chunks.join(occ, "seg_h")

@@ -41,12 +41,23 @@ object Dedup {
     * The single source of truth for gram construction — shared by
     * [[shingles]] (n=3), q69/q71 (TrainingOps) and
     * `StreamOps.decontaminate`, so a tokenization fix can't silently
-    * diverge the batch and streaming forms. */
+    * diverge the batch and streaming forms.
+    *
+    * The whole expression is wrapped in the `transform(array(x),
+    * v -> body)[0]` let-binding: `toksCol` is usually a projected
+    * alias over `split(lower(text))`, and CollapseProject inlines
+    * such aliases into EVERY reference — including the per-element
+    * references inside the gram lambda, which would re-run the split
+    * once per gram in interpreted higher-order-function eval (the
+    * q116 blow-up, docs/PLANS_r4.md). Binding it to a lambda variable
+    * evaluates it once per row; no optimizer rule inlines through a
+    * lambda binding. */
   private[graft] def gramArraySql(n: Int, toksCol: String = "toks"): String = {
-    val parts = (1 to n).map(j => s"element_at($toksCol, i + $j)").mkString(", ")
-    s"""CASE WHEN size($toksCol) >= $n
-        THEN transform(sequence(0, size($toksCol) - $n), i -> concat_ws(' ', $parts))
-        ELSE CAST(array() AS ARRAY<STRING>) END"""
+    val parts = (1 to n).map(j => s"element_at(__tk, i + $j)").mkString(", ")
+    s"""transform(array($toksCol), __tk ->
+          CASE WHEN size(__tk) >= $n
+          THEN transform(sequence(0, size(__tk) - $n), i -> concat_ws(' ', $parts))
+          ELSE CAST(array() AS ARRAY<STRING>) END)[0]"""
   }
 
   /** 3-word shingles, exploded. Docs with <3 tokens produce NO shingles
