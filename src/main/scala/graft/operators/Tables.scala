@@ -35,11 +35,18 @@ object Tables {
     * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs
     * (legacy conf, runtime-settable) and truncate to the engine's
     * microsecond timestamps — the same truncation DuckDB applies when
-    * casting TIMESTAMP_NS to TIMESTAMP, so both engines agree. */
+    * casting TIMESTAMP_NS to TIMESTAMP, so both engines agree. A lake
+    * rewritten by another engine (e.g. the 10x sweep corpus) may carry
+    * µs timestamps instead — with nanosAsLong those arrive as a real
+    * timestamp column and need no conversion, so branch on the READ
+    * type, not on an assumption about the writer. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = apply(s, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Exact order-insensitive sum of a double column: route through

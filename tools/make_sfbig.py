@@ -10,6 +10,7 @@ hard case for LSH). Driver-side tooling only (duckdb), like selfcheck.py.
 Usage: python3 tools/make_sfbig.py [src_dir] [out_dir] [reps]
 """
 import os
+import shutil
 import sys
 
 import duckdb
@@ -42,6 +43,12 @@ def main():
             print(f"skip {t} (no source)")
             continue
         dst = f"{OUT}/{t}.parquet"
+        if os.path.isdir(dst):           # stale Spark-written directory
+            shutil.rmtree(dst)
+        # documents/embeddings are small-row-count but compute-dense;
+        # small row groups let Spark's byte-range splitting hand them
+        # to many tasks (a single default-size row group = ONE task)
+        rg = ", ROW_GROUP_SIZE 4096" if t in ("documents", "embeddings") else ""
         if shift is None:
             con.sql(f"COPY (SELECT * FROM '{src}') TO '{dst}' (FORMAT parquet)")
             print(f"{t}: copied 1x")
@@ -67,7 +74,7 @@ def main():
         con.sql(
             f"COPY (SELECT {', '.join(sel)} FROM '{src}', "
             f"(SELECT UNNEST(range({REPS})) AS rep) r ORDER BY 1) "
-            f"TO '{dst}' (FORMAT parquet)")
+            f"TO '{dst}' (FORMAT parquet{rg})")
         print(f"{t}: {n} x {REPS}")
     print(f"done -> {OUT}")
 
