@@ -88,6 +88,8 @@ object GraftFunctions {
       "simhash64", exprs => SimHash64(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "py_norm", exprs => PyNorm(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs(0)), "built-in")
   }
 
   def dot_product(a: Column, b: Column): Column = call_function("dot_product", a, b)

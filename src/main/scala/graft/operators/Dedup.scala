@@ -105,18 +105,55 @@ object Dedup {
     * under ObjectHashAggregate, where codegen subexpression
     * elimination does not apply. Shared (with [[bandSliceSql]]) by
     * q26/q27/q58/q66/q79/q80/q105 and their oracles. */
-  private def bandMins: Seq[Column] =
-    (0 until nBands).map(k => min(substring(col("h"), k * 8 + 1, 8)).as(s"mh$k"))
-
-  /** Oracle twin of [[bandMins]]'s band-k slice over a shingle column. */
+  /** Oracle twin of the band-k slice in [[sigStructSql]] over a
+    * shingle column. */
   private[operators] def bandSliceSql(k: Int, shingleExpr: String = "s"): String =
     s"substr(md5($shingleExpr), ${k * 8 + 1}, 8)"
 
-  /** doc_id, mh0..mh3 minhash signature frame. */
+  /** `doc_id` plus the flattened per-row MinHash state from the
+    * [[graft.functions.MinHashSig]] kernel; docs with fewer than 3
+    * tokens are dropped (they have no 3-gram — the same rows the r3
+    * exploded form's empty gram array removed).
+    *
+    * The signature stage is MAP-ONLY: the shingles never leave their
+    * row, so there is no exchange at all. The r3 shape exploded every
+    * shingle occurrence and shuffled the exploded corpus (~3x the
+    * corpus bytes, the single biggest exchange in the near-dup family)
+    * into an ObjectHashAggregate; a 3-gram is a row-local construct,
+    * so at any scale that shuffle bought nothing. min-over-multiset
+    * equals min-over-set and a distinct hash set equals
+    * `collect_set(hash)` up to ordering, which no consumer observes
+    * (size / array_intersect only) — verified row-identical vs the
+    * aggregate form at sf0.1. The same construction as nested
+    * higher-order functions was measured 5x slower than the kernel
+    * (interpreted lambda eval, one commons-codec digest allocation
+    * per gram) — see MinHashSig's scaladoc.
+    *
+    * Parallelism note: being map-side, the stage's parallelism equals
+    * the SCAN's split count — a corpus written as one giant parquet
+    * row group would hash on one core. That is a lake-layout property,
+    * not a plan property: any real corpus has thousands of row groups
+    * (tools/make_sfbig.py sizes the synthetic one accordingly). An
+    * unconditional repartition here was measured a net LOSS at sf0.1
+    * (round-robin pays a full-row sortBeforeRepartition on the text;
+    * even hash-on-doc_id adds an exchange + 32-task scheduling per
+    * stage that outweighs the serial hashing it saves — q66 2.3s ->
+    * 3.3s), so the layout contract is documented instead of papered
+    * over with a shuffle. */
+  private def sigFrame(s: SparkSession, dir: String, withSet: Boolean): DataFrame = {
+    GraftFunctions.register(s)
+    val flat = col("doc_id") +:
+      (if (withSet) Seq(col("q.shs").as("shs")) else Nil) ++:
+      (0 until nBands).map(k => col(s"q.mh$k").as(s"mh$k"))
+    withToks(documents(s, dir))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr("minhash_sig(toks)").as("q"))
+      .select(flat: _*)
+  }
+
+  /** doc_id, mh0..mh3 minhash signature frame — map-only, no exchange. */
   private[operators] def signatures(s: SparkSession, dir: String): DataFrame =
-    shingles(documents(s, dir))
-      .select(col("doc_id"), md5(col("s")).as("h"))
-      .groupBy(col("doc_id")).agg(bandMins.head, bandMins.tail: _*)
+    sigFrame(s, dir, withSet = false)
 
   private[operators] val signatureSql: String = {
     val cols = (0 until nBands).map(k => s"min(${bandSliceSql(k)}) AS mh$k").mkString(", ")
@@ -166,8 +203,13 @@ object Dedup {
         WHERE rn = 1 ORDER BY doc_id""")),
 
     // ---- minhash signatures ------------------------------------------
+    // localCheckpoint before the global sort: RangePartitioning's
+    // bounds-sampling pass re-executes its child, which would run the
+    // whole signature kernel twice; checkpointing the (narrow,
+    // doc-count-sized) signature frame makes the sample read a
+    // materialized block instead.
     Q("q26_minhash_signature",
-      (s, dir) => signatures(s, dir).orderBy(col("doc_id")),
+      (s, dir) => signatures(s, dir).localCheckpoint(true).orderBy(col("doc_id")),
       Some(s"""$shingleCte, $signatureSql
         SELECT * FROM sig ORDER BY doc_id""")),
 
@@ -455,28 +497,27 @@ object Dedup {
                 FROM documents) tq
           WHERE len(text) > 0 AND len(wne) > 0)"""
 
-  /** Per-doc near-dup state in ONE exchange: the md5 minhash signature
-    * (mh0..mh3, the q26 contract), the doc's DISTINCT shingle set as
-    * 64-bit xxhash64 values (`shs`), and its cardinality (`n`).
-    * Eagerly checkpointed so the banding branch and both verification
-    * join sides read ONE materialization — without it, Catalyst's
-    * per-branch column pruning makes the subtrees differ and the
-    * scan+explode+aggregate runs two or three times (the r3 shape).
-    * Set ops (cardinality, intersection) are hash-invariant, so
-    * nothing downstream ever touches shingle TEXT (~5x smaller rows;
-    * collision odds are ~|doc set|^2/2^65 per doc, and the DuckDB
-    * oracle keeps raw text, so a collision FAILS the gate loudly
-    * instead of agreeing silently). Row width is bounded by the doc's
-    * own distinct-shingle count — the same order as the doc text the
-    * corpus already carries. */
-  private[operators] def docShingleSets(s: SparkSession, dir: String): DataFrame = {
-    val sh0 = shingles(documents(s, dir))
-      .select(col("doc_id"), md5(col("s")).as("h"), xxhash64(col("s")).as("sh"))
-    val aggs = bandMins :+ collect_set(col("sh")).as("shs")
-    sh0.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  /** Per-doc near-dup state with ZERO exchanges: the md5 minhash
+    * signature (mh0..mh3, the q26 contract), the doc's DISTINCT
+    * shingle set as 64-bit xxhash64 values (`shs`), and its
+    * cardinality (`n`) — all via [[sigStructSql]]'s map-side nested
+    * HOFs (the r3 form exploded and shuffled every shingle occurrence
+    * first; see sigStructSql's scale note). Eagerly checkpointed so
+    * the banding branch and both verification join sides read ONE
+    * materialization — without it, Catalyst's per-branch column
+    * pruning makes the subtrees differ and the scan+signature
+    * projection runs two or three times. Set ops (cardinality,
+    * intersection) are hash-invariant, so nothing downstream ever
+    * touches shingle TEXT (~5x smaller rows; collision odds are
+    * ~|doc set|^2/2^65 per doc, and the DuckDB oracle keeps raw text,
+    * so a collision FAILS the gate loudly instead of agreeing
+    * silently). Row width is bounded by the doc's own distinct-shingle
+    * count — the same order as the doc text the corpus already
+    * carries. */
+  private[operators] def docShingleSets(s: SparkSession, dir: String): DataFrame =
+    sigFrame(s, dir, withSet = true)
       .withColumn("n", size(col("shs")).cast(LongType))
       .localCheckpoint(true)
-  }
 
   /** The map-side exact-Jaccard column over two hashed shingle sets —
     * the single source of truth shared by [[nearDupPairs]] and
