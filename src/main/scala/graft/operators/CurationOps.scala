@@ -405,25 +405,43 @@ object CurationOps {
     Q("q88_curation_funnel",
       (s, dir) => {
         import s.implicits._
-        val docs = documents(s, dir)
+        graft.functions.GraftFunctions.register(s)
+        // ONE corpus pass feeds the whole funnel: the r3 shape scanned
+        // the corpus four times and tokenized it twice (once for the
+        // minhash signatures, once for the quality formula) and spent
+        // a shuffle join on the quality flag — a per-row map column.
+        // Here a single scan+tokenize computes the content hash, the
+        // rounded quality and the flattened minhash state, checkpointed
+        // once; every funnel stage reads those local blocks. The kernel
+        // yields an EMPTY shingle set (null band minima) below 3
+        // tokens, so no pre-filter is needed: null band keys never
+        // equi-join, and the stack/verify branches prune to the same
+        // candidates as the shared q66 path.
+        val enriched = Dedup.withQuality(Dedup.withToks(documents(s, dir)))
+          .withColumn("h", xxhash64($"text"))
+          .withColumn("q", expr("minhash_sig(toks)"))
+          .select(Seq(col("doc_id"), col("source"), col("h"), col("quality"),
+            col("q.shs").as("shs")) ++
+            (0 until graft.functions.MinHashSig.nBands).map(k => col(s"q.mh$k").as(s"mh$k")): _*)
+          .withColumn("n", size($"shs").cast(LongType))
+          .localCheckpoint(true)
         // keyed by content hash like q25/q58 — text never enters the
         // exchange (oracle groups raw text: collisions fail loudly)
-        val exact = docs.groupBy(xxhash64($"text").as("h"))
+        val exact = enriched.groupBy($"h")
           .agg(min($"doc_id").as("doc_id"))
           .select($"doc_id").withColumn("is_exact", lit(1L))
-        val nonCanon = Dedup.components(s, dir)
+        val nonCanon = Dedup.componentsFromPairs(s,
+            Dedup.nearDupPairsFrom(enriched)
+              .filter(round($"jraw", 6) >= 0.5).select($"ida", $"idb"))
           .filter($"doc_id" =!= $"component")
           .select($"doc_id").withColumn("is_noncanon", lit(1L))
-        val qual = Dedup.qualityScores(s, dir)
-          .filter(round($"quality", 6) >= 0.4)
-          .select($"doc_id").withColumn("is_qual", lit(1L))
-        docs.select($"doc_id", $"source")
+        enriched.select($"doc_id", $"source",
+            coalesce(when($"quality" >= 0.4, lit(1L)), lit(0L)).as("is_qual"))
           .join(exact, Seq("doc_id"), "left")
           .join(nonCanon, Seq("doc_id"), "left")
-          .join(qual, Seq("doc_id"), "left")
           .withColumn("e", coalesce($"is_exact", lit(0L)))
           .withColumn("c", $"e" * when($"is_noncanon".isNull, lit(1L)).otherwise(lit(0L)))
-          .withColumn("q", $"c" * coalesce($"is_qual", lit(0L)))
+          .withColumn("q", $"c" * $"is_qual")
           .groupBy($"source")
           .agg(count(lit(1)).as("n_docs"), sum($"e").as("n_exact"),
             sum($"c").as("n_canonical"), sum($"q").as("n_quality"))

@@ -390,26 +390,49 @@ object Dedup {
   )
 
   /** Min-label propagation over the verified near-dup pair graph:
-    * `(doc_id, component)` for every doc appearing in a pair. Per
-    * iteration ONE Spark job: the lazy localCheckpoint is materialized
-    * by the changed-label count that doubles as the convergence check
-    * (labels only decrease; an unchanged round is the fixpoint). Init
-    * folds the first round in (label = min(id, neighbors)). Shared by
-    * q66 (published labels) and q79 (canonical corpus). */
+    * `(doc_id, component)` for every doc appearing in a pair. Shared
+    * by q66 (published labels), q79 (canonical corpus) and q88 (which
+    * feeds [[componentsFromPairs]] from its own single corpus pass). */
   private[operators] def components(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = nearDupPairs(s, dir)
+    componentsFromPairs(s, nearDupPairs(s, dir)
       .filter(round($"jraw", 6) >= 0.5)
-      .select($"ida", $"idb")
-    val edges = pairs.union(pairs.select($"idb", $"ida")).toDF("src", "dst")
-      .localCheckpoint(true)
-    // init folds the first propagation round in: label = min(id, nbrs).
-    // LAZY checkpoint: round 1's changed-count materializes it inside
-    // that same job (an eager one here would spend a whole extra pass
-    // on a frame that is one cheap aggregate above checkpointed edges)
-    var labels = edges.groupBy($"src").agg(min($"dst").as("m"))
-      .select($"src".as("id"), least($"src", $"m").as("label"))
+      .select($"ida", $"idb"))
+  }
+
+  /** The propagation loop over a distinct `(ida, idb)` pair frame.
+    *
+    * Edges are symmetrized and get a SELF-LOOP per endpoint, so one
+    * `join + min` aggregate computes `min(label over N(u) ∪ {u})` —
+    * the r3 shape needed a second node-table join (`least(own,
+    * nbr-min)`) per round, an extra exchange plus a sort-merge join
+    * whose cost grows with the node count at every scale. Convergence
+    * piggybacks on the same job: labels only DECREASE (the self-loop
+    * makes each round a min over a superset containing the old label),
+    * so the fixpoint test is `sum(label)` unchanged — an O(1)-output
+    * aggregate instead of a changed-row count over a joined frame.
+    * The sum is exact DECIMAL(38,0): 10^12 nodes of 10^18-max ids is
+    * 10^30 « 10^38, so "unchanged sum" is "unchanged labels", never a
+    * float coincidence. Per round ONE action: the lazy localCheckpoint
+    * of the new labels is materialized inside the sum job; the
+    * previous round's sum is then one tiny aggregate over its already
+    * materialized blocks. */
+  private[operators] def componentsFromPairs(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val dec = DecimalType(38, 0)
+    // LAZY checkpoint: round 1's sum-action materializes edges, the
+    // init labels AND the first propagation in ONE job — an eager one
+    // here spent a whole extra job boundary on the pair pipeline,
+    // whose shuffle stages the four union branches share anyway
+    val edges = pairs.union(pairs.select($"idb", $"ida"))
+      .union(pairs.select($"ida", $"ida")).union(pairs.select($"idb", $"idb"))
+      .toDF("src", "dst")
       .localCheckpoint(false)
+    // init IS round 1: min over N(u) ∪ {u} of the identity labeling
+    var labels = edges.groupBy($"src").agg(min($"dst").as("label"))
+      .select($"src".as("id"), $"label")
+      .localCheckpoint(false)
+    var prevSum: java.math.BigDecimal = null // lazily computed after round 1 materializes
     var converged = false
     var iters = 0
     val maxIters = 200 // iterations = component diameter; a chain of
@@ -417,19 +440,19 @@ object Dedup {
                        // is generous — and hitting it FAILS LOUDLY
                        // below rather than returning wrong components
     while (!converged && iters < maxIters) {
-      val prop = edges.join(labels, col("dst") === col("id"))
-        .groupBy($"src").agg(min($"label").as("nbr"))
-      // LAZY checkpoint materialized by the changed-count action below:
-      // one Spark job per iteration carries both the propagation and
-      // the convergence check (labels only decrease, so an unchanged
-      // round is the fixpoint)
-      val next = labels.join(prop, $"id" === $"src", "left")
-        .select($"id", $"label".as("prev"),
-          least($"label", coalesce($"nbr", $"label")).as("label"))
+      val next = edges.join(labels, col("dst") === col("id"))
+        .groupBy($"src").agg(min($"label").as("label"))
+        .select($"src".as("id"), $"label")
         .localCheckpoint(false)
-      val changed = next.filter($"label" =!= $"prev").count()
-      labels = next.select($"id", $"label")
-      converged = changed == 0L
+      // sum of an EMPTY label frame is SQL NULL — an empty pair graph
+      // (clean corpus) must converge on round 1, not NPE
+      val zero = java.math.BigDecimal.ZERO
+      val nextSum = Option(next.agg(sum($"label".cast(dec))).head.getDecimal(0)).getOrElse(zero)
+      if (prevSum == null) // round 1's job also materialized the init labels
+        prevSum = Option(labels.agg(sum($"label".cast(dec))).head.getDecimal(0)).getOrElse(zero)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels = next
       iters += 1
     }
     require(converged,
@@ -473,17 +496,24 @@ object Dedup {
     * docs DO occur. Map-only per row. */
   private[operators] def qualityScores(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    withToks(documents(s, dir))
-      .withColumn("wne", array_remove(col("toks"), ""))
-      .filter(length(col("text")) > 0 && size(col("wne")) > 0)
+    withQuality(withToks(documents(s, dir)))
+      .filter(col("quality").isNotNull)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+  }
+
+  /** Adds `wne`, `n_tokens` and the rounded `quality` column (NULL on
+    * empty or token-less docs, where the ratios are 0/0-undefined) to
+    * a frame carrying `text` + `toks` — the single source of the q30
+    * formula, shared by [[qualityScores]] and q88's one-pass funnel
+    * frame. Callers must have registered [[GraftFunctions]]. */
+  private[operators] def withQuality(df: DataFrame): DataFrame =
+    df.withColumn("wne", array_remove(col("toks"), ""))
       .withColumn("n_tokens", size(col("wne")).cast(LongType))
       .withColumn("n_punct", length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast(LongType))
-      .withColumn("q",
+      .withColumn("quality", when(length(col("text")) > 0 && size(col("wne")) > 0, round(
         lit(0.4) * least(col("n_tokens").cast(DoubleType) / 200.0, lit(1.0)) +
         lit(0.3) * (lit(1.0) - col("n_punct").cast(DoubleType) / length(col("text"))) +
-        lit(0.3) * (expr("count_in_set(wne, array('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))").cast(DoubleType) / col("n_tokens")))
-      .select(col("doc_id"), col("n_tokens"), round(col("q"), 6).as("quality"))
-  }
+        lit(0.3) * (expr("count_in_set(wne, array('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))").cast(DoubleType) / col("n_tokens")), 6)))
 
   /** Matching oracle CTE, ending in `quality(doc_id, n_tokens, quality)`. */
   private[operators] val qualityCte: String =
@@ -533,8 +563,14 @@ object Dedup {
     * [[docShingleSets]] with a map-side `array_intersect` — no
     * exploded shingle-intersection join, no separate cardinality
     * joins (the r3 shape spent five exchanges on what is now two). */
-  private[operators] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val ds = docShingleSets(s, dir)
+  private[operators] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    nearDupPairsFrom(docShingleSets(s, dir))
+
+  /** [[nearDupPairs]] over an already materialized doc-state frame
+    * carrying at least `(doc_id, shs, n, mh0..mh3)` — q88 passes a
+    * wider single-pass frame so the corpus is scanned and tokenized
+    * once for its whole funnel. */
+  private[operators] def nearDupPairsFrom(ds: DataFrame): DataFrame = {
     val stackExpr = (0 until nBands).map(k => s"$k, mh$k").mkString(s"stack($nBands, ", ", ", ") AS (band, sg)")
     val bands = ds.selectExpr("doc_id", stackExpr)
     val cand = bands.as("ba").join(bands.as("bb"),
