@@ -420,6 +420,136 @@ object TrainingOps {
                CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
                CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique_texts,
                CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS exact_dup_docs
-        FROM documents"""))
+        FROM documents""")),
+
+    // ---- prefix-filtered exact Jaccard self-join (PPJoin-style) ------
+    // The LOSSLESS complement to q70's DF-capped index: every pair with
+    // verified 3-gram Jaccard >= 0.5 is found, with no frequency cap to
+    // miss stopword-heavy near-dups. The prefix-filter theorem does the
+    // pruning instead: under ANY global shingle order, a pair with
+    // J >= t must share a shingle inside each doc's first
+    // n - ceil(t*n) + 1 shingles (J >= t implies |A∩B| >= ceil(t*|A|)
+    // and >= ceil(t*|B|); pigeonhole does the rest). Ordering by
+    // (document frequency ASC, hash) makes those prefixes the RAREST
+    // shingles, so the inverted index only ever posts prefix entries —
+    // the common-shingle lists that dominate an uncapped index never
+    // enter the join. The two engines order ties differently (64-bit
+    // hash here, raw text in the oracle) but losslessness holds under
+    // each engine's own order, and the exact-Jaccard verify makes the
+    // published set identical. ceil(t*n) for t=0.5 is the pure-integer
+    // (n+1) div 2 — no float boundary can flip a prefix length.
+    // Scale: df is one shingle-keyed count (partial-combines); the
+    // prefix slice bounds each doc's posted entries to ~n/2; candidate
+    // volume is driven by truly-rare shingles, not corpus stopwords.
+    Q("q125_ppjoin",
+      (s, dir) => {
+        import s.implicits._
+        val dshH = Dedup.shingles(documents(s, dir))
+          .select($"doc_id", xxhash64($"s").as("sh")).distinct()
+          .localCheckpoint(true)
+        val wdoc = Window.partitionBy($"doc_id")
+        val ranked = dshH
+          .join(dshH.groupBy($"sh").agg(count(lit(1)).as("dfc")), "sh")
+          .withColumn("rk", row_number().over(wdoc.orderBy($"dfc", $"sh")))
+          .withColumn("n", count(lit(1)).over(wdoc))
+        val prefix = ranked.filter($"rk" <= $"n" - shiftright($"n" + 1, 1) + 1)
+          .select($"doc_id", $"sh")
+        val cand = prefix.as("a").join(prefix.as("b"),
+            $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("ida"), $"b.doc_id".as("idb")).distinct()
+        Dedup.verifyJaccardHashed(cand, dshH)
+          .select($"ida", $"idb", round($"jraw", 6).as("jacc"))
+          .filter($"jacc" >= 0.5)
+          .orderBy($"ida", $"idb")
+      },
+      Some(s"""${Dedup.shingleCte},
+        dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+        df AS (SELECT s, COUNT(*) AS dfc FROM dsh GROUP BY s),
+        ranked AS (SELECT dsh.doc_id, dsh.s,
+                     ROW_NUMBER() OVER (PARTITION BY dsh.doc_id ORDER BY df.dfc, dsh.s) AS rk,
+                     COUNT(*) OVER (PARTITION BY dsh.doc_id) AS n
+                   FROM dsh JOIN df ON dsh.s = df.s),
+        pfx AS (SELECT doc_id, s FROM ranked WHERE rk <= n - (n + 1) // 2 + 1),
+        cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+                 FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id),
+        card AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+        inter AS (SELECT c.ida, c.idb, COUNT(*) AS i FROM cand c
+                  JOIN dsh x ON x.doc_id = c.ida
+                  JOIN dsh y ON y.doc_id = c.idb AND x.s = y.s
+                  GROUP BY c.ida, c.idb)
+        SELECT ida, idb, ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jacc
+        FROM inter JOIN card ca ON ida = ca.doc_id JOIN card cb ON idb = cb.doc_id
+        WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5
+        ORDER BY ida, idb""")),
+
+    // ---- asymmetric containment pairs (quote/excerpt detection) ------
+    // Jaccard misses the "small doc quoted inside a much bigger doc"
+    // case (i/(a+b-i) stays low when b >> a); containment i/min(a,b)
+    // catches it. Direction is published explicitly: the doc with the
+    // SMALLER distinct-shingle set (ties -> lower doc_id) is the
+    // contained side. Candidate generation reuses q70's DF-capped
+    // inverted index with the >= 2 shared-rare-shingles prefilter (the
+    // same documented trade: shingles shared by > 8 docs carry no
+    // containment evidence); the verify is exact set arithmetic on
+    // 64-bit shingle hashes (set ops are hash-invariant; the oracle
+    // keeps raw text so a collision fails the gate loudly).
+    // Scale: identical shape to q70 — one df count, capped index join,
+    // pair-keyed verify; no all-pairs anywhere.
+    Q("q128_containment",
+      (s, dir) => {
+        import s.implicits._
+        val dshH = Dedup.shingles(documents(s, dir))
+          .select($"doc_id", xxhash64($"s").as("sh")).distinct()
+          .localCheckpoint(true)
+        val rare = dshH.join(
+          dshH.groupBy($"sh").agg(count(lit(1)).as("dfc")).filter($"dfc" <= 8), "sh")
+        val cand = rare.as("a").join(rare.as("b"),
+            $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("ida"), $"b.doc_id".as("idb"))
+          .agg(count(lit(1)).as("shared"))
+          .filter($"shared" >= 2)
+          .select($"ida", $"idb")
+        val sets = dshH.groupBy($"doc_id")
+          .agg(collect_set($"sh").as("shs"))
+          .withColumn("n", size($"shs").cast(LongType))
+        val scored = cand
+          .join(sets.as("x").hint("shuffle_hash"), $"ida" === $"x.doc_id")
+          .join(sets.as("y").hint("shuffle_hash"), $"idb" === $"y.doc_id")
+          .select($"ida", $"idb", $"x.n".as("na"), $"y.n".as("nb"),
+            size(array_intersect($"x.shs", $"y.shs")).cast(LongType).as("i"))
+        scored
+          .withColumn("cont", round($"i".cast(DoubleType) / least($"na", $"nb"), 6))
+          .filter($"cont" >= 0.8)
+          .select(
+            when($"na" <= $"nb", $"ida").otherwise($"idb").as("contained_id"),
+            when($"na" <= $"nb", $"idb").otherwise($"ida").as("container_id"),
+            least($"na", $"nb").as("n_contained"),
+            greatest($"na", $"nb").as("n_container"),
+            $"cont".as("containment"))
+          .orderBy($"contained_id", $"container_id")
+      },
+      Some(s"""${Dedup.shingleCte},
+        dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+        df AS (SELECT s, COUNT(*) AS dfc FROM dsh GROUP BY s),
+        rare AS (SELECT dsh.doc_id, dsh.s FROM dsh JOIN df ON dsh.s = df.s WHERE df.dfc <= 8),
+        cand AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+                 FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        card AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+        inter AS (SELECT c.ida, c.idb, COUNT(*) AS i FROM cand c
+                  JOIN dsh x ON x.doc_id = c.ida
+                  JOIN dsh y ON y.doc_id = c.idb AND x.s = y.s
+                  GROUP BY c.ida, c.idb),
+        scored AS (SELECT i.ida, i.idb, ca.n AS na, cb.n AS nb, i.i,
+                     ROUND(CAST(i.i AS DOUBLE) / LEAST(ca.n, cb.n), 6) AS cont
+                   FROM inter i JOIN card ca ON i.ida = ca.doc_id
+                   JOIN card cb ON i.idb = cb.doc_id)
+        SELECT CASE WHEN na <= nb THEN ida ELSE idb END AS contained_id,
+               CASE WHEN na <= nb THEN idb ELSE ida END AS container_id,
+               LEAST(na, nb) AS n_contained,
+               GREATEST(na, nb) AS n_container,
+               cont AS containment
+        FROM scored WHERE cont >= 0.8
+        ORDER BY contained_id, container_id"""))
   )
 }
