@@ -1092,5 +1092,67 @@ object AnalyticsOps {
         FROM dev JOIN mad ON dev.event_type = mad.event_type
         WHERE mad.mad4 > 0 AND dev.dev2 * 10000 > mad.mad4 * 22239
         ORDER BY dev.event_type, day"""))
+    ,
+
+    // ---- CUSUM change-point detection --------------------------------
+    // Per event_type: the day where the cumulative deviation from the
+    // type's mean daily rate peaks — the classic CUSUM statistic
+    // C_t = sum_{i<=t}(x_i - mean), computed integer-exactly by
+    // multiplying through by T: C'_t = T*cumsum_t - t*total (same
+    // argmax, no fractional mean). Products go through DECIMAL(19,0)
+    // operands (the q100/q103 overflow pattern — bigint would wrap
+    // silently once total_events*days passes 2^63, exactly the 100 TB
+    // regime); only the FINAL normalized ratio |C'|/(T*total), a
+    // scale-free [0,1] statistic, leaves decimal, so no output cast
+    // can overflow at any corpus size. Ties (equal |C'|) break to the
+    // earliest day. Scale: the window runs on the daily-counts frame
+    // (|types| x |days| rows — metadata, one fact-table scan via the
+    // shared localCheckpointed dailyCounts), partitioned by type; no
+    // global window anywhere.
+    Q("q126_cusum_changepoint",
+      (s, dir) => {
+        import s.implicits._
+        val daily = dailyCounts(s, dir)
+        val st = daily.groupBy($"event_type")
+          .agg(count(lit(1)).as("days"), sum($"n_events").as("total"))
+        val w = Window.partitionBy($"event_type").orderBy($"d")
+        val cu = daily
+          .withColumn("t", row_number().over(w))
+          .withColumn("cum", sum($"n_events").over(w))
+        val dec = DecimalType(19, 0)
+        val c = cu.join(broadcast(st), Seq("event_type"))
+          .withColumn("cabs", abs($"days".cast(dec) * $"cum".cast(dec)
+            - $"t".cast(dec) * $"total".cast(dec)))
+        c.withColumn("rk", row_number().over(
+            Window.partitionBy($"event_type").orderBy($"cabs".desc, $"d")))
+          .filter($"rk" === 1)
+          .select($"event_type",
+            date_add(to_date(lit("1970-01-01")), $"d").as("cp_day"),
+            round($"cabs".cast(DoubleType)
+              / ($"days".cast(DoubleType) * $"total".cast(DoubleType)), 6)
+              .as("rel_cusum"),
+            $"days".as("n_days"))
+          .orderBy($"event_type")
+      },
+      Some(s"""
+        WITH $dailyCteSql,
+        st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS days,
+                 CAST(SUM(n_events) AS BIGINT) AS total
+               FROM daily GROUP BY event_type),
+        cu AS (SELECT event_type, d,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS t,
+                 SUM(n_events) OVER (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM daily),
+        c AS (SELECT cu.event_type, cu.d, st.days, st.total,
+                ABS(CAST(st.days AS DECIMAL(19,0)) * CAST(cu.cum AS DECIMAL(19,0))
+                  - CAST(cu.t AS DECIMAL(19,0)) * CAST(st.total AS DECIMAL(19,0))) AS cabs
+              FROM cu JOIN st ON cu.event_type = st.event_type),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY cabs DESC, d) AS rk FROM c)
+        SELECT event_type, DATE '1970-01-01' + CAST(d AS INT) AS cp_day,
+          ROUND(CAST(cabs AS DOUBLE) / (CAST(days AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS rel_cusum,
+          days AS n_days
+        FROM r WHERE rk = 1 ORDER BY event_type"""))
   )
 }

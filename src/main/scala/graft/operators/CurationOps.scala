@@ -768,5 +768,97 @@ object CurationOps {
                ELSE ROUND(CAST(p.n_oov AS DOUBLE) / p.n_tok, 6) END AS oov_rate
         FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         ORDER BY d.doc_id"""))
+    ,
+
+    // ---- n-gram novelty curve (ingestion-order diminishing returns) --
+    // Docs bucketed by ingestion order (doc_id DIV 100 — doc_id is the
+    // arrival sequence in this corpus); per bucket, the fraction of its
+    // distinct 3-gram shingles never seen in ANY earlier bucket. The
+    // falling novelty curve is the standard "is more of this source
+    // still adding information?" curation signal. First-occurrence is a
+    // gram-keyed MIN — fully partial-aggregable, no window, no order
+    // dependence; the bucket rollup is a second bounded agg. Shingles
+    // ride 64-bit hashes end-to-end (the q70/q125 trade: the oracle
+    // keeps raw text, so a collision fails the gate loudly); a bucket's
+    // novelty is independent of partitioning, so the result is
+    // deterministic under any cluster layout.
+    Q("q127_novelty_curve",
+      (s, dir) => {
+        import s.implicits._
+        val bsh = Dedup.shingles(documents(s, dir))
+          .select(expr("doc_id DIV 100").as("bucket"), xxhash64($"s").as("sh"))
+          .distinct()
+        val first = bsh.groupBy($"sh").agg(min($"bucket").as("fb"))
+        bsh.join(first, "sh")
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when($"fb" === $"bucket", 1L).otherwise(0L)).as("n_new"))
+          .withColumn("novelty",
+            round($"n_new".cast(DoubleType) / $"n_grams", 6))
+          .orderBy($"bucket")
+      },
+      Some(s"""${Dedup.shingleCte},
+        bsh AS (SELECT DISTINCT doc_id // 100 AS bucket, s FROM sh),
+        fb AS (SELECT s, MIN(bucket) AS fb FROM bsh GROUP BY s)
+        SELECT b.bucket, CAST(COUNT(*) AS BIGINT) AS n_grams,
+          CAST(SUM(CASE WHEN f.fb = b.bucket THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+          ROUND(CAST(SUM(CASE WHEN f.fb = b.bucket THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*), 6) AS novelty
+        FROM bsh b JOIN fb f ON b.s = f.s
+        GROUP BY b.bucket ORDER BY bucket""")),
+
+    // ---- multi-signal rank fusion (per-source quality blend) ---------
+    // Reciprocal-rank-fusion's integer cousin: rank each doc within its
+    // source under three independent signals (chars, token count,
+    // distinct-token count), sum the ranks, keep the best 10 per
+    // source. Rank-domain blending is how curation pipelines combine
+    // incommensurable quality scores without normalizing scales; the
+    // integer rank sum keeps the whole query float-free until nothing
+    // is left to diverge. Ranks are row_number with a doc_id tiebreak —
+    // fully deterministic on ties (documented: equal metric values get
+    // distinct ranks by id, the price of cross-engine determinism).
+    // Scale: all four windows share ONE partitioning (source) — a
+    // single exchange, then in-partition sorts; the final top-10 is a
+    // WindowGroupLimit-eligible row_number filter, so each partition
+    // retains only its head.
+    Q("q129_rank_blend",
+      (s, dir) => {
+        import s.implicits._
+        val m = Dedup.withToks(documents(s, dir))
+          .withColumn("tne", expr("filter(toks, t -> length(t) > 0)"))
+          .select($"source", $"doc_id", $"n_chars",
+            size($"tne").cast(LongType).as("n_toks"),
+            size(array_distinct($"tne")).cast(LongType).as("n_distinct"))
+        def rk(c: org.apache.spark.sql.Column) = row_number().over(
+          Window.partitionBy($"source").orderBy(c.desc, $"doc_id"))
+        val ranked = m
+          .withColumn("r_len", rk($"n_chars"))
+          .withColumn("r_tok", rk($"n_toks"))
+          .withColumn("r_div", rk($"n_distinct"))
+          .withColumn("blend", ($"r_len" + $"r_tok" + $"r_div").cast(LongType))
+        ranked
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"source").orderBy($"blend", $"doc_id")))
+          .filter($"rk" <= 10)
+          .select($"source", $"doc_id", $"r_len", $"r_tok", $"r_div",
+            $"blend", $"rk")
+          .orderBy($"source", $"rk")
+      },
+      Some(s"""
+        WITH $toksCte,
+        m AS (SELECT t.source, t.doc_id, d.n_chars,
+                len(list_filter(t.w, x -> len(x) > 0)) AS n_toks,
+                len(list_distinct(list_filter(t.w, x -> len(x) > 0))) AS n_distinct
+              FROM toksc t JOIN documents d ON t.doc_id = d.doc_id),
+        ranked AS (SELECT source, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS r_len,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_toks DESC, doc_id) AS r_tok,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_distinct DESC, doc_id) AS r_div
+                   FROM m),
+        blended AS (SELECT *, CAST(r_len + r_tok + r_div AS BIGINT) AS blend FROM ranked),
+        top AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY blend, doc_id) AS rk
+                FROM blended)
+        SELECT source, doc_id, r_len, r_tok, r_div, blend, rk
+        FROM top WHERE rk <= 10 ORDER BY source, rk"""))
   )
 }

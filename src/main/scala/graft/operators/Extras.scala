@@ -634,5 +634,44 @@ object Extras {
           ${dsumSql("l.l_extendedprice", 4)} AS revenue
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus"""))
+    ,
+
+    // ---- mergeable-sketch rollup (HLL distinct up a hierarchy) -------
+    // approx_count_distinct under ROLLUP(source, lang): the sketch
+    // registers MERGE up the hierarchy — each subtotal/total is a union
+    // of leaf sketches, never a recount — which is the whole point of
+    // sketches at 100 TB: distinct-docs per source and corpus-wide from
+    // ONE pass over the leaves. Gated by the q41 epsilon-band contract:
+    // the exact side rides a SEPARATE rollup (sharing one agg would put
+    // the wide HLL buffer through the distinct-agg Expand — the
+    // measured 60x cliff documented at q41), joined null-safely on the
+    // group keys (rollup subtotals carry NULL keys; source/lang are
+    // non-null in this corpus, so <=> is unambiguous). The oracle
+    // asserts the same exact counts and literal TRUE flags — a sketch
+    // drifting past 5% fails the hash compare.
+    Q("q130_hll_rollup",
+      (s, dir) => {
+        import s.implicits._
+        val base = documents(s, dir)
+          .select($"source", $"lang", xxhash64($"text").as("h"))
+        val apx = base.rollup($"source", $"lang")
+          .agg(approx_count_distinct($"h", 0.02).as("apx"),
+            count(lit(1)).as("n_docs"))
+        val ex = base.rollup($"source", $"lang")
+          .agg(countDistinct($"h").as("exact_texts"))
+          .withColumnRenamed("source", "src2").withColumnRenamed("lang", "lang2")
+        apx.join(ex, $"source" <=> $"src2" && $"lang" <=> $"lang2")
+          .select($"source", $"lang", $"n_docs", $"exact_texts",
+            (abs($"apx" - $"exact_texts") <= lit(0.05) * $"exact_texts")
+              .as("within_eps"))
+          .orderBy($"source".asc_nulls_first, $"lang".asc_nulls_first)
+      },
+      Some("""
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_texts,
+          TRUE AS within_eps
+        FROM documents
+        GROUP BY ROLLUP (source, lang)
+        ORDER BY source NULLS FIRST, lang NULLS FIRST"""))
   )
 }

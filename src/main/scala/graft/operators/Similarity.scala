@@ -107,6 +107,40 @@ object Similarity {
         WHERE ROUND(cos, 6) >= 0.35
         ORDER BY ida, idb""")),
 
+    // ---- semantic dedup (SemDeDup-style keep-first) ------------------
+    // Within each cluster (the pre-assigned `label`), drop every vector
+    // with a cosine >= tau neighbor of LOWER vec_id; survivors are the
+    // semantically-deduplicated corpus. This is the one-pass dominance
+    // variant, not the sequential greedy (which compares only against
+    // previously KEPT vectors): cosine is not transitive, so the two
+    // differ on chains a~b~c where cos(a,c) < tau — the one-pass form
+    // over-drops slightly but is order-deterministic and embarrassingly
+    // parallel (one label-blocked join), which is the right trade for a
+    // distributed engine; the oracle pins the same semantics. Rounding
+    // to 1e-6 BEFORE the threshold keeps the cross-engine float-sum
+    // boundary out of the kept set. Scale contract = q33's: blocked
+    // quadratic within label, hyperplane-LSH (q55) is the skew path.
+    Q("q124_semdedup",
+      (s, dir) => {
+        import s.implicits._
+        val e = prepared(s, dir)
+        val a = e.select($"vec_id".as("ida"), $"label", $"v".as("av"), $"nrm".as("na"))
+        val b = e.select($"vec_id".as("idb"), $"label".as("labelb"), $"v".as("bv"), $"nrm".as("nb"))
+        val dropped = a.join(b, $"label" === $"labelb" && $"ida" < $"idb")
+          .filter(round(expr(dotExpr) / ($"na" * $"nb"), 6) >= 0.35)
+          .select($"idb".as("vec_id")).distinct()
+        e.join(dropped, Seq("vec_id"), "left_anti")
+          .select($"vec_id", $"label")
+          .orderBy($"vec_id")
+      },
+      Some(s"""$prepCte,
+        dup AS (SELECT DISTINCT b.vec_id
+                FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE ROUND($oracleDot / (a.nrm * b.nrm), 6) >= 0.35)
+        SELECT e.vec_id, e.label FROM n e
+        WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.vec_id = e.vec_id)
+        ORDER BY e.vec_id""")),
+
     // ---- brute-force cosine top-k (ANN baseline) ---------------------
     Q("q34_ann_topk",
       (s, dir) => {
