@@ -662,7 +662,13 @@ object Extras {
           .withColumnRenamed("source", "src2").withColumnRenamed("lang", "lang2")
         apx.join(ex, $"source" <=> $"src2" && $"lang" <=> $"lang2")
           .select($"source", $"lang", $"n_docs", $"exact_texts",
-            (abs($"apx" - $"exact_texts") <= lit(0.05) * $"exact_texts")
+            // band = 5% relative with an absolute floor of 2: Spark's
+            // HLL++ has no sparse-mode small-cardinality exactness, so
+            // a handful-sized leaf group can miss a pure-relative band
+            // (observed at sf0.001); at real scale every group is large
+            // and the relative term dominates
+            (abs($"apx" - $"exact_texts") <=
+              greatest(lit(2.0), lit(0.05) * $"exact_texts"))
               .as("within_eps"))
           .orderBy($"source".asc_nulls_first, $"lang".asc_nulls_first)
       },

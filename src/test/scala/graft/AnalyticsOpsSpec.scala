@@ -524,4 +524,54 @@ class AnalyticsOpsSpec extends SparkSuite {
     // flags — every flagged count sits strictly off its type's median
     got.foreach { case (t, _, n, z) => assert(z > 0.0, s"$t/$n zero z") }
   }
+
+  test("q126 change-point equals a BigInt CUSUM re-derivation") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val raw = graft.operators.Tables.events(spark, dir)
+      .select($"event_type", to_date($"ts").as("day")).collect()
+      .map(x => (x.getString(0), x.getDate(1).toLocalDate.toEpochDay))
+    val expected = raw.map(_._1).distinct.sorted.map { t =>
+      val counts = raw.filter(_._1 == t).groupBy(_._2)
+        .map { case (d, v) => (d, v.size.toLong) }.toSeq.sortBy(_._1)
+      val tt = counts.size.toLong
+      val total = counts.map(_._2).sum
+      var cum = 0L
+      val cs = counts.zipWithIndex.map { case ((d, n), i) =>
+        cum += n
+        (d, (BigInt(tt) * BigInt(cum) - BigInt(i + 1) * BigInt(total)).abs)
+      }
+      // argmax |C'|, ties to the EARLIEST day
+      val (cpd, cabs) = cs.maxBy { case (d, c) => (c, -d) }
+      (t, cpd, r6(cabs.toDouble / (tt.toDouble * total.toDouble)), tt)
+    }.toSeq
+    val got = run("q126_cusum_changepoint").collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getDouble(2), r.getLong(3))).toSeq
+    assert(got == expected,
+      s"got=${got.take(3)} expected=${expected.take(3)}")
+  }
+
+  test("q130 rollup levels equal a raw re-derivation; sketch stays in band") {
+    val raw = graft.operators.Tables.documents(spark, dir)
+      .select("source", "lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    def grp(rows: Array[(String, String, String)]) =
+      (rows.length.toLong, rows.map(_._3).distinct.length.toLong)
+    val leaves = raw.groupBy(r => (r._1, r._2)).map { case ((s, l), v) =>
+      (Option(s), Option(l)) -> grp(v) }
+    val subs = raw.groupBy(_._1).map { case (s, v) =>
+      (Option(s), Option.empty[String]) -> grp(v) }
+    val expected = leaves ++ subs +
+      ((Option.empty[String], Option.empty[String]) -> grp(raw))
+    val got = run("q130_hll_rollup").collect().map { r =>
+      ((Option(r.getString(0)), Option(r.getString(1))),
+        (r.getLong(2), r.getLong(3)), r.getBoolean(4))
+    }
+    assert(got.map(x => x._1 -> x._2).toMap == expected,
+      "rollup level counts diverge from raw re-derivation")
+    assert(got.length == expected.size, "duplicate or missing rollup rows")
+    // the epsilon-band gate itself: every sketch estimate within 5%
+    got.foreach { case (k, _, ok) => assert(ok, s"$k sketch out of band") }
+  }
 }

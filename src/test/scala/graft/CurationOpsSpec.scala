@@ -280,4 +280,52 @@ class CurationOpsSpec extends SparkSuite {
       assert(rate >= 0.0 && rate <= 1.0, s"doc $id rate $rate") }
     if (cf.size > 1000) assert(got.exists(_._3 > 0L))
   }
+
+  test("q127 novelty equals a first-occurrence re-derivation; opening bucket is all-new") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // (bucket, gram) pairs via the engine's gram kernel, RAW strings
+    val bsh = graft.operators.Tables.documents(spark, dir)
+      .withColumn("toks", split(lower($"text"), "\\W+"))
+      .withColumn("s", explode(expr(graft.operators.Dedup.gramArraySql(3))))
+      .select(expr("doc_id DIV 100").as("bucket"), $"s")
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    val first = bsh.groupBy(_._2).map { case (s, v) => (s, v.map(_._1).min) }
+    val expected = bsh.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, rows) =>
+      val nNew = rows.count { case (_, s) => first(s) == b }
+      (b, rows.length.toLong, nNew.toLong, r6(nNew.toDouble / rows.length))
+    }
+    val got = run("q127_novelty_curve").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected, s"got=${got.take(3)} expected=${expected.take(3)}")
+    // laws: the earliest bucket is 100% novel; every distinct gram is
+    // new in exactly one bucket
+    assert(got.head._4 == 1.0)
+    assert(got.map(_._3).sum == first.size.toLong)
+  }
+
+  test("q129 rank blend equals a Scala rank-sum over raw metrics") {
+    val raw = graft.operators.Tables.documents(spark, dir)
+      .select("source", "doc_id", "n_chars", "text").collect()
+      .map { r =>
+        val toks = r.getString(3).toLowerCase.split("\\W+").filter(_.nonEmpty)
+        (r.getString(0), r.getLong(1), r.getLong(2),
+          toks.length.toLong, toks.distinct.length.toLong)
+      }
+    def ranks(rows: Array[(String, Long, Long, Long, Long)], metric: ((String, Long, Long, Long, Long)) => Long) =
+      rows.sortBy(t => (-metric(t), t._2)).zipWithIndex
+        .map { case (t, i) => t._2 -> (i + 1) }.toMap
+    val expected = raw.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (src, rows) =>
+      val rLen = ranks(rows, _._3); val rTok = ranks(rows, _._4); val rDiv = ranks(rows, _._5)
+      rows.map(t => (t._2, rLen(t._2), rTok(t._2), rDiv(t._2),
+          (rLen(t._2) + rTok(t._2) + rDiv(t._2)).toLong))
+        .sortBy(t => (t._5, t._1)).take(10).zipWithIndex
+        .map { case ((id, r1, r2, r3, bl), i) => (src, id, r1, r2, r3, bl, i + 1) }
+    }
+    val got = run("q129_rank_blend").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getLong(5), r.getInt(6))).toSeq
+    assert(got == expected, s"got=${got.take(2)} expected=${expected.take(2)}")
+  }
 }

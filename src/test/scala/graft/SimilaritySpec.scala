@@ -44,4 +44,34 @@ class SimilaritySpec extends SparkSuite {
     val nLabels = cents.size
     assert(got.size == nLabels * (nLabels - 1) / 2)
   }
+
+  test("q124 semdedup equals a Scala no-earlier-neighbor filter") {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val byLabel = raw.groupBy(_._2)
+    // the one-pass dominance rule: drop v iff ANY same-label u with
+    // u.id < v.id has rounded cosine >= tau (kept or not)
+    val dropped = byLabel.values.flatMap { vs =>
+      vs.collect { case (idb, _, vb) if vs.exists { case (ida, _, va) =>
+        ida < idb && r6(dot(va, vb) /
+          (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb)))) >= 0.35
+      } => idb }
+    }.toSet
+    val expected = raw.filter(v => !dropped(v._1)).map(v => (v._1, v._2)).toSet
+    val got = run("q124_semdedup").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // keep-first law: every label's minimum vec_id always survives
+    byLabel.foreach { case (l, vs) =>
+      assert(got.contains((vs.map(_._1).min, l)), s"label $l lost its head") }
+  }
 }

@@ -171,4 +171,70 @@ class TrainingOpsSpec extends SparkSuite {
       .groupBy("lang").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
     a.foreach { case (lang, n) => assert(n <= totals(lang), s"$lang oversampled") }
   }
+
+  /** Per-doc distinct 3-gram shingle sets, via the engine's own gram
+    * kernel but RAW strings (no hashes) — the pairing operators under
+    * test run on xxhash64 shingle ids, so equality against these sets
+    * also proves collision-freedom on this corpus. */
+  private def shingleSets(real: String): Map[Long, Set[String]] = {
+    import spark.implicits._
+    graft.operators.Tables.documents(spark, real)
+      .withColumn("toks", split(lower($"text"), "\\W+"))
+      .withColumn("s", explode(expr(graft.operators.Dedup.gramArraySql(3))))
+      .select($"doc_id", $"s").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+  }
+
+  private def r6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q125 prefix filter is LOSSLESS: equals brute-force exact Jaccard >= 0.5") {
+    val real = "/root/testdata/sf0.001"
+    val sets = shingleSets(real)
+    val ids = sets.keys.toVector.sorted
+    // brute force over ALL pairs — no prefix filter, no candidate cap:
+    // anything the operator's pruning lost would show up here
+    val expected = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1 until ids.size).iterator
+      a = sets(ids(i)); b = sets(ids(j))
+      inter = (a & b).size
+      if inter > 0
+      jacc = r6(inter.toDouble / (a.size + b.size - inter))
+      if jacc >= 0.5
+    } yield (ids(i), ids(j), jacc)).toSet
+    val got = SparkEntry.queries("q125_ppjoin")(spark, real).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
+  test("q128 containment equals a Scala re-derivation of the capped pipeline") {
+    val real = "/root/testdata/sf0.001"
+    val sets = shingleSets(real)
+    // candidate stage: grams in <= 8 docs, pairs sharing >= 2 of them
+    val byGram = sets.toSeq.flatMap { case (id, s) => s.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val shared = collection.mutable.Map.empty[(Long, Long), Int]
+    byGram.values.filter(_.size <= 8).foreach { docs =>
+      for (i <- docs.indices; j <- i + 1 until docs.size)
+        shared.updateWith((docs(i), docs(j)))(c => Some(c.getOrElse(0) + 1))
+    }
+    val expected = (for {
+      ((ida, idb), n) <- shared.iterator if n >= 2
+      a = sets(ida); b = sets(idb)
+      cont = r6((a & b).size.toDouble / math.min(a.size, b.size))
+      if cont >= 0.8
+    } yield {
+      val (cid, oid) = if (a.size <= b.size) (ida, idb) else (idb, ida)
+      (cid, oid, math.min(a.size, b.size).toLong, math.max(a.size, b.size).toLong, cont)
+    }).toSet
+    val got = SparkEntry.queries("q128_containment")(spark, real).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSet == expected,
+      s"missing=${(expected -- got.toSet).take(3)} extra=${(got.toSet -- expected).take(3)}")
+    // published direction law: the contained side is the smaller set
+    got.foreach { case (_, _, nc, ng, _) => assert(nc <= ng) }
+  }
 }
