@@ -604,16 +604,24 @@ object Dedup {
   /** [[verifyJaccard]] over an ALREADY-hashed `(doc_id, sh)` frame —
     * for callers whose candidate pipeline runs on shingle hashes too
     * (q70's inverted index), so the text never enters any exchange. */
-  private[operators] def verifyJaccardHashed(cand: DataFrame, dshH: DataFrame): DataFrame = {
-    val sets = dshH.groupBy(col("doc_id"))
-      .agg(collect_set(col("sh")).as("shs"))
-      .withColumn("n", size(col("shs")).cast(LongType))
+  private[operators] def verifyJaccardHashed(cand: DataFrame, dshH: DataFrame): DataFrame =
+    verifyJaccardSets(cand,
+      dshH.groupBy(col("doc_id"))
+        .agg(collect_set(col("sh")).as("shs"))
+        .withColumn("n", size(col("shs")).cast(LongType)))
+
+  /** [[verifyJaccardHashed]] against CALLER-built `(doc_id, shs, n)`
+    * sets — for operators that already hold a doc-keyed set state
+    * (q125/q128's PPJoin state) and must not pay a second doc-keyed
+    * exchange of the corpus to rebuild it. Both set joins pin
+    * `shuffle_hash`: the sets frame is corpus-derived and must never
+    * broadcast (the Dedup.scala:450 OOM rationale). */
+  private[operators] def verifyJaccardSets(cand: DataFrame, sets: DataFrame): DataFrame =
     cand
       .join(sets.as("x").hint("shuffle_hash"), col("ida") === col("x.doc_id"))
       .join(sets.as("y").hint("shuffle_hash"), col("idb") === col("y.doc_id"))
       .select(col("ida"), col("idb"),
         jaccardCol(col("x.shs"), col("x.n"), col("y.shs"), col("y.n")).as("jraw"))
-  }
 
   /** doc_id -> 16-bit aggregate simhash frame (Charikar), one md5
     * nibble's low bit per output bit — q28's published cross-engine

@@ -33,6 +33,32 @@ object TrainingOps {
 
   private val toksCte = Dedup.toksCteSql
 
+  /** Doc-keyed PPJoin state shared by q125/q128: ONE aggregation holds
+    * each doc's distinct shingle hashes as a (df, hash)-sorted struct
+    * array, so the rarity prefix (q125), the rare-gram candidates
+    * (q128) and the exact set-arithmetic verify all read this single
+    * exchange — the naive form re-shuffles the corpus per stage (a df
+    * join, a per-doc window, a separate collect_set pass: two extra
+    * doc-keyed exchanges and a window sort, measured 3.0 s at sf0.1).
+    * Skew-safe by construction: df is a partial-combined count (never
+    * a posting list — a corpus-stopword shingle stays one counter, not
+    * a corpus-sized array row) and each state row is bounded by its
+    * OWN doc's distinct-shingle count. Checkpoints: dshH because the
+    * df branch and the join branch must read one materialization;
+    * the state because prefix/rare and both verify sides re-read it. */
+  private def ppState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dshH = Dedup.shingles(documents(s, dir))
+      .select($"doc_id", xxhash64($"s").as("sh")).distinct()
+      .localCheckpoint(true)
+    val df = dshH.groupBy($"sh").agg(count(lit(1)).as("dfc"))
+    dshH.join(df, "sh")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"dfc", $"sh"))).as("a"))
+      .withColumn("n", size($"a").cast(LongType))
+      .localCheckpoint(true)
+  }
+
   def queries: Vector[Q] = Vector(
     // ---- intra-doc repetition ratios (Gopher quality signals) --------
     // rep_n = 1 - distinct_ngrams / total_ngrams, the "fraction of
@@ -444,20 +470,15 @@ object TrainingOps {
     Q("q125_ppjoin",
       (s, dir) => {
         import s.implicits._
-        val dshH = Dedup.shingles(documents(s, dir))
-          .select($"doc_id", xxhash64($"s").as("sh")).distinct()
-          .localCheckpoint(true)
-        val wdoc = Window.partitionBy($"doc_id")
-        val ranked = dshH
-          .join(dshH.groupBy($"sh").agg(count(lit(1)).as("dfc")), "sh")
-          .withColumn("rk", row_number().over(wdoc.orderBy($"dfc", $"sh")))
-          .withColumn("n", count(lit(1)).over(wdoc))
-        val prefix = ranked.filter($"rk" <= $"n" - shiftright($"n" + 1, 1) + 1)
-          .select($"doc_id", $"sh")
+        val st = ppState(s, dir)
+        val prefix = st.select($"doc_id", explode(expr(
+          "slice(transform(a, x -> x.sh), 1, size(a) - (size(a) + 1) div 2 + 1)"))
+          .as("sh"))
         val cand = prefix.as("a").join(prefix.as("b"),
             $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
           .select($"a.doc_id".as("ida"), $"b.doc_id".as("idb")).distinct()
-        Dedup.verifyJaccardHashed(cand, dshH)
+        Dedup.verifyJaccardSets(cand,
+            st.select($"doc_id", expr("transform(a, x -> x.sh)").as("shs"), $"n"))
           .select($"ida", $"idb", round($"jraw", 6).as("jacc"))
           .filter($"jacc" >= 0.5)
           .orderBy($"ida", $"idb")
@@ -498,20 +519,17 @@ object TrainingOps {
     Q("q128_containment",
       (s, dir) => {
         import s.implicits._
-        val dshH = Dedup.shingles(documents(s, dir))
-          .select($"doc_id", xxhash64($"s").as("sh")).distinct()
-          .localCheckpoint(true)
-        val rare = dshH.join(
-          dshH.groupBy($"sh").agg(count(lit(1)).as("dfc")).filter($"dfc" <= 8), "sh")
+        val st = ppState(s, dir)
+        val rare = st.select($"doc_id", explode(expr(
+          "transform(filter(a, x -> x.dfc <= 8), x -> x.sh)")).as("sh"))
         val cand = rare.as("a").join(rare.as("b"),
             $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
           .groupBy($"a.doc_id".as("ida"), $"b.doc_id".as("idb"))
           .agg(count(lit(1)).as("shared"))
           .filter($"shared" >= 2)
           .select($"ida", $"idb")
-        val sets = dshH.groupBy($"doc_id")
-          .agg(collect_set($"sh").as("shs"))
-          .withColumn("n", size($"shs").cast(LongType))
+        val sets = st.select($"doc_id",
+          expr("transform(a, x -> x.sh)").as("shs"), $"n")
         val scored = cand
           .join(sets.as("x").hint("shuffle_hash"), $"ida" === $"x.doc_id")
           .join(sets.as("y").hint("shuffle_hash"), $"idb" === $"y.doc_id")
