@@ -123,13 +123,20 @@ object Similarity {
     Q("q124_semdedup",
       (s, dir) => {
         import s.implicits._
+        // "drop iff ANY earlier neighbor" is an EXISTS — ONE anti join,
+        // not inner-join + distinct + anti: the hash-join probe exits
+        // at its FIRST qualifying match, so a doc inside a dense dup
+        // cluster costs one cosine instead of |cluster| of them (the
+        // dup-heavy case is exactly when the pair set explodes).
+        // shuffle_hash pinned: both sides are the corpus.
         val e = prepared(s, dir)
-        val a = e.select($"vec_id".as("ida"), $"label", $"v".as("av"), $"nrm".as("na"))
-        val b = e.select($"vec_id".as("idb"), $"label".as("labelb"), $"v".as("bv"), $"nrm".as("nb"))
-        val dropped = a.join(b, $"label" === $"labelb" && $"ida" < $"idb")
-          .filter(round(expr(dotExpr) / ($"na" * $"nb"), 6) >= 0.35)
-          .select($"idb".as("vec_id")).distinct()
-        e.join(dropped, Seq("vec_id"), "left_anti")
+        val u = e.select($"vec_id".as("ida"), $"label".as("labela"),
+          $"v".as("av"), $"nrm".as("na"))
+        e.select($"vec_id", $"label", $"v".as("bv"), $"nrm".as("nb"))
+          .join(u.hint("shuffle_hash"),
+            $"labela" === $"label" && $"ida" < $"vec_id" &&
+              round(expr(dotExpr) / ($"na" * $"nb"), 6) >= 0.35,
+            "left_anti")
           .select($"vec_id", $"label")
           .orderBy($"vec_id")
       },

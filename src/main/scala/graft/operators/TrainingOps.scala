@@ -471,12 +471,30 @@ object TrainingOps {
       (s, dir) => {
         import s.implicits._
         val st = ppState(s, dir)
-        val prefix = st.select($"doc_id", explode(expr(
-          "slice(transform(a, x -> x.sh), 1, size(a) - (size(a) + 1) div 2 + 1)"))
-          .as("sh"))
+        // prefix entries carry (position, doc size) so the two other
+        // PPJoin prunes apply BEFORE the pair shuffle:
+        //  - length filter: J >= 1/2 forces 2*min(na,nb) >= max(na,nb)
+        //    — pruned inside the join condition;
+        //  - positional filter: for a pair's FIRST shared prefix gram
+        //    (min position — same gram achieves both mins, since
+        //    prefixes are heads of ONE global order and any earlier
+        //    shared gram would contradict minimality), the overlap is
+        //    at most 1 + min(na-pa, nb-pb); J >= 1/2 needs 3*overlap
+        //    >= na+nb. Pure integers — no float boundary.
+        // Both prune CANDIDATES only; the theorem keeps the survivor
+        // set lossless (TrainingOpsSpec's brute-force equality).
+        val prefix = st.select($"doc_id", $"n", posexplode(expr(
+            "slice(transform(a, x -> x.sh), 1, size(a) - (size(a) + 1) div 2 + 1)")))
+          .select($"doc_id", $"n", ($"pos" + 1).as("p"), $"col".as("sh"))
         val cand = prefix.as("a").join(prefix.as("b"),
-            $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("ida"), $"b.doc_id".as("idb")).distinct()
+            $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id" &&
+              $"a.n" * 2 >= $"b.n" && $"b.n" * 2 >= $"a.n")
+          .groupBy($"a.doc_id".as("ida"), $"b.doc_id".as("idb"))
+          .agg(max($"a.n").as("na"), max($"b.n").as("nb"),
+            min($"a.p").as("pa"), min($"b.p").as("pb"))
+          .filter(lit(3) * (lit(1) + least($"na" - $"pa", $"nb" - $"pb"))
+            >= $"na" + $"nb")
+          .select($"ida", $"idb")
         Dedup.verifyJaccardSets(cand,
             st.select($"doc_id", expr("transform(a, x -> x.sh)").as("shs"), $"n"))
           .select($"ida", $"idb", round($"jraw", 6).as("jacc"))
