@@ -81,7 +81,7 @@ object TextAnalysis {
       FROM toksc)"""
   }
 
-  def queries: Vector[Q] = Vector(
+  def queries: Vector[Q] = heavyHitters +: Vector(
     // ---- language identification (stopword-count heuristic) ----------
     Q("q29_lang_id",
       (s, dir) => {
@@ -220,4 +220,50 @@ object TextAnalysis {
     * expression, not a CodegenFallback higher-order function. */
   private[operators] def withToksNe(df: DataFrame): DataFrame =
     df.withColumn("toks_ne", array_remove(split(lower(col("text")), "\\W+"), ""))
+
+  /** q131's sketch-then-verify pair, appended to [[queries]] below. */
+  private[operators] val heavyHitters: Q =
+    // ---- heavy hitters via a custom mergeable aggregate --------------
+    // Misra–Gries (graft.functions.MisraGries) holds ≤ 256 counters
+    // with the ANY-merge-order guarantee true − N/257 ≤ est ≤ true, so
+    // every token above the N/257 frequency line is certainly in the
+    // candidate map. The published product is the candidates' exact
+    // top-10 (re-counted — the q41 contract: the exact side IS the
+    // gate) plus the bound check as a flag; the raw counter values are
+    // deliberately NOT published, because they vary with Spark's
+    // shuffle-merge order — only order-free facts are reproducible
+    // facts on a cluster (the q105 principle). A missed true-top-10
+    // token cannot happen while its count clears N/257 (Zipf head
+    // clears it by ~2.5x here, asserted in FunctionsSpec); if the
+    // corpus ever degenerated, the oracle's independent top-10 makes
+    // the row compare FAIL loudly rather than agree silently.
+    // Scale: sketch + N ride ONE token scan (partial-combined, fixed
+    // 256-entry state per task); candidates broadcast (bounded by
+    // CONSTRUCTION, the plane/centroid whitelist class); the exact
+    // side is a partial-combined vocab count; top-10 is
+    // TakeOrderedAndProject — no global window anywhere.
+    Q("q131_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        val tok = withToksNe(documents(s, dir))
+          .select(explode($"toks_ne").as("tok"))
+        val summ = tok.agg(
+          graft.functions.MisraGries.summary($"tok", 256).as("mg"),
+          count(lit(1)).as("n"))
+        val cand = summ.select(explode($"mg"), $"n")
+          .select($"key".as("tok"), $"value".as("est"), $"n")
+        val exact = tok.groupBy($"tok").agg(count(lit(1)).as("n_exact"))
+        exact.join(broadcast(cand), "tok")
+          .orderBy($"n_exact".desc, $"tok").limit(10)
+          .select($"tok", $"n_exact",
+            ($"est" <= $"n_exact" &&
+              ($"n_exact" - $"est") * lit(257L) <= $"n").as("within_mg_bound"))
+          .orderBy($"n_exact".desc, $"tok")
+      },
+      Some("""
+        WITH t AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                     x -> len(x) > 0)) AS tok FROM documents),
+        tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact FROM t GROUP BY tok)
+        SELECT tok, n_exact, TRUE AS within_mg_bound
+        FROM tf ORDER BY n_exact DESC, tok LIMIT 10"""))
 }

@@ -177,4 +177,62 @@ class FunctionsSpec extends SparkSuite {
     // and the nested shape really is nested, not string
     assert(agg.contains("struct<"), s"expected struct alias in:\n$agg")
   }
+
+  test("MisraGries bound holds for every item under any chunking/merge order") {
+    import graft.functions.MisraGries
+    val m = 7
+    // Zipf-ish synthetic stream with a long singleton tail
+    val stream = (1 to 60).flatMap(i => Seq.fill(61 - i)(s"w$i")) ++
+      (1 to 500).map(i => s"tail$i")
+    val n = stream.length.toLong
+    val truth = stream.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val mg = new MisraGries(m)
+    def summarize(xs: Seq[String]) = xs.foldLeft(mg.zero)(mg.reduce)
+    def bound(est: Map[String, Long]): Unit = {
+      assert(est.size <= m, s"${est.size} counters > $m")
+      truth.foreach { case (k, t) =>
+        val e = est.getOrElse(k, 0L)
+        assert(e <= t, s"$k overestimated: $e > $t")
+        assert((t - e) * (m + 1) <= n, s"$k undershoots the bound: $t - $e")
+      }
+    }
+    // single pass
+    bound(mg.finish(summarize(stream)))
+    // two different merge trees over four chunks (incl. a skewed one)
+    val chunks = stream.grouped(stream.length / 4 + 1).map(summarize).toSeq
+    val leftFold = chunks.reduceLeft(mg.merge)
+    bound(mg.finish(leftFold))
+    val pairwise = mg.merge(mg.merge(summarize(stream.take(13)),
+      summarize(stream.slice(13, 500))), summarize(stream.drop(500)))
+    bound(mg.finish(pairwise))
+    // the retention guarantee: anything above n/(m+1) must survive
+    val line = n / (m + 1)
+    truth.filter(_._2 > line).keys.foreach { k =>
+      assert(mg.finish(leftFold).contains(k), s"heavy $k evicted") }
+  }
+
+  test("q131 candidates retain every token above the N/257 line with margin") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val tok = graft.operators.Tables.documents(spark, dir)
+      .select(explode(array_remove(split(lower($"text"), "\\W+"), "")).as("tok"))
+    val exact = tok.groupBy($"tok").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = exact.map(_._2).sum
+    val cand = tok.agg(graft.functions.MisraGries.summary($"tok", 256))
+      .collect()(0).getMap[String, Long](0)
+    val line = n / 257
+    exact.filter(_._2 > line).foreach { case (t, c) =>
+      assert(cand.contains(t), s"token $t (count $c > $line) missing") }
+    // the comment's promised margin: the published 10th token clears
+    // the guarantee line comfortably, so the top-10 can never be lost
+    val top10 = exact.sortBy(t => (-t._2, t._1)).take(10)
+    assert(top10.last._2 > 2 * line,
+      s"10th count ${top10.last._2} too close to line $line")
+    // and the published rows ARE the exact top-10
+    val got = SparkEntry.queries("q131_heavy_hitters")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.map(x => (x._1, x._2)).toSeq == top10.toSeq)
+    got.foreach { case (t, _, ok) => assert(ok, s"$t out of MG bound") }
+  }
 }
