@@ -415,4 +415,40 @@ class StreamingSpec extends SparkSuite {
     assert(sc.select("k", "ver", "v").count() == 0)
     assert(StreamOps.upsertState(spark, s"$base/nonexistent").columns.isEmpty)
   }
+
+  test("MisraGries runs natively on a stream: state merges keep the bound across batches") {
+    // the point of a MERGEABLE aggregate: the identical udaf runs on an
+    // unbounded stream in complete mode — the state store holds the
+    // 256-entry buffer and every micro-batch is one more merge, so the
+    // any-merge-order guarantee (true - N/(m+1) <= est <= true) is
+    // exactly the cross-batch guarantee, no streaming-specific code
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = input.toDF().toDF("tok")
+      .agg(graft.functions.MisraGries.summary(col("tok"), 5).as("mg"),
+        count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("mgstream")
+      .outputMode("complete").start()
+
+    val b1 = Seq.fill(30)("alpha") ++ Seq.fill(12)("beta") ++ (1 to 9).map(i => s"t$i")
+    val b2 = Seq.fill(25)("alpha") ++ Seq.fill(20)("gamma") ++ (10 to 19).map(i => s"t$i")
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    val row = spark.sql("SELECT * FROM mgstream").collect()(0)
+    q.stop()
+    val est = row.getMap[String, Long](0)
+    val n = row.getLong(1)
+    val truth = (b1 ++ b2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(n == (b1.size + b2.size).toLong)
+    assert(est.size <= 5)
+    truth.foreach { case (k, t) =>
+      val e = est.getOrElse(k, 0L)
+      assert(e <= t, s"$k overestimated")
+      assert((t - e) * 6 <= n, s"$k undershoots the bound")
+    }
+    // retention guarantee across the batch boundary: alpha (55 > n/6)
+    // must be present no matter how the per-batch partials merged
+    assert(est.contains("alpha"))
+  }
 }
