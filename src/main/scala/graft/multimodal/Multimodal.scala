@@ -10,12 +10,15 @@ import org.apache.spark.sql.types._
   * transforms so each executor core processes a whole columnar batch
   * without per-row JVM boundary crossings.
   *
-  * The actual codec step is STUBBED (this container ships no
-  * image/audio libraries): [[FakeCodec]] is a deterministic
-  * stand-in keyed on the media bytes, clearly marked. Everything
-  * Spark-side — the schema contract, the mapPartitions batch shape,
-  * the partitioning, the pipeline composition — is real and tested,
-  * so swapping a real decoder in changes one function.
+  * The IMAGE modality is REAL as of round 4: [[JvmImageCodec]]
+  * decodes/probes/resizes PNG/JPEG/BMP/GIF/TIFF and samples GIF
+  * frames on the JDK's own ImageIO — no external libraries, verified
+  * headless in this container — behind the same partition-batch
+  * shapes ([[imageMeta]], [[imageFeatures]], [[resizeImages]],
+  * [[imageFrames]]). Audio/video codecs still do not exist in a bare
+  * JDK, so those paths keep [[FakeCodec]] — a deterministic stand-in
+  * keyed on the media bytes, clearly marked; the swap-one-object
+  * boundary is unchanged.
   */
 object Multimodal {
 
@@ -129,5 +132,70 @@ object Multimodal {
       .flatMap { case (id, bytes, n) =>
         FakeCodec.sampleFrames(bytes, n, stride).map { case (idx, fb) => MediaFrame(id, idx, fb) }
       }
+  }
+
+  // ======== REAL image pipeline (JDK ImageIO via JvmImageCodec) ======
+
+  final case class ImageMeta(media_id: Long, format: String, width: Int,
+      height: Int, n_frames: Int, decodable: Boolean)
+
+  /** Header-probe every blob: REAL metadata from the bytes (format,
+    * dimensions, GIF frame count) instead of trusting the lake's
+    * metadata column — the first step of any media-ingest pipeline,
+    * and the quarantine router: `decodable = false` rows carry
+    * sentinel values and are filtered by downstream stages rather
+    * than failing the batch. Map-only, no shuffle; the probe parses
+    * headers, not pixels. */
+  def imageMeta(media: DataFrame): Dataset[ImageMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        JvmImageCodec.probe(bytes) match {
+          case Some((f, w, h, n)) => ImageMeta(id, f, w, h, n, decodable = true)
+          case None => ImageMeta(id, "undecodable", -1, -1, 0, decodable = false)
+        }
+      })
+  }
+
+  /** g×g mean-luminance grid per image (default 16 floats) — REAL
+    * decoded-pixel features with integer-exact cell math, the input
+    * to the q33-family cosine/ANN operators for image dedup. Same
+    * partition-batch shape as [[extractFeatures]]. */
+  def imageFeatures(media: DataFrame, grid: Int = 4): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        MediaFeatures(id, JvmImageCodec.luminanceGrid(bytes, grid)) })
+  }
+
+  /** Decode → nearest-neighbor resize to exactly (w, h) → lossless
+    * PNG re-encode. Undecodable payloads are DROPPED (the quarantine
+    * contract: route them via [[imageMeta]] first when they must be
+    * kept). Metadata is rewritten from the REAL output dimensions. */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        JvmImageCodec.resizeImage(bytes, w, h).map(id -> _) })
+      .toDF("media_id", "media")
+      .withColumn("meta", struct(
+        lit("png").as("format"), lit(w).as("width"),
+        lit(h).as("height"), lit(1).as("n_frames")))
+  }
+
+  /** Every `stride`-th GIF frame (single frame for other formats) as
+    * lossless PNG rows — [[sampleFrames]]'s shape with a REAL
+    * container walk; frame_idx is the container's index, stable
+    * under stride changes. */
+  def imageFrames(media: DataFrame, stride: Int = 2): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        JvmImageCodec.sampleFrames(bytes, stride)
+          .map { case (idx, fb) => MediaFrame(id, idx, fb) } }
   }
 }

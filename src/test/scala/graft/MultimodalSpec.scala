@@ -59,4 +59,94 @@ class MultimodalSpec extends SparkSuite {
     // pipelined: no exchange in the plan
     assert(!frames.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  // ======== REAL image codec (JDK ImageIO) ========
+
+  private def png(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Animated GIF from web-safe solid frames (quantization-proof). */
+  private def animatedGif(colors: Seq[Int], w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { c =>
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, c)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+        writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  private def imageDf(rows: Seq[(Long, Array[Byte])]) = {
+    import spark.implicits._
+    rows.toDF("media_id", "media").withColumn("meta", struct(
+      lit("?").as("format"), lit(-1).as("width"), lit(-1).as("height"),
+      lit(1).as("n_frames")))
+  }
+
+  test("imageMeta probes REAL headers and quarantines garbage instead of failing") {
+    val df = imageDf(Seq(
+      1L -> png(8, 6)((x, y) => (x * 32 << 16) | (y * 40 << 8)),
+      2L -> animatedGif(Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff), 4, 4),
+      3L -> Array[Byte](1, 2, 3, 4)))
+    val got = Multimodal.imageMeta(df).collect().map(m => m.media_id -> m).toMap
+    assert(got(1L).format == "png" && got(1L).width == 8 && got(1L).height == 6
+      && got(1L).n_frames == 1 && got(1L).decodable)
+    assert(got(2L).format == "gif" && got(2L).n_frames == 4 && got(2L).decodable)
+    assert(!got(3L).decodable && got(3L).format == "undecodable")
+  }
+
+  test("imageFeatures equals an independent per-cell luminance re-derivation") {
+    // 8x8 image, 4x4 grid: each 2x2 cell painted one solid color
+    val cellColors = Array.tabulate(16)(i => ((i * 16) << 16) | ((255 - i * 15) << 8) | 64)
+    val bytes = png(8, 8)((x, y) => cellColors((y / 2) * 4 + (x / 2)))
+    val got = Multimodal.imageFeatures(imageDf(Seq(7L -> bytes)), grid = 4)
+      .collect()(0).features
+    val expected = cellColors.map { c =>
+      val lum = 299L * ((c >> 16) & 0xff) + 587L * ((c >> 8) & 0xff) + 114L * (c & 0xff)
+      // 4 identical pixels per cell: sum = 4*lum, count = 4 — exact division
+      (lum * 4.toDouble / (4 * 255000.0)).toFloat
+    }
+    assert(got.toSeq == expected.toSeq)
+    // and a second run over a different partitioning is bit-identical
+    val again = Multimodal.imageFeatures(imageDf(Seq(7L -> bytes)).repartition(3), grid = 4)
+      .collect()(0).features
+    assert(again.toSeq == got.toSeq)
+  }
+
+  test("resizeImages maps nearest-neighbor pixels exactly and rewrites meta") {
+    val srcPix = (x: Int, y: Int) => ((x * 30) << 16) | ((y * 40) << 8) | ((x + y) * 10)
+    val df = imageDf(Seq(5L -> png(8, 6)(srcPix), 6L -> Array[Byte](9, 9)))
+    val out = Multimodal.resizeImages(df, 4, 3).collect()
+    assert(out.length == 1, "undecodable row must be dropped, not fail")
+    val row = out(0)
+    assert(row.getStruct(2).getInt(1) == 4 && row.getStruct(2).getInt(2) == 3)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("media")))
+    assert(back.getWidth == 4 && back.getHeight == 3)
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert((back.getRGB(x, y) & 0xffffff) == (srcPix(2 * x, 2 * y) & 0xffffff),
+        s"pixel ($x,$y)")
+  }
+
+  test("imageFrames walks the REAL GIF container with stable indices") {
+    val gif = animatedGif(Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff), 4, 4)
+    val frames = Multimodal.imageFrames(imageDf(Seq(9L -> gif)), stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2))
+    val colors = frames.map { f =>
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.frame))
+        .getRGB(1, 1) & 0xffffff }
+    assert(colors.toSeq == Seq(0xff0000, 0x0000ff))
+  }
 }
