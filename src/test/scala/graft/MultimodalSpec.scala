@@ -139,6 +139,29 @@ class MultimodalSpec extends SparkSuite {
         s"pixel ($x,$y)")
   }
 
+  test("image near-dup dedup end-to-end: real features feed the cosine path") {
+    import spark.implicits._
+    // three images: 2 is image 1 with ONE pixel changed (near-dup);
+    // 3 is an unrelated gradient — the 100 TB image-dedup story in
+    // miniature: decode -> luminance grid -> blocked cosine pairs
+    val base = (x: Int, y: Int) => ((x * 30) << 16) | ((y * 40) << 8) | 128
+    val df = imageDf(Seq(
+      1L -> png(8, 8)(base),
+      2L -> png(8, 8)((x, y) => if (x == 7 && y == 7) 0xffffff else base(x, y)),
+      3L -> png(8, 8)((x, y) => ((255 - x * 30) << 16) | ((x * y) << 8) | 30)))
+    val feats = Multimodal.imageFeatures(df, grid = 4)
+      .toDF("vec_id", "embedding")
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(expr("aggregate(zip_with(v, v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")))
+    val pairs = feats.as("a").join(feats.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("ida"), $"b.vec_id".as("idb"),
+        (expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
+          / ($"a.nrm" * $"b.nrm")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val near = pairs.filter(_._3 >= 0.99).map(p => (p._1, p._2))
+    assert(near == Seq((1L, 2L)), s"pairs=$pairs")
+  }
+
   test("imageFrames walks the REAL GIF container with stable indices") {
     val gif = animatedGif(Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff), 4, 4)
     val frames = Multimodal.imageFrames(imageDf(Seq(9L -> gif)), stride = 2)
