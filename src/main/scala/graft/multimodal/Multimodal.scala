@@ -81,6 +81,37 @@ object Multimodal {
     }
   }
 
+  /** REAL blob-store ingest: a directory (tree) of media files via
+    * Spark's built-in `binaryFile` source — the actual entry point at
+    * lake scale (splittable listing, per-file rows, pushes
+    * `pathGlobFilter`/`modifiedAfter` into the scan; the CONTENT
+    * column is only materialized by stages that decode). Metadata
+    * comes from [[JvmImageCodec.probe]] on the real bytes, not from
+    * trusted file extensions; media_id is the path's xxhash64 —
+    * stable across re-listings, join-ready. */
+  def mediaFromImageDir(spark: SparkSession, path: String,
+      glob: String = "*.{png,jpg,jpeg,bmp,gif,tif,tiff}"): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (p, bytes) =>
+        val m = JvmImageCodec.probe(bytes)
+        (p, bytes, m.map(_._1).getOrElse("undecodable"),
+          m.map(_._2).getOrElse(-1), m.map(_._3).getOrElse(-1),
+          m.map(_._4).getOrElse(0))
+      })
+      .toDF("path", "media", "format", "width", "height", "n_frames")
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        col("media"),
+        struct(col("format"), col("width"), col("height"),
+          col("n_frames")).as("meta"),
+        col("path"))
+  }
+
   /** Build a media table from `documents` (payload = utf-8 text bytes)
     * — the testdata stand-in for a real blob store scan. */
   def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame = {

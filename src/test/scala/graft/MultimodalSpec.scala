@@ -162,6 +162,30 @@ class MultimodalSpec extends SparkSuite {
     assert(near == Seq((1L, 2L)), s"pairs=$pairs")
   }
 
+  test("mediaFromImageDir ingests a real file tree via the binaryFile source") {
+    val base = java.nio.file.Files.createTempDirectory("imgdir")
+    java.nio.file.Files.write(base.resolve("a.png"),
+      png(8, 6)((x, y) => (x << 16) | y))
+    java.nio.file.Files.write(base.resolve("b.gif"),
+      animatedGif(Seq(0xff0000, 0x0000ff), 4, 4))
+    java.nio.file.Files.write(base.resolve("notes.txt"),
+      "not an image".getBytes)  // must be excluded by the glob
+    val df = Multimodal.mediaFromImageDir(spark, base.toString)
+    val rows = df.collect().map(r => (
+      r.getAs[String]("path").split('/').last,
+      r.getStruct(2).getString(0), r.getStruct(2).getInt(1),
+      r.getStruct(2).getInt(3))).sortBy(_._1)
+    assert(rows.toSeq == Seq(("a.png", "png", 8, 1), ("b.gif", "gif", 4, 2)))
+    // ids are path-stable: re-listing yields identical ids
+    val ids1 = df.select("media_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = Multimodal.mediaFromImageDir(spark, base.toString)
+      .select("media_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2 && ids1.distinct.size == 2)
+    // and the schema contract matches the canonical media table
+    assert(df.schema("media").dataType.simpleString == "binary")
+    assert(df.schema("meta").dataType.simpleString == Multimodal.mediaMetaType.simpleString)
+  }
+
   test("imageFrames walks the REAL GIF container with stable indices") {
     val gif = animatedGif(Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff), 4, 4)
     val frames = Multimodal.imageFrames(imageDf(Seq(9L -> gif)), stride = 2)
