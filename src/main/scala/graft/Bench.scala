@@ -133,7 +133,9 @@ object Bench {
     }
     val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
     val vsJson = prevFile.map("\"" + _ + "\"").getOrElse("null")
-    println(f"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","regressions_vs":$vsJson,"drift":$drift%.3f,"regressions":$regJson}""")
+    // Double.toString is locale-independent ('.'), unlike f"%.3f"
+    val driftStr = (math.round(drift * 1000) / 1000.0).toString
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","regressions_vs":$vsJson,"drift":$driftStr,"regressions":$regJson}""")
     spark.stop()
   }
 }
