@@ -466,7 +466,9 @@ object TrainingOps {
     // (n+1) div 2 — no float boundary can flip a prefix length.
     // Scale: df is one shingle-keyed count (partial-combines); the
     // prefix slice bounds each doc's posted entries to ~n/2; candidate
-    // volume is driven by truly-rare shingles, not corpus stopwords.
+    // volume is driven by truly-rare shingles, not corpus stopwords;
+    // the length and positional filters (in-body comment) prune
+    // candidates further without touching the survivor set.
     Q("q125_ppjoin",
       (s, dir) => {
         import s.implicits._
@@ -526,14 +528,17 @@ object TrainingOps {
     // case (i/(a+b-i) stays low when b >> a); containment i/min(a,b)
     // catches it. Direction is published explicitly: the doc with the
     // SMALLER distinct-shingle set (ties -> lower doc_id) is the
-    // contained side. Candidate generation reuses q70's DF-capped
-    // inverted index with the >= 2 shared-rare-shingles prefilter (the
-    // same documented trade: shingles shared by > 8 docs carry no
-    // containment evidence); the verify is exact set arithmetic on
-    // 64-bit shingle hashes (set ops are hash-invariant; the oracle
-    // keeps raw text so a collision fails the gate loudly).
-    // Scale: identical shape to q70 — one df count, capped index join,
-    // pair-keyed verify; no all-pairs anywhere.
+    // contained side. Candidate generation applies q70's DF-cap rule
+    // (df <= 8) over the shared PPJoin state with the >= 2
+    // shared-rare-shingles prefilter (the same documented trade:
+    // shingles shared by > 8 docs carry no containment evidence); the
+    // verify is exact set arithmetic on 64-bit shingle hashes (set ops
+    // are hash-invariant; the oracle keeps raw text so a collision
+    // fails the gate loudly).
+    // Scale: one doc-keyed state exchange (ppState), rare-gram pair
+    // join, pair-keyed verify; no all-pairs anywhere — and the 10x
+    // dup-heavy sweep shows the cap FILTERING replica shingles
+    // (df = 10 > 8), which is exactly its role.
     Q("q128_containment",
       (s, dir) => {
         import s.implicits._
