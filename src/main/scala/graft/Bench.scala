@@ -127,9 +127,16 @@ object Bench {
       else math.max(1.0,
         if (ratios.size % 2 == 1) ratios(ratios.size / 2)
         else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0)
+    // Relative + absolute: >30% beyond drift AND >0.3 s beyond the
+    // drift-adjusted baseline. Sub-second queries bounce 30% run-to-
+    // run on a shared box even after drift normalization (measured:
+    // two identical-code runs 40 min apart flagged disjoint sets of
+    // 0.07-0.28 s deltas); a plan regression that matters at scale
+    // either hits a heavy query or adds real seconds.
     val regressions = results.collect {
       case (name, (_, mn))
-        if mn >= 0 && baseline.get(name).exists(b => mn > b * 1.3 * drift) => name
+        if mn >= 0 && baseline.get(name).exists(b =>
+          mn > b * 1.3 * drift && mn - b * drift > 0.3) => name
     }
     val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
     val vsJson = prevFile.map("\"" + _ + "\"").getOrElse("null")

@@ -591,6 +591,98 @@ object TrainingOps {
                GREATEST(na, nb) AS n_container,
                cont AS containment
         FROM scored WHERE cont >= 0.8
-        ORDER BY contained_id, container_id"""))
+        ORDER BY contained_id, container_id""")),
+
+    // ---- tf-idf weighted lexical cosine pairs (over shingles) --------
+    // The WEIGHTED lexical similarity completing the triangle: q70/q125
+    // treat shingles as SETS (every gram counts the same), q33 weights
+    // EMBEDDING dimensions; this weights lexical overlap by rarity and
+    // multiplicity. The unit is the 3-gram shingle, NOT the token —
+    // this corpus (like any bounded-vocabulary domain) has NO rare
+    // tokens (31 distinct tokens, min df 25, measured), so rarity
+    // lives in token COMBINATIONS; same reason the whole q70 family
+    // shingles first. Weights are integers — w = tf * ((1e6*N) div
+    // df), the log-free rational idf (house rule: no libm
+    // transcendentals in a published value) — and the dot/norm
+    // sufficient statistics are DECIMAL(19,0)^2 products summed
+    // exactly, so the float-sum-order trap never appears: doubles
+    // enter only in the final row-local sqrt/divide, rounded to 1e-6
+    // on both engines. Bounds: w < 1e19 holds through N < 1e13 docs,
+    // the products through any corpus below 1e38 (q100/q103
+    // contract). Candidates are the q128 rule (>= 2 shared df<=8
+    // shingles) — rarity is exactly what the weights up-weight, so
+    // the cap prunes where the score concentrates.
+    // Scale: tf checkpointed once (df, weight, rare and both dot
+    // sides read ONE materialization); shingles ride xxhash64 (the
+    // oracle keeps text — a collision fails loudly); the dot join's
+    // fan-out is bounded by doc length; shuffle_hash pinned — weight
+    // frames scale with the corpus.
+    Q("q132_tfidf_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val tf = Dedup.shingles(documents(s, dir))
+          .select($"doc_id", xxhash64($"s").as("sh"))
+          .groupBy($"doc_id", $"sh").agg(count(lit(1)).as("tf"))
+          .localCheckpoint(true)
+        val nDocs = documents(s, dir).agg(count(lit(1)).as("nd"))
+        val df = tf.groupBy($"sh").agg(count(lit(1)).as("dfc"))
+        val dec = DecimalType(19, 0)
+        val w = tf.join(df, "sh")
+          .crossJoin(broadcast(nDocs))
+          .select($"doc_id", $"sh",
+            expr("tf * ((1000000 * nd) DIV dfc)").as("w"))
+        val n2 = w.groupBy($"doc_id")
+          .agg(sum($"w".cast(dec) * $"w".cast(dec)).as("n2"))
+        val rareSh = tf.join(df.filter($"dfc" <= 8), "sh")
+        val cand = rareSh.as("a").join(rareSh.as("b"),
+            $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("ida"), $"b.doc_id".as("idb"))
+          .agg(count(lit(1)).as("shared")).filter($"shared" >= 2)
+          .select($"ida", $"idb")
+        val dots = cand
+          .join(w.as("x").hint("shuffle_hash"), $"ida" === $"x.doc_id")
+          .join(w.as("y").hint("shuffle_hash"),
+            $"idb" === $"y.doc_id" && $"x.sh" === $"y.sh")
+          .groupBy($"ida", $"idb")
+          .agg(sum($"x.w".cast(dec) * $"y.w".cast(dec)).as("dot"))
+        dots
+          .join(n2.as("nx").hint("shuffle_hash"), $"ida" === $"nx.doc_id")
+          .join(n2.as("ny").hint("shuffle_hash"), $"idb" === $"ny.doc_id")
+          .select($"ida", $"idb",
+            round($"dot".cast(DoubleType) /
+              (sqrt($"nx.n2".cast(DoubleType)) * sqrt($"ny.n2".cast(DoubleType))), 6)
+              .as("cosine"))
+          .filter($"cosine" >= 0.5)
+          .orderBy($"ida", $"idb")
+      },
+      Some(s"""${Dedup.shingleCte},
+        tfq AS (SELECT doc_id, s, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM sh GROUP BY 1, 2),
+        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+        dfq AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS dfc FROM tfq GROUP BY s),
+        wt AS (SELECT tfq.doc_id, tfq.s,
+                 tfq.tf * ((1000000 * nd.nd) // dfq.dfc) AS w
+               FROM tfq JOIN dfq ON tfq.s = dfq.s CROSS JOIN nd),
+        n2 AS (SELECT doc_id,
+                 SUM(CAST(w AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0))) AS n2
+               FROM wt GROUP BY doc_id),
+        rare AS (SELECT tfq.doc_id, tfq.s FROM tfq JOIN dfq ON tfq.s = dfq.s
+                 WHERE dfq.dfc <= 8),
+        cand AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+                 FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        dots AS (SELECT c.ida, c.idb,
+                   SUM(CAST(x.w AS DECIMAL(19,0)) * CAST(y.w AS DECIMAL(19,0))) AS dot
+                 FROM cand c
+                 JOIN wt x ON x.doc_id = c.ida
+                 JOIN wt y ON y.doc_id = c.idb AND x.s = y.s
+                 GROUP BY c.ida, c.idb)
+        SELECT d.ida, d.idb,
+          ROUND(CAST(d.dot AS DOUBLE) /
+            (sqrt(CAST(nx.n2 AS DOUBLE)) * sqrt(CAST(ny.n2 AS DOUBLE))), 6) AS cosine
+        FROM dots d JOIN n2 nx ON d.ida = nx.doc_id JOIN n2 ny ON d.idb = ny.doc_id
+        WHERE ROUND(CAST(d.dot AS DOUBLE) /
+            (sqrt(CAST(nx.n2 AS DOUBLE)) * sqrt(CAST(ny.n2 AS DOUBLE))), 6) >= 0.5
+        ORDER BY ida, idb"""))
   )
 }

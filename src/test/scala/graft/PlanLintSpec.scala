@@ -49,7 +49,8 @@ class PlanLintSpec extends SparkSuite {
     "q78_corpus_stats",       // 1-row dataset-card scalars
     "q98_source_overlap",     // |sources| x |sources| pair grid (metadata-sized)
     "q117_unigram_rarity",    // 1-row (total, vocab) corpus scalar
-    "q118_label_centroid_overlap") // |labels| x |labels| centroid grid (metadata-sized)
+    "q118_label_centroid_overlap", // |labels| x |labels| centroid grid (metadata-sized)
+    "q132_tfidf_pairs")       // 1-row doc-count scalar (the idf numerator)
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {

@@ -237,4 +237,39 @@ class TrainingOpsSpec extends SparkSuite {
     // published direction law: the contained side is the smaller set
     got.foreach { case (_, _, nc, ng, _) => assert(nc <= ng) }
   }
+
+  test("q132 equals a BigInt tf-idf cosine re-derivation over raw shingles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val real = "/root/testdata/sf0.001"
+    // shingle multisets via the engine's gram kernel, RAW strings
+    val rows = graft.operators.Tables.documents(spark, real)
+      .withColumn("toks", split(lower($"text"), "\\W+"))
+      .withColumn("s", explode(expr(graft.operators.Dedup.gramArraySql(3))))
+      .select($"doc_id", $"s").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val tf = rows.groupBy(identity).map { case ((d, s), v) => ((d, s), v.length.toLong) }
+    val nDocs = graft.operators.Tables.documents(spark, real).count()
+    val df = tf.keys.groupBy(_._2).map { case (s, v) => (s, v.size.toLong) }
+    val w = tf.map { case ((d, s), t) => ((d, s), t * ((1000000L * nDocs) / df(s))) }
+    val byDoc = w.groupBy(_._1._1).map { case (d, m) =>
+      d -> m.map { case ((_, s), wv) => s -> wv } }
+    val n2 = byDoc.map { case (d, m) => d -> m.values.map(v => BigInt(v) * BigInt(v)).sum }
+    val rare = tf.keys.filter(k => df(k._2) <= 8).toSeq
+    val cand = rare.groupBy(_._2).values.flatMap { docs =>
+      val ids = docs.map(_._1).toSeq.sorted
+      for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keys
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = cand.flatMap { case (ida, idb) =>
+      val (ma, mb) = (byDoc(ida), byDoc(idb))
+      val dot = ma.collect { case (s, wa) if mb.contains(s) => BigInt(wa) * BigInt(mb(s)) }.sum
+      val cos = r6(dot.toDouble / (math.sqrt(n2(ida).toDouble) * math.sqrt(n2(idb).toDouble)))
+      if (cos >= 0.5) Some((ida, idb, cos)) else None
+    }.toSet
+    val got = SparkEntry.queries("q132_tfidf_pairs")(spark, real).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
 }
