@@ -1153,6 +1153,54 @@ object AnalyticsOps {
         SELECT event_type, DATE '1970-01-01' + CAST(d AS INT) AS cp_day,
           ROUND(CAST(cabs AS DOUBLE) / (CAST(days AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS rel_cusum,
           days AS n_days
-        FROM r WHERE rk = 1 ORDER BY event_type"""))
+        FROM r WHERE rk = 1 ORDER BY event_type""")),
+
+    // ---- LOCF gap fill (last observation carried forward) ------------
+    // q95 zero-fills missing calendar cells (right for COUNTS); for a
+    // VALUE series the standard fill is LOCF — carry the last observed
+    // per-day mean forward across gaps, `was_observed` distinguishing
+    // carried cells, days before a type's first observation staying
+    // NULL (LOCF leaves them undefined; publishing a fabricated 0
+    // would be a lie the flag couldn't undo). Means ride the exact
+    // decimal-sum davg (order-insensitive), then values pass through
+    // the window UNCHANGED — one final round(6) on both engines.
+    // Scale: the window runs on the dense grid (|types| x |days| —
+    // metadata), partitioned by type; the fact scan is one
+    // partial-combined aggregate; the same contract as q95/q107/q126.
+    Q("q133_locf_fill",
+      (s, dir) => {
+        import s.implicits._
+        val daily = events(s, dir)
+          .withColumn("d", datediff(to_date($"ts"), to_date(lit("1970-01-01"))))
+          .groupBy($"event_type", $"d").agg(davg($"value", 4).as("v"))
+          .localCheckpoint(true)
+        val cal = daily.agg(min($"d").as("mn"), max($"d").as("mx"))
+          .select(explode(sequence($"mn", $"mx")).as("d"))
+        val grid = daily.select($"event_type").distinct()
+          .crossJoin(broadcast(cal))
+          .join(broadcast(daily), Seq("event_type", "d"), "left")
+        val w = Window.partitionBy($"event_type").orderBy($"d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.select($"event_type",
+            date_add(to_date(lit("1970-01-01")), $"d").as("day"),
+            round(last($"v", ignoreNulls = true).over(w), 6).as("v_filled"),
+            $"v".isNotNull.as("was_observed"))
+          .orderBy($"event_type", $"day")
+      },
+      Some(s"""
+        WITH daily AS (SELECT event_type, (ts::DATE - DATE '1970-01-01') AS d,
+                         ${davgSql("value", 4)} AS v
+                       FROM events GROUP BY 1, 2),
+        cal AS (SELECT unnest(range(mn, mx + 1)) AS d
+                FROM (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily)),
+        grid AS (SELECT t.event_type, cal.d, dy.v
+                 FROM (SELECT DISTINCT event_type FROM daily) t
+                 CROSS JOIN cal
+                 LEFT JOIN daily dy ON dy.event_type = t.event_type AND dy.d = cal.d)
+        SELECT event_type, DATE '1970-01-01' + CAST(d AS INT) AS day,
+          ROUND(LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled,
+          (v IS NOT NULL) AS was_observed
+        FROM grid ORDER BY event_type, day"""))
   )
 }

@@ -552,6 +552,36 @@ class AnalyticsOpsSpec extends SparkSuite {
       s"got=${got.take(3)} expected=${expected.take(3)}")
   }
 
+  test("q133 LOCF fill equals a Scala carry-forward re-derivation") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val raw = graft.operators.Tables.events(spark, dir)
+      .select($"event_type", to_date($"ts").as("day"), $"value").collect()
+      .map(x => (x.getString(0), x.getDate(1).toLocalDate.toEpochDay, x.getDouble(2)))
+    val daily = raw.groupBy(r => (r._1, r._2)).map { case ((t, d), v) =>
+      (t, d) -> (v.map(x => d4(x._3)).sum.toDouble / v.length) }
+    val (mn, mx) = (raw.map(_._2).min, raw.map(_._2).max)
+    val expected = raw.map(_._1).distinct.sorted.toSeq.flatMap { t =>
+      var carry: Option[Double] = None
+      (mn to mx).map { d =>
+        val obs = daily.get((t, d))
+        if (obs.isDefined) carry = obs
+        (t, d, carry.map(r6), obs.isDefined)
+      }
+    }
+    val got = run("q133_locf_fill").collect().map { r =>
+      (r.getString(0), r.getDate(1).toLocalDate.toEpochDay,
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3))
+    }.toSeq
+    assert(got == expected, s"got=${got.take(3)} expected=${expected.take(3)}")
+    // the fill's defining law: a carried cell equals the latest
+    // observed cell before it (vacuous only if the grid is dense)
+    got.filterNot(_._4).foreach { case (t, d, v, _) =>
+      val prev = got.filter(x => x._1 == t && x._2 < d && x._4).maxByOption(_._2)
+      assert(v == prev.flatMap(_._3), s"carry at ($t,$d)") }
+  }
+
   test("q130 rollup levels equal a raw re-derivation; sketch stays in band") {
     val raw = graft.operators.Tables.documents(spark, dir)
       .select("source", "lang", "text").collect()

@@ -50,7 +50,8 @@ class PlanLintSpec extends SparkSuite {
     "q98_source_overlap",     // |sources| x |sources| pair grid (metadata-sized)
     "q117_unigram_rarity",    // 1-row (total, vocab) corpus scalar
     "q118_label_centroid_overlap", // |labels| x |labels| centroid grid (metadata-sized)
-    "q132_tfidf_pairs")       // 1-row doc-count scalar (the idf numerator)
+    "q132_tfidf_pairs",       // 1-row doc-count scalar (the idf numerator)
+    "q133_locf_fill")         // generated calendar x |types| grid (q95's class)
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {
