@@ -1201,6 +1201,50 @@ object AnalyticsOps {
           ROUND(LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY d
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled,
           (v IS NOT NULL) AS was_observed
-        FROM grid ORDER BY event_type, day"""))
+        FROM grid ORDER BY event_type, day""")),
+
+    // ---- user growth: DAU, new users, cumulative uniques -------------
+    // The product-analytics staple. first-seen is a user-keyed MIN —
+    // partial-aggregable, ONE shuffle of user ids, never a window over
+    // users (the q127 first-occurrence pattern). The cumulative-unique
+    // series is DELIBERATELY a <= theta-join on the daily frame, not a
+    // global window: an empty-partition-spec WindowExec is the lint's
+    // third forbidden shape, and |days| is bounded by the time span —
+    // it does NOT scale with corpus size, so the quadratic is
+    // metadata×metadata at any scale (the q98 pair-grid argument).
+    // All-integer outputs; cum_users on the last day must equal total
+    // distinct users (pinned by the spec).
+    Q("q134_user_growth",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir).select($"user_id", to_date($"ts").as("day"))
+        val dau = ev.groupBy($"day")
+          .agg(countDistinct($"user_id").as("dau"))
+        val newu = ev.groupBy($"user_id").agg(min($"day").as("day"))
+          .groupBy($"day").agg(count(lit(1)).as("new_users"))
+        val daily = dau.join(newu, Seq("day"), "left")
+          .select($"day", $"dau", coalesce($"new_users", lit(0L)).as("new_users"))
+          .localCheckpoint(true)
+        val cum = daily.as("a").join(broadcast(daily.as("b")), $"b.day" <= $"a.day")
+          .groupBy($"a.day".as("day"))
+          .agg(sum($"b.new_users").as("cum_users"))
+        daily.join(cum, "day")
+          .select($"day", $"dau", $"new_users", $"cum_users")
+          .orderBy($"day")
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, ts::DATE AS day FROM events),
+        dau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+                FROM ev GROUP BY day),
+        first AS (SELECT user_id, MIN(day) AS day FROM ev GROUP BY user_id),
+        newu AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+                 FROM first GROUP BY day),
+        daily AS (SELECT dau.day, dau.dau, COALESCE(newu.new_users, 0) AS new_users
+                  FROM dau LEFT JOIN newu ON dau.day = newu.day)
+        SELECT a.day, a.dau, a.new_users,
+          CAST(SUM(b.new_users) AS BIGINT) AS cum_users
+        FROM daily a JOIN daily b ON b.day <= a.day
+        GROUP BY a.day, a.dau, a.new_users
+        ORDER BY a.day"""))
   )
 }

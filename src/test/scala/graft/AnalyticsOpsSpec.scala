@@ -582,6 +582,28 @@ class AnalyticsOpsSpec extends SparkSuite {
       assert(v == prev.flatMap(_._3), s"carry at ($t,$d)") }
   }
 
+  test("q134 user growth: conservation laws against raw re-derivation") {
+    import spark.implicits._
+    val raw = graft.operators.Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day")).collect()
+      .map(x => (x.getLong(0), x.getDate(1).toLocalDate.toEpochDay))
+    val firstSeen = raw.groupBy(_._1).map { case (u, v) => (u, v.map(_._2).min) }
+    val expected = raw.map(_._2).distinct.sorted.toSeq.map { d =>
+      (d, raw.filter(_._2 == d).map(_._1).distinct.length.toLong,
+        firstSeen.count(_._2 == d).toLong,
+        firstSeen.count(_._2 <= d).toLong)
+    }
+    val got = run("q134_user_growth").collect().map { r =>
+      (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1), r.getLong(2), r.getLong(3))
+    }.toSeq
+    assert(got == expected, s"got=${got.take(3)} expected=${expected.take(3)}")
+    // conservation: the final cumulative equals total distinct users,
+    // and new_users sums to the same — no user counted twice or lost
+    assert(got.last._4 == firstSeen.size.toLong)
+    assert(got.map(_._3).sum == firstSeen.size.toLong)
+    got.foreach { case (d, dau, nu, _) => assert(nu <= dau, s"day $d") }
+  }
+
   test("q130 rollup levels equal a raw re-derivation; sketch stays in band") {
     val raw = graft.operators.Tables.documents(spark, dir)
       .select("source", "lang", "text").collect()

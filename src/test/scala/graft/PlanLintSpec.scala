@@ -51,7 +51,8 @@ class PlanLintSpec extends SparkSuite {
     "q117_unigram_rarity",    // 1-row (total, vocab) corpus scalar
     "q118_label_centroid_overlap", // |labels| x |labels| centroid grid (metadata-sized)
     "q132_tfidf_pairs",       // 1-row doc-count scalar (the idf numerator)
-    "q133_locf_fill")         // generated calendar x |types| grid (q95's class)
+    "q133_locf_fill",         // generated calendar x |types| grid (q95's class)
+    "q134_user_growth")       // |days| x |days| cumulative theta-join (time-span-bounded)
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {
