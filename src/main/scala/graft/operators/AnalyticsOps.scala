@@ -1246,5 +1246,79 @@ object AnalyticsOps {
         FROM daily a JOIN daily b ON b.day <= a.day
         GROUP BY a.day, a.dau, a.new_users
         ORDER BY a.day"""))
+    ,
+
+    // ---- distribution drift: first-half vs second-half histograms ----
+    // The training-data monitoring staple ("did this source's value
+    // distribution move?"), as total-variation distance between the
+    // two halves of the time range: TV = L1/2 over 10 fixed-width
+    // value bins per event_type. Integer-exact by cross-multiplying —
+    // |h1*n2 - h2*n1| summed in DECIMAL (products are (19,0)^2, the
+    // q100/q103 contract: h*n wraps int64 as soon as both pass ~3e9),
+    // ONE double division by 2*n1*n2 at the end, so the only floats
+    // are each value's bin assignment (identical IEEE arithmetic on
+    // identical min/max in both engines) and the final published
+    // ratio. drift in [0,1]; NULL when a half is empty (a fabricated
+    // 0 or 1 would be a lie). Scale: one fact scan into a (type, bin,
+    // half) agg — partial-combined, 20 cells per type; everything
+    // downstream is metadata-sized.
+    Q("q135_histogram_drift",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir).select($"event_type",
+          datediff(to_date($"ts"), to_date(lit("1970-01-01"))).as("d"), $"value")
+        val span = ev.agg(min($"d").as("dmn"), max($"d").as("dmx"))
+        val rng = ev.groupBy($"event_type")
+          .agg(min($"value").as("vmn"), max($"value").as("vmx"))
+        val dec = DecimalType(19, 0)
+        val binned = ev.join(broadcast(rng), "event_type")
+          .crossJoin(broadcast(span))
+          .select($"event_type",
+            when($"vmx" === $"vmn", lit(0))
+              .otherwise(least(lit(9), floor(($"value" - $"vmn") * 10.0
+                / ($"vmx" - $"vmn")).cast(IntegerType))).as("bin"),
+            ($"d" * 2 <= $"dmn" + $"dmx").as("firstHalf"))
+        val cells = binned.groupBy($"event_type", $"bin")
+          .agg(sum(when($"firstHalf", 1L).otherwise(0L)).as("h1"),
+            sum(when($"firstHalf", 0L).otherwise(1L)).as("h2"))
+        val totals = cells.groupBy($"event_type")
+          .agg(sum($"h1").as("n1"), sum($"h2").as("n2"))
+        cells.join(broadcast(totals), "event_type")
+          .groupBy($"event_type", $"n1", $"n2")
+          .agg(sum(abs($"h1".cast(dec) * $"n2".cast(dec)
+            - $"h2".cast(dec) * $"n1".cast(dec))).as("l1"))
+          .select($"event_type", $"n1", $"n2",
+            when($"n1" === 0 || $"n2" === 0, lit(null).cast(DoubleType))
+              .otherwise(round($"l1".cast(DoubleType)
+                / (lit(2.0) * $"n1".cast(DoubleType) * $"n2".cast(DoubleType)), 6))
+              .as("drift"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH ev AS (SELECT event_type, (ts::DATE - DATE '1970-01-01') AS d, value FROM events),
+        span AS (SELECT MIN(d) AS dmn, MAX(d) AS dmx FROM ev),
+        rng AS (SELECT event_type, MIN(value) AS vmn, MAX(value) AS vmx
+                FROM ev GROUP BY event_type),
+        binned AS (SELECT ev.event_type,
+                     CASE WHEN rng.vmx = rng.vmn THEN 0
+                          ELSE LEAST(9, CAST(FLOOR((ev.value - rng.vmn) * 10.0
+                            / (rng.vmx - rng.vmn)) AS INT)) END AS bin,
+                     (ev.d * 2 <= span.dmn + span.dmx) AS firstHalf
+                   FROM ev JOIN rng ON ev.event_type = rng.event_type CROSS JOIN span),
+        cells AS (SELECT event_type, bin,
+                    CAST(SUM(CASE WHEN firstHalf THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+                    CAST(SUM(CASE WHEN firstHalf THEN 0 ELSE 1 END) AS BIGINT) AS h2
+                  FROM binned GROUP BY 1, 2),
+        totals AS (SELECT event_type, CAST(SUM(h1) AS BIGINT) AS n1,
+                     CAST(SUM(h2) AS BIGINT) AS n2
+                   FROM cells GROUP BY event_type)
+        SELECT c.event_type, t.n1, t.n2,
+          CASE WHEN t.n1 = 0 OR t.n2 = 0 THEN NULL
+               ELSE ROUND(CAST(SUM(ABS(CAST(c.h1 AS DECIMAL(19,0)) * CAST(t.n2 AS DECIMAL(19,0))
+                 - CAST(c.h2 AS DECIMAL(19,0)) * CAST(t.n1 AS DECIMAL(19,0)))) AS DOUBLE)
+                 / (2.0 * CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)), 6) END AS drift
+        FROM cells c JOIN totals t ON c.event_type = t.event_type
+        GROUP BY c.event_type, t.n1, t.n2
+        ORDER BY c.event_type"""))
   )
 }

@@ -604,6 +604,43 @@ class AnalyticsOpsSpec extends SparkSuite {
     got.foreach { case (d, dau, nu, _) => assert(nu <= dau, s"day $d") }
   }
 
+  test("q135 histogram drift equals a BigInt L1 re-derivation") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val raw = graft.operators.Tables.events(spark, dir)
+      .select($"event_type", to_date($"ts").as("day"), $"value").collect()
+      .map(x => (x.getString(0), x.getDate(1).toLocalDate.toEpochDay, x.getDouble(2)))
+    val (dmn, dmx) = (raw.map(_._2).min, raw.map(_._2).max)
+    val expected = raw.map(_._1).distinct.sorted.toSeq.map { t =>
+      val vs = raw.filter(_._1 == t)
+      val (vmn, vmx) = (vs.map(_._3).min, vs.map(_._3).max)
+      def bin(v: Double) =
+        if (vmx == vmn) 0 else math.min(9, math.floor((v - vmn) * 10.0 / (vmx - vmn)).toInt)
+      val (f, sHalf) = vs.partition(r => r._2 * 2 <= dmn + dmx)
+      val h1 = f.groupBy(r => bin(r._3)).view.mapValues(_.length.toLong).toMap
+      val h2 = sHalf.groupBy(r => bin(r._3)).view.mapValues(_.length.toLong).toMap
+      val (n1, n2) = (f.length.toLong, sHalf.length.toLong)
+      val drift =
+        if (n1 == 0 || n2 == 0) None
+        else {
+          val l1 = (0 to 9).map(b => (BigInt(h1.getOrElse(b, 0L)) * n2
+            - BigInt(h2.getOrElse(b, 0L)) * n1).abs).sum
+          Some(r6(l1.toDouble / (2.0 * n1 * n2)))
+        }
+      (t, n1, n2, drift)
+    }
+    val got = run("q135_histogram_drift").collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    }.toSeq
+    assert(got == expected, s"got=${got.take(3)} expected=${expected.take(3)}")
+    // laws: drift is a total-variation distance — in [0,1]; halves
+    // partition each type's events
+    got.foreach { case (t, n1, n2, dr) =>
+      dr.foreach(d => assert(d >= 0.0 && d <= 1.0, s"$t drift $d"))
+      assert(n1 + n2 == raw.count(_._1 == t).toLong, s"$t halves lost rows") }
+  }
+
   test("q130 rollup levels equal a raw re-derivation; sketch stays in band") {
     val raw = graft.operators.Tables.documents(spark, dir)
       .select("source", "lang", "text").collect()

@@ -52,7 +52,8 @@ class PlanLintSpec extends SparkSuite {
     "q118_label_centroid_overlap", // |labels| x |labels| centroid grid (metadata-sized)
     "q132_tfidf_pairs",       // 1-row doc-count scalar (the idf numerator)
     "q133_locf_fill",         // generated calendar x |types| grid (q95's class)
-    "q134_user_growth")       // |days| x |days| cumulative theta-join (time-span-bounded)
+    "q134_user_growth",       // |days| x |days| cumulative theta-join (time-span-bounded)
+    "q135_histogram_drift")   // 1-row (dmn, dmx) time-span scalar
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {
