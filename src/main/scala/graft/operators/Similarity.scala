@@ -373,6 +373,51 @@ object Similarity {
         SELECT a.label AS la, b.label AS lb, a.n_vecs AS na, b.n_vecs AS nb,
           ROUND(list_sum([a.cv[i] * b.cv[i] for i in range(1, len(a.cv) + 1)]) / (a.nrm * b.nrm), 6) AS cosine
         FROM cn a JOIN cn b ON a.label < b.label
-        ORDER BY la, lb"""))
+        ORDER BY la, lb""")),
+
+    // ---- per-dimension embedding statistics (the health check) -------
+    // What you run BEFORE trusting an embedding column to ANN/SemDeDup:
+    // a dead dimension (all zeros), a scale outlier or a saturated
+    // range silently poisons every cosine downstream. Per dimension:
+    // n, mean, variance, min/max, zero fraction. The double sums ride
+    // the dsum/davg decimal contract (per-value HALF_UP quantization
+    // at scale 10, exact order-insensitive decimal sums — the only
+    // cross-engine-safe way to sum floats); variance assembles
+    // sxx/n - mean^2 in ONE fixed double expression, rounded to 1e-6
+    // with everything else. Scale: one posexplode scan into a
+    // dim-keyed partial-combined aggregate; output = |dims| rows.
+    Q("q136_embedding_stats",
+      (s, dir) => {
+        import s.implicits._
+        val dims = embeddings(s, dir)
+          .select(posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
+          .select($"pos".as("dim"), $"col".as("x"))
+        dims.groupBy($"dim")
+          .agg(count(lit(1)).as("n"),
+            davg($"x", 10).as("mean_raw"),
+            (dsum($"x" * $"x", 10) / count(lit(1))).as("ex2"),
+            min($"x").as("mn"), max($"x").as("mx"),
+            sum(when($"x" === 0.0, 1L).otherwise(0L)).as("zeros"))
+          .select($"dim", $"n",
+            round($"mean_raw", 6).as("mean"),
+            round($"ex2" - $"mean_raw" * $"mean_raw", 6).as("variance"),
+            round($"mn", 6).as("vmin"), round($"mx", 6).as("vmax"),
+            round($"zeros".cast(DoubleType) / $"n", 6).as("zero_frac"))
+          .orderBy($"dim")
+      },
+      Some(s"""
+        WITH dims AS (SELECT i - 1 AS dim, CAST(e.embedding[i] AS DOUBLE) AS x
+                      FROM embeddings e, UNNEST(range(1, len(e.embedding) + 1)) AS t(i)),
+        st AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+                 ${davgSql("x", 10)} AS mean_raw,
+                 ${dsumSql("x * x", 10)} / COUNT(*) AS ex2,
+                 MIN(x) AS mn, MAX(x) AS mx,
+                 CAST(SUM(CASE WHEN x = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+               FROM dims GROUP BY dim)
+        SELECT dim, n, ROUND(mean_raw, 6) AS mean,
+          ROUND(ex2 - mean_raw * mean_raw, 6) AS variance,
+          ROUND(mn, 6) AS vmin, ROUND(mx, 6) AS vmax,
+          ROUND(CAST(zeros AS DOUBLE) / n, 6) AS zero_frac
+        FROM st ORDER BY dim"""))
   )
 }

@@ -74,4 +74,29 @@ class SimilaritySpec extends SparkSuite {
     byLabel.foreach { case (l, vs) =>
       assert(got.contains((vs.map(_._1).min, l)), s"label $l lost its head") }
   }
+
+  test("q136 per-dimension stats equal a decimal-quantized re-derivation") {
+    def d10(x: Double) = BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val nDims = raw.head.length
+    val expected = (0 until nDims).map { d =>
+      val xs = raw.map(_(d))
+      val n = xs.length.toLong
+      val mean = xs.map(d10).sum.toDouble / n
+      val ex2 = xs.map(x => d10(x * x)).sum.toDouble / n
+      (d, n, r6(mean), r6(ex2 - mean * mean),
+        r6(xs.min), r6(xs.max), r6(xs.count(_ == 0.0).toDouble / n))
+    }
+    val got = run("q136_embedding_stats").collect().map { r =>
+      (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    }.toSeq
+    assert(got == expected, s"got=${got.take(2)} expected=${expected.take(2)}")
+    // health-check laws: variance is non-negative post-rounding slack
+    got.foreach { case (d, _, _, v, mn, mx, zf) =>
+      assert(v >= -1e-6 && mn <= mx && zf >= 0.0 && zf <= 1.0, s"dim $d") }
+  }
 }
