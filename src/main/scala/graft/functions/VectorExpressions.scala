@@ -90,6 +90,8 @@ object GraftFunctions {
       "py_norm", exprs => PyNorm(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSig(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_tf", exprs => TokenTf(exprs(0)), "built-in")
   }
 
   def dot_product(a: Column, b: Column): Column = call_function("dot_product", a, b)

@@ -225,23 +225,34 @@ object CurationOps {
     // of bit-reproducibility — libm's log drifts across engines and a
     // last-ulp flip near a rounding boundary would fail the oracle's
     // hash compare; the score is a keyword-salience heuristic, not a
-    // drop-in TF-IDF. Scale: tf is one doc-keyed aggregate; df is
-    // vocabulary-sized — CORPUS-DERIVED, so it carries no broadcast
-    // hint (SCALE_DESIGN rule 2): AQE broadcasts it while it fits and
-    // shuffle-joins on `tok` at web-corpus vocab sizes. The top-k
-    // window partitions by doc_id (uniform, and row_number <= k plans
-    // as WindowGroupLimit in Spark 4).
+    // drop-in TF-IDF. Scale: a doc's term frequencies are ROW-LOCAL
+    // (its tokens live in one array), so tf comes from the token_tf
+    // codegen kernel in ONE map-only corpus pass — no occurrence-level
+    // explode, no (doc_id, tok) exchange. df is then COUNT OVER
+    // (PARTITION BY tok) on that same frame rather than a separate
+    // groupBy + join: `tf.groupBy(tok)` would be a second REFERENCE to
+    // the tf subplan, and Spark physical-plans each reference
+    // independently (no subplan reuse without explicit
+    // materialization), so the r3 join shape scanned + tokenized +
+    // aggregated the corpus TWICE and broadcast the vocabulary back —
+    // the r4 bench-gate regression's plan. The window form is one
+    // corpus pass and needs no broadcast at all — strictly better at
+    // web-corpus vocab sizes where the df frame would outgrow a
+    // broadcast (SCALE_DESIGN rule 2). The top-k window partitions by
+    // doc_id (uniform, and row_number <= k plans as WindowGroupLimit
+    // in Spark 4).
     Q("q82_keyword_scores",
       (s, dir) => {
         import s.implicits._
+        graft.functions.GraftFunctions.register(s)
         val docs = documents(s, dir)
-        val dtok = Dedup.withToks(docs)
-          .select($"doc_id", explode($"toks").as("tok"))
-          .filter(length($"tok") > 0)
-        val tf = dtok.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-        val dfc = tf.groupBy($"tok").agg(count(lit(1)).as("dfc"))
+        val tf = Dedup.withToks(docs)
+          .select($"doc_id", explode(expr("token_tf(toks)")).as("kv"))
+          .select($"doc_id", $"kv.tok".as("tok"), $"kv.tf".as("tf"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
-        val scored = tf.join(dfc, "tok").crossJoin(broadcast(n))
+        val scored = tf
+          .withColumn("dfc", count(lit(1)).over(Window.partitionBy($"tok")))
+          .crossJoin(broadcast(n))
           .withColumn("score", round($"tf".cast(DoubleType) * $"n_docs" / $"dfc", 6))
         val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"tok")
         scored.withColumn("kw_rank", row_number().over(w))

@@ -118,6 +118,32 @@ class FunctionsSpec extends SparkSuite {
     assert(plan.linesIterator.exists(l => l.contains("simhash64") && l.contains("*(")), plan)
   }
 
+  test("token_tf: matches explode+groupBy multiset, skips empties/nulls, codegen") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // unit semantics: dup counting, empty + null skipped, first-occurrence order
+    val rows = Seq((1L, Seq("b", "a", "", "b", null, "a", "b")))
+      .toDF("id", "toks")
+      .selectExpr("explode(token_tf(toks)) AS kv")
+      .selectExpr("kv.tok AS tok", "kv.tf AS tf")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("b", 3L), ("a", 2L)))
+    // parity on the real corpus: kernel (tok, tf) multiset per doc ==
+    // the explode + filter + groupBy twin it replaces in q82
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", raw"split(lower(text), '\\W+') AS toks")
+    val kernel = docs.selectExpr("doc_id", "explode(token_tf(toks)) AS kv")
+      .selectExpr("doc_id", "kv.tok AS tok", "kv.tf AS tf")
+    val twin = docs.selectExpr("doc_id", "explode(toks) AS tok")
+      .where("length(tok) > 0")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    assert(kernel.exceptAll(twin).isEmpty && twin.exceptAll(kernel).isEmpty)
+    // stays inside whole-stage codegen on a real scan
+    val plan = docs.selectExpr("token_tf(toks) AS m")
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("token_tf") && l.contains("*(")), plan)
+  }
+
   test("rolling_hash: deterministic, position-sensitive, interpreted == codegen") {
     import spark.implicits._
     GraftFunctions.register(spark)
