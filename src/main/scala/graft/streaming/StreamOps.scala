@@ -50,8 +50,14 @@ object StreamOps {
       events: DataFrame,
       gap: String = "30 minutes",
       watermarkDelay: String = "10 minutes"): DataFrame =
-    events
-      .withWatermark("ts", watermarkDelay)
+    sessionAggBody(events.withWatermark("ts", watermarkDelay), gap)
+
+  /** The session aggregation WITHOUT the watermark definition — the
+    * shared body of [[sessionAgg]] and [[dedupedSessionAgg]]: a
+    * chained-stateful pipeline must define the watermark exactly ONCE
+    * (Spark rejects redefinition upstream of a second stateful op). */
+  private def sessionAggBody(watermarked: DataFrame, gap: String): DataFrame =
+    watermarked
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("w.start").as("s_start"), col("w.end").as("s_end"),
@@ -68,6 +74,26 @@ object StreamOps {
     events
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Composed stateful pipeline [EXT]: exact dedup within the
+    * watermark horizon CHAINED INTO session-window aggregation in one
+    * streaming query — two state stores back to back (Spark >= 3.5
+    * supports chained stateful operators in append mode; the dedup's
+    * event-time column flows through unmodified, so the session
+    * operator's watermark is consistent with the dedup's).
+    *
+    * State bound at any stream length: dedup state holds only keys
+    * newer than the watermark horizon; session state holds only OPEN
+    * sessions (finalized once the watermark passes end + gap). Total
+    * state is O(events within horizon + open sessions) — independent
+    * of how much stream has flowed — pinned by SessionWindowSpec
+    * across >= 3 watermark advances. */
+  def dedupedSessionAgg(
+      events: DataFrame,
+      keyCols: Seq[String] = Seq("user_id", "ts"),
+      gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    sessionAggBody(dedupWithinWatermark(events, keyCols, watermarkDelay), gap)
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(nEvents: Long, total: Double, lastTs: Long)
@@ -228,13 +254,22 @@ object StreamOps {
     * can't express "NO index entry matches" on a stream without
     * re-aggregating per doc, so the probe is a per-row predicate.
     * For an index too large to broadcast, run the batch q76 shape in
-    * `foreachBatch` instead. Token-less docs have no fingerprint and
-    * pass through (exact dedup owns them, as in q61/q76). */
+    * `foreachBatch` instead — [[incrementalIndexedDedup]] IS that form.
+    * Token-less docs have no fingerprint and pass through (exact dedup
+    * owns them, as in q61/q76).
+    *
+    * The broadcast-sized-index contract (SCALE_DESIGN rule 2) is
+    * enforced MECHANICALLY: the index cardinality is counted before
+    * collection and an index beyond `maxIndexEntries` (default 2M
+    * fingerprints ≈ low-hundreds of MB as a driver bucket map) fails
+    * fast with the escape hatch in the message, instead of OOMing the
+    * driver mid-collect. */
   def dedupAgainstIndex(
       docs: DataFrame,
       index: DataFrame,
       textCol: String = "text",
-      maxHamming: Int = 1): DataFrame = {
+      maxHamming: Int = 1,
+      maxIndexEntries: Long = 2000000L): DataFrame = {
     // the half-band probe has exact recall ONLY up to hamming 1
     // (pigeonhole over 2 bands); a larger radius would silently miss
     // pairs differing in both halves
@@ -242,6 +277,13 @@ object StreamOps {
       s"dedupAgainstIndex supports maxHamming 0 or 1, got $maxHamming")
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
+    val indexCount = index.filter("simhash IS NOT NULL").count()
+    require(indexCount <= maxIndexEntries,
+      s"dedupAgainstIndex collects the static index to the driver and " +
+        s"this index has $indexCount fingerprints (> $maxIndexEntries allowed); " +
+        "for an index this size use incrementalIndexedDedup (the foreachBatch " +
+        "half-band equi-join form, which never collects the index) or raise " +
+        "maxIndexEntries if the driver heap genuinely has room")
     val buckets: Map[(Int, Long), Array[Long]] = index
       // a null fingerprint (token-less doc in a pre-guard index) has
       // no bands to probe — same rule as the stream side

@@ -306,6 +306,16 @@ class StreamingSpec extends SparkSuite {
     val strict = StreamOps.dedupAgainstIndex(
       Seq((1L, textA)).toDF("doc_id", "text"), index, maxHamming = 0)
     assert(strict.count() == 1)
+
+    // SCALE_DESIGN rule 2, mechanically enforced: an index beyond the
+    // broadcast contract fails FAST (before any driver collect) and
+    // the message names the foreachBatch escape hatch
+    val big = spark.range(5).selectExpr("id AS simhash")
+    val err = intercept[IllegalArgumentException] {
+      StreamOps.dedupAgainstIndex(
+        Seq((1L, textA)).toDF("doc_id", "text"), big, maxIndexEntries = 3L)
+    }
+    assert(err.getMessage.contains("incrementalIndexedDedup"), err.getMessage)
   }
 
   test("anomaliesVsBaseline flags only windows above the trained threshold") {
