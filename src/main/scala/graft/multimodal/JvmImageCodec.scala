@@ -39,13 +39,19 @@ object JvmImageCodec {
       try {
         r.setInput(in)
         val fmt = r.getFormatName.toLowerCase
-        val frames =
-          if (fmt == "gif") r.getNumImages(true) else 1
-        Some((fmt, r.getWidth(0), r.getHeight(0), frames))
+        Some((fmt, r.getWidth(0), r.getHeight(0), containerFrames(r)))
       } finally r.dispose()
     } catch { case _: Exception => None }
     finally in.close()
   }
+
+  /** Frame count by walking the container index — counts EVERY
+    * multi-image format the reader supports (animated GIF and
+    * multi-page TIFF both; single-frame formats report 1), not just
+    * GIF. Readers that cannot enumerate without decoding return -1
+    * from getNumImages; treat that (and any walk failure) as 1. */
+  private def containerFrames(r: javax.imageio.ImageReader): Int =
+    try math.max(1, r.getNumImages(true)) catch { case _: Exception => 1 }
 
   private def decode(media: Array[Byte]): Option[BufferedImage] =
     try Option(ImageIO.read(new ByteArrayInputStream(media)))
@@ -116,8 +122,9 @@ object JvmImageCodec {
     }
   }
 
-  /** Every `stride`-th frame of an animated GIF (or the single frame
-    * of any other decodable format), re-encoded PNG. Frame index is
+  /** Every `stride`-th frame of a multi-image container (animated
+    * GIF, multi-page TIFF — any format whose reader enumerates; the
+    * single frame of anything else), re-encoded PNG. Frame index is
     * the CONTAINER's index, so downstream joins on (media_id,
     * frame_idx) are stable under stride changes. */
   def sampleFrames(media: Array[Byte], stride: Int): Seq[(Int, Array[Byte])] = {
@@ -129,7 +136,7 @@ object JvmImageCodec {
       val r = readers.next()
       try {
         r.setInput(in)
-        val n = if (r.getFormatName.equalsIgnoreCase("gif")) r.getNumImages(true) else 1
+        val n = containerFrames(r)
         (0 until n by stride).flatMap { i =>
           try {
             val frame = r.read(i)

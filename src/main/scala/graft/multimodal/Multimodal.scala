@@ -15,10 +15,12 @@ import org.apache.spark.sql.types._
   * frames on the JDK's own ImageIO — no external libraries, verified
   * headless in this container — behind the same partition-batch
   * shapes ([[imageMeta]], [[imageFeatures]], [[resizeImages]],
-  * [[imageFrames]]). Audio/video codecs still do not exist in a bare
-  * JDK, so those paths keep [[FakeCodec]] — a deterministic stand-in
-  * keyed on the media bytes, clearly marked; the swap-one-object
-  * boundary is unchanged.
+  * [[imageFrames]]). The AUDIO modality is REAL as of round 5:
+  * [[JvmAudioCodec]] probes and PCM-decodes WAV/AU/AIFF on
+  * `javax.sound.sampled` behind [[audioMeta]] / [[audioFeatures]] /
+  * [[audioWindows]]. Only VIDEO remains behind [[FakeCodec]] — a bare
+  * JDK ships no video codec; that boundary stays honestly labeled and
+  * is one object swap wide.
   */
 object Multimodal {
 
@@ -43,10 +45,12 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, features: Array[Float])
   final case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** ======== STUB: deterministic fake codec ========
-    * Stands in for a real image/audio decode (PIL / ffmpeg / etc. are
-    * not in this container). Deterministic in the payload bytes so
-    * tests are exact. A production build replaces only this object. */
+  /** ======== STUB: deterministic fake codec (VIDEO ONLY) ========
+    * Stands in for a real VIDEO decode (ffmpeg etc. are not in this
+    * container, and the JDK ships no video codec — images use the
+    * real [[JvmImageCodec]], audio the real [[JvmAudioCodec]]).
+    * Deterministic in the payload bytes so tests are exact. A
+    * production build replaces only this object. */
   object FakeCodec {
     /** "Decode" media bytes to a fixed-length float feature vector. */
     def decodeToFeatures(media: Array[Byte], dim: Int): Array[Float] = {
@@ -217,16 +221,74 @@ object Multimodal {
         lit(h).as("height"), lit(1).as("n_frames")))
   }
 
-  /** Every `stride`-th GIF frame (single frame for other formats) as
-    * lossless PNG rows — [[sampleFrames]]'s shape with a REAL
-    * container walk; frame_idx is the container's index, stable
-    * under stride changes. */
+  /** Every `stride`-th frame of a multi-image container (GIF, TIFF;
+    * single frame for other formats) as lossless PNG rows —
+    * [[sampleFrames]]'s shape with a REAL container walk; frame_idx
+    * is the container's index, stable under stride changes. Same
+    * partition-batch shape as the sibling image operators. */
   def imageFrames(media: DataFrame, stride: Int = 2): Dataset[MediaFrame] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
-      .flatMap { case (id, bytes) =>
+      .mapPartitions(_.flatMap { case (id, bytes) =>
         JvmImageCodec.sampleFrames(bytes, stride)
-          .map { case (idx, fb) => MediaFrame(id, idx, fb) } }
+          .map { case (idx, fb) => MediaFrame(id, idx, fb) } })
+  }
+
+  // ======== REAL audio pipeline (javax.sound.sampled) ================
+
+  final case class AudioMeta(media_id: Long, format: String,
+      sample_rate: Int, channels: Int, bits: Int, n_frames: Long,
+      decodable: Boolean)
+  final case class AudioWindow(media_id: Long, window_idx: Int,
+      n_samples: Int, rms: Double, peak: Int)
+
+  /** Header-probe every audio blob — [[imageMeta]]'s shape for the
+    * audio modality: REAL container metadata (format, sample rate,
+    * channels, bit depth, frame count) from the bytes via
+    * [[JvmAudioCodec.probe]], with the same quarantine routing
+    * (`decodable = false` + sentinels, never a failed batch). */
+  def audioMeta(media: DataFrame): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        JvmAudioCodec.probe(bytes) match {
+          case Some((f, sr, ch, bits, nf)) =>
+            AudioMeta(id, f, sr, ch, bits, nf, decodable = true)
+          case None => AudioMeta(id, "undecodable", -1, -1, -1, 0L, decodable = false)
+        }
+      })
+  }
+
+  /** Per-window RMS energy as a dense float vector per blob — REAL
+    * decoded PCM through [[JvmAudioCodec.windowEnergy]], emitted in
+    * the same `MediaFeatures` shape as [[imageFeatures]] so the
+    * q33/q34-family cosine/ANN operators consume audio features
+    * unchanged. Undecodable payloads yield the empty vector. */
+  def audioFeatures(media: DataFrame, windowSamples: Int = 1024): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        MediaFeatures(id,
+          JvmAudioCodec.windowEnergy(bytes, windowSamples)
+            .map(_._3.toFloat).toArray)
+      })
+  }
+
+  /** Full per-window statistics (sample count, RMS, integer peak) —
+    * the audio twin of the q106 frame-energy family on REAL PCM
+    * frames; one input row fans out to its window rows, pipelined
+    * (no shuffle). Undecodable payloads produce no rows (quarantine
+    * via [[audioMeta]] when they must be kept). */
+  def audioWindows(media: DataFrame, windowSamples: Int = 1024): Dataset[AudioWindow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        JvmAudioCodec.windowEnergy(bytes, windowSamples)
+          .map { case (idx, n, rms, peak) => AudioWindow(id, idx, n, rms, peak) }
+      })
   }
 }

@@ -631,9 +631,11 @@ object AnalyticsOps {
     // features — RMS energy and peak amplitude over 4 frames of 16
     // samples. This is the real Spark-side shape of audio feature
     // extraction (fixed-stride windows over a dense column, map-only,
-    // one output row per frame); the codec that would DECODE real
-    // audio into such buffers stays behind Multimodal's stubbed
-    // boundary. The frame dot product runs the codegen DotProduct
+    // one output row per frame); the codec that DECODES real audio
+    // into such buffers is JvmAudioCodec (real WAV/AU PCM via
+    // javax.sound.sampled since r5 — Multimodal.audioWindows is this
+    // query's shape on real frames; only VIDEO remains stubbed).
+    // The frame dot product runs the codegen DotProduct
     // kernel on an array slice; sqrt is IEEE-exact and the 1e-6 round
     // matches the q33-q35 convention for fold-order ulps.
     Q("q106_frame_energy",

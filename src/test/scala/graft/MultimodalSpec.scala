@@ -196,4 +196,115 @@ class MultimodalSpec extends SparkSuite {
         .getRGB(1, 1) & 0xffffff }
     assert(colors.toSeq == Seq(0xff0000, 0x0000ff))
   }
+
+  /** Multi-page TIFF from solid frames (JDK TIFF writer sequence). */
+  private def multiPageTiff(colors: Seq[Int], w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { c =>
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, c)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+        writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  test("multi-page TIFF pages are counted by probe and walked by imageFrames") {
+    val tiff = multiPageTiff(Seq(0xff0000, 0x00ff00, 0x0000ff), 4, 4)
+    val meta = Multimodal.imageMeta(imageDf(Seq(11L -> tiff))).collect()(0)
+    assert(meta.decodable && meta.n_frames == 3, meta)
+    val frames = Multimodal.imageFrames(imageDf(Seq(11L -> tiff)), stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2))
+    val colors = frames.map { f =>
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.frame))
+        .getRGB(1, 1) & 0xffffff }
+    assert(colors.toSeq == Seq(0xff0000, 0x0000ff))
+  }
+
+  // ======== REAL audio codec (javax.sound.sampled) ========
+
+  /** PCM WAV/AU bytes from integer samples — real container written by
+    * the JDK's own audio writer, so the codec test decodes genuine
+    * file bytes, not a hand-rolled header. */
+  private def audioBytes(samples: Array[Int], sampleRate: Float = 8000f,
+      channels: Int = 1, bits: Int = 16,
+      tpe: javax.sound.sampled.AudioFileFormat.Type =
+        javax.sound.sampled.AudioFileFormat.Type.WAVE): Array[Byte] = {
+    val bigEndian = tpe == javax.sound.sampled.AudioFileFormat.Type.AU
+    val signed = bits > 8
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate, bits, channels, signed, bigEndian)
+    val bytesPer = bits / 8
+    val data = new Array[Byte](samples.length * bytesPer)
+    samples.indices.foreach { i =>
+      val v = if (signed) samples(i) else samples(i) + (1 << (bits - 1))
+      (0 until bytesPer).foreach { b =>
+        val shift = if (bigEndian) 8 * (bytesPer - 1 - b) else 8 * b
+        data(i * bytesPer + b) = ((v >> shift) & 0xff).toByte
+      }
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, tpe, bos)
+    bos.toByteArray
+  }
+
+  test("audioMeta probes REAL WAV/AU headers and quarantines garbage") {
+    val sq = Array.tabulate(4096)(i => if (i % 2 == 0) 1000 else -1000)
+    val df = imageDf(Seq(
+      1L -> audioBytes(sq),
+      2L -> audioBytes(sq, channels = 2, sampleRate = 16000f,
+        tpe = javax.sound.sampled.AudioFileFormat.Type.AU),
+      3L -> Array[Byte](9, 9, 9, 9)))
+    val got = Multimodal.audioMeta(df).collect().map(m => m.media_id -> m).toMap
+    assert(got(1L).format == "wav" && got(1L).sample_rate == 8000
+      && got(1L).channels == 1 && got(1L).bits == 16
+      && got(1L).n_frames == 4096L && got(1L).decodable, got(1L))
+    assert(got(2L).format == "au" && got(2L).sample_rate == 16000
+      && got(2L).channels == 2 && got(2L).n_frames == 2048L, got(2L))
+    assert(!got(3L).decodable && got(3L).format == "undecodable")
+  }
+
+  test("audioWindows: exact RMS/peak on real decoded PCM, bit-deterministic") {
+    // +-1000 square wave: every window's RMS is EXACTLY 1000.0
+    val sq = Array.tabulate(2500)(i => if (i % 2 == 0) 1000 else -1000)
+    val rows = Multimodal.audioWindows(
+        imageDf(Seq(5L -> audioBytes(sq))), windowSamples = 1024)
+      .collect().sortBy(_.window_idx)
+    assert(rows.map(_.n_samples).toSeq == Seq(1024, 1024, 452))
+    assert(rows.forall(w => w.rms == 1000.0 && w.peak == 1000), rows.toSeq)
+    // same samples through the big-endian AU container: identical stats
+    val au = Multimodal.audioWindows(
+        imageDf(Seq(6L -> audioBytes(sq,
+          tpe = javax.sound.sampled.AudioFileFormat.Type.AU))),
+        windowSamples = 1024)
+      .collect().sortBy(_.window_idx)
+    assert(au.map(w => (w.n_samples, w.rms, w.peak)).toSeq ==
+      rows.map(w => (w.n_samples, w.rms, w.peak)).toSeq)
+    // 8-bit unsigned recentering: constant 10 above the 128 midpoint
+    val dc = Multimodal.audioWindows(
+        imageDf(Seq(7L -> audioBytes(Array.fill(512)(10), bits = 8))),
+        windowSamples = 512)
+      .collect()
+    assert(dc.length == 1 && dc(0).rms == 10.0 && dc(0).peak == 10, dc.toSeq)
+    // undecodable payloads produce no rows (quarantine contract)
+    assert(Multimodal.audioWindows(
+      imageDf(Seq(8L -> Array[Byte](1, 2, 3)))).count() == 0)
+  }
+
+  test("audioFeatures emits the dense-vector shape the ANN family consumes") {
+    val sq = Array.tabulate(3000)(i => if (i % 2 == 0) 500 else -500)
+    val f = Multimodal.audioFeatures(
+        imageDf(Seq(9L -> audioBytes(sq))), windowSamples = 1024)
+      .collect()(0)
+    assert(f.features.length == 3) // ceil(3000 / 1024)
+    assert(f.features.forall(_ == 500.0f))
+  }
 }
