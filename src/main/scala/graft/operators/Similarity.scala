@@ -201,6 +201,9 @@ object Similarity {
         ORDER BY ida, idb""")),
 
     // ---- IVF-style probed top-k (scale path) -------------------------
+    // Probes a FIXED 2-cell list (own label + next) — the plumbing
+    // demo; the tuning measurement (distance-ranked multi-probe with
+    // recall@5 vs the exact baseline) is q137_ann_recall.
     Q("q35_ann_ivf",
       (s, dir) => {
         import s.implicits._
@@ -418,6 +421,106 @@ object Similarity {
           ROUND(ex2 - mean_raw * mean_raw, 6) AS variance,
           ROUND(mn, 6) AS vmin, ROUND(mx, 6) AS vmax,
           ROUND(CAST(zeros AS DOUBLE) / n, 6) AS zero_frac
-        FROM st ORDER BY dim"""))
+        FROM st ORDER BY dim""")),
+
+    // ---- IVF recall curve: multi-probe vs the exact baseline ---------
+    // The measurement a real ANN deployment is tuned by: for
+    // nprobe = 1..3, probe the nprobe NEAREST cells (ranked by true
+    // query→centroid distance — not q35's fixed own+next neighbor),
+    // take the IVF top-5 among the probed candidates, and score
+    // recall@5 against the q34 exact baseline (knnTop5 — the same
+    // single-source-of-truth frame, so the baseline cannot drift from
+    // what q34 publishes). Output: one row per nprobe with the hit
+    // count, candidate volume and recall — the recall/cost curve.
+    //
+    // Construction notes: centroids are the q118 decimal-exact
+    // per-label means (10 cells x 64 dims — O(nlist) driver-free
+    // metadata, broadcast); cell ranking uses q64's expanded-form
+    // distance contract (vv - 2*dot + cc, rounded 1e-6, label
+    // tiebreak); a candidate scored at probe_rank p participates in
+    // every level np >= p via one sequence() explode, so all three
+    // curve points come from ONE scoring pass (a candidate is scored
+    // once, not once per level). Scale: candidates per query are
+    // bounded by nprobe/nlist of the corpus by construction; the
+    // probe frame is queries x nprobe rows, broadcast.
+    Q("q137_ann_recall",
+      (s, dir) => {
+        import s.implicits._
+        val e = prepared(s, dir)
+        val exact = knnTop5(s, dir).select($"qid".as("eqid"), $"cid".as("ecid"))
+        val cent = e.select($"label", posexplode($"v").as(Seq("dim", "x")))
+          .groupBy($"label", $"dim").agg(davg($"x", 15).as("cx"))
+          .groupBy($"label")
+          .agg(expr("transform(array_sort(collect_list(struct(dim, cx))), t -> t.cx)").as("cv"))
+          .withColumn("cc", expr("dot_product(cv, cv)"))
+          .select($"label".as("plabel"), $"cv", $"cc")
+        val q = e.filter($"vec_id" < 50)
+          .select($"vec_id".as("qid"), $"v".as("av"), $"nrm".as("na"))
+          .withColumn("vv", expr("dot_product(av, av)"))
+        val pw = Window.partitionBy($"qid").orderBy($"d2", $"plabel")
+        val probes = q.crossJoin(broadcast(cent))
+          .withColumn("d2", round($"vv" - lit(2.0) * expr("dot_product(av, cv)") + $"cc", 6))
+          .withColumn("probe_rank", row_number().over(pw))
+          .filter($"probe_rank" <= 3)
+          .select($"qid", $"av", $"na", $"plabel", $"probe_rank")
+        val c = e.select($"vec_id".as("cid"), $"label".as("clabel"), $"v".as("bv"), $"nrm".as("nb"))
+        val cand = broadcast(probes).join(c, $"plabel" === $"clabel" && $"qid" =!= $"cid")
+          .withColumn("cosr", round(expr(dotExpr) / ($"na" * $"nb"), 6))
+          .withColumn("np", explode(expr("sequence(probe_rank, 3)")))
+        val w = Window.partitionBy($"np", $"qid").orderBy($"cosr".desc, $"cid")
+        val top = cand.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+          .select($"np", $"qid", $"cid")
+        val hits = top.join(exact, $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
+          .groupBy($"np").agg(count(lit(1)).as("hits"))
+        cand.groupBy($"np")
+          .agg(count(lit(1)).as("candidates"), countDistinct($"qid").as("n_queries"))
+          .join(hits, Seq("np"), "left")
+          .select($"np".cast(IntegerType).as("nprobe"), $"n_queries", $"candidates",
+            coalesce($"hits", lit(0L)).as("hits"),
+            round(coalesce($"hits", lit(0L)).cast(DoubleType) / ($"n_queries" * 5), 6)
+              .as("recall_at_5"))
+          .orderBy($"nprobe")
+      },
+      Some(s"""$prepCte,
+        $knnTop5Cte,
+        qv AS (SELECT vec_id AS qid, v AS av, nrm AS na,
+                 list_sum(list_transform(v, x -> x * x)) AS vv
+               FROM n WHERE vec_id < 50),
+        cdims AS (SELECT label, i - 1 AS dim, v[i] AS x
+                  FROM n, UNNEST(range(1, len(v) + 1)) AS t(i)),
+        cmeans AS (SELECT label, dim, ${davgSql("x", 15)} AS cx
+                   FROM cdims GROUP BY label, dim),
+        cvl AS (SELECT label AS plabel, list(cx ORDER BY dim) AS cv
+                FROM cmeans GROUP BY label),
+        cvn AS (SELECT plabel, cv,
+                  list_sum(list_transform(cv, x -> x * x)) AS cc FROM cvl),
+        pr AS (SELECT qid, plabel, probe_rank FROM (
+                 SELECT q.qid, c.plabel,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                     ROUND(q.vv - 2.0 * list_sum([q.av[i] * c.cv[i] for i in range(1, len(q.av) + 1)]) + c.cc, 6),
+                     c.plabel) AS probe_rank
+                 FROM qv q CROSS JOIN cvn c) t
+               WHERE probe_rank <= 3),
+        cand AS (SELECT p.qid, p.probe_rank, b.vec_id AS cid,
+                   ROUND(list_sum([q.av[i] * b.v[i] for i in range(1, len(q.av) + 1)]) / (q.na * b.nrm), 6) AS cosr
+                 FROM pr p
+                 JOIN qv q ON q.qid = p.qid
+                 JOIN n b ON b.label = p.plabel AND b.vec_id <> p.qid),
+        lv AS (SELECT qid, cid, cosr, np
+               FROM cand, UNNEST(range(probe_rank, 4)) AS t(np)),
+        top AS (SELECT np, qid, cid FROM (SELECT *,
+                  ROW_NUMBER() OVER (PARTITION BY np, qid ORDER BY cosr DESC, cid) AS rk
+                FROM lv) t WHERE rk <= 5),
+        hits AS (SELECT t.np, CAST(COUNT(*) AS BIGINT) AS hits
+                 FROM top t JOIN nn ON nn.qid = t.qid AND nn.cid = t.cid
+                 GROUP BY t.np),
+        vol AS (SELECT np, CAST(COUNT(*) AS BIGINT) AS candidates,
+                  CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries
+                FROM lv GROUP BY np)
+        SELECT CAST(v.np AS INT) AS nprobe, v.n_queries, v.candidates,
+          COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
+          ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / (v.n_queries * 5), 6) AS recall_at_5
+        FROM vol v LEFT JOIN hits h ON h.np = v.np
+        ORDER BY nprobe"""))
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -497,10 +497,20 @@ object TrainingOps {
           .filter(lit(3) * (lit(1) + least($"na" - $"pa", $"nb" - $"pb"))
             >= $"na" + $"nb")
           .select($"ida", $"idb")
+        // Threshold on RAW J, not the rounded publication value: the
+        // prefix-filter theorem guarantees candidate recall only for
+        // raw J >= 0.5, so a pair with raw J in [0.4999995, 0.5) that
+        // ROUNDS to 0.5 is not guaranteed to be a candidate — and the
+        // two engines order prefixes differently, so one could surface
+        // it and the other miss it, breaking both the hash compare and
+        // the lossless claim. The raw-double compare is itself exact
+        // at this boundary: jraw >= 0.5 iff the integer inequality
+        // 3*i >= na + nb (0.5's boundary case i/(2i) is a power-of-two
+        // quotient, represented exactly).
         Dedup.verifyJaccardSets(cand,
             st.select($"doc_id", expr("transform(a, x -> x.sh)").as("shs"), $"n"))
+          .filter($"jraw" >= 0.5)
           .select($"ida", $"idb", round($"jraw", 6).as("jacc"))
-          .filter($"jacc" >= 0.5)
           .orderBy($"ida", $"idb")
       },
       Some(s"""${Dedup.shingleCte},
@@ -520,7 +530,7 @@ object TrainingOps {
                   GROUP BY c.ida, c.idb)
         SELECT ida, idb, ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jacc
         FROM inter JOIN card ca ON ida = ca.doc_id JOIN card cb ON idb = cb.doc_id
-        WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5
+        WHERE 3 * i >= ca.n + cb.n
         ORDER BY ida, idb""")),
 
     // ---- asymmetric containment pairs (quote/excerpt detection) ------
@@ -627,6 +637,22 @@ object TrainingOps {
         val nDocs = documents(s, dir).agg(count(lit(1)).as("nd"))
         val df = tf.groupBy($"sh").agg(count(lit(1)).as("dfc"))
         val dec = DecimalType(19, 0)
+        // Overflow contract for the DECIMAL(38,0) sufficient-statistic
+        // sums: each product w*w is bounded by (tf * 1e6 * nd)^2 < 1e38
+        // per term, but the SUM over a doc's shingles is only bounded
+        // by n_shingles * max(w)^2 — which CAN exceed 38 digits on a
+        // large corpus (nd ~ 1e9 docs with 1e6-shingle docs overflows).
+        // Spark (non-ANSI) returns silent NULL on decimal-sum overflow
+        // and the >= 0.5 filter would quietly drop the pair; DuckDB
+        // throws. `loud` makes Spark match DuckDB: overflow becomes a
+        // raise_error naming the rescale fix (shrink the 1e6 idf
+        // constant), never a silently smaller result set.
+        def loud(c: Column, what: String): Column =
+          when(c.isNull, raise_error(lit(
+            s"q132: DECIMAL(38,0) overflow in $what — the w*w sum no longer " +
+              "fits 38 digits at this corpus scale; shrink the 1e6 idf scale " +
+              "constant (both engines) to restore headroom")))
+            .otherwise(c)
         val w = tf.join(df, "sh")
           .crossJoin(broadcast(nDocs))
           .select($"doc_id", $"sh",
@@ -649,8 +675,9 @@ object TrainingOps {
           .join(n2.as("nx").hint("shuffle_hash"), $"ida" === $"nx.doc_id")
           .join(n2.as("ny").hint("shuffle_hash"), $"idb" === $"ny.doc_id")
           .select($"ida", $"idb",
-            round($"dot".cast(DoubleType) /
-              (sqrt($"nx.n2".cast(DoubleType)) * sqrt($"ny.n2".cast(DoubleType))), 6)
+            round(loud($"dot", "dot").cast(DoubleType) /
+              (sqrt(loud($"nx.n2", "n2").cast(DoubleType)) *
+                sqrt(loud($"ny.n2", "n2").cast(DoubleType))), 6)
               .as("cosine"))
           .filter($"cosine" >= 0.5)
           .orderBy($"ida", $"idb")
