@@ -1,11 +1,22 @@
 #!/usr/bin/env python3
-"""Regenerate the 10x scaling corpus at /tmp/sfbig (wiped between rounds).
+"""Regenerate the scaling corpora (wiped between rounds).
 
-Recipe (docs/SCALING.md): replicate the sf0.1 driver tables 10x with
-shifted keys — unique ids, same time range (10x heavier days);
+10x recipe (docs/SCALING.md): replicate the sf0.1 driver tables 10x
+with shifted keys — unique ids, same time range (10x heavier days);
 `documents` replicas get a distinct leading token so each doc is a
 ~0.95-Jaccard near-dup of its 9 siblings (deliberately DUP-HEAVY, the
 hard case for LSH). Driver-side tooling only (duckdb), like selfcheck.py.
+
+Above DUP_REPS (10) replicas — i.e. the sf1 / 100x corpus — document
+replicas get UNIQUE content instead: each replica's tokens are
+re-ordered by a per-replica salted hash (deterministic), which destroys
+3-gram overlap with every other replica while preserving the token
+multiset (token-level stats unchanged). The result is a web-corpus-
+shaped mix: the same absolute dup mass as the 10x corpus (reps 0-9)
+plus 90x genuinely-new content — so near-dup OUTPUT stays fixed while
+the index/candidate machinery scales 100x. A 100x all-near-dup corpus
+would instead grow the true-pair OUTPUT ~110x over the 10x one and
+measure result materialization, not the engine.
 
 Usage: python3 tools/make_sfbig.py [src_dir] [out_dir] [reps]
 """
@@ -18,6 +29,7 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfbig"
 REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+DUP_REPS = 10  # replicas below this stay near-dups; above get unique content
 
 # per-table key-shift rules: (id_cols_to_shift, extra_select_rewrite)
 TABLES = {
@@ -55,6 +67,15 @@ def main():
             continue
         n = con.sql(f"SELECT COUNT(*) FROM '{src}'").fetchone()[0]
         cols = [d[0] for d in con.sql(f"SELECT * FROM '{src}' LIMIT 0").description]
+        # per-replica deterministic token permutation: sort tokens by a
+        # salted md5 (32 hex chars + '~' prefix; token recovered as
+        # substr(·, 34) so no separator collision is possible)
+        permuted = (
+            "'rep' || r.rep || 'tok ' || array_to_string(list_transform("
+            "list_sort(list_transform(string_split(text, ' '), "
+            "t -> md5(t || '|' || r.rep) || '~' || t)), "
+            "s -> s[34:]), ' ')")
+        lateral = ""
         sel = []
         for c in cols:
             if c in shift:
@@ -62,18 +83,23 @@ def main():
             elif t == "documents" and c == "n_chars":
                 sel.append(
                     "CASE WHEN r.rep = 0 THEN n_chars "
-                    "ELSE n_chars + LENGTH('rep' || r.rep || 'tok ') END AS n_chars")
+                    f"WHEN r.rep < {DUP_REPS} THEN n_chars + LENGTH('rep' || r.rep || 'tok ') "
+                    "ELSE LENGTH(tx.newtext) END AS n_chars")
+                lateral = f", LATERAL (SELECT {permuted} AS newtext) tx"
             elif t == "documents" and c == "text":
-                # distinct leading token per replica -> ~0.95-Jaccard
-                # near-dup families (rep 0 keeps the original text)
+                # reps 1..DUP_REPS-1: distinct leading token -> ~0.95-
+                # Jaccard near-dup families (rep 0 keeps the original);
+                # reps >= DUP_REPS: salted token permutation -> unique
+                # content, token multiset preserved
                 sel.append(
                     "CASE WHEN r.rep = 0 THEN text "
-                    "ELSE 'rep' || r.rep || 'tok ' || text END AS text")
+                    f"WHEN r.rep < {DUP_REPS} THEN 'rep' || r.rep || 'tok ' || text "
+                    "ELSE tx.newtext END AS text")
             else:
                 sel.append(c)
         con.sql(
             f"COPY (SELECT {', '.join(sel)} FROM '{src}', "
-            f"(SELECT UNNEST(range({REPS})) AS rep) r ORDER BY 1) "
+            f"(SELECT UNNEST(range({REPS})) AS rep) r{lateral} ORDER BY 1) "
             f"TO '{dst}' (FORMAT parquet{rg})")
         print(f"{t}: {n} x {REPS}")
     print(f"done -> {OUT}")
