@@ -53,7 +53,8 @@ class PlanLintSpec extends SparkSuite {
     "q132_tfidf_pairs",       // 1-row doc-count scalar (the idf numerator)
     "q133_locf_fill",         // generated calendar x |types| grid (q95's class)
     "q134_user_growth",       // |days| x |days| cumulative theta-join (time-span-bounded)
-    "q135_histogram_drift")   // 1-row (dmn, dmx) time-span scalar
+    "q135_histogram_drift",   // 1-row (dmn, dmx) time-span scalar
+    "q137_ann_recall")        // nlist=10 centroid frame (O(nlist x dims) metadata) probed by the query set
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {

@@ -95,11 +95,21 @@ class RegistrySmokeSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
-  test("keyword top-k truncates map-side; df join broadcasts (q82 plan guard)") {
+  test("keyword top-k truncates map-side; one text scan; scalar broadcasts (q82 plan guard)") {
+    // r5 one-pass shape: token_tf kernel -> df via tok-partitioned
+    // count window -> 1-row n_docs scalar joined broadcast (BNLJ on a
+    // 1-row aggregate, whitelisted in PlanLintSpec) -> partial
+    // WindowGroupLimit truncates per-doc top-3 before the doc_id
+    // exchange. The old shape (separate tf/df groupBys + broadcast df
+    // map join) scanned text twice and shuffled the token frame twice.
     val plan = SparkEntry.queries("q82_keyword_scores")(spark, dir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(1500))
-    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(plan).nonEmpty, plan.take(1500))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    // exactly one scan reads the document text (the n_docs count scan
+    // prunes to a zero-column footprint)
+    assert("text:string".r.findAllIn(plan).size == 1, plan.take(1500))
   }
 
   test("sign sketch is map-only: the only exchange is the output sort (q85 plan guard)") {
