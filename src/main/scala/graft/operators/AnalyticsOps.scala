@@ -1321,6 +1321,68 @@ object AnalyticsOps {
                  / (2.0 * CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)), 6) END AS drift
         FROM cells c JOIN totals t ON c.event_type = t.event_type
         GROUP BY c.event_type, t.n1, t.n2
-        ORDER BY c.event_type"""))
+        ORDER BY c.event_type""")),
+
+    // ---- PageRank over the customer-supplier graph (q140) ------------
+    // The iterative-graph companion to q66's components: who are the
+    // central actors in the purchase network? Undirected bipartite
+    // graph (customer)-(supplier) with an edge per DISTINCT trading
+    // pair from orders x lineitem; 3 damped power iterations
+    // (d = 0.85); top 20 nodes by final mass.
+    //
+    // Determinism: ranks are BIGINT mass scaled by 1e12 — every step
+    // is integer div/mul/sum (floor semantics identical in both
+    // engines), so iteration is EXACTLY reproducible cross-engine; no
+    // float ever enters an ordering. Overflow headroom: total mass is
+    // conserved-or-shrunk by the floors (<= n*1e12 ~ 1e16 here), and
+    // the 85x staging product stays < 1e18 << Long.Max.
+    //
+    // Scale: the classic message-passing shape — each iteration is one
+    // equi-join (edges x ranks, both partitioned by src) plus one
+    // partial-combined groupBy(dst); edges+degrees are computed ONCE
+    // and localCheckpointed (the q66 pattern) so the orders x lineitem
+    // derivation isn't re-run per iteration; iteration count is fixed
+    // (3), not data-dependent — no driver-side convergence loop over
+    // collected data. At 100 TB the edge frame shuffles by src once
+    // per iteration — GraphX/Pregel does the same joins without the
+    // relational optimizer; there is no cheaper shape.
+    Q("q140_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        val eo = orders(s, dir)
+          .join(lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+          .select($"o_custkey".as("c"), $"l_suppkey".as("sp")).distinct()
+        val edges = eo.select(concat(lit("c"), $"c").as("src"), concat(lit("s"), $"sp").as("dst"))
+          .union(eo.select(concat(lit("s"), $"sp").as("src"), concat(lit("c"), $"c").as("dst")))
+          .localCheckpoint(true)
+        val deg = edges.groupBy($"src").agg(count(lit(1)).as("d")).localCheckpoint(true)
+        var r = edges.select($"src".as("node")).distinct()
+          .withColumn("r", lit(1000000000000L))
+        for (_ <- 1 to 3) {
+          r = edges.join(deg, "src").join(r, $"src" === $"node")
+            .select($"dst", expr("r div d").as("contrib"))
+            .groupBy($"dst").agg(sum($"contrib").as("m"))
+            .select($"dst".as("node"), (expr("85 * m div 100") + lit(150000000000L)).as("r"))
+        }
+        r.select($"node", $"r".as("pr")).orderBy($"pr".desc, $"node").limit(20)
+      },
+      Some("""
+        WITH eo AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        edges AS (SELECT 'c' || c AS src, 's' || sp AS dst FROM eo
+                  UNION ALL SELECT 's' || sp AS src, 'c' || c AS dst FROM eo),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+        r0 AS (SELECT DISTINCT src AS node, CAST(1000000000000 AS BIGINT) AS r FROM edges),
+        r1 AS (SELECT e.dst AS node, 85 * SUM(r0.r // g.d) // 100 + 150000000000 AS r
+               FROM edges e JOIN deg g ON g.src = e.src JOIN r0 ON r0.node = e.src
+               GROUP BY e.dst),
+        r2 AS (SELECT e.dst AS node, 85 * SUM(r1.r // g.d) // 100 + 150000000000 AS r
+               FROM edges e JOIN deg g ON g.src = e.src JOIN r1 ON r1.node = e.src
+               GROUP BY e.dst),
+        r3 AS (SELECT e.dst AS node, 85 * SUM(r2.r // g.d) // 100 + 150000000000 AS r
+               FROM edges e JOIN deg g ON g.src = e.src JOIN r2 ON r2.node = e.src
+               GROUP BY e.dst)
+        SELECT node, CAST(r AS BIGINT) AS pr FROM r3
+        ORDER BY pr DESC, node LIMIT 20"""))
   )
 }

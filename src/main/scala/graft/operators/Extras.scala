@@ -678,6 +678,49 @@ object Extras {
           TRUE AS within_eps
         FROM documents
         GROUP BY ROLLUP (source, lang)
-        ORDER BY source NULLS FIRST, lang NULLS FIRST"""))
+        ORDER BY source NULLS FIRST, lang NULLS FIRST""")),
+
+    // ---- bucketed co-located join: shuffle elimination by layout -----
+    // The storage-layout half of the join scale story (q92 covers the
+    // skew half): both sides are written as 8-bucket, bucket-sorted
+    // parquet tables keyed on the join column, so the merge join's
+    // ClusteredDistribution is satisfied straight off the scan — NO
+    // exchange on either join key appears in the plan (guarded in
+    // RegistrySmokeSpec). At 100 TB this is THE fact-to-fact join
+    // design: the shuffle is paid once at write time and amortized
+    // over every subsequent join/agg on the key, instead of re-paid
+    // per query; the repartition-before-bucketBy yields exactly one
+    // file per bucket, which is what lets the scan claim both the
+    // distribution AND the sort order (multi-file buckets would
+    // reinstate a Sort). The merge hint pins SMJ so the demo measures
+    // the co-location, not a broadcast that a small sf would pick.
+    // Layout rebuild is idempotent per sf dir (DROP + overwrite into
+    // /tmp) — at bench reps > 1 the write cost is re-paid by design:
+    // the query prices the full pay-once-then-join cycle.
+    Q("q139_bucketed_join",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val base = s"/tmp/graft_buckets/$tag"
+        def mk(df: DataFrame, key: String, table: String): Unit = {
+          s.sql(s"DROP TABLE IF EXISTS $table")
+          df.repartition(8, col(key))
+            .write.bucketBy(8, key).sortBy(key)
+            .option("path", s"$base/$table")
+            .mode("overwrite").format("parquet").saveAsTable(table)
+        }
+        mk(orders(s, dir), "o_custkey", s"ord_bkt_$tag")
+        mk(customer(s, dir), "c_custkey", s"cust_bkt_$tag")
+        val j = s.table(s"ord_bkt_$tag").hint("merge")
+          .join(s.table(s"cust_bkt_$tag"), $"o_custkey" === $"c_custkey")
+        j.groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice", 2).as("revenue"))
+          .orderBy($"c_mktsegment")
+      },
+      Some(s"""
+        SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+          ${dsumSql("o.o_totalprice", 2)} AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""))
   )
 }

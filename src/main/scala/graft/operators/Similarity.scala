@@ -521,6 +521,89 @@ object Similarity {
           COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
           ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / (v.n_queries * 5), 6) AS recall_at_5
         FROM vol v LEFT JOIN hits h ON h.np = v.np
-        ORDER BY nprobe"""))
+        ORDER BY nprobe""")),
+
+    // ---- SQ8 scalar quantization: compressed-domain recall -----------
+    // The memory/shuffle half of the ANN scale story (q137 covers the
+    // probe half): per-dimension min/max over the corpus -> every
+    // coordinate becomes an 8-bit code (floor((x-mn)*256/w) clamped to
+    // [0,255] — floor, not round, so there is no cross-engine
+    // rounding-mode surface) -> bin-center dequantize -> the q34
+    // brute-force top-5 runs entirely on the quantized vectors, scored
+    // per query against the exact knnTop5 baseline. Output: one row
+    // per query with the quantized top-1 and the @5 hit count — the
+    // compression/recall evidence a deployment sizes its codes by.
+    //
+    // Scale: codes are 1 byte/dim vs 8 (an 8x cut in ANN working set
+    // and candidate-exchange bytes — at 100 TB the codes fit where the
+    // doubles did not); the dim-stats frame is O(dims) metadata
+    // (broadcast, BNLJ whitelisted), built in ONE posexplode pass with
+    // map-side partial min/max. The demo dequantizes eagerly because
+    // the corpus is small; a cluster deployment ships codes and
+    // dequantizes at the scoring site (asymmetric distance) — same
+    // math, same outputs.
+    Q("q138_sq8_recall",
+      (s, dir) => {
+        import s.implicits._
+        val e = prepared(s, dir)
+        val stats = e.select(posexplode($"v").as(Seq("dim", "x")))
+          .groupBy($"dim").agg(min($"x").as("mn"), max($"x").as("mx"))
+          .groupBy()
+          .agg(expr("transform(array_sort(collect_list(struct(dim, mn))), t -> t.mn)").as("mns"),
+            expr("transform(array_sort(collect_list(struct(dim, mx))), t -> t.mx)").as("mxs"))
+        // bin-center dequantize; w = 0 (constant dim) degenerates to mn
+        val deq = """
+          transform(v, (x, i) ->
+            CASE WHEN element_at(mxs, i + 1) = element_at(mns, i + 1)
+                 THEN element_at(mns, i + 1)
+                 ELSE element_at(mns, i + 1) +
+                   (least(CAST(255.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
+                      floor((x - element_at(mns, i + 1)) * 256.0 /
+                            (element_at(mxs, i + 1) - element_at(mns, i + 1))))) + 0.5) *
+                   (element_at(mxs, i + 1) - element_at(mns, i + 1)) / 256.0
+            END)"""
+        val qz = e.crossJoin(broadcast(stats))
+          .withColumn("qv", expr(deq))
+          .withColumn("qn", sqrt(expr("dot_product(qv, qv)")))
+          .select($"vec_id", $"qv", $"qn")
+        val q = qz.filter($"vec_id" < 50)
+          .select($"vec_id".as("qid"), $"qv".as("av"), $"qn".as("na"))
+        val c = qz.select($"vec_id".as("cid"), $"qv".as("bv"), $"qn".as("nb"))
+        val scored = broadcast(q).join(c, $"qid" =!= $"cid")
+          .withColumn("cosr", round(expr(dotExpr) / ($"na" * $"nb"), 6))
+        val w = Window.partitionBy($"qid").orderBy($"cosr".desc, $"cid")
+        val top = scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+        val exact = knnTop5(s, dir).select($"qid".as("eqid"), $"cid".as("ecid"))
+        top.join(exact, $"qid" === $"eqid" && $"cid" === $"ecid", "left")
+          .groupBy($"qid")
+          .agg(max(when($"rk" === 1, $"cid")).as("top1_cid"),
+            sum(when($"eqid".isNotNull, 1L).otherwise(0L)).as("hits"))
+          .orderBy($"qid")
+      },
+      Some(s"""$prepCte,
+        $knnTop5Cte,
+        ds AS (SELECT i AS dim, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+               FROM n, UNNEST(range(1, len(v) + 1)) AS t(i) GROUP BY i),
+        arrs AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM ds),
+        qz AS (SELECT vec_id,
+                 [CASE WHEN a.mxs[i] = a.mns[i] THEN a.mns[i]
+                       ELSE a.mns[i] + (LEAST(255.0, GREATEST(0.0,
+                              FLOOR((v[i] - a.mns[i]) * 256.0 / (a.mxs[i] - a.mns[i])))) + 0.5)
+                            * (a.mxs[i] - a.mns[i]) / 256.0 END
+                  FOR i IN range(1, len(v) + 1)] AS qv
+               FROM n, arrs a),
+        qn2 AS (SELECT vec_id, qv,
+                  sqrt(list_sum(list_transform(qv, x -> x * x))) AS qnrm FROM qz),
+        sc AS (SELECT q.vec_id AS qid, b.vec_id AS cid,
+                 ROUND(list_sum([q.qv[i] * b.qv[i] for i in range(1, len(q.qv) + 1)])
+                       / (q.qnrm * b.qnrm), 6) AS cosr
+               FROM qn2 q JOIN qn2 b ON q.vec_id < 50 AND q.vec_id <> b.vec_id),
+        tp AS (SELECT qid, cid, rk FROM (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosr DESC, cid) AS rk FROM sc) t
+               WHERE rk <= 5)
+        SELECT t.qid, MAX(CASE WHEN t.rk = 1 THEN t.cid END) AS top1_cid,
+          CAST(SUM(CASE WHEN nn.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        FROM tp t LEFT JOIN nn ON nn.qid = t.qid AND nn.cid = t.cid
+        GROUP BY t.qid ORDER BY t.qid"""))
   )
 }

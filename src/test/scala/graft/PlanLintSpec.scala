@@ -54,7 +54,8 @@ class PlanLintSpec extends SparkSuite {
     "q133_locf_fill",         // generated calendar x |types| grid (q95's class)
     "q134_user_growth",       // |days| x |days| cumulative theta-join (time-span-bounded)
     "q135_histogram_drift",   // 1-row (dmn, dmx) time-span scalar
-    "q137_ann_recall")        // nlist=10 centroid frame (O(nlist x dims) metadata) probed by the query set
+    "q137_ann_recall",        // nlist=10 centroid frame (O(nlist x dims) metadata) probed by the query set
+    "q138_sq8_recall")        // 1-row dim-stats arrays (O(dims) metadata) + the q34-class probe-set broadcast
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {

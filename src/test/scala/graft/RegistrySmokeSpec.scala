@@ -146,4 +146,18 @@ class RegistrySmokeSpec extends SparkSuite {
     assert("WindowGroupLimit .* row_number\\(\\), 10, Partial".r
       .findFirstIn(plan).isDefined, plan.take(1500))
   }
+
+  test("bucketed join co-locates: no exchange on the join keys (q139 plan guard)") {
+    // both scans carry the 8-bucket layout, so the merge join's
+    // ClusteredDistribution is satisfied from storage: the ONLY
+    // exchanges allowed are the post-join aggregate and the output
+    // sort — an Exchange hashpartitioning on either join key means the
+    // co-location was lost (e.g. bucket spec dropped or mismatched)
+    val plan = SparkEntry.queries("q139_bucketed_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(!"Exchange hashpartitioning\\((?:o_custkey|c_custkey)".r
+      .findFirstIn(plan).isDefined, plan.take(2000))
+    assert(plan.contains("Bucketed: true"), plan.take(2000))
+  }
 }
