@@ -18,9 +18,13 @@ import org.apache.spark.sql.types._
   * [[imageFrames]]). The AUDIO modality is REAL as of round 5:
   * [[JvmAudioCodec]] probes and PCM-decodes WAV/AU/AIFF on
   * `javax.sound.sampled` behind [[audioMeta]] / [[audioFeatures]] /
-  * [[audioWindows]]. Only VIDEO remains behind [[FakeCodec]] — a bare
-  * JDK ships no video codec; that boundary stays honestly labeled and
-  * is one object swap wide.
+  * [[audioWindows]]. The VIDEO modality is REAL as of round 5 for
+  * MJPEG-in-AVI: [[JvmVideoCodec]] walks the RIFF container and
+  * ImageIO-decodes the JPEG frames behind [[videoMeta]] /
+  * [[videoFrames]] / [[videoFeatures]]. Only inter-frame video
+  * codecs (H.264/VP9/AV1) remain behind [[FakeCodec]] — a bare JDK
+  * ships no bitstream decoder for those; that boundary stays honestly
+  * labeled and is one object swap wide.
   */
 object Multimodal {
 
@@ -45,12 +49,13 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, features: Array[Float])
   final case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** ======== STUB: deterministic fake codec (VIDEO ONLY) ========
-    * Stands in for a real VIDEO decode (ffmpeg etc. are not in this
-    * container, and the JDK ships no video codec — images use the
-    * real [[JvmImageCodec]], audio the real [[JvmAudioCodec]]).
-    * Deterministic in the payload bytes so tests are exact. A
-    * production build replaces only this object. */
+  /** ======== STUB: deterministic fake codec (INTER-FRAME VIDEO ONLY)
+    * Stands in for decoding video codecs the JDK has no bitstream
+    * decoder for (H.264/VP9/AV1 — ffmpeg etc. are not in this
+    * container). Images use the real [[JvmImageCodec]], audio the
+    * real [[JvmAudioCodec]], MJPEG-AVI video the real
+    * [[JvmVideoCodec]]. Deterministic in the payload bytes so tests
+    * are exact. A production build replaces only this object. */
   object FakeCodec {
     /** "Decode" media bytes to a fixed-length float feature vector. */
     def decodeToFeatures(media: Array[Byte], dim: Int): Array[Float] = {
@@ -275,6 +280,58 @@ object Multimodal {
           JvmAudioCodec.windowEnergy(bytes, windowSamples)
             .map(_._3.toFloat).toArray)
       })
+  }
+
+  // ======== REAL video pipeline (MJPEG-AVI via JvmVideoCodec) ========
+
+  final case class VideoMeta(media_id: Long, format: String, width: Int,
+      height: Int, n_frames: Int, fps_millis: Int, decodable: Boolean)
+  final case class FrameFeatures(media_id: Long, frame_idx: Int,
+      features: Array[Float])
+
+  /** Header-probe every video blob — [[imageMeta]]'s shape for the
+    * video modality: REAL container metadata (dimensions from 'avih',
+    * frame count by COUNTING movi chunks, integer fps×1000) via
+    * [[JvmVideoCodec.probe]], with the same quarantine routing. */
+  def videoMeta(media: DataFrame): Dataset[VideoMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        JvmVideoCodec.probe(bytes) match {
+          case Some((f, w, h, n, fps)) =>
+            VideoMeta(id, f, w, h, n, fps, decodable = true)
+          case None => VideoMeta(id, "undecodable", -1, -1, 0, 0, decodable = false)
+        }
+      })
+  }
+
+  /** Every `stride`-th video frame DECODED to the same normalized
+    * lossless-PNG bytes [[imageFrames]] emits — image and video rows
+    * are indistinguishable downstream, so one dedup/feature pipeline
+    * serves both modalities. Pipelined fan-out, no shuffle;
+    * frame_idx is the container's index, stable under stride. */
+  def videoFrames(media: DataFrame, stride: Int = 2): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        JvmVideoCodec.sampleFrames(bytes, stride)
+          .map { case (idx, fb) => MediaFrame(id, idx, fb) } })
+  }
+
+  /** Per-frame g×g luminance grids straight off the demuxed JPEG
+    * frames — demux + decode + feature in ONE partition-batch pass
+    * (no intermediate PNG materialization), the shape a 100 TB video
+    * lake needs: the blob is read once per executor core and only
+    * |frames|×g² floats leave the stage. */
+  def videoFeatures(media: DataFrame, grid: Int = 4, stride: Int = 2): Dataset[FrameFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        JvmVideoCodec.demuxFrames(bytes, stride).map { case (idx, jpeg) =>
+          FrameFeatures(id, idx, JvmImageCodec.luminanceGrid(jpeg, grid)) } })
   }
 
   /** Full per-window statistics (sample count, RMS, integer peak) —
