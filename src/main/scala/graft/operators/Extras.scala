@@ -721,6 +721,51 @@ object Extras {
         SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
           ${dsumSql("o.o_totalprice", 2)} AS revenue
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""))
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")),
+
+    // ---- mergeable quantile sketch (order statistics at 100 TB) ------
+    // The order-statistics member of the sketch family (q114 CMS,
+    // q130 HLL, q131 MG): graft's own deterministic KLL/MRL-style
+    // compactor Aggregator (functions/QuantileSketch.scala) whose
+    // state is <= k*log(n/k) doubles per group REGARDLESS of input
+    // size — exact percentiles (q44) need a full per-group sort-or-
+    // buffer, a sketch needs ~40 KB, which is the difference at
+    // 100 TB. Published facts follow the q131/q41 convention: only
+    // merge-order-free claims (exact values from a second scan +
+    // band-membership booleans certified by the sketch's self-tracked
+    // rank-error budget, ~H*n/k ranks <= 2% here vs the 5% band; the
+    // ScalaCheck laws in QuantileSketchProperties pin the budget under
+    // arbitrary chunkings and merge trees). Both aggregates are
+    // partial-combined single scans; the join is 3 rows.
+    Q("q141_quantile_sketch",
+      (s, dir) => {
+        import s.implicits._
+        val li = lineitem(s, dir)
+        val sk = li.groupBy($"l_returnflag")
+          .agg(graft.functions.QuantileSketch.summary(
+            $"l_extendedprice".cast("double"), 512, Seq(0.5, 0.9)).as("qs"))
+          .select($"l_returnflag", $"qs"(2).as("sk50"), $"qs"(3).as("sk90"))
+        // ONE percentile aggregate with an array of probes: six scalar
+        // percentile() calls each buffer+sort the group independently
+        // (measured 2.9s of this query's original 5.8s) — the array
+        // form sorts once
+        val exact = li.groupBy($"l_returnflag")
+          .agg(percentile($"l_extendedprice",
+            typedLit(Seq(0.45, 0.5, 0.55, 0.85, 0.9, 0.95))).as("pcts"))
+          .select($"l_returnflag",
+            $"pcts"(0).as("lo50"), $"pcts"(1).as("p50"), $"pcts"(2).as("hi50"),
+            $"pcts"(3).as("lo90"), $"pcts"(4).as("p90"), $"pcts"(5).as("hi90"))
+        sk.join(exact, "l_returnflag")
+          .select($"l_returnflag", $"p50", $"p90",
+            ($"sk50" >= $"lo50" && $"sk50" <= $"hi50").as("p50_within_eps"),
+            ($"sk90" >= $"lo90" && $"sk90" <= $"hi90").as("p90_within_eps"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+          QUANTILE_CONT(l_extendedprice, 0.5) AS p50,
+          QUANTILE_CONT(l_extendedprice, 0.9) AS p90,
+          TRUE AS p50_within_eps, TRUE AS p90_within_eps
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -461,4 +461,41 @@ class StreamingSpec extends SparkSuite {
     // must be present no matter how the per-batch partials merged
     assert(est.contains("alpha"))
   }
+
+  test("QuantileSketch runs natively on a stream: rank budget holds across batches") {
+    // same mergeable-aggregate story as the MG case for ORDER
+    // statistics: the state store holds one bounded compactor, each
+    // micro-batch is one more merge, and the self-certified rank
+    // budget (QuantileSketchProperties' law) is exactly the
+    // cross-batch guarantee — streaming quantiles with no
+    // streaming-specific code
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Double]
+    val q = input.toDF().toDF("x")
+      .agg(graft.functions.QuantileSketch.summary(col("x"), 64, Seq(0.5, 0.9)).as("qs"))
+      .writeStream.format("memory").queryName("qsstream")
+      .outputMode("complete").start()
+
+    val b1 = (1 to 500).map(_.toDouble)
+    val b2 = (501 to 1500).map(_.toDouble)
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    val out = spark.sql("SELECT * FROM qsstream").collect()(0).getSeq[Double](0)
+    q.stop()
+    val (n, errBound) = (out(0), out(1))
+    assert(n == 1500.0)
+    // data is 1..1500, so value == true rank: the estimate must sit
+    // within the published budget of the target rank (+ walk slop,
+    // bounded by the budget's own max level weight <= errBound here)
+    val all = b1 ++ b2
+    List(out(2) -> 0.5, out(3) -> 0.9).foreach { case (est, p) =>
+      val target = math.ceil(p * all.size)
+      val rank = all.count(_ <= est)
+      assert(math.abs(rank - target) <= 3 * errBound + 1,
+        s"p=$p est=$est rank=$rank target=$target budget=$errBound")
+    }
+    // and the budget itself stays sketch-sized, not data-sized
+    assert(errBound < 0.2 * n, s"budget $errBound vs n $n")
+  }
 }
