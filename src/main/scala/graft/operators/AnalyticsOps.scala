@@ -616,13 +616,14 @@ object AnalyticsOps {
         import s.implicits._
         val sig = Dedup.signatures(s, dir)
           .withColumn("shard", $"doc_id" % 50)
-        val aggs = (0 until 4).map(k => min(col(s"mh$k")).as(s"mh$k"))
+        val aggs = (0 until graft.functions.MinHashSig.nBands)
+          .map(k => min(col(s"mh$k")).as(s"mh$k"))
         sig.groupBy($"shard").agg(aggs.head, aggs.tail: _*)
           .orderBy($"shard")
       },
       Some(s"""${Dedup.shingleCte}
         SELECT doc_id % 50 AS shard,
-          ${(0 until 4).map(k => s"min(${Dedup.bandSliceSql(k)}) AS mh$k").mkString(", ")}
+          ${(0 until graft.functions.MinHashSig.nBands).map(k => s"min(${Dedup.bandSliceSql(k)}) AS mh$k").mkString(", ")}
         FROM sh GROUP BY doc_id % 50 ORDER BY shard""")),
 
     // ---- frame-level feature extraction (multimodal plumbing) --------
@@ -1383,6 +1384,175 @@ object AnalyticsOps {
                FROM edges e JOIN deg g ON g.src = e.src JOIN r2 ON r2.node = e.src
                GROUP BY e.dst)
         SELECT node, CAST(r AS BIGINT) AS pr FROM r3
-        ORDER BY pr DESC, node LIMIT 20"""))
+        ORDER BY pr DESC, node LIMIT 20""")),
+
+    // ---- degree-oriented triangle counting (q142) --------------------
+    // Cohesion census of the co-purchase graph: parts that appear in
+    // the same order are edges; triangles are the clustering signal.
+    // The SCALE trick is the orientation: every undirected edge points
+    // from its lower endpoint to its higher endpoint under the TOTAL
+    // order pi = (degree, id), so each triangle is generated exactly
+    // once as a wedge at its pi-minimal vertex, and wedge fan-out per
+    // vertex is C(outdeg, 2) with outdeg <= O(sqrt(m)) — the classic
+    // arboricity bound that makes triangle counting feasible on
+    // power-law graphs where the naive per-vertex C(deg, 2) explodes
+    // on hubs. All steps are equi-joins / partial-combined aggs;
+    // edges + degrees materialize ONCE (localCheckpoint, the q140
+    // pattern). The ORACLE counts by an entirely different strategy —
+    // the unoriented u<v<w triple join — so the hash match proves the
+    // orientation argument on real data.
+    Q("q142_triangles",
+      (s, dir) => {
+        import s.implicits._
+        val li = lineitem(s, dir).select($"l_orderkey".as("ok"), $"l_partkey".as("p"))
+        val e = li.join(li.withColumnRenamed("p", "q"), "ok")
+          .where($"p" < $"q")
+          .select($"p".as("u"), $"q".as("v")).distinct()
+          .localCheckpoint(true)
+        val deg = e.select($"u".as("node")).union(e.select($"v".as("node")))
+          .groupBy($"node").agg(count(lit(1)).as("dg"))
+        val ed = e.join(deg.select($"node".as("u"), $"dg".as("du")), "u")
+          .join(deg.select($"node".as("v"), $"dg".as("dv")), "v")
+        val uFirst = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
+        val o = ed.select(
+            when(uFirst, $"u").otherwise($"v").as("src"),
+            when(uFirst, $"v").otherwise($"u").as("dst"),
+            when(uFirst, $"dv").otherwise($"du").as("ddst"))
+          .localCheckpoint(true)
+        val wedges = o.as("x").join(o.as("y"),
+            $"x.src" === $"y.src" && ($"x.ddst" < $"y.ddst" ||
+              ($"x.ddst" === $"y.ddst" && $"x.dst" < $"y.dst")))
+          .select($"x.dst".as("a"), $"y.dst".as("b"))
+        val tri = wedges
+          .join(o.select($"src".as("a"), $"dst".as("b")), Seq("a", "b"))
+          .agg(count(lit(1)).as("n_triangles"))
+        e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+      },
+      Some("""
+        WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        e AS (SELECT DISTINCT a.p AS u, b.p AS v
+              FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p)
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+          (SELECT CAST(COUNT(*) AS BIGINT)
+           FROM e e1 JOIN e e2 ON e2.u = e1.v
+           JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""")),
+
+    // ---- 2D skyline / Pareto frontier (q143) -------------------------
+    // Parts no other part beats on BOTH price (lower better) and size
+    // (higher better) — the dominance frontier every "best tradeoff"
+    // query needs. 2D skylines have a cummax formulation (sort by
+    // price, survive iff size tops every strictly-cheaper size), but
+    // the naive `MAX() OVER (ORDER BY price)` is a single-partition
+    // global window — the q102 scale-killer — so this runs the q102
+    // shape instead: approx cutpoints split prices into P ranges, the
+    // per-range prefix maxima are an O(P) driver array (rule-2
+    // bounded), and the per-range cummax windows run IN PARALLEL.
+    // Cutpoint accuracy affects balance only, never membership. The
+    // heavy table first collapses to one row per distinct price
+    // (partial-combined agg) — dominance within a price is resolved
+    // by that max, so the window frame never sees data-sized
+    // duplication. The ORACLE is the quadratic NOT EXISTS dominance
+    // definition — a different evaluation strategy entirely.
+    Q("q143_skyline",
+      (s, dir) => {
+        import s.implicits._
+        val pts = part(s, dir).groupBy($"p_retailprice".as("price"))
+          .agg(max($"p_size").as("sky_size"))
+          .localCheckpoint(true)
+        val nRanges = s.conf.get("spark.sql.shuffle.partitions").toInt.max(1)
+        val probs = (1 until nRanges).map(_.toDouble / nRanges)
+        val cutRow = pts.agg(percentile_approx($"price".cast("double"),
+          typedLit(probs), lit(10000)).as("c")).head()
+        val cuts: Seq[Double] =
+          if (cutRow.isNullAt(0)) Seq.empty
+          else cutRow.getSeq[Double](0).distinct.sorted
+        val rid = cuts.zipWithIndex.foldRight(lit(cuts.size): Column) {
+          case ((c, i), rest) => when($"price" <= lit(c), lit(i)).otherwise(rest)
+        }
+        val withRid = pts.withColumn("rid", rid)
+        // O(P) per-range maxima -> strictly-preceding-range prefix max
+        val mx = withRid.groupBy($"rid").agg(max($"sky_size").as("m"))
+          .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+        val prefix = new Array[Int](cuts.size + 1)
+        var acc = Int.MinValue
+        for (p <- 0 until (cuts.size + 1)) {
+          prefix(p) = acc
+          acc = math.max(acc, mx.getOrElse(p, Int.MinValue))
+        }
+        val lw = Window.partitionBy($"rid").orderBy($"price")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        withRid
+          .withColumn("cm", max($"sky_size").over(lw))
+          .withColumn("pm", element_at(typedLit(prefix.toSeq), $"rid" + 1))
+          .where($"sky_size" > greatest(coalesce($"cm", lit(Int.MinValue)), $"pm"))
+          .select($"price", $"sky_size")
+          .orderBy($"price")
+      },
+      Some("""
+        WITH pts AS (SELECT p_retailprice AS price, MAX(p_size) AS sky_size
+                     FROM part GROUP BY 1)
+        SELECT price, CAST(sky_size AS INT) AS sky_size FROM pts a
+        WHERE NOT EXISTS (SELECT 1 FROM pts b
+          WHERE (b.price < a.price AND b.sky_size >= a.sky_size)
+             OR (b.price <= a.price AND b.sky_size > a.sky_size))
+        ORDER BY price""")),
+
+    // ---- declarative data-expectations audit (q144) ------------------
+    // The Deequ-style contract gate a training pipeline runs before
+    // trusting a new drop: range checks, null checks, key uniqueness
+    // and referential integrity, each published as (check, violations,
+    // pass). Shape: ALL row-local checks ride ONE partial-combined
+    // scan (one agg row, unpivoted to rows — adding a 10th check adds
+    // zero passes); uniqueness is its own two-phase distinct count
+    // (kept OUT of the shared agg: a distinct aggregate alongside
+    // plain sums forces the Expand plan q41 documents as
+    // catastrophic); RI orphans are one anti-join. The 1-row
+    // crossJoins are broadcast by construction. At 100 TB this is 2
+    // scans of the fact + 1 anti-join — the floor for these checks.
+    Q("q144_data_expectations",
+      (s, dir) => {
+        import s.implicits._
+        val li = lineitem(s, dir)
+        val rowChecks = li.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when($"l_quantity" < 1 || $"l_quantity" > 50, 1L).otherwise(0L)).as("qty_range"),
+          sum(when($"l_discount" * 100 < 0 || $"l_discount" * 100 > 10, 1L).otherwise(0L)).as("disc_range"),
+          sum(when($"l_extendedprice" <= 0, 1L).otherwise(0L)).as("price_nonpos"),
+          sum(when($"l_shipdate".isNull, 1L).otherwise(0L)).as("shipdate_null"))
+        val dup = li.agg((count(lit(1)) -
+          countDistinct($"l_orderkey", $"l_linenumber")).as("dup_keys"))
+        val orphans = li.select($"l_orderkey")
+          .join(orders(s, dir).select($"o_orderkey"),
+            $"l_orderkey" === $"o_orderkey", "left_anti")
+          .agg(count(lit(1)).as("ri_orphans"))
+        val m = rowChecks.crossJoin(dup).crossJoin(orphans)
+        def row(name: String, c: Column) =
+          m.select(lit(name).as("check"), c.as("violations"),
+            (c === 0L).as("pass"))
+        row("disc_range", $"disc_range")
+          .union(row("dup_keys", $"dup_keys"))
+          .union(row("shipdate_null", $"shipdate_null"))
+          .union(row("price_nonpos", $"price_nonpos"))
+          .union(row("qty_range", $"qty_range"))
+          .union(row("ri_orphans", $"ri_orphans"))
+          .orderBy($"check")
+      },
+      Some("""
+        WITH m AS (SELECT
+            CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_range,
+            CAST(SUM(CASE WHEN l_discount * 100 < 0 OR l_discount * 100 > 10 THEN 1 ELSE 0 END) AS BIGINT) AS disc_range,
+            CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS price_nonpos,
+            CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS shipdate_null,
+            CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS dup_keys,
+            CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS ri_orphans
+          FROM lineitem)
+        SELECT 'disc_range' AS "check", disc_range AS violations, disc_range = 0 AS pass FROM m
+        UNION ALL SELECT 'dup_keys', dup_keys, dup_keys = 0 FROM m
+        UNION ALL SELECT 'shipdate_null', shipdate_null, shipdate_null = 0 FROM m
+        UNION ALL SELECT 'price_nonpos', price_nonpos, price_nonpos = 0 FROM m
+        UNION ALL SELECT 'qty_range', qty_range, qty_range = 0 FROM m
+        UNION ALL SELECT 'ri_orphans', ri_orphans, ri_orphans = 0 FROM m
+        ORDER BY "check" """))
   )
 }
