@@ -12,10 +12,23 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Per-ROW MinHash state over a token array: the four 8-hex md5 band
+/** Per-ROW MinHash state over a token array: EIGHT 4-hex md5 slice
   * minima (the q26 signature contract, reference `mongo2pq`'s dedup
   * has no equivalent — this is the [EXT] LSH family) plus the doc's
   * DISTINCT 3-gram xxhash64 set, in ONE tight pass.
+  *
+  * Why 8 x 16-bit minima and not 4 x 32-bit: candidate generation
+  * AND-combines them into 2 bands of r = 4 (Dedup.nearDupPairsFrom).
+  * With r = 1 a band bucket holds every doc whose minimum shingle is
+  * the globally-smallest-hashed POPULAR shingle — measured 94k docs
+  * in one bucket at 100x sf0.1, 5.3e9 candidate pairs from one band
+  * (a quadratic cliff: background Jaccard between unrelated docs is
+  * what collides, and that is corpus-size-invariant). r = 4 raises
+  * the per-band collision to J^4 — the same 100x corpus measures 19M
+  * candidates total (biggest bucket 1356) with 1-(1-J^4)^2 >= 96.6%
+  * per-pair recall at the J ~ 0.95 replicas dedup actually hunts.
+  * All 8 minima still come from ONE md5 (16-bit slices of the same
+  * digest), so the map-side cost is unchanged.
   *
   * Why an Expression and not SQL: the construction IS expressible as
   * nested higher-order functions (`transform`/`array_min` over
@@ -34,7 +47,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - gram text: tokens joined with ' ' — `concat_ws` semantics
   *    (nulls skipped); <3 tokens => zero grams => empty set + NULL
   *    minima (callers filter those rows out first).
-  *  - mh_k == min(substring(md5(gram), 8k+1, 8)) — byte-identical to
+  *  - mh_k == min(substring(md5(gram), 4k+1, 4)) — byte-identical to
   *    the DuckDB oracle's `substr(md5(s), ...)`.
   *  - shs == array_distinct(transform(grams, g -> xxhash64(g))) as a
   *    SET (insertion order here vs first-occurrence there; every
@@ -69,7 +82,7 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 }
 
 object MinHashSig {
-  val nBands = 4
+  val nBands = 8
 
   val schema: StructType = StructType(
     StructField("shs", ArrayType(LongType, containsNull = false)) +:
@@ -115,8 +128,7 @@ object MinHashSig {
       val digest = md.digest(bytes)
       var k = 0
       while (k < nBands) {
-        val v = ((digest(4 * k) & 0xffL) << 24) | ((digest(4 * k + 1) & 0xffL) << 16) |
-          ((digest(4 * k + 2) & 0xffL) << 8) | (digest(4 * k + 3) & 0xffL)
+        val v = ((digest(2 * k) & 0xffL) << 8) | (digest(2 * k + 1) & 0xffL)
         if (v < mins(k)) mins(k) = v
         k += 1
       }
@@ -133,9 +145,9 @@ object MinHashSig {
     while (k < nBands) {
       out(1 + k) = if (mins(k) == Long.MaxValue) null else {
         val v = mins(k)
-        val cs = new Array[Char](8)
+        val cs = new Array[Char](4)
         var b = 0
-        while (b < 8) { cs(b) = HEX(((v >>> (28 - 4 * b)) & 0xfL).toInt); b += 1 }
+        while (b < 4) { cs(b) = HEX(((v >>> (12 - 4 * b)) & 0xfL).toInt); b += 1 }
         UTF8String.fromString(new String(cs))
       }
       k += 1

@@ -93,22 +93,43 @@ object Dedup {
     sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
            FROM toksc, UNNEST(range(1, len(w) - 1)) AS t(i))"""
 
-  private val nBands = 4
+  private val nBands = 8       // slice minima per signature (16-bit each)
+  private val nCandBands = 2   // candidate bands, r = nBands/nCandBands = 4
 
-  /** The minhash band family: band k's hash of a shingle is the k-th
-    * 8-hex slice of ONE md5 digest — four independent 32-bit hash
-    * functions for the price of one digest (md5's output bytes are
-    * independent), against r3's md5(s || '#k') which spent FOUR
-    * digests per shingle occurrence and dominated the map CPU of the
-    * whole near-dup family. The digest is materialized in a projection
-    * BELOW the aggregate (`h`), so it is computed once per row even
-    * under ObjectHashAggregate, where codegen subexpression
-    * elimination does not apply. Shared (with [[bandSliceSql]]) by
+  /** The minhash slice family: slice k's hash of a shingle is the
+    * k-th 4-hex slice of ONE md5 digest — eight independent 16-bit
+    * hash functions for the price of one digest (md5's output bytes
+    * are independent), against r3's md5(s || '#k') which spent one
+    * digest PER FUNCTION per shingle occurrence and dominated the map
+    * CPU of the whole near-dup family. Candidate generation
+    * AND-combines 4 slices per band (r = 4, b = 2): with the old
+    * r = 1 scheme a band bucket held every doc whose minimum was the
+    * globally-smallest-hashed POPULAR shingle — measured at 100x
+    * sf0.1: one 94k-doc bucket, 5.3e9 candidate pairs from band 0
+    * alone, a quadratic cliff driven by corpus-invariant background
+    * Jaccard. r = 4 collapses that to 19M candidates (biggest bucket
+    * 1356) while keeping >= 96.6% per-pair recall at the J ~ 0.95
+    * replica pairs dedup hunts (1-(1-J^4)^2); within a 10-replica
+    * cluster the few missed pairs are bridged by the component step.
+    * Shared (with [[bandSliceSql]]/[[bandsCteSql]]) by
     * q26/q27/q58/q66/q79/q80/q105 and their oracles. */
-  /** Oracle twin of the band-k slice in [[sigStructSql]] over a
+  /** Oracle twin of the slice-k minimum in the signature over a
     * shingle column. */
   private[operators] def bandSliceSql(k: Int, shingleExpr: String = "s"): String =
-    s"substr(md5($shingleExpr), ${k * 8 + 1}, 8)"
+    s"substr(md5($shingleExpr), ${k * 4 + 1}, 4)"
+
+  /** Oracle CTE `bands(doc_id, band, sg)`: the r = 4 AND-combination
+    * of slice minima — band b = mh(4b) || .. || mh(4b+3). NULL minima
+    * (sub-3-token docs) concatenate to NULL and never equi-join, in
+    * both engines. Single source of truth with the Scala twin in
+    * [[nearDupPairsFrom]]. */
+  private[operators] lazy val bandsCteSql: String = {
+    val rows = (0 until nCandBands).map { b =>
+      val cat = (4 * b until 4 * b + 4).map(k => s"mh$k").mkString(" || ")
+      s"SELECT doc_id, $b AS band, $cat AS sg FROM sig"
+    }
+    s"bands AS (${rows.mkString(" UNION ALL ")})"
+  }
 
   /** `doc_id` plus the flattened per-row MinHash state from the
     * [[graft.functions.MinHashSig]] kernel; docs with fewer than 3
@@ -223,7 +244,7 @@ object Dedup {
           .orderBy($"ida", $"idb")
       },
       Some(s"""$shingleCte, $signatureSql,
-        bands AS (${(0 until nBands).map(k => s"SELECT doc_id, $k AS band, mh$k AS sg FROM sig").mkString(" UNION ALL ")}),
+        $bandsCteSql,
         cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
                  FROM bands a JOIN bands b ON a.band = b.band AND a.sg = b.sg AND a.doc_id < b.doc_id),
         dsh AS (SELECT DISTINCT doc_id, s FROM sh),
@@ -267,7 +288,7 @@ object Dedup {
           .orderBy($"doc_id")
       },
       Some(s"""$shingleCte, $signatureSql,
-        bands AS (${(0 until nBands).map(k => s"SELECT doc_id, $k AS band, mh$k AS sg FROM sig").mkString(" UNION ALL ")}),
+        $bandsCteSql,
         cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
                  FROM bands a JOIN bands b ON a.band = b.band AND a.sg = b.sg AND a.doc_id < b.doc_id),
         dsh AS (SELECT DISTINCT doc_id, s FROM sh),
@@ -466,7 +487,7 @@ object Dedup {
     * `comp(doc_id, component)`. */
   private[operators] lazy val componentsCte: String =
     s"""${shingleCte.replaceFirst("WITH", "WITH RECURSIVE")}, $signatureSql,
-        bands AS (${(0 until nBands).map(k => s"SELECT doc_id, $k AS band, mh$k AS sg FROM sig").mkString(" UNION ALL ")}),
+        $bandsCteSql,
         cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
                  FROM bands a JOIN bands b ON a.band = b.band AND a.sg = b.sg AND a.doc_id < b.doc_id),
         dsh AS (SELECT DISTINCT doc_id, s FROM sh),
@@ -571,7 +592,12 @@ object Dedup {
     * wider single-pass frame so the corpus is scanned and tokenized
     * once for its whole funnel. */
   private[operators] def nearDupPairsFrom(ds: DataFrame): DataFrame = {
-    val stackExpr = (0 until nBands).map(k => s"$k, mh$k").mkString(s"stack($nBands, ", ", ", ") AS (band, sg)")
+    // r = 4 band values: concat of 4 slice minima (NULL-propagating,
+    // so sub-3-token docs never join) — the Scala twin of bandsCteSql
+    val stackExpr = (0 until nCandBands).map { b =>
+      val cat = (4 * b until 4 * b + 4).map(k => s"mh$k").mkString("concat(", ", ", ")")
+      s"$b, $cat"
+    }.mkString(s"stack($nCandBands, ", ", ", ") AS (band, sg)")
     val bands = ds.selectExpr("doc_id", stackExpr)
     val cand = bands.as("ba").join(bands.as("bb"),
         col("ba.band") === col("bb.band") && col("ba.sg") === col("bb.sg") &&

@@ -243,7 +243,7 @@ class AnalyticsOpsSpec extends SparkSuite {
   test("q105 min-of-mins shard signatures equal from-scratch union signatures") {
     import spark.implicits._
     val got = run("q105_minhash_union").collect()
-      .map(r => (r.getLong(0), Seq(r.getString(1), r.getString(2), r.getString(3), r.getString(4))))
+      .map(r => (r.getLong(0), (1 to 8).map(r.getString)))
       .toMap
     // from scratch: shingle every doc, key by shard, min per seed over
     // the UNION of shingles — a different evaluation strategy
@@ -256,12 +256,10 @@ class AnalyticsOpsSpec extends SparkSuite {
                  i -> concat_ws(' ', slice(split(lower(text), '\\W+'), i + 1, 3)))
                ELSE CAST(array() AS ARRAY<STRING>) END""")).as("s"))
       .groupBy($"shard")
-      .agg(min(substring(md5($"s"), 1, 8)).as("mh0"),
-        min(substring(md5($"s"), 9, 8)).as("mh1"),
-        min(substring(md5($"s"), 17, 8)).as("mh2"),
-        min(substring(md5($"s"), 25, 8)).as("mh3"))
+      .agg(min(substring(md5($"s"), 1, 4)).as("mh0"),
+        (1 until 8).map(k => min(substring(md5($"s"), 4 * k + 1, 4)).as(s"mh$k")): _*)
       .collect()
-      .map(r => (r.getLong(0), Seq(r.getString(1), r.getString(2), r.getString(3), r.getString(4))))
+      .map(r => (r.getLong(0), (1 to 8).map(r.getString)))
       .toMap
     assert(got == fresh)
   }
