@@ -18,7 +18,7 @@ object SparkEntry {
     Relational.queries ++ EventOps.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ Pipeline.queries ++
       Extras.queries ++ TrainingOps.queries ++ CurationOps.queries ++
-      AnalyticsOps.queries
+      AnalyticsOps.queries ++ RetrievalOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Snowflake join + broadcast dims + exact-decimal aggregation. */

@@ -1,0 +1,332 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-5 retrieval & lexical-model operators [EXT]: BM25-style
+  * ranked retrieval over the corpus (the "find me training docs like
+  * this query" primitive), FastSS deletion-neighborhood fuzzy joins
+  * (entity resolution without a cartesian), distributed BPE tokenizer
+  * training (corpus scan -> bounded word-count state -> iterative
+  * distributed merges), and DSIR-style importance weighting (Xie et
+  * al. 2023: reweight a raw corpus toward a target distribution by
+  * hashed-feature likelihood ratios — here exact unigram ratios, the
+  * n-gram-hash generalization being a column swap).
+  *
+  * Scale notes per query; shared themes with CurationOps/TrainingOps:
+  * the heavy corpus is touched by map-only passes (the `token_tf`
+  * codegen kernel — no occurrence-level explode), per-token statistics
+  * ride ONE hash exchange (window-over-token or partial-combined
+  * groupBy), candidate pairs come from bounded-fan-out equi-joins, and
+  * global top-k is always `orderBy.limit` (TakeOrderedAndProject — a
+  * per-partition heap + O(k) driver merge), never a single-partition
+  * rank window.
+  */
+object RetrievalOps {
+  import Tables._
+
+  private val toksCte = Dedup.toksCteSql
+
+  // ---- BM25 constants (Robertson/Spärck Jones defaults) ------------
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** The deletion neighborhood D<=2(nm): nm itself, every 1-char
+    * deletion, every 2-char deletion. Single source of truth for the
+    * q146 block key. Guards keep `sequence` from DESCENDING on short
+    * strings (the gramArraySql lesson). */
+  private[operators] def deletionVariantsSql(col: String): String = s"""
+    array_distinct(concat(
+      array($col),
+      CASE WHEN length($col) >= 1 THEN
+        transform(sequence(1, length($col)), i ->
+          concat(substring($col, 1, i - 1), substring($col, i + 1, length($col))))
+      ELSE CAST(array() AS ARRAY<STRING>) END,
+      CASE WHEN length($col) >= 2 THEN
+        flatten(transform(sequence(1, length($col) - 1), i ->
+          transform(sequence(i + 1, length($col)), j ->
+            concat(substring($col, 1, i - 1),
+                   substring($col, i + 1, j - i - 1),
+                   substring($col, j + 1, length($col))))))
+      ELSE CAST(array() AS ARRAY<STRING>) END))"""
+
+  val queries: Vector[Q] = Vector(
+
+    // ---- BM25 ranked retrieval (q145) --------------------------------
+    // Okapi BM25 over the corpus for a fixed bag-of-words query, with
+    // the RATIONAL idf (n - df + 0.5)/(df + 0.5) — the same documented
+    // log-free variant as q132's idf: ln() is the one operation whose
+    // last bit differs between engines, and dropping the (monotone) ln
+    // changes scores but not semantics. Plan: ONE map-only corpus pass
+    // through the `token_tf` codegen kernel (doc length = size(toks)
+    // rides along row-locally — no second window), filter to the query
+    // terms BEFORE the df window so the only exchange carries
+    // |terms| x |matching docs| rows, df = COUNT OVER (PARTITION BY
+    // tok) on that filtered frame (a term's df = its row count there),
+    // and the per-doc score sums per-term partials through
+    // DECIMAL(28,6) — order-insensitive, so the map-side combine can't
+    // reorder float error. Global top-10 is orderBy.limit ->
+    // TakeOrderedAndProject, never a rank window. At 100 TB: one scan,
+    // one term-bounded exchange, one O(k) result.
+    Q("q145_bm25_topk",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val terms = Seq("window", "spark", "merge")
+        val docs = documents(s, dir)
+        // corpus constants: n_docs + exact total token count (BIGINT
+        // sums — order-free), avgdl derived in ONE double division
+        val consts = Dedup.withToks(docs)
+          .agg(count(lit(1)).as("n_docs"), sum(size($"toks")).as("tot"))
+        val tf = Dedup.withToks(docs)
+          .select($"doc_id", size($"toks").as("dl"),
+            explode(expr("token_tf(toks)")).as("kv"))
+          .select($"doc_id", $"dl", $"kv.tok".as("tok"), $"kv.tf".as("tf"))
+          .where($"tok".isin(terms: _*))
+        val scored = tf
+          .withColumn("dfc", count(lit(1)).over(Window.partitionBy($"tok")))
+          .crossJoin(broadcast(consts))
+          .withColumn("avgdl", $"tot".cast(DoubleType) / $"n_docs")
+          .withColumn("part", round(
+            (($"n_docs" - $"dfc" + 0.5) / ($"dfc" + 0.5)) *
+              ($"tf" * (K1 + 1.0)) /
+              ($"tf" + lit(K1) * (lit(1.0 - B) + lit(B) * ($"dl" / $"avgdl"))), 6))
+        scored.groupBy($"doc_id")
+          .agg(sum($"part".cast(DecimalType(28, 6))).cast(DoubleType).as("bm25"),
+            count(lit(1)).as("n_terms"))
+          .orderBy($"bm25".desc, $"doc_id")
+          .limit(10)
+          .select($"doc_id", $"n_terms", $"bm25")
+      },
+      Some(s"""
+        WITH $toksCte,
+        consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                          CAST(SUM(len(w)) AS BIGINT) AS tot FROM toksc),
+        tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM
+                 (SELECT doc_id, len(w) AS dl, UNNEST(w) AS tok FROM toksc) u
+               WHERE tok IN ('window', 'spark', 'merge') GROUP BY 1, 2, 3),
+        scored AS (SELECT doc_id,
+            ROUND(((n_docs - dfc + 0.5) / (dfc + 0.5)) * (tf * ${K1 + 1.0}) /
+              (tf + $K1 * ((1.0 - $B) + $B * (dl / (CAST(tot AS DOUBLE) / n_docs)))), 6) AS part
+          FROM (SELECT doc_id, dl, tf,
+                  CAST(COUNT(*) OVER (PARTITION BY tok) AS BIGINT) AS dfc
+                FROM tf) f CROSS JOIN consts)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+          CAST(SUM(CAST(part AS DECIMAL(28,6))) AS DOUBLE) AS bm25
+        FROM scored GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 10""")),
+
+    // ---- FastSS fuzzy join (q146) ------------------------------------
+    // All distinct part-name pairs within edit distance <= 2 — entity
+    // resolution's core join, done WITHOUT a cartesian: block on the
+    // FastSS deletion neighborhood (Bocek et al. 2007): every name
+    // emits its <= 2-char-deletion variants (fan-out 1 + L + C(L,2) —
+    // bounded by construction, ~70 for L = 11), and any two strings
+    // within k edits share a <= k-deletion variant (each substitution
+    // deletes one char from BOTH sides, each insert/delete from ONE),
+    // so the variant equi-join is a LOSSLESS candidate generator —
+    // recall is a theorem, not a recall@k. Verify = one levenshtein
+    // per DISTINCT candidate pair (integer DP, bit-identical across
+    // engines). The heavy table collapses to distinct names FIRST
+    // (names << rows at 100 TB); block sizes are bounded by near-dup
+    // density, never by vocabulary shape. The ORACLE is the quadratic
+    // levenshtein join — a different strategy, so the hash match
+    // proves the neighborhood theorem on real data.
+    Q("q146_fuzzy_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val names = part(s, dir).select($"p_name".as("nm")).distinct()
+          .localCheckpoint(true)
+        val variants = names
+          .select($"nm", explode(expr(deletionVariantsSql("nm"))).as("v"))
+        val cand = variants.as("a")
+          .join(variants.as("b"), $"a.v" === $"b.v" && $"a.nm" < $"b.nm")
+          .select($"a.nm".as("name_a"), $"b.nm".as("name_b"))
+          .distinct()
+        cand
+          .withColumn("dist", levenshtein($"name_a", $"name_b"))
+          .where($"dist" <= 2)
+          .orderBy($"name_a", $"name_b")
+      },
+      Some("""
+        WITH n AS (SELECT DISTINCT p_name AS nm FROM part)
+        SELECT a.nm AS name_a, b.nm AS name_b,
+          CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+        FROM n a JOIN n b ON a.nm < b.nm
+        WHERE levenshtein(a.nm, b.nm) <= 2
+        ORDER BY name_a, name_b""")),
+
+    // ---- BPE pair statistics (q147) ----------------------------------
+    // Iteration 0 of BPE tokenizer training: the corpus-weighted count
+    // of every adjacent character pair — the statistic the first merge
+    // maximizes. Two-level aggregation keeps the corpus pass map-only:
+    // per-doc (tok, tf) pairs from the `token_tf` codegen kernel (no
+    // occurrence-level explode), partial-combined groupBy to corpus
+    // word counts (the exchange carries <= |vocab| rows per partition),
+    // then the char-bigram explode runs on the VOCAB frame — fan-out
+    // L-1 per distinct word, independent of corpus size. Top-20 is
+    // orderBy.limit. The iterative merge LOOP is q148; this published
+    // frame is its oracle-checked first rung.
+    Q("q147_bpe_pairs",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val vocab = Dedup.withToks(documents(s, dir))
+          .select(explode(expr("token_tf(toks)")).as("kv"))
+          .groupBy($"kv.tok".as("tok")).agg(sum($"kv.tf").as("cnt"))
+        vocab
+          .select(explode(expr(
+            """CASE WHEN length(tok) >= 2
+               THEN transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))
+               ELSE CAST(array() AS ARRAY<STRING>) END""")).as("pair"), $"cnt")
+          .groupBy($"pair").agg(sum($"cnt").as("n"))
+          .orderBy($"n".desc, $"pair")
+          .limit(20)
+      },
+      Some(s"""
+        WITH $toksCte,
+        vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM
+                    (SELECT UNNEST(w) AS tok FROM toksc) u
+                  WHERE len(tok) > 0 GROUP BY 1),
+        pairs AS (SELECT substr(tok, i, 2) AS pair, cnt
+                  FROM vocab, UNNEST(range(1, len(tok))) AS t(i))
+        SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
+        FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""")),
+
+    // ---- Distributed BPE merge training (q148) -----------------------
+    // The full merge loop on top of q147's statistic: k = 8 rounds of
+    // (count adjacent symbol pairs -> take the argmax -> apply the
+    // merge greedily left-to-right), published as the ordered merge
+    // table (step, left, right, pair_count) — exactly what a tokenizer
+    // ships. The WORD-COUNT frame is the loop state and it STAYS
+    // DISTRIBUTED: each round is one partial-combined pair-count agg
+    // over the vocab frame plus one O(1)-row argmax collect (rule-2
+    // bounded — never the frame itself), and the merge application is
+    // a row-local left-fold (`aggregate` HOF — interpreted eval is
+    // fine HERE because it runs on the vocab frame, not the corpus;
+    // the corpus is touched exactly once, by the same map-only
+    // token_tf pass as q147). localCheckpoint per round keeps the
+    // lineage flat (the q140/q142 iteration pattern). Greedy-left
+    // semantics under self-merge ("aaa" + (a,a) -> [aa, a]) are pinned
+    // by RetrievalOpsSpec against an independent in-memory reference.
+    // No SQL oracle: the loop is data-dependently iterative (each
+    // round's input depends on the previous argmax) — the driver
+    // records the weaker rows-only check; q147 oracle-checks rung 0.
+    Q("q148_bpe_train",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        var vocab = Dedup.withToks(documents(s, dir))
+          .select(explode(expr("token_tf(toks)")).as("kv"))
+          .groupBy($"kv.tok".as("tok")).agg(sum($"kv.tf").as("cnt"))
+          .select(expr("transform(sequence(1, length(tok)), i -> substring(tok, i, 1))")
+            .as("syms"), $"cnt")
+          .localCheckpoint(true)
+        val merges = Vector.newBuilder[(Int, String, String, Long)]
+        var step = 1
+        var exhausted = false
+        while (step <= 8 && !exhausted) {
+          val top = vocab.select(explode(expr(
+              """CASE WHEN size(syms) >= 2
+                 THEN transform(sequence(1, size(syms) - 1), i ->
+                   struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))
+                 ELSE CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>) END"""))
+              .as("p"), $"cnt")
+            .groupBy($"p.l".as("l"), $"p.r".as("r")).agg(sum($"cnt").as("n"))
+            .orderBy($"n".desc, $"l", $"r")
+            .limit(1).collect()
+          if (top.isEmpty) exhausted = true
+          else {
+            val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+            merges += ((step, l, r, n))
+            // greedy left-to-right merge: fold each symbol onto the
+            // accumulator; a just-merged symbol can itself merge with
+            // the NEXT pair occurrence but never re-split
+            vocab = vocab.withColumn("syms",
+                aggregate($"syms", array().cast(ArrayType(StringType)),
+                  (acc, x) => when(
+                    size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+                    concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+                    .otherwise(concat(acc, array(x)))))
+              .localCheckpoint(true)
+            step += 1
+          }
+        }
+        s.createDataFrame(merges.result()).toDF("step", "left", "right", "pair_count")
+          .orderBy($"step")
+      },
+      None),
+
+    // ---- DSIR importance weighting (q149) ----------------------------
+    // Data Selection via Importance Resampling (Xie et al., NeurIPS
+    // 2023): score every raw doc by how target-like its unigram
+    // distribution is — here the exact per-token likelihood ratio
+    // p_target(tok)/p_corpus(tok) (the paper's hashed-n-gram features
+    // are a column swap on the same plan). Log-free on purpose: the
+    // per-doc statistic is the tf-weighted MEAN of round(ratio, 6)
+    // rather than the sum of logs — monotone-equivalent reweighting
+    // signal, bit-identical across engines. Plan: the same single
+    // map-only token_tf pass as q82, BOTH per-token stats (corpus
+    // count + target count) ride ONE window exchange over tok
+    // (conditional sums — no second groupBy, no vocab broadcast:
+    // SCALE_DESIGN rule 2 forbids counting on a vocab-sized broadcast
+    // at web scale), ratios multiply as (cnt_t/cnt_c)*(tot_c/tot_t) —
+    // two bounded doubles, no BIGINT product overflow at 100 TB — and
+    // the per-doc mean sums through DECIMAL(28,6). Top-20 by
+    // orderBy.limit.
+    Q("q149_importance_weights",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val docs = documents(s, dir)
+        val tf = Dedup.withToks(docs)
+          .select($"doc_id", $"source", ($"lang" === "en").as("is_tgt"),
+            explode(expr("token_tf(toks)")).as("kv"))
+          .select($"doc_id", $"source", $"is_tgt",
+            $"kv.tok".as("tok"), $"kv.tf".as("tf"))
+        val wTok = Window.partitionBy($"tok")
+        val consts = tf.agg(
+          sum($"tf").as("tot_c"),
+          sum(when($"is_tgt", $"tf").otherwise(0L)).as("tot_t"))
+        val scored = tf
+          .withColumn("cnt_c", sum($"tf").over(wTok))
+          .withColumn("cnt_t", sum(when($"is_tgt", $"tf").otherwise(0L)).over(wTok))
+          .crossJoin(broadcast(consts))
+          .withColumn("ratio", round(
+            ($"cnt_t".cast(DoubleType) / $"cnt_c") *
+              ($"tot_c".cast(DoubleType) / $"tot_t"), 6))
+        scored.groupBy($"doc_id", $"source")
+          .agg((sum(($"ratio" * $"tf").cast(DecimalType(28, 6))).cast(DoubleType)
+            / sum($"tf")).as("importance"))
+          .withColumn("importance", round($"importance", 6))
+          .orderBy($"importance".desc, $"doc_id")
+          .limit(20)
+          .select($"doc_id", $"source", $"importance")
+      },
+      Some(s"""
+        WITH $toksCte,
+        docs2 AS (SELECT t.doc_id, t.source, d.lang = 'en' AS is_tgt, t.w
+                  FROM toksc t JOIN documents d USING (doc_id)),
+        tf AS (SELECT doc_id, source, is_tgt, tok, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM (SELECT doc_id, source, is_tgt, UNNEST(w) AS tok FROM docs2) u
+               WHERE len(tok) > 0 GROUP BY 1, 2, 3, 4),
+        st AS (SELECT doc_id, source, tok, tf,
+                 CAST(SUM(tf) OVER (PARTITION BY tok) AS BIGINT) AS cnt_c,
+                 CAST(SUM(CASE WHEN is_tgt THEN tf ELSE 0 END) OVER (PARTITION BY tok) AS BIGINT) AS cnt_t
+               FROM tf),
+        consts AS (SELECT CAST(SUM(tf) AS BIGINT) AS tot_c,
+                     CAST(SUM(CASE WHEN is_tgt THEN tf ELSE 0 END) AS BIGINT) AS tot_t
+                   FROM tf),
+        scored AS (SELECT doc_id, source, tf,
+                     ROUND((CAST(cnt_t AS DOUBLE) / cnt_c) *
+                           (CAST(tot_c AS DOUBLE) / tot_t), 6) AS ratio
+                   FROM st CROSS JOIN consts)
+        SELECT doc_id, source,
+          ROUND(CAST(SUM(CAST(ratio * tf AS DECIMAL(28,6))) AS DOUBLE) / SUM(tf), 6)
+            AS importance
+        FROM scored GROUP BY 1, 2
+        ORDER BY importance DESC, doc_id LIMIT 20"""))
+  )
+}

@@ -57,7 +57,9 @@ class PlanLintSpec extends SparkSuite {
     "q137_ann_recall",        // nlist=10 centroid frame (O(nlist x dims) metadata) probed by the query set
     "q138_sq8_recall",        // 1-row dim-stats arrays (O(dims) metadata) + the q34-class probe-set broadcast
     "q142_triangles",         // two 1-row census scalars (edge count x triangle count)
-    "q144_data_expectations") // 1-row metric frames stitched into the audit rows
+    "q144_data_expectations",  // 1-row metric frames stitched into the audit rows
+    "q145_bm25_topk",          // 1-row (n_docs, total-token) corpus scalar
+    "q149_importance_weights") // 1-row (tot_c, tot_t) corpus scalar
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Semantic checks for the round-5 retrieval/lexical operators
+  * (q145–q149): each query is re-derived by an INDEPENDENT in-memory
+  * Scala implementation over the same sf0.001 corpus, so the DuckDB
+  * oracle (cross-engine equality) and these specs (intended
+  * semantics) fail independently. */
+class RetrievalOpsSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  /** (doc_id, source, lang, tokens) with the engine's tokenizer. */
+  private lazy val corpus: Seq[(Long, String, String, Seq[String])] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "lang", "text").collect().toSeq
+      .map { case Row(id: Long, src: String, lang: String, text: String) =>
+        (id, src, lang, text.toLowerCase.split("\\W+").toSeq)
+      }
+
+  test("q145 BM25 matches an independent in-memory scorer") {
+    val terms = Seq("window", "spark", "merge")
+    val k1 = 1.2; val b = 0.75
+    val nDocs = corpus.size
+    val tot = corpus.map(_._4.size.toLong).sum // raw split length, empties included
+    val avgdl = tot.toDouble / nDocs
+    val tfByDoc = corpus.map { case (id, _, _, toks) =>
+      id -> (toks.size, toks.filter(_.nonEmpty).groupBy(identity).map { case (t, o) => t -> o.size })
+    }.toMap
+    val df = terms.map(t => t -> tfByDoc.values.count(_._2.contains(t))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expect = tfByDoc.toSeq.flatMap { case (id, (dl, tf)) =>
+      val parts = terms.flatMap { t =>
+        tf.get(t).map { f =>
+          r6(((nDocs - df(t) + 0.5) / (df(t) + 0.5)) * (f * (k1 + 1.0)) /
+            (f + k1 * ((1.0 - b) + b * (dl / avgdl))))
+        }
+      }
+      if (parts.isEmpty) None else Some((id, parts.size.toLong, parts.sum.toDouble))
+    }.sortBy { case (id, _, s) => (-s, id) }.take(10)
+    val got = run("q145_bm25_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expect, s"\ngot    $got\nexpect $expect")
+  }
+
+  test("q146 equals the brute-force quadratic levenshtein join (FastSS recall theorem)") {
+    def lev(a: String, bb: String): Int = {
+      val d = Array.tabulate(a.length + 1, bb.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to bb.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == bb(j - 1)) 0 else 1))
+      d(a.length)(bb.length)
+    }
+    val names = spark.read.parquet(s"$dir/part.parquet")
+      .select("p_name").distinct().collect().map(_.getString(0)).sorted
+    val expect = (for {
+      a <- names; bb <- names if a < bb
+      d = lev(a, bb) if d <= 2
+    } yield (a, bb, d)).sortBy(p => (p._1, p._2)).toSeq
+    val got = run("q146_fuzzy_pairs").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    assert(expect.nonEmpty, "degenerate fixture: no close pairs at all")
+    assert(got == expect, s"\ngot    ${got.take(20)}\nexpect ${expect.take(20)}")
+  }
+
+  /** The shared in-memory reference: corpus word counts. */
+  private lazy val wordCounts: Map[String, Long] =
+    corpus.flatMap(_._4).filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+
+  test("q147 pair counts equal an in-memory recount") {
+    val expect = wordCounts.toSeq.flatMap { case (w, c) =>
+      w.sliding(2).filter(_.length == 2).map(_ -> c)
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = run("q147_bpe_pairs").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect, s"\ngot    $got\nexpect $expect")
+  }
+
+  test("q148 merge table equals reference BPE (greedy-left application, count/lex tie-break)") {
+    // independent reference: word-count map, 8 rounds of argmax + merge
+    var vocab: Map[Seq[String], Long] =
+      wordCounts.map { case (w, c) => w.map(_.toString).toSeq -> c }
+    val expect = Vector.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to 8) {
+      val pairCounts = vocab.toSeq.flatMap { case (syms, c) =>
+        syms.zip(syms.drop(1)).map(_ -> c)
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      if (pairCounts.nonEmpty) {
+        val ((l, r), n) = pairCounts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+        expect += ((step, l, r, n))
+        def merge(syms: Seq[String]): Seq[String] =
+          syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+            else acc :+ x
+          }
+        vocab = vocab.toSeq.map { case (s, c) => merge(s) -> c }
+          .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+      }
+    }
+    val got = run("q148_bpe_train").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toVector
+    assert(got == expect.result(), s"\ngot    $got\nexpect ${expect.result()}")
+  }
+
+  test("q148 greedy-left self-merge: 'aaa' + (a,a) -> [aa, a], never re-split") {
+    // pinned directly on the in-query fold semantics via a tiny frame
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(Seq("a", "a", "a")).toDF("syms")
+    val merged = df.select(aggregate($"syms",
+      array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 && element_at(acc, -1) === "a" && x === "a",
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit("aa"))))
+        .otherwise(concat(acc, array(x)))).as("m"))
+      .head().getSeq[String](0)
+    assert(merged == Seq("aa", "a"), merged.toString)
+  }
+
+  test("q149 importance weights match an independent in-memory scorer") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val tf = corpus.map { case (id, src, lang, toks) =>
+      (id, src, lang == "en",
+        toks.filter(_.nonEmpty).groupBy(identity).map { case (t, o) => t -> o.size.toLong })
+    }
+    val cntC = tf.flatMap(_._4).groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+    val cntT = tf.filter(_._3).flatMap(_._4).groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(_._2).sum }.withDefaultValue(0L)
+    val totC = cntC.values.sum
+    val totT = tf.filter(_._3).flatMap(_._4.values).sum
+    val expect = tf.map { case (id, src, _, m) =>
+      val num = m.toSeq.map { case (t, f) =>
+        val ratio = r6((cntT(t).toDouble / cntC(t)) * (totC.toDouble / totT))
+        (ratio * BigDecimal(f)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      // mirror the engine's tree exactly: decimal sum -> double, THEN
+      // an IEEE division by the long count (an exact-decimal division
+      // here could land the other side of a 6-dp rounding boundary)
+      (id, src, r6(num.toDouble / m.values.sum).toDouble)
+    }.sortBy { case (id, _, s) => (-s, id) }.take(20)
+    val got = run("q149_importance_weights").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == expect, s"\ngot    $got\nexpect $expect")
+  }
+
+  test("q149 semantic direction: English docs outscore non-English on average") {
+    import org.apache.spark.sql.functions._
+    // the full (unlimited) scoring frame isn't published; approximate the
+    // check on the top-20: target-language docs should dominate it
+    val top = run("q149_importance_weights")
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "lang")
+    val enShare = top.join(docs, "doc_id")
+      .agg(avg(when(col("lang") === "en", 1.0).otherwise(0.0))).head().getDouble(0)
+    assert(enShare >= 0.5, s"top-20 importance docs only $enShare English")
+  }
+}
