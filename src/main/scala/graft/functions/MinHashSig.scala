@@ -50,8 +50,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - mh_k == min(substring(md5(gram), 4k+1, 4)) — byte-identical to
   *    the DuckDB oracle's `substr(md5(s), ...)`.
   *  - shs == array_distinct(transform(grams, g -> xxhash64(g))) as a
-  *    SET (insertion order here vs first-occurrence there; every
-  *    consumer is order-invariant: size / array_intersect).
+  *    SET, emitted SORTED ASCENDING — the precondition of the
+  *    two-pointer `intersect_count` verify kernel (one O(n log n)
+  *    sort per doc here buys O(na+nb) allocation-free intersection
+  *    per candidate pair there; a doc in k pairs amortizes the sort
+  *    k times). Consumers that only size() the set are unaffected.
   */
 case class MinHashSig(child: Expression) extends UnaryExpression {
 
@@ -97,7 +100,7 @@ object MinHashSig {
     val md = MessageDigest.getInstance("MD5")
     // unsigned 32-bit minima as longs; MaxValue sentinel = "no gram yet"
     val mins = Array.fill(nBands)(Long.MaxValue)
-    val set = new java.util.LinkedHashSet[java.lang.Long]()
+    val set = new java.util.HashSet[java.lang.Long]()
     var i = 0
     while (i + 2 < n) {
       // gram bytes: concat_ws(' ', t[i], t[i+1], t[i+2]) — null tokens
@@ -139,6 +142,7 @@ object MinHashSig {
     val it = set.iterator()
     var p = 0
     while (it.hasNext) { shs(p) = it.next(); p += 1 }
+    java.util.Arrays.sort(shs) // the intersect_count precondition
     val out = new Array[Any](1 + nBands)
     out(0) = new GenericArrayData(shs)
     var k = 0

@@ -69,6 +69,79 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection cardinality of two SORTED-ascending ARRAY<LONG> sets
+  * as a native codegen expression — the hot inner loop of every
+  * near-dup verify join (q27/q66/q70/q79/q88/q125/q128).
+  *
+  * Why not `size(array_intersect(a, b))`: ArrayIntersect builds a
+  * SQLOpenHashSet from one side and MATERIALIZES the intersection
+  * array, PER CANDIDATE PAIR — at 100× sf0.1 the verify stage spends
+  * its profile in OpenHashSet rehash/add (19M candidate pairs × ~150-
+  * element sets, and a doc in k candidate pairs pays k hash-set
+  * builds). On pre-sorted distinct arrays the same count is a
+  * two-pointer merge: no allocation, no hashing, no output array, and
+  * early exit when either side is exhausted.
+  *
+  * PRECONDITION: both inputs sorted ascending with distinct elements
+  * (the engine's set frames are — MinHashSig emits sorted sets and
+  * the collect_set paths wrap in sort_array). On unsorted input the
+  * count is an UNDERCOUNT, which the cross-engine oracle (raw-text
+  * intersection joins in DuckDB) fails loudly.
+  */
+case class IntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _                                                 => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"intersect_count requires two ARRAY<BIGINT> args, got ${left.dataType} and ${right.dataType}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements(); val nb = y.numElements()
+    var i = 0; var j = 0; var cnt = 0L
+    while (i < na && j < nb) {
+      val xa = x.getLong(i); val yb = y.getLong(j)
+      if (xa < yb) i += 1
+      else if (xa > yb) j += 1
+      else { cnt += 1L; i += 1; j += 1 }
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt")
+      val xa = ctx.freshName("xa"); val yb = ctx.freshName("yb")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; long $cnt = 0L;
+         |while ($i < $na && $j < $nb) {
+         |  long $xa = $a.getLong($i);
+         |  long $yb = $b.getLong($j);
+         |  if ($xa < $yb) { $i++; }
+         |  else if ($xa > $yb) { $j++; }
+         |  else { $cnt++; $i++; $j++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration + Column-level API for the engine's native functions. */
 object GraftFunctions {
 
@@ -92,7 +165,14 @@ object GraftFunctions {
       "minhash_sig", exprs => MinHashSig(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_tf", exprs => TokenTf(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "intersect_count", exprs => IntersectCount(exprs(0), exprs(1)), "built-in")
   }
+
+  /** Sorted-set intersection cardinality (see [[IntersectCount]]);
+    * requires [[register]] on the owning session. */
+  def intersect_count(a: Column, b: Column): Column =
+    call_function("intersect_count", a, b)
 
   def dot_product(a: Column, b: Column): Column = call_function("dot_product", a, b)
   def rolling_hash(tokens: Column, base: Column): Column = call_function("rolling_hash", tokens, base)

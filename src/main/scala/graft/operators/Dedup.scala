@@ -572,9 +572,15 @@ object Dedup {
 
   /** The map-side exact-Jaccard column over two hashed shingle sets —
     * the single source of truth shared by [[nearDupPairs]] and
-    * [[verifyJaccard]]. */
+    * [[verifyJaccard]]. PRECONDITION: both sets sorted ascending (the
+    * MinHashSig kernel emits sorted; the collect_set paths wrap in
+    * sort_array) — the r5 `intersect_count` two-pointer kernel
+    * replaced `size(array_intersect(...))`, whose per-PAIR
+    * SQLOpenHashSet build + intersection materialization dominated
+    * the 100× verify profile (jstack: OpenHashSet.rehash in 13/33
+    * executor threads; a doc in k candidate pairs paid k set builds). */
   private def jaccardCol(a: Column, na: Column, b: Column, nb: Column): Column = {
-    val i = size(array_intersect(a, b)).cast(LongType)
+    val i = GraftFunctions.intersect_count(a, b)
     i.cast(DoubleType) / (na + nb - i)
   }
 
@@ -633,7 +639,7 @@ object Dedup {
   private[operators] def verifyJaccardHashed(cand: DataFrame, dshH: DataFrame): DataFrame =
     verifyJaccardSets(cand,
       dshH.groupBy(col("doc_id"))
-        .agg(collect_set(col("sh")).as("shs"))
+        .agg(collect_set(col("sh")).as("shs")) // sorted by verifyJaccardSets
         .withColumn("n", size(col("shs")).cast(LongType)))
 
   /** [[verifyJaccardHashed]] against CALLER-built `(doc_id, shs, n)`
@@ -642,12 +648,18 @@ object Dedup {
     * exchange of the corpus to rebuild it. Both set joins pin
     * `shuffle_hash`: the sets frame is corpus-derived and must never
     * broadcast (the Dedup.scala:450 OOM rationale). */
-  private[operators] def verifyJaccardSets(cand: DataFrame, sets: DataFrame): DataFrame =
+  private[operators] def verifyJaccardSets(cand: DataFrame, sets: DataFrame): DataFrame = {
+    // defensive per-DOC sort (cheap, once per doc-row) so caller-built
+    // states (e.g. q125/q128's df-ORDERED ppState arrays) satisfy the
+    // intersect_count sorted precondition; already-sorted frames
+    // (MinHashSig, the sort_array path above) pay a no-op pass
+    val sorted = sets.withColumn("shs", sort_array(col("shs")))
     cand
-      .join(sets.as("x").hint("shuffle_hash"), col("ida") === col("x.doc_id"))
-      .join(sets.as("y").hint("shuffle_hash"), col("idb") === col("y.doc_id"))
+      .join(sorted.as("x").hint("shuffle_hash"), col("ida") === col("x.doc_id"))
+      .join(sorted.as("y").hint("shuffle_hash"), col("idb") === col("y.doc_id"))
       .select(col("ida"), col("idb"),
         jaccardCol(col("x.shs"), col("x.n"), col("y.shs"), col("y.n")).as("jraw"))
+  }
 
   /** doc_id -> 16-bit aggregate simhash frame (Charikar), one md5
     * nibble's low bit per output bit — q28's published cross-engine

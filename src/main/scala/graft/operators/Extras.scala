@@ -766,6 +766,80 @@ object Extras {
           QUANTILE_CONT(l_extendedprice, 0.5) AS p50,
           QUANTILE_CONT(l_extendedprice, 0.9) AS p90,
           TRUE AS p50_within_eps, TRUE AS p90_within_eps
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- one-pass table statistics / ANALYZE (q151) ------------------
+    // The per-column profile a catalog ANALYZE collects — row count,
+    // null count, min/max, distinct count — as one row per column.
+    // Production shape: ALL mergeable stats (counts, null counts,
+    // min/max, HLL ndv sketches for every column) ride ONE partial-
+    // combined scan — adding a column adds zero passes, and the
+    // HLL registers merge map-side like any sum, which is what makes
+    // ANALYZE affordable at 100 TB. The EXACT ndv per column exists
+    // only as the correctness GATE (the q41 contract): each is its own
+    // column-pruned scan — four exact distincts in one aggregate would
+    // force the Expand plan q41 documents as catastrophic — and the
+    // published columns are the exact values plus the ε-band flags, so
+    // a sketch regression past 5% fails the driver's hash compare.
+    // min/max publish as strings through type-pinned renderings that
+    // both engines format identically (decimal(12,2) / date / varchar).
+    Q("q151_column_stats",
+      (s, dir) => {
+        import s.implicits._
+        val li = lineitem(s, dir)
+        val cols = Seq("l_orderkey", "l_quantity", "l_shipdate", "l_returnflag")
+        // min/max aggregate on the RAW column (numeric/temporal order),
+        // rendered to a type-pinned string only afterwards — a min over
+        // pre-rendered strings would compare "9999" > "14999"
+        def rendered(e: Column, c: String) = c match {
+          case "l_quantity" => e.cast(DecimalType(12, 2)).cast(StringType)
+          case "l_shipdate" => e.cast(DateType).cast(StringType)
+          case _            => e.cast(StringType)
+        }
+        val approx = li.agg(
+          count(lit(1)).as("n_rows"),
+          cols.flatMap(c => Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+            rendered(min(col(c)), c).as(s"${c}_min"),
+            rendered(max(col(c)), c).as(s"${c}_max"),
+            approx_count_distinct(col(c), 0.02).as(s"${c}_andv"))): _*)
+        val exact = cols.map(c =>
+          li.agg(countDistinct(col(c)).as(s"${c}_ndv")))
+          .reduce(_ crossJoin _)
+        val m = approx.crossJoin(exact)
+        cols.map { c =>
+          m.select(lit(c).as("column"), $"n_rows",
+            col(s"${c}_nulls").as("n_nulls"),
+            col(s"${c}_min").as("min_val"), col(s"${c}_max").as("max_val"),
+            col(s"${c}_ndv").as("ndv"),
+            (abs(col(s"${c}_andv") - col(s"${c}_ndv")) <=
+              lit(0.05) * col(s"${c}_ndv")).as("ndv_within_eps"))
+        }.reduce(_ union _).orderBy($"column")
+      },
+      Some("""
+        WITH m AS (SELECT
+            CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ok_nulls,
+            CAST(MIN(l_orderkey) AS VARCHAR) AS ok_min,
+            CAST(MAX(l_orderkey) AS VARCHAR) AS ok_max,
+            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ok_ndv,
+            CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS qt_nulls,
+            CAST(MIN(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS qt_min,
+            CAST(MAX(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS qt_max,
+            CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS qt_ndv,
+            CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS sd_nulls,
+            CAST(MIN(CAST(l_shipdate AS DATE)) AS VARCHAR) AS sd_min,
+            CAST(MAX(CAST(l_shipdate AS DATE)) AS VARCHAR) AS sd_max,
+            CAST(COUNT(DISTINCT l_shipdate) AS BIGINT) AS sd_ndv,
+            CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS rf_nulls,
+            MIN(l_returnflag) AS rf_min, MAX(l_returnflag) AS rf_max,
+            CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS rf_ndv
+          FROM lineitem)
+        SELECT 'l_orderkey' AS "column", n_rows, ok_nulls AS n_nulls,
+          ok_min AS min_val, ok_max AS max_val, ok_ndv AS ndv, TRUE AS ndv_within_eps FROM m
+        UNION ALL SELECT 'l_quantity', n_rows, qt_nulls, qt_min, qt_max, qt_ndv, TRUE FROM m
+        UNION ALL SELECT 'l_returnflag', n_rows, rf_nulls, rf_min, rf_max, rf_ndv, TRUE FROM m
+        UNION ALL SELECT 'l_shipdate', n_rows, sd_nulls, sd_min, sd_max, sd_ndv, TRUE FROM m
+        ORDER BY "column" """))
   )
 }

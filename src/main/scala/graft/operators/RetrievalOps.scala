@@ -327,6 +327,66 @@ object RetrievalOps {
           ROUND(CAST(SUM(CAST(ratio * tf AS DECIMAL(28,6))) AS DOUBLE) / SUM(tf), 6)
             AS importance
         FROM scored GROUP BY 1, 2
-        ORDER BY importance DESC, doc_id LIMIT 20"""))
+        ORDER BY importance DESC, doc_id LIMIT 20""")),
+
+    // ---- longest repeated token sequence (q150) ----------------------
+    // Per doc: the length of the longest token sequence occurring >= 2
+    // times (overlaps allowed) — the within-doc form of the repeated-
+    // substring signal substring-level dedup is built on (Lee et al.
+    // 2022 run suffix arrays for the cross-doc form). The suffix-array
+    // theorem makes it one sort: the longest repeat = the max LCP of
+    // LEXICOGRAPHICALLY ADJACENT suffixes, so the plan is suffix
+    // explode -> per-doc sorted window -> lag + row-local LCP -> max.
+    // SCALE: suffixes are CAPPED at 64 tokens — the cap bounds the
+    // exploded frame to 64x the token count BY CONSTRUCTION (uncapped,
+    // the suffix frame is quadratic in doc length; 64 caps the
+    // reportable repeat, which the contract states). The suffix
+    // explode rides the gramArraySql let-binding so split() runs once
+    // per row, not once per suffix (the q116 CollapseProject lesson).
+    // The window partitions by doc_id — bounded by doc length, never
+    // corpus-shaped. The ORACLE computes the same LCP by a correlated
+    // first-mismatch scan — a different evaluation strategy, so the
+    // hash match checks the zip_with/array_position formulation.
+    Q("q150_longest_repeat",
+      (s, dir) => {
+        import s.implicits._
+        val cap = 64
+        val sfx = Dedup.withToks(documents(s, dir))
+          .select($"doc_id", explode(expr(
+            s"""transform(array(toks), __tk ->
+                  transform(sequence(1, size(__tk)), i -> slice(__tk, i, $cap)))[0]"""))
+            .as("sfx"))
+        val w = Window.partitionBy($"doc_id").orderBy($"sfx")
+        val prev = lag($"sfx", 1).over(w)
+        val mask = zip_with(col("prev"), $"sfx",
+          (x, y) => coalesce(x === y, lit(false)))
+        val pos = array_position(mask, false)
+        sfx.withColumn("prev", prev)
+          .withColumn("l",
+            when($"prev".isNull, lit(0L)).otherwise(
+              when(pos === 0, least(size($"prev"), size($"sfx")).cast(LongType))
+                .otherwise(pos - 1)))
+          .groupBy($"doc_id")
+          .agg(max($"l").cast(IntegerType).as("longest_repeat"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH $toksCte,
+        sfx AS (SELECT doc_id, w[i:i+63] AS sfx
+                FROM toksc, UNNEST(range(1, len(w) + 1)) AS t(i)),
+        lc AS (SELECT doc_id, sfx,
+                 lag(sfx) OVER (PARTITION BY doc_id ORDER BY sfx) AS prev
+               FROM sfx),
+        lcp AS (SELECT doc_id,
+                  CASE WHEN prev IS NULL THEN 0
+                       ELSE coalesce(
+                         (SELECT min(i) - 1
+                          FROM UNNEST(range(1, least(len(prev), len(sfx)) + 1)) u(i)
+                          WHERE prev[i] IS DISTINCT FROM sfx[i]),
+                         least(len(prev), len(sfx)))
+                  END AS l
+                FROM lc)
+        SELECT doc_id, CAST(MAX(l) AS INT) AS longest_repeat
+        FROM lcp GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -48,6 +48,7 @@ object TrainingOps {
     * the state because prefix/rare and both verify sides re-read it. */
   private def ppState(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    GraftFunctions.register(s) // intersect_count in the verify stage
     val dshH = Dedup.shingles(documents(s, dir))
       .select($"doc_id", xxhash64($"s").as("sh")).distinct()
       .localCheckpoint(true)
@@ -113,6 +114,7 @@ object TrainingOps {
     Q("q70_ngram_jaccard",
       (s, dir) => {
         import s.implicits._
+        GraftFunctions.register(s) // intersect_count in the verify stage
         // r4: the whole index pipeline runs on 64-bit shingle hashes —
         // the distinct, the df count, the inverted-index self-join and
         // the set verify all exchange (id, int64) rows, never shingle
@@ -561,13 +563,16 @@ object TrainingOps {
           .agg(count(lit(1)).as("shared"))
           .filter($"shared" >= 2)
           .select($"ida", $"idb")
+        // VALUE-sorted set projection for the intersect_count two-
+        // pointer kernel (ppState's `a` is df-ordered for the prefix
+        // slice; the verify wants value order — one cheap per-doc sort)
         val sets = st.select($"doc_id",
-          expr("transform(a, x -> x.sh)").as("shs"), $"n")
+          sort_array(expr("transform(a, x -> x.sh)")).as("shs"), $"n")
         val scored = cand
           .join(sets.as("x").hint("shuffle_hash"), $"ida" === $"x.doc_id")
           .join(sets.as("y").hint("shuffle_hash"), $"idb" === $"y.doc_id")
           .select($"ida", $"idb", $"x.n".as("na"), $"y.n".as("nb"),
-            size(array_intersect($"x.shs", $"y.shs")).cast(LongType).as("i"))
+            GraftFunctions.intersect_count($"x.shs", $"y.shs").as("i"))
         scored
           .withColumn("cont", round($"i".cast(DoubleType) / least($"na", $"nb"), 6))
           .filter($"cont" >= 0.8)

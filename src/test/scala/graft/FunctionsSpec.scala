@@ -26,6 +26,44 @@ class FunctionsSpec extends SparkSuite {
     assert(out(2).getDouble(0) == 0.0)
   }
 
+  test("intersect_count equals array_intersect cardinality on sorted sets (incl. empty/disjoint)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 5L, 10L)), // partial overlap
+      (Seq(1L, 2L), Seq(3L, 4L)),                  // disjoint
+      (Seq.empty[Long], Seq(1L, 2L)),              // empty side
+      (Seq(-5L, 0L, 7L), Seq(-5L, 0L, 7L))         // identical, negatives
+    ).toDF("a", "b")
+    val out = df.select(
+      expr("intersect_count(a, b)").as("fast"),
+      size(array_intersect($"a", $"b")).cast("long").as("ref")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 0L, 0L, 3L))
+  }
+
+  test("intersect_count stays inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("sort_array(transform(embedding, x -> CAST(x * 1000 AS BIGINT))) AS v")
+      .selectExpr("intersect_count(v, v) AS c")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("intersect_count") && l.contains("*(")), plan)
+    assert(df.agg(min("c")).first().getLong(0) >= 0L)
+  }
+
+  test("minhash_sig emits the shingle set SORTED ascending (intersect_count precondition)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val sets = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("split(lower(text), '\\\\W+') AS toks")
+      .where(size($"toks") >= 3)
+      .selectExpr("minhash_sig(toks).shs AS shs")
+      .collect().map(_.getSeq[Long](0))
+    assert(sets.nonEmpty)
+    sets.foreach(s => assert(s == s.sorted, s.take(5).toString))
+  }
+
   test("dot_product stays inside whole-stage codegen") {
     GraftFunctions.register(spark)
     // needs a real scan: a local relation is folded at plan time

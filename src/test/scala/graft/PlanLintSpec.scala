@@ -59,7 +59,8 @@ class PlanLintSpec extends SparkSuite {
     "q142_triangles",         // two 1-row census scalars (edge count x triangle count)
     "q144_data_expectations",  // 1-row metric frames stitched into the audit rows
     "q145_bm25_topk",          // 1-row (n_docs, total-token) corpus scalar
-    "q149_importance_weights") // 1-row (tot_c, tot_t) corpus scalar
+    "q149_importance_weights", // 1-row (tot_c, tot_t) corpus scalar
+    "q151_column_stats")       // 1-row stats frames stitched into per-column rows (q144's class)
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {

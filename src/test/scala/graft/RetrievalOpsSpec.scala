@@ -145,6 +145,41 @@ class RetrievalOpsSpec extends SparkSuite {
     assert(got == expect, s"\ngot    $got\nexpect $expect")
   }
 
+  test("q150 equals brute-force longest repeated n-gram per doc") {
+    val expect = corpus.map { case (id, _, _, toks) =>
+      // independent strategy: try every n (capped at 64), largest with a
+      // duplicated n-gram wins; suffix-LCP must agree
+      val cap = math.min(64, toks.size)
+      val longest = (cap to 1 by -1).find { n =>
+        val grams = toks.sliding(n).filter(_.size == n).toSeq
+        grams.distinct.size < grams.size
+      }.getOrElse(0)
+      id -> longest
+    }.sortBy(_._1)
+    val got = run("q150_longest_repeat").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toSeq
+    assert(got == expect, s"\ngot    ${got.take(20)}\nexpect ${expect.take(20)}")
+  }
+
+  test("q151 stats equal an in-memory profile of the same parquet") {
+    val rows = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_shipdate", "l_returnflag").collect()
+    val got = run("q151_column_stats").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("l_orderkey", "l_quantity", "l_shipdate", "l_returnflag"))
+    got.values.foreach { r =>
+      assert(r.getLong(1) == rows.length) // n_rows
+      assert(r.getLong(2) == 0L)          // no nulls in the driver data
+      assert(r.getBoolean(6), s"ndv band violated: $r")
+    }
+    val okNdv = rows.map(_.getLong(0)).distinct.length
+    assert(got("l_orderkey").getLong(5) == okNdv)
+    val qMin = rows.map(_.getDouble(1)).min
+    assert(got("l_quantity").getString(3) == BigDecimal(qMin).setScale(2).toString)
+    val rfNdv = rows.map(_.getString(3)).distinct.length
+    assert(got("l_returnflag").getLong(5) == rfNdv)
+  }
+
   test("q149 semantic direction: English docs outscore non-English on average") {
     import org.apache.spark.sql.functions._
     // the full (unlimited) scoring frame isn't published; approximate the
