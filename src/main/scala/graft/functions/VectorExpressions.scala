@@ -108,11 +108,19 @@ case class IntersectCount(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val na = x.numElements(); val nb = y.numElements()
     var i = 0; var j = 0; var cnt = 0L
+    // Null slots (possible when the input type is containsNull=true,
+    // e.g. built by a transform() lambda) are not set members: skip
+    // them instead of calling getLong on them, which would read
+    // garbage.
     while (i < na && j < nb) {
-      val xa = x.getLong(i); val yb = y.getLong(j)
-      if (xa < yb) i += 1
-      else if (xa > yb) j += 1
-      else { cnt += 1L; i += 1; j += 1 }
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val xa = x.getLong(i); val yb = y.getLong(j)
+        if (xa < yb) i += 1
+        else if (xa > yb) j += 1
+        else { cnt += 1L; i += 1; j += 1 }
+      }
     }
     cnt
   }
@@ -128,11 +136,15 @@ case class IntersectCount(left: Expression, right: Expression)
          |int $nb = $b.numElements();
          |int $i = 0; int $j = 0; long $cnt = 0L;
          |while ($i < $na && $j < $nb) {
-         |  long $xa = $a.getLong($i);
-         |  long $yb = $b.getLong($j);
-         |  if ($xa < $yb) { $i++; }
-         |  else if ($xa > $yb) { $j++; }
-         |  else { $cnt++; $i++; $j++; }
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    long $xa = $a.getLong($i);
+         |    long $yb = $b.getLong($j);
+         |    if ($xa < $yb) { $i++; }
+         |    else if ($xa > $yb) { $j++; }
+         |    else { $cnt++; $i++; $j++; }
+         |  }
          |}
          |${ev.value} = $cnt;
        """.stripMargin

@@ -604,7 +604,13 @@ object Dedup {
       val cat = (4 * b until 4 * b + 4).map(k => s"mh$k").mkString("concat(", ", ", ")")
       s"$b, $cat"
     }.mkString(s"stack($nCandBands, ", ", ", ") AS (band, sg)")
-    val bands = ds.selectExpr("doc_id", stackExpr)
+    // same defensive per-doc normalization as verifyJaccardSets: the
+    // caller-built doc-state entry point (q88's enriched frame) must
+    // satisfy intersect_count's sorted precondition, and an unsorted
+    // caller would silently UNDERCOUNT Jaccard; sorted inputs
+    // (MinHashSig) pay a no-op pass
+    val sds = ds.withColumn("shs", sort_array(col("shs")))
+    val bands = sds.selectExpr("doc_id", stackExpr)
     val cand = bands.as("ba").join(bands.as("bb"),
         col("ba.band") === col("bb.band") && col("ba.sg") === col("bb.sg") &&
         col("ba.doc_id") < col("bb.doc_id"))
@@ -616,8 +622,8 @@ object Dedup {
     // 1 GB driver) — corpus frames must never ship to the driver; the
     // per-partition hash build is executor-local and spillable.
     cand
-      .join(ds.as("x").hint("shuffle_hash"), col("ida") === col("x.doc_id"))
-      .join(ds.as("y").hint("shuffle_hash"), col("idb") === col("y.doc_id"))
+      .join(sds.as("x").hint("shuffle_hash"), col("ida") === col("x.doc_id"))
+      .join(sds.as("y").hint("shuffle_hash"), col("idb") === col("y.doc_id"))
       .select(col("ida"), col("idb"),
         jaccardCol(col("x.shs"), col("x.n"), col("y.shs"), col("y.n")).as("jraw"))
   }

@@ -33,24 +33,50 @@ object RetrievalOps {
   private val K1 = 1.2
   private val B = 0.75
 
+  /** Hard cap on the string length the FastSS neighborhood expands.
+    * The D<=2 fan-out is 1 + L + C(L,2) = O(L^2) — fine for the 7-12
+    * char names it was built for (~79 variants), but a stray 1 KB
+    * string would emit ~500k rows. Capping L at 64 bounds the fan-out
+    * at 2,081 variants per distinct string BY CONSTRUCTION, for any
+    * input. */
+  private[operators] val FastSsMaxLen = 64
+
   /** The deletion neighborhood D<=2(nm): nm itself, every 1-char
     * deletion, every 2-char deletion. Single source of truth for the
     * q146 block key. Guards keep `sequence` from DESCENDING on short
-    * strings (the gramArraySql lesson). */
-  private[operators] def deletionVariantsSql(col: String): String = s"""
+    * strings (the gramArraySql lesson).
+    *
+    * Strings longer than `maxLen` are TRUNCATED to their first
+    * `maxLen` chars before expansion (identity for shorter strings,
+    * so the exact path is untouched). Recall contract: for names
+    * <= maxLen the FastSS theorem is exact — any two strings within
+    * 2 edits share a variant. For longer names the block key is the
+    * length-64 prefix: pairs whose edits all lie beyond the prefix
+    * share the exact prefix key and are still found; pairs with at
+    * most one insert/delete inside the prefix keep prefix edit
+    * distance <= 2 (one edit + one boundary shift) and are still
+    * found; only pairs with >= 2 indels inside the first 64 chars of
+    * a > 64-char name can slip to prefix distance 3-4 and be missed.
+    * The final levenshtein verify always runs on the FULL strings, so
+    * precision is exact regardless. */
+  private[operators] def deletionVariantsSql(col: String,
+                                             maxLen: Int = FastSsMaxLen): String = {
+    val c = s"substring($col, 1, $maxLen)"
+    s"""
     array_distinct(concat(
-      array($col),
-      CASE WHEN length($col) >= 1 THEN
-        transform(sequence(1, length($col)), i ->
-          concat(substring($col, 1, i - 1), substring($col, i + 1, length($col))))
+      array($c),
+      CASE WHEN length($c) >= 1 THEN
+        transform(sequence(1, length($c)), i ->
+          concat(substring($c, 1, i - 1), substring($c, i + 1, length($c))))
       ELSE CAST(array() AS ARRAY<STRING>) END,
-      CASE WHEN length($col) >= 2 THEN
-        flatten(transform(sequence(1, length($col) - 1), i ->
-          transform(sequence(i + 1, length($col)), j ->
-            concat(substring($col, 1, i - 1),
-                   substring($col, i + 1, j - i - 1),
-                   substring($col, j + 1, length($col))))))
+      CASE WHEN length($c) >= 2 THEN
+        flatten(transform(sequence(1, length($c) - 1), i ->
+          transform(sequence(i + 1, length($c)), j ->
+            concat(substring($c, 1, i - 1),
+                   substring($c, i + 1, j - i - 1),
+                   substring($c, j + 1, length($c))))))
       ELSE CAST(array() AS ARRAY<STRING>) END))"""
+  }
 
   val queries: Vector[Q] = Vector(
 

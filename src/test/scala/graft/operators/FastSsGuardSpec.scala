@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** The FastSS deletion-neighborhood length guard (round-6): the
+  * D<=2 fan-out is 1 + L + C(L,2), quadratic in string length, so
+  * [[RetrievalOps.deletionVariantsSql]] caps the expanded prefix at
+  * [[RetrievalOps.FastSsMaxLen]] chars. These cases pin the three
+  * contract points: bounded fan-out for pathological input, identity
+  * behavior for normal-length strings, and recall for long-string
+  * pairs whose edits lie beyond the capped prefix (they share the
+  * exact prefix key). */
+class FastSsGuardSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val maxLen = RetrievalOps.FastSsMaxLen
+  private val bound = 1 + maxLen + maxLen * (maxLen - 1) / 2 // 2081 at 64
+
+  private def variantCount(s: String): Long =
+    Seq(s).toDF("nm")
+      .select(size(expr(RetrievalOps.deletionVariantsSql("nm"))).as("n"))
+      .head().getInt(0).toLong
+
+  test("a 1 KB string fans out to at most 1 + L + C(L,2) variants at L = maxLen") {
+    val pathological = "x" * 1000
+    val n = variantCount(pathological)
+    // without the cap this would be 1 + 1000 + C(1000,2) ~ 500k
+    assert(n <= bound, s"fan-out $n exceeds the constructed bound $bound")
+    assert(n > 1, "guard must still emit a non-trivial neighborhood")
+  }
+
+  test("strings at or below maxLen expand the FULL exact neighborhood (cap is identity)") {
+    // all-distinct chars => no variant collisions: count is exactly 1 + L + C(L,2)
+    val s = ('a' to 'l').mkString // L = 12, the q146 name regime
+    assert(variantCount(s) == 1 + 12 + 12 * 11 / 2)
+  }
+
+  test("long-string pairs with edits beyond the prefix are still found by the variant join") {
+    // two 1000-char names differing only at position 900: ed = 1,
+    // identical first-64 prefix => they share the exact prefix key
+    val base = ("ab" * 500)
+    val mutated = base.updated(900, 'z')
+    val names = Seq(base, mutated).toDF("nm")
+    val variants = names.select($"nm", explode(expr(RetrievalOps.deletionVariantsSql("nm"))).as("v"))
+    val pairs = variants.as("a")
+      .join(variants.as("b"), $"a.v" === $"b.v" && $"a.nm" < $"b.nm")
+      .select($"a.nm".as("na"), $"b.nm".as("nb")).distinct()
+      .withColumn("dist", levenshtein($"na", $"nb"))
+      .where($"dist" <= 2)
+      .collect()
+    assert(pairs.length == 1 && pairs.head.getInt(2) == 1,
+      s"expected the ed=1 long pair to survive the capped block join, got ${pairs.length} rows")
+  }
+}
