@@ -348,4 +348,82 @@ object Multimodal {
           .map { case (idx, n, rms, peak) => AudioWindow(id, idx, n, rms, peak) }
       })
   }
+
+  // ======== REAL media ENCODERS (synthesis side of the codecs) ========
+  // The decode paths above are exercised by the registry's q152 via
+  // these: executors synthesize genuine WAV / MJPEG-AVI container
+  // bytes from closed-form per-id parameters, the real codecs decode
+  // them back, and the DuckDB oracle recomputes the aggregate from
+  // the closed forms alone — cross-engine equality proves the whole
+  // encode -> container -> decode pipeline, not a synthetic feature
+  // column. Also the library's answer to "write media fixtures".
+
+  /** Mono 16-bit signed PCM samples -> a real WAV file, written by the
+    * JDK's own audio writer (javax.sound.sampled.AudioSystem) — the
+    * same genuine container [[JvmAudioCodec]] decodes. */
+  def encodeWavPcm16(samples: Array[Int], sampleRate: Float = 8000f): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** A solid-gray w x h JPEG via ImageIO — the frame payload for
+    * synthesized MJPEG-AVI containers. */
+  def encodeSolidJpeg(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray & 0xff) * 0x010101
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    bos.toByteArray
+  }
+
+  /** Closed-form audio synthesis: per id, a +-a square wave of n
+    * samples (a = 100 + id % 900, n = 1024 + id % 1501) in a real WAV
+    * container. Every 1024-sample window of a +-a square wave has
+    * RMS EXACTLY a and peak a (integer-perfect double math), so the
+    * decoded window stats are oracle-predictable without any codec on
+    * the oracle side. Map-only: one row in, one row out, pipelined. */
+  def synthSquareWav(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("media_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val a = (100L + id % 900L).toInt
+        val n = (1024L + id % 1501L).toInt
+        (id, encodeWavPcm16(Array.tabulate(n)(i => if (i % 2 == 0) a else -a)))
+      }).toDF("media_id", "media")
+  }
+
+  /** Closed-form video synthesis: per id, a real MJPEG-AVI with
+    * nf = 1 + id % 4 solid-gray 8x8 frames (gray = id % 256). Frame
+    * COUNTS and container dimensions round-trip bit-exactly (JPEG
+    * pixel values do not — they stay out of q152's aggregate). */
+  def synthMjpegAvi(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("media_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val nf = (1L + id % 4L).toInt
+        val jpeg = encodeSolidJpeg(8, 8, (id % 256L).toInt)
+        (id, JvmVideoCodec.encodeMjpegAvi(Seq.fill(nf)(jpeg), 8, 8))
+      }).toDF("media_id", "media")
+  }
 }

@@ -840,6 +840,72 @@ object Extras {
         UNION ALL SELECT 'l_quantity', n_rows, qt_nulls, qt_min, qt_max, qt_ndv, TRUE FROM m
         UNION ALL SELECT 'l_returnflag', n_rows, rf_nulls, rf_min, rf_max, rf_ndv, TRUE FROM m
         UNION ALL SELECT 'l_shipdate', n_rows, sd_nulls, sd_min, sd_max, sd_ndv, TRUE FROM m
-        ORDER BY "column" """))
+        ORDER BY "column" """)),
+
+    // ---- real-codec media pipeline (q152) ----------------------------
+    // Puts the REAL audio/video codecs under the driver's oracle gate
+    // (previously test-only): executors synthesize genuine WAV and
+    // MJPEG-AVI container bytes per selected doc from closed-form
+    // parameters (Multimodal.synthSquareWav / synthMjpegAvi), the real
+    // decoders (AudioSystem PCM decode -> window stats; RIFF demux ->
+    // probe/frame sampling) turn them back into numbers, and the
+    // DuckDB oracle recomputes the aggregate from the closed forms
+    // ALONE — equality proves encode -> container -> decode end to
+    // end. Every decoded stat in the aggregate is bit-exact by
+    // construction: a +-a square wave's window RMS is exactly a (Long
+    // sum of squares, exact division, perfect-square sqrt), frame
+    // counts and dimensions are integers; lossy JPEG pixel values are
+    // deliberately excluded. Scale shape: synthesis+decode are
+    // map-only mapPartitions fan-outs (no exchange until the per-media
+    // groupBy); the three metadata frames that meet in the joins are
+    // per-media aggregates, orders of magnitude smaller than the blobs
+    // themselves, exactly how a 100 TB media lake keeps blob bytes out
+    // of every exchange.
+    Q("q152_media_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val m = graft.multimodal.Multimodal
+        val sel = documents(s, dir).filter($"doc_id" % 10 === 0)
+          .select($"doc_id".as("media_id"), $"lang")
+          .localCheckpoint(true) // tiny id+lang frame, reused by all three decode paths
+        val ids = sel.select($"media_id")
+        val aw = m.audioWindows(m.synthSquareWav(ids), windowSamples = 1024).toDF()
+          .groupBy($"media_id").agg(
+            count(lit(1)).as("n_windows"),
+            sum($"n_samples").cast(LongType).as("n_samples"),
+            max($"rms").as("rms"),
+            max($"peak").as("peak"))
+        val vm = m.videoMeta(m.synthMjpegAvi(ids)).toDF()
+          .select($"media_id", $"n_frames", $"width", $"height")
+        val vf = m.videoFrames(m.synthMjpegAvi(ids), stride = 2).toDF()
+          .groupBy($"media_id").agg(count(lit(1)).as("n_sampled"))
+        sel.join(aw, "media_id").join(vm, "media_id").join(vf, "media_id")
+          .groupBy($"lang").agg(
+            count(lit(1)).as("n_docs"),
+            sum($"n_windows").as("windows_total"),
+            sum($"n_samples").as("samples_total"),
+            sum($"rms").as("rms_total"),
+            max($"peak").as("peak_max"),
+            sum($"n_frames".cast(LongType)).as("frames_total"),
+            sum($"n_sampled").as("sampled_total"),
+            max($"width").as("w"), max($"height").as("h"))
+          .orderBy($"lang")
+      },
+      Some("""
+        WITH sel AS (SELECT doc_id, lang,
+            100 + doc_id % 900 AS a,
+            1024 + doc_id % 1501 AS n,
+            1 + doc_id % 4 AS nf
+          FROM documents WHERE doc_id % 10 = 0)
+        SELECT lang,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CAST(CEIL(n / 1024.0) AS BIGINT)) AS BIGINT) AS windows_total,
+          CAST(SUM(n) AS BIGINT) AS samples_total,
+          CAST(SUM(a) AS DOUBLE) AS rms_total,
+          CAST(MAX(a) AS INT) AS peak_max,
+          CAST(SUM(nf) AS BIGINT) AS frames_total,
+          CAST(SUM(CAST(CEIL(nf / 2.0) AS BIGINT)) AS BIGINT) AS sampled_total,
+          CAST(8 AS INT) AS w, CAST(8 AS INT) AS h
+        FROM sel GROUP BY lang ORDER BY lang"""))
   )
 }
