@@ -870,6 +870,65 @@ object CurationOps {
         top AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY blend, doc_id) AS rk
                 FROM blended)
         SELECT source, doc_id, r_len, r_tok, r_div, blend, rk
-        FROM top WHERE rk <= 10 ORDER BY source, rk"""))
+        FROM top WHERE rk <= 10 ORDER BY source, rk""")),
+
+    // ---- bigram-LM fluency scoring (q154) ----------------------------
+    // The CCNet/KenLM-style perplexity quality filter, bigram order:
+    // train the LM on the corpus itself (conditional P(w2|w1) from
+    // bigram counts; c1 is derived from the SAME bigram stream, so
+    // numerator and denominator can never disagree on tokenization),
+    // then score every doc by its mean conditional probability and its
+    // count of "surprising" transitions (P < 0.001). LOG-FREE like
+    // q145/q132: probabilities ride the integer-scaled floor ratio
+    // (1e6*c12 DIV c1) — bit-identical across engines, where ln()'s
+    // last ulp is not — so the filter ranks by mean probability rather
+    // than geometric-mean perplexity; both order "fluent vs garbage"
+    // the same way for filtering.
+    // Scale: the bigram stream is the corpus token stream (one explode,
+    // same volume as q117's unigram tx); c12 partial-combines map-side
+    // into the vocab-pair frame, c1 folds FROM c12 (vocab-sized, never
+    // re-reads the corpus). The prob join back to the stream is an
+    // equi-join on (w1,w2) AQE can skew-split; no broadcast hint on
+    // corpus-derived frames (SCALE_DESIGN rule 2). A mega-frequent
+    // bigram contributes ONE row per partition to each exchange.
+    Q("q154_bigram_fluency",
+      (s, dir) => {
+        import s.implicits._
+        val bi = TextAnalysis.withToksNe(documents(s, dir))
+          .select($"doc_id", explode(expr(
+            """CASE WHEN size(toks_ne) >= 2
+               THEN transform(sequence(0, size(toks_ne) - 2),
+                              i -> struct(toks_ne[i] AS w1, toks_ne[i + 1] AS w2))
+               ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END""")).as("b"))
+          .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+        val c12 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+        val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
+        val probs = c12.join(c1, "w1")
+          .withColumn("p6", expr("(1000000 * c12) DIV c1"))
+          .select($"w1", $"w2", $"p6")
+        bi.join(probs, Seq("w1", "w2"))
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            round(davg($"p6", 0), 6).as("fluency"),
+            sum(when($"p6" < 1000L, 1L).otherwise(0L)).as("n_surprising"))
+          .orderBy($"doc_id")
+      },
+      Some(raw"""
+        WITH toksc AS (SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\W+'), t -> len(t) > 0) AS toks
+          FROM documents),
+        bi AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+               FROM toksc, UNNEST(range(1, len(toks))) AS t(i)),
+        c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        p AS (SELECT c12.w1, c12.w2, (1000000 * c12.c12) // c1.c1 AS p6
+              FROM c12 JOIN c1 ON c12.w1 = c1.w1)
+        SELECT bi.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          ROUND(${Tables.davgSql("p.p6", 0)}, 6) AS fluency,
+          CAST(SUM(CASE WHEN p.p6 < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_surprising
+        FROM bi JOIN p ON bi.w1 = p.w1 AND bi.w2 = p.w2
+        GROUP BY bi.doc_id ORDER BY doc_id"""))
   )
 }

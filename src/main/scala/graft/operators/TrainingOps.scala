@@ -715,6 +715,64 @@ object TrainingOps {
         FROM dots d JOIN n2 nx ON d.ida = nx.doc_id JOIN n2 ny ON d.idb = ny.doc_id
         WHERE ROUND(CAST(d.dot AS DOUBLE) /
             (sqrt(CAST(nx.n2 AS DOUBLE)) * sqrt(CAST(ny.n2 AS DOUBLE))), 6) >= 0.5
-        ORDER BY ida, idb"""))
+        ORDER BY ida, idb""")),
+
+    // ---- GPT-style sequence packing with cross-chunk splits (q153) ---
+    // q74 packs whole docs into token-budget shards; THIS is the other
+    // packing a pretraining loader needs: concatenate each source's
+    // token stream and cut it into fixed ctx=256-token chunks, docs
+    // SPLIT across chunk boundaries. Output = the span table the
+    // loader ships: for every (doc, chunk) overlap, the doc-relative
+    // offset, span length, and position inside the chunk — enough to
+    // reassemble every chunk and to mask cross-doc attention.
+    // Scale: the running offset is q74's DISTRIBUTED TWO-PHASE PREFIX
+    // SUM (4096-doc buckets -> tiny per-bucket offset frame -> join
+    // back on the key the big side already shuffled by), never a
+    // per-source window over the whole crawl. The chunk fan-out per
+    // doc is 1 + n_tokens/ctx rows via sequence+explode — linear in
+    // the doc's own length, independent of corpus size.
+    Q("q153_sequence_pack",
+      (s, dir) => {
+        import s.implicits._
+        val ctx = 256L
+        val t = documents(s, dir)
+          .withColumn("n_tokens", size(split(lower($"text"), "\\W+")).cast(LongType))
+          .withColumn("bkt", expr("doc_id DIV 4096"))
+        val wIn = Window.partitionBy($"source", $"bkt").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wOff = Window.partitionBy($"source").orderBy($"bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = t.groupBy($"source", $"bkt").agg(sum($"n_tokens").as("bt"))
+          .withColumn("off", coalesce(sum($"bt").over(wOff), lit(0L)))
+          .select($"source", $"bkt", $"off")
+        t.withColumn("cum_in", sum($"n_tokens").over(wIn))
+          .join(offsets, Seq("source", "bkt"))
+          .withColumn("cum", $"cum_in" + $"off")
+          .withColumn("st", $"cum" - $"n_tokens")
+          .select($"source", $"doc_id", $"st", $"cum",
+            explode(sequence(expr(s"st DIV $ctx"), expr(s"(cum - 1) DIV $ctx"))).as("chunk"))
+          .withColumn("seg_start", greatest($"st", $"chunk" * ctx))
+          .select($"source", $"chunk", $"doc_id",
+            ($"seg_start" - $"st").as("doc_off"),
+            (least($"cum", ($"chunk" + 1L) * ctx) - $"seg_start").as("n_tok"),
+            ($"seg_start" - $"chunk" * ctx).as("chunk_off"))
+          .orderBy($"source", $"chunk", $"chunk_off", $"doc_id")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, source,
+               CAST(len(string_split_regex(lower(text), '\W+')) AS BIGINT) AS n_tokens
+             FROM documents),
+        c AS (SELECT doc_id, source, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t),
+        s AS (SELECT doc_id, source, cum, cum - n_tokens AS st FROM c),
+        x AS (SELECT source, doc_id, st, cum,
+               CAST(UNNEST(range(st // 256, (cum - 1) // 256 + 1)) AS BIGINT) AS chunk
+             FROM s)
+        SELECT source, chunk, doc_id,
+          CAST(GREATEST(st, chunk * 256) - st AS BIGINT) AS doc_off,
+          CAST(LEAST(cum, (chunk + 1) * 256) - GREATEST(st, chunk * 256) AS BIGINT) AS n_tok,
+          CAST(GREATEST(st, chunk * 256) - chunk * 256 AS BIGINT) AS chunk_off
+        FROM x ORDER BY source, chunk, chunk_off, doc_id"""))
   )
 }
