@@ -96,22 +96,28 @@ object Bench {
     // growth = regression (median-only movement is environment noise,
     // see the measurement protocol above). Emitted at the END of the
     // line so the driver's tail capture always retains it.
-    val prevFile = Option(new java.io.File(".").listFiles())
+    // Newest round file that actually PARSES to a non-empty baseline:
+    // a failed round (e.g. r5's rc=1 compile-error tail) contains no
+    // "qname":seconds pairs, and comparing against it would silently
+    // disable the regression gate for a whole round.
+    val prevFiles = Option(new java.io.File(".").listFiles())
       .map(_.map(_.getName).filter(_.matches("BENCH_r\\d+\\.json")).toSeq)
       .getOrElse(Seq.empty)
-      .sortBy(n => "\\d+".r.findFirstIn(n).get.toInt).lastOption
-    val baseline: Map[String, Double] = prevFile match {
-      case None => Map.empty
-      case Some(f) =>
-        val src = scala.io.Source.fromFile(f)
-        val text = try src.mkString finally src.close()
-        // the driver wrapper stores the bench line as an ESCAPED JSON
-        // string (\"name\":1.23), so tolerate an optional backslash
-        // before each quote
-        val pair = "\\\\?\"(q\\d+[a-z0-9_]*)\\\\?\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?)".r
-        pair.findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble)
-          .toSeq.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+      .sortBy(n => "\\d+".r.findFirstIn(n).get.toInt).reverse
+    def parseBaseline(f: String): Map[String, Double] = {
+      val src = scala.io.Source.fromFile(f)
+      val text = try src.mkString finally src.close()
+      // the driver wrapper stores the bench line as an ESCAPED JSON
+      // string (\"name\":1.23), so tolerate an optional backslash
+      // before each quote
+      val pair = "\\\\?\"(q\\d+[a-z0-9_]*)\\\\?\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?)".r
+      pair.findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble)
+        .toSeq.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
     }
+    val (prevFile, baseline) = prevFiles.iterator
+      .map(f => (Option(f), parseBaseline(f)))
+      .find(_._2.nonEmpty)
+      .getOrElse((None, Map.empty[String, Double]))
     // Host-drift normalization: a shared sandbox drifts round-over-
     // round (measured: a uniform 1.29x slowdown across 59 UNTOUCHED
     // queries between two r4 runs of identical code). A plan

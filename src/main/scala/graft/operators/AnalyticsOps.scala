@@ -1423,7 +1423,22 @@ object AnalyticsOps {
             $"x.src" === $"y.src" && ($"x.ddst" < $"y.ddst" ||
               ($"x.ddst" === $"y.ddst" && $"x.dst" < $"y.dst")))
           .select($"x.dst".as("a"), $"y.dst".as("b"))
+        // Bloom-prefilter the wedge stream BEFORE its (a,b) exchange —
+        // the round-6 100x finding: the closing join's shuffle carries
+        // the FULL wedge stream (sqrt-m-bounded but ~10x the edge
+        // count on this graph; measured ~linear growth that filled a
+        // 77 GB disk at 100x). A driver bloom over the oriented edge
+        // keys (q99's pattern; bits = O(|E|), fpp the dial) drops
+        // non-closing wedges map-side, so the exchange carries
+        // ~triangles + fpp*wedges instead of all wedges. The join
+        // after the filter keeps exactness — the bloom only ever
+        // passes a superset.
+        val nE = o.count()
+        val bf = o.select(xxhash64($"src", $"dst").as("k"))
+          .stat.bloomFilter("k", math.max(nE, 1000L), 0.01)
+        val mightClose = udf((k: Long) => bf.mightContain(k))
         val tri = wedges
+          .filter(mightClose(xxhash64($"a", $"b")))
           .join(o.select($"src".as("a"), $"dst".as("b")), Seq("a", "b"))
           .agg(count(lit(1)).as("n_triangles"))
         e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)

@@ -284,6 +284,56 @@ object EventOps {
         SELECT event_type, COUNT(*) AS n_sampled, ${dsumSql("value", 4)} AS value_sum
         FROM events
         WHERE SUBSTRING(MD5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1')
-        GROUP BY event_type ORDER BY event_type"""))
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- SCD-2 dimension-history build (q155) ------------------------
+    // The classic warehouse history table the CDC family was missing:
+    // q111 is SCD-1 (overwrite), q112 diffs snapshots; THIS builds the
+    // type-2 validity-interval history from a change stream. Per user,
+    // the tracked attribute is the event_type "state": collapse
+    // consecutive duplicates (a repeated state is not a new version),
+    // then version the change points and close each interval with the
+    // next change's timestamp (NULL valid_to = current row).
+    // Timestamps publish as epoch MICROS (BIGINT) — the engine's
+    // cross-engine-exact convention (q89's epoch_us arithmetic).
+    // Scale: both windows share ONE (user_id)-hash exchange (same
+    // partitioning + ordering; the change-point filter preserves the
+    // partitioning, so the second sort is exchange-free). Per-user
+    // streams bound window state exactly as in q65 — there is no
+    // global window anywhere.
+    Q("q155_scd2_history",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        events(s, dir).select($"user_id", $"event_id", $"ts", $"event_type")
+          .withColumn("prev", lag($"event_type", 1).over(w))
+          .filter($"prev".isNull || $"prev" =!= $"event_type")
+          .withColumn("version", row_number().over(w))
+          .withColumn("next_ts", lead($"ts", 1).over(w))
+          .select($"user_id", $"version", $"event_type".as("state"),
+            unix_micros($"ts").as("valid_from"),
+            unix_micros($"next_ts").as("valid_to"),
+            $"next_ts".isNull.as("is_current"))
+          .orderBy($"user_id", $"version")
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+                    FROM events),
+        ch AS (SELECT user_id, event_id, ts, event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM ev),
+        chg AS (SELECT user_id, event_id, ts, event_type FROM ch
+                WHERE prev IS NULL OR prev <> event_type),
+        hist AS (SELECT user_id,
+                   CAST(ROW_NUMBER() OVER w AS INT) AS version,
+                   event_type AS state,
+                   epoch_us(ts) AS valid_from,
+                   epoch_us(LEAD(ts) OVER w) AS valid_to
+                 FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT user_id, version, state,
+          CAST(valid_from AS BIGINT) AS valid_from,
+          CAST(valid_to AS BIGINT) AS valid_to,
+          (valid_to IS NULL) AS is_current
+        FROM hist ORDER BY user_id, version"""))
   )
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Dual-implementation check for q155's SCD-2 history build: an
+  * independent in-memory fold over the same sf0.001 events re-derives
+  * the versioned validity intervals. */
+class Scd2Spec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q155 history equals an in-memory SCD-2 fold, and intervals chain correctly") {
+    val ev = graft.operators.Tables.events(spark, dir)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us", "event_type")
+      .collect().toSeq
+      .map { case Row(u: Long, e: Long, us: Long, t: String) => (u, e, us, t) }
+    val expect = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val ordered = es.sortBy(x => (x._3, x._2))
+      // collapse consecutive duplicate states, then build intervals
+      val changes = ordered.foldLeft(Vector.empty[(Long, String)]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last._2 == x._4) acc else acc :+ (x._3, x._4)
+      }
+      changes.zipWithIndex.map { case ((from, state), i) =>
+        val to = if (i + 1 < changes.size) Some(changes(i + 1)._1) else None
+        (u, i + 1, state, from, to, to.isEmpty)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q155_scd2_history")(spark, dir).collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5)))
+    assert(got == expect, s"\ngot    ${got.take(8)}\nexpect ${expect.take(8)}")
+
+    // structural invariants a consumer relies on: versions are 1..k
+    // per user, exactly one current row per user, intervals chain
+    // (valid_to == next valid_from), and no zero-length or
+    // same-state-adjacent versions
+    got.groupBy(_._1).foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2) == (1 to sorted.size), s"user $u versions")
+      assert(sorted.count(_._6) == 1 && sorted.last._6, s"user $u current flag")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._5.contains(b._4), s"user $u interval chain broken")
+          assert(a._3 != b._3, s"user $u adjacent versions share a state")
+        case _ =>
+      }
+    }
+  }
+}
