@@ -25,9 +25,19 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // shuffle partitions default to the core count (the driver-bench
+    // contract at sf0.1); scale probes on 10x/100x corpora override
+    // via SPARK_GRAFT_SHUFFLE_PARTITIONS, exactly as a real deployment
+    // scales partition count with data volume.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // mergeable-sketch partials (q142's bloom) legitimately exceed
+      // the 1g default on the 100x scale probes; bounded by
+      // 32 partials x sketch size
+      .config("spark.driver.maxResultSize", "16g")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

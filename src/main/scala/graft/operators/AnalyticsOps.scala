@@ -1419,7 +1419,12 @@ object AnalyticsOps {
             when(uFirst, $"v").otherwise($"u").as("dst"),
             when(uFirst, $"dv").otherwise($"du").as("ddst"))
           .localCheckpoint(true)
-        val wedges = o.as("x").join(o.as("y"),
+        // merge hint: the wedge self-join must not build per-task hash
+        // maps — at 100x they compete with the downstream partial
+        // aggregate for execution memory (measured AGGREGATE_OUT_OF_
+        // MEMORY at 0.5 GB/task); sort-merge spills its runs
+        // predictably and leaves the memory to the agg.
+        val wedges = o.as("x").hint("merge").join(o.as("y"),
             $"x.src" === $"y.src" && ($"x.ddst" < $"y.ddst" ||
               ($"x.ddst" === $"y.ddst" && $"x.dst" < $"y.dst")))
           .select($"x.dst".as("a"), $"y.dst".as("b"))
@@ -1433,14 +1438,59 @@ object AnalyticsOps {
         // ~triangles + fpp*wedges instead of all wedges. The join
         // after the filter keeps exactness — the bloom only ever
         // passes a superset.
-        val nE = o.count()
-        val bf = o.select(xxhash64($"src", $"dst").as("k"))
-          .stat.bloomFilter("k", math.max(nE, 1000L), 0.01)
-        val mightClose = udf((k: Long) => bf.mightContain(k))
+        val nE = math.max(o.count(), 1000L)
+        // A V1 bloom at the CLASSIC optimal size, built by a
+        // distributed treeAggregate. Two measured Spark 4.1 pitfalls
+        // force the explicit construction (TriDebug investigation,
+        // docs/SCALING.md round 6):
+        //  - stat.bloomFilter's fpp overload rounds the optimal bit
+        //    count DOWN to a power of two (12M items @ 0.01 -> 2^26
+        //    bits);
+        //  - the default BloomFilterImplV2 self-reports fpp 0.222 at
+        //    11.2 bits/item where classic V1 math (and V1's measured
+        //    behavior) gives 0.0046 at the same (bits, hashes) — 48x
+        //    worse, which re-inflated the filtered wedge stream to
+        //    106M rows at 10x and killed the 100x run on disk.
+        val optBits = math.ceil(
+          -nE * math.log(0.01) / (math.log(2) * math.log(2))).toLong
+        val numBits = {
+          val floor = java.lang.Long.highestOneBit(math.max(optBits, 1L << 20))
+          if (floor < optBits) floor << 1 else floor
+        }
+        val kHashes = math.max(1,
+          math.round(numBits.toDouble / nE * math.log(2)).toInt)
+        // coalesce(32) bounds the partial-bloom count: treeAggregate
+        // ships its last-level partials (numBits/8 bytes EACH) to the
+        // driver, and at 256 shuffle partitions the 100x run tripped
+        // spark.driver.maxResultSize before merging.
+        val bf = o.select(xxhash64($"src", $"dst").as("k")).as[Long].rdd
+          .coalesce(32)
+          .treeAggregate(org.apache.spark.util.sketch.BloomFilter.create(
+            org.apache.spark.util.sketch.BloomFilter.Version.V1,
+            nE, numBits, kHashes))(
+            (b, k) => { b.putLong(k); b },
+            (a, b) => { a.mergeInPlace(b); a })
+        // BROADCAST the bloom — a UDF closure is deserialized per
+        // TASK, so 32 concurrent tasks each held their own 268 MB
+        // copy at 100x (measured Java-heap OOM); a broadcast variable
+        // is one copy per JVM.
+        val bcBf = s.sparkContext.broadcast(bf)
+        val mightClose = udf((k: Long) => bcBf.value.mightContain(k))
+        // Partial-aggregate wedge COUNTS by closing pair BEFORE the
+        // exchange: on a clique-heavy graph most wedges close, so the
+        // bloom alone still shuffles ~triangle volume (measured: the
+        // raw wedge exchange filled a 77 GB disk at 100x). groupBy
+        // (a,b) partial-combines map-side — every wedge sharing a
+        // closing pair collapses to one (a,b,count) row per map
+        // partition — so the exchange is bounded by DISTINCT candidate
+        // pairs (<= |E|-scale), not wedge volume, at any clique
+        // density. The bloom stays: it keeps non-closing pairs out of
+        // the aggregation hash as well as the exchange.
         val tri = wedges
           .filter(mightClose(xxhash64($"a", $"b")))
+          .groupBy($"a", $"b").agg(count(lit(1)).as("w"))
           .join(o.select($"src".as("a"), $"dst".as("b")), Seq("a", "b"))
-          .agg(count(lit(1)).as("n_triangles"))
+          .agg(coalesce(sum($"w"), lit(0L)).as("n_triangles"))
         e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
       },
       Some("""
