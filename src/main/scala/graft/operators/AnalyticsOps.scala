@@ -307,8 +307,15 @@ object AnalyticsOps {
         import s.implicits._
         val cust = customer(s, dir).filter($"c_mktsegment" === "BUILDING")
           .select($"c_custkey", $"c_mktsegment")
-        val bf = cust.stat.bloomFilter("c_custkey", 100000L, 0.03)
-        val mightContain = udf((k: Long) => bf.mightContain(k))
+        // Scale.v1Bloom, not stat.bloomFilter: the built-in default
+        // (BloomFilterImplV2 + down-rounded bits) measures ~48x the
+        // requested fp rate, which silently erodes exactly the
+        // shuffle-volume saving this query exists to demonstrate
+        // (SCALE_DESIGN rule 6).
+        val bf = Scale.v1Bloom(
+          cust.select($"c_custkey".cast(LongType).as("k")), "k", 100000L, 0.03)
+        val bcBf = s.sparkContext.broadcast(bf)
+        val mightContain = udf((k: Long) => bcBf.value.mightContain(k))
         orders(s, dir)
           .filter(mightContain($"o_custkey"))
           .join(cust, $"o_custkey" === $"c_custkey")
@@ -1438,42 +1445,13 @@ object AnalyticsOps {
         // ~triangles + fpp*wedges instead of all wedges. The join
         // after the filter keeps exactness — the bloom only ever
         // passes a superset.
-        val nE = math.max(o.count(), 1000L)
-        // A V1 bloom at the CLASSIC optimal size, built by a
-        // distributed treeAggregate. Two measured Spark 4.1 pitfalls
-        // force the explicit construction (TriDebug investigation,
-        // docs/SCALING.md round 6):
-        //  - stat.bloomFilter's fpp overload rounds the optimal bit
-        //    count DOWN to a power of two (12M items @ 0.01 -> 2^26
-        //    bits);
-        //  - the default BloomFilterImplV2 self-reports fpp 0.222 at
-        //    11.2 bits/item where classic V1 math (and V1's measured
-        //    behavior) gives 0.0046 at the same (bits, hashes) — 48x
-        //    worse, which re-inflated the filtered wedge stream to
-        //    106M rows at 10x and killed the 100x run on disk.
-        val optBits = math.ceil(
-          -nE * math.log(0.01) / (math.log(2) * math.log(2))).toLong
-        val numBits = {
-          val floor = java.lang.Long.highestOneBit(math.max(optBits, 1L << 20))
-          if (floor < optBits) floor << 1 else floor
-        }
-        val kHashes = math.max(1,
-          math.round(numBits.toDouble / nE * math.log(2)).toInt)
-        // coalesce(32) bounds the partial-bloom count: treeAggregate
-        // ships its last-level partials (numBits/8 bytes EACH) to the
-        // driver, and at 256 shuffle partitions the 100x run tripped
-        // spark.driver.maxResultSize before merging.
-        val bf = o.select(xxhash64($"src", $"dst").as("k")).as[Long].rdd
-          .coalesce(32)
-          .treeAggregate(org.apache.spark.util.sketch.BloomFilter.create(
-            org.apache.spark.util.sketch.BloomFilter.Version.V1,
-            nE, numBits, kHashes))(
-            (b, k) => { b.putLong(k); b },
-            (a, b) => { a.mergeInPlace(b); a })
-        // BROADCAST the bloom — a UDF closure is deserialized per
-        // TASK, so 32 concurrent tasks each held their own 268 MB
-        // copy at 100x (measured Java-heap OOM); a broadcast variable
-        // is one copy per JVM.
+        // V1 bloom at the classic optimal size (Scale.v1Bloom — the
+        // stat.bloomFilter default is measurably broken, SCALE_DESIGN
+        // rule 6), shipped as a BROADCAST: a UDF closure deserializes
+        // once per task, and 32 concurrent copies of a 268 MB filter
+        // was a measured heap OOM at 100x.
+        val bf = Scale.v1Bloom(
+          o.select(xxhash64($"src", $"dst").as("k")), "k", o.count())
         val bcBf = s.sparkContext.broadcast(bf)
         val mightClose = udf((k: Long) => bcBf.value.mightContain(k))
         // Partial-aggregate wedge COUNTS by closing pair BEFORE the
