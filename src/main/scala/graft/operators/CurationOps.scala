@@ -901,7 +901,13 @@ object CurationOps {
                               i -> struct(toks_ne[i] AS w1, toks_ne[i + 1] AS w2))
                ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END""")).as("b"))
           .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+        // checkpoint the vocab-pair frame: c12 feeds BOTH c1 and the
+        // probability join, and without materialization each consumer
+        // re-explodes the full corpus token stream (plan-audited:
+        // three Generate nodes); with it the corpus is exploded once
+        // for the counts plus once for the per-doc probe side
         val c12 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+          .localCheckpoint(true)
         val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
         val probs = c12.join(c1, "w1")
           .withColumn("p6", expr("(1000000 * c12) DIV c1"))

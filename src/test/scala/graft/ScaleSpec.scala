@@ -59,6 +59,24 @@ class ScaleSpec extends SparkSuite {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("v1Bloom: zero false negatives, and realized fp near the requested rate") {
+    import spark.implicits._
+    // the round-6 q142 finding this guards against: Spark's built-in
+    // stat.bloomFilter default measured fp 0.22 where 0.01 was asked
+    val n = 200000L
+    val ins = spark.range(n).select(xxhash64($"id").as("k"))
+    val bf = Scale.v1Bloom(ins, "k", n, fpp = 0.01)
+    val inserted = ins.collect().map(_.getLong(0))
+    assert(inserted.forall(bf.mightContain), "bloom filters must never false-negative")
+    val fresh = spark.range(n, n + 200000L).select(xxhash64($"id").as("k"))
+      .collect().map(_.getLong(0))
+    val fp = fresh.count(bf.mightContain).toDouble / fresh.length
+    // pow2 round-UP makes the realized rate <= requested; 3x headroom
+    // on the assertion keeps it jitter-proof
+    assert(fp <= 0.03, s"realized fp $fp vs requested 0.01")
+    assert(bf.expectedFpp() <= 0.011, s"self-reported fpp ${bf.expectedFpp()}")
+  }
+
   test("GraftExtensions injects dot_product/rolling_hash at session build") {
     // getOrCreate would silently return the active session and ignore
     // withExtensions — stop it first so the extension path really runs
@@ -83,4 +101,5 @@ class ScaleSpec extends SparkSuite {
       SparkSession.clearDefaultSession()
     }
   }
+
 }
