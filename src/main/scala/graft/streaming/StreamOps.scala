@@ -128,6 +128,49 @@ object StreamOps {
       }
   }
 
+  final case class PackDoc(source: String, doc_id: Long, n_tokens: Long)
+  final case class PackState(offset: Long)
+  final case class PackSpan(source: String, chunk: Long, doc_id: Long,
+      doc_off: Long, n_tok: Long, chunk_off: Long)
+
+  /** Streaming GPT-style sequence packing — the streaming form of
+    * q153: per source, an arriving doc stream is cut into fixed
+    * `ctx`-token chunks with docs SPLIT across chunk boundaries, and
+    * the per-source token OFFSET is the only state (one Long per
+    * source — bounded regardless of how much history flowed through).
+    * Emits the same (chunk, doc_off, n_tok, chunk_off) span rows a
+    * loader ships, incrementally.
+    *
+    * Ordering contract (documented, test-pinned): chunk assignment is
+    * ARRIVAL order — batch order, doc_id-sorted within a batch — so a
+    * fixed batch sequence yields a deterministic packing; unlike the
+    * batch q153 there is no global doc_id order to sort by, exactly
+    * as a production packer consumes an ingest stream. State never
+    * times out: a source's offset must survive arbitrarily long gaps
+    * (the analogue of q76's forever-index contract, but O(1) per
+    * source instead of per-key). */
+  def sequencePack(docs: Dataset[PackDoc], ctx: Long = 256L): Dataset[PackSpan] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[PackState, PackSpan](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[PackDoc], state: GroupState[PackState]) =>
+          var off = state.getOption.map(_.offset).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).flatMap { d =>
+            val n = math.max(d.n_tokens, 1L) // q153's splitter never yields 0 cells
+            val st = off; off += n
+            (st / ctx to (off - 1) / ctx).map { c =>
+              val s0 = math.max(st, c * ctx)
+              val s1 = math.min(off, (c + 1) * ctx)
+              PackSpan(src, c, d.doc_id, s0 - st, s1 - s0, s0 - c * ctx)
+            }
+          }
+          state.update(PackState(off))
+          out.iterator
+      }
+  }
+
   /** Streaming anomaly detection against a batch-trained baseline —
     * the streaming form of q100: finalized tumbling-window counts per
     * event type are compared to STATIC per-type (mean, sigma) stats

@@ -498,4 +498,54 @@ class StreamingSpec extends SparkSuite {
     // and the budget itself stays sketch-sized, not data-sized
     assert(errBound < 0.2 * n, s"budget $errBound vs n $n")
   }
+
+  test("streaming sequencePack: offsets survive batches, chunks tile, spans cover docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ctx = 16L
+    val input = MemoryStream[StreamOps.PackDoc]
+    val q = StreamOps.sequencePack(input.toDS(), ctx)
+      .writeStream.format("memory").queryName("packspans")
+      .outputMode("append").start()
+
+    // batch 1: src A fills one chunk and spills into the next
+    input.addData(
+      StreamOps.PackDoc("A", 1L, 10L),
+      StreamOps.PackDoc("A", 2L, 10L),
+      StreamOps.PackDoc("B", 7L, 40L))
+    q.processAllAvailable()
+    // batch 2: continuation — A's offset must resume at 20, not 0
+    input.addData(StreamOps.PackDoc("A", 3L, 20L))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("packspans").as[StreamOps.PackSpan].collect().toSeq
+      .sortBy(s => (s.source, s.chunk, s.chunk_off))
+
+    // in-memory reference over the SAME arrival order (batch, then doc_id)
+    val arrival = Seq(("A", 1L, 10L), ("A", 2L, 10L), ("A", 3L, 20L),
+      ("B", 7L, 40L))
+    val expect = arrival.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      var off = 0L
+      ds.flatMap { case (_, id, n) =>
+        val st = off; off += n
+        (st / ctx to (off - 1) / ctx).map { c =>
+          val s0 = math.max(st, c * ctx); val s1 = math.min(off, (c + 1) * ctx)
+          StreamOps.PackSpan(src, c, id, s0 - st, s1 - s0, s0 - c * ctx)
+        }
+      }
+    }.sortBy(s => (s.source, s.chunk, s.chunk_off))
+    assert(got == expect, s"\ngot    $got\nexpect $expect")
+
+    // invariants: every doc fully covered; every non-final chunk holds exactly ctx
+    arrival.foreach { case (src, id, n) =>
+      val spans = got.filter(s => s.source == src && s.doc_id == id)
+      assert(spans.map(_.n_tok).sum == n && spans.minBy(_.doc_off).doc_off == 0L)
+    }
+    got.groupBy(s => (s.source, s.chunk)).foreach { case ((src, c), spans) =>
+      val last = got.filter(_.source == src).map(_.chunk).max
+      assert(c == last || spans.map(_.n_tok).sum == ctx,
+        s"$src chunk $c not fully tiled")
+    }
+  }
 }
