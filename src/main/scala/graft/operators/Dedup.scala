@@ -468,9 +468,9 @@ object Dedup {
       // sum of an EMPTY label frame is SQL NULL — an empty pair graph
       // (clean corpus) must converge on round 1, not NPE
       val zero = java.math.BigDecimal.ZERO
-      val nextSum = Option(next.agg(sum($"label".cast(dec))).head.getDecimal(0)).getOrElse(zero)
+      val nextSum = Option(next.agg(sum($"label".cast(dec))).head().getDecimal(0)).getOrElse(zero)
       if (prevSum == null) // round 1's job also materialized the init labels
-        prevSum = Option(labels.agg(sum($"label".cast(dec))).head.getDecimal(0)).getOrElse(zero)
+        prevSum = Option(labels.agg(sum($"label".cast(dec))).head().getDecimal(0)).getOrElse(zero)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels = next
