@@ -407,6 +407,97 @@ object Dedup {
         FROM documents d
         WHERE NOT EXISTS (SELECT 1 FROM comp c
                           WHERE c.doc_id = d.doc_id AND c.doc_id <> c.component)
+        ORDER BY doc_id""")),
+
+    // ---- cross-corpus exact-substring dedup (stride-1 windows) -------
+    // q119 measures DISJOINT 8-token segments, which misses duplicated
+    // passages that straddle a segment boundary or start mid-segment —
+    // the precise failure mode ExactSubstr dedup (Lee et al.,
+    // "Deduplicating Training Data Makes Language Models Better",
+    // ACL '22) addresses with suffix arrays. The relational
+    // equivalent: EVERY k-token window (stride 1) is keyed by a 16-hex
+    // md5; a window occurring more than once corpus-wide (within-doc
+    // repeats count, as in the paper) marks its k positions
+    // duplicated; per doc, overlapping-or-adjacent marked intervals
+    // coalesce into maximal spans (gaps-and-islands over position — a
+    // break is a position gap > k), whose union is the doc's
+    // duplicated-token coverage. k = 16 versus the paper's 50 because
+    // this corpus averages ~54 tokens/doc.
+    //
+    // Scale: the window stream is token-scale with a fixed-width
+    // (16-hex + int) payload; the occurrence aggregate
+    // partial-combines (a boilerplate window repeated 1e9 times
+    // contributes ONE row per input partition to its exchange); the
+    // occ > 1 filter runs BEFORE the join-back, so the probe side
+    // carries duplicated keys only; the island windows partition by
+    // doc_id (state bounded by doc length); both join sides are
+    // corpus-derived — no broadcast hint (SCALE_DESIGN rule 2).
+    // documents is scanned twice (the n_toks frame and the window
+    // stream) — deliberate: a localCheckpoint of the tokenized corpus
+    // would materialize token-scale state to the block store for what
+    // a second columnar scan provides.
+    Q("q156_exact_substr",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val k = 16
+        val base = withToks(documents(s, dir))
+        val wins = base
+          .select($"doc_id", posexplode(expr(gramArraySql(k))))
+          .select($"doc_id", $"pos", substring(md5($"col"), 1, 16).as("h"))
+        val dupKeys = wins.groupBy($"h").agg(count(lit(1)).as("occ"))
+          .filter($"occ" > 1).select($"h")
+        val w = Window.partitionBy($"doc_id").orderBy($"pos")
+        val isl = wins.join(dupKeys, "h")
+          .select($"doc_id", $"pos")
+          .withColumn("brk",
+            when(lag($"pos", 1).over(w).isNull ||
+              $"pos" - lag($"pos", 1).over(w) > k, 1).otherwise(0))
+          .withColumn("island", sum($"brk").over(w))
+        val spans = isl.groupBy($"doc_id", $"island")
+          .agg(min($"pos").as("sp"), (max($"pos") + lit(k - 1)).as("ep"))
+        val perDoc = spans.groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum($"ep" - $"sp" + 1).as("dup_toks"),
+            max($"ep" - $"sp" + 1).cast("long").as("max_span"))
+        base.select($"doc_id", size($"toks").cast("long").as("n_toks"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_toks",
+            coalesce($"n_spans", lit(0L)).as("n_spans"),
+            coalesce($"dup_toks", lit(0L)).as("dup_toks"),
+            coalesce($"max_span", lit(0L)).as("max_span"),
+            round(coalesce($"dup_toks", lit(0L)).cast(DoubleType) / $"n_toks", 6)
+              .as("dup_frac"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH $toksCteSql,
+        wins AS (SELECT doc_id, i AS pos,
+            substr(md5(array_to_string(list_slice(w, i + 1, i + 16), ' ')), 1, 16) AS h
+          FROM toksc, UNNEST(range(0, len(w) - 15)) AS t(i)),
+        dupk AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1),
+        dup AS (SELECT doc_id, pos FROM wins JOIN dupk USING (h)),
+        brks AS (SELECT doc_id, pos,
+            CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 16
+                 THEN 1 ELSE 0 END AS brk
+          FROM dup),
+        isl AS (SELECT doc_id, pos,
+            SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM brks),
+        spans AS (SELECT doc_id, island, MIN(pos) AS sp, MAX(pos) + 15 AS ep
+          FROM isl GROUP BY doc_id, island),
+        per_doc AS (SELECT doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_spans,
+            CAST(SUM(ep - sp + 1) AS BIGINT) AS dup_toks,
+            CAST(MAX(ep - sp + 1) AS BIGINT) AS max_span
+          FROM spans GROUP BY doc_id)
+        SELECT t.doc_id AS doc_id, CAST(len(t.w) AS BIGINT) AS n_toks,
+          COALESCE(p.n_spans, 0) AS n_spans,
+          COALESCE(p.dup_toks, 0) AS dup_toks,
+          COALESCE(p.max_span, 0) AS max_span,
+          ROUND(CAST(COALESCE(p.dup_toks, 0) AS DOUBLE) / len(t.w), 6) AS dup_frac
+        FROM toksc t LEFT JOIN per_doc p USING (doc_id)
         ORDER BY doc_id"""))
   )
 

@@ -906,6 +906,71 @@ object Extras {
           CAST(SUM(nf) AS BIGINT) AS frames_total,
           CAST(SUM(CAST(CEIL(nf / 2.0) AS BIGINT)) AS BIGINT) AS sampled_total,
           CAST(8 AS INT) AS w, CAST(8 AS INT) AS h
-        FROM sel GROUP BY lang ORDER BY lang"""))
+        FROM sel GROUP BY lang ORDER BY lang""")),
+
+    // ---- join-key skew advisor (q157) --------------------------------
+    // The pre-flight a 100 TB pipeline runs BEFORE committing to a big
+    // join or aggregation on a key: the key-frequency distribution of
+    // the fact side, reduced to the numbers a planner acts on — row /
+    // distinct-key counts, the heaviest key and its count, p99 key
+    // count, skew ratio (max over mean), and a recommended salt-bucket
+    // count for Scale.saltedAgg (ceil of max/mean, clamped to 64 —
+    // salting past cluster parallelism buys nothing). This is ALSO
+    // what AQE's skew-join handling consults at runtime; the advisor
+    // exists for the plan-time decisions AQE cannot make (bucketing
+    // layout, pre-salting a write, choosing the join side to
+    // replicate).
+    //
+    // Scale: ONE exchange per audited key — the per-key count
+    // aggregate partial-combines map-side (precisely the shuffle the
+    // planned join would pay, rehearsed on (key, count) rows instead
+    // of full rows); the stats pass over the count frame is a global
+    // aggregate whose partial state is bounded by DISTINCT count
+    // VALUES (the exact-percentile buffer maps count -> frequency),
+    // not by key count. The heaviest key rides the same pass as a
+    // deterministic struct-argmax — max(struct(cnt, -k)) breaks count
+    // ties toward the SMALLEST key in both engines, so no second scan
+    // and no tie ambiguity.
+    Q("q157_skew_advisor",
+      (s, dir) => {
+        import s.implicits._
+        def audit(df: DataFrame, keyCol: String, rel: String): DataFrame =
+          df.groupBy(col(keyCol).cast(LongType).as("k"))
+            .agg(count(lit(1)).as("cnt"))
+            .agg(
+              sum($"cnt").as("n_rows"),
+              count(lit(1)).as("n_keys"),
+              max($"cnt").as("max_cnt"),
+              round(percentile($"cnt", lit(0.99)), 6).as("p99_cnt"),
+              (-max(struct($"cnt", (-$"k").as("nk"))).getField("nk"))
+                .as("heavy_key"))
+            .select(lit(rel).as("rel"), $"n_rows", $"n_keys", $"max_cnt",
+              $"heavy_key", $"p99_cnt",
+              round($"max_cnt".cast(DoubleType) * $"n_keys" / $"n_rows", 6)
+                .as("skew_ratio"),
+              expr("CAST(least(64, (max_cnt * n_keys + n_rows - 1) div n_rows) AS BIGINT)")
+                .as("salt_buckets"))
+        audit(lineitem(s, dir), "l_orderkey", "lineitem.l_orderkey")
+          .union(audit(lineitem(s, dir), "l_suppkey", "lineitem.l_suppkey"))
+          .union(audit(events(s, dir), "user_id", "events.user_id"))
+          .orderBy($"rel")
+      },
+      Some("""
+        WITH c1 AS (SELECT l_orderkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+        c2 AS (SELECT l_suppkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+        c3 AS (SELECT user_id AS k, COUNT(*) AS cnt FROM events GROUP BY 1),
+        s1 AS (SELECT 'lineitem.l_orderkey' AS rel, * FROM c1
+          UNION ALL SELECT 'lineitem.l_suppkey', * FROM c2
+          UNION ALL SELECT 'events.user_id', * FROM c3)
+        SELECT rel,
+          CAST(SUM(cnt) AS BIGINT) AS n_rows,
+          CAST(COUNT(*) AS BIGINT) AS n_keys,
+          CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+          CAST(-((MAX({'c': cnt, 'nk': -k})).nk) AS BIGINT) AS heavy_key,
+          ROUND(QUANTILE_CONT(cnt, 0.99), 6) AS p99_cnt,
+          ROUND(CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / SUM(cnt), 6) AS skew_ratio,
+          CAST(LEAST(64, (MAX(cnt) * COUNT(*) + SUM(cnt) - 1) // SUM(cnt)) AS BIGINT)
+            AS salt_buckets
+        FROM s1 GROUP BY rel ORDER BY rel"""))
   )
 }

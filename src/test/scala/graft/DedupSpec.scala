@@ -63,4 +63,64 @@ class DedupSpec extends SparkSuite {
     // doc 6 (near-dup loser of 5) must be gone
     assert(!kept.contains(6L))
   }
+
+  /** Brute-force reference for q156: enumerate every stride-1 k-token
+    * window by VALUE (no hashing — the md5 key in the operator must be
+    * behaviorally invisible), mark positions of globally repeated
+    * windows, coalesce overlapping-or-adjacent intervals, measure. */
+  private def exactSubstrRef(
+      docs: Seq[(Long, String)], k: Int): Map[Long, (Long, Long, Long, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.toLowerCase.split("\\W+", -1).toSeq }.toMap
+    val wins = toks.toSeq.flatMap { case (id, w) =>
+      if (w.size >= k) (0 to w.size - k).map(i => (id, i, w.slice(i, i + k).mkString(" ")))
+      else Nil
+    }
+    val occ = wins.groupBy(_._3).view.mapValues(_.size).toMap
+    val dupPos = wins.filter(x => occ(x._3) > 1)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    toks.map { case (id, w) =>
+      val ps = dupPos.getOrElse(id, Seq.empty)
+      // gaps-and-islands: break when the position gap exceeds k
+      val spans = ps.foldLeft(List.empty[(Int, Int)]) {
+        case (Nil, p)                            => List((p, p + k - 1))
+        case ((s, e) :: rest, p) if p - (e - k + 1) <= k => (s, p + k - 1) :: rest
+        case (acc, p)                            => (p, p + k - 1) :: acc
+      }.reverse
+      val covered = spans.map { case (s, e) => e - s + 1 }
+      id -> ((w.size.toLong, spans.size.toLong,
+        covered.sum.toLong, if (covered.isEmpty) 0L else covered.max.toLong))
+    }
+  }
+
+  test("q156 matches a brute-force by-value reference, incl. within-doc repeats and boundary straddles") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("exsub").toString
+    val a = (1 to 40).map(i => s"a$i").mkString(" ")
+    // shares a 26-token run with a, starting mid-doc: the straddling
+    // case q119's disjoint segments systematically miss
+    val b = ((1 to 10).map(i => s"b$i") ++ (5 to 30).map(i => s"a$i") ++
+      (11 to 20).map(i => s"b$i")).mkString(" ")
+    val c = a // exact replica: full coverage
+    val f = ((1 to 16).map(i => s"e$i") ++ Seq("gap") ++
+      (1 to 16).map(i => s"e$i")).mkString(" ") // within-doc repeat
+    val docs = Seq(
+      (1L, a), (2L, b), (3L, c), (4L, f),
+      (5L, (1 to 20).map(i => s"d$i").mkString(" ")), // unique, no dups
+      (6L, "too short"), (7L, ""))
+    docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    val got = SparkEntry.queries("q156_exact_substr")(spark, d)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val want = exactSubstrRef(docs, 16)
+    assert(got == want, s"got $got\nwant $want")
+    // the designed cases actually exercised what they claim:
+    assert(want(3L)._3 == 40L) // replica: every token covered
+    assert(want(2L)._3 > 0L)   // straddling run detected
+    assert(want(4L)._2 == 2L)  // within-doc repeat: two spans (gap > k apart is false here — one island would mean the gap merged; assert the ref itself)
+    assert(want(5L)._3 == 0L)  // unique doc: zero coverage
+  }
 }
