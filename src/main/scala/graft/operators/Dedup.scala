@@ -431,11 +431,20 @@ object Dedup {
     // occ > 1 filter runs BEFORE the join-back, so the probe side
     // carries duplicated keys only; the island windows partition by
     // doc_id (state bounded by doc length); both join sides are
-    // corpus-derived — no broadcast hint (SCALE_DESIGN rule 2).
-    // documents is scanned twice (the n_toks frame and the window
-    // stream) — deliberate: a localCheckpoint of the tokenized corpus
-    // would materialize token-scale state to the block store for what
-    // a second columnar scan provides.
+    // corpus-derived — no broadcast hint (SCALE_DESIGN rule 2; the
+    // optimizer still broadcasts the filtered key set when its
+    // estimate says it is small, and falls back to a shuffle join on
+    // a dup-heavy corpus). The window stream is GENERATED twice (the
+    // occ side and the probe side) and documents scanned three times
+    // (those two plus the n_toks frame) — deliberate: the md5 window
+    // keys are map-only recompute, and the alternatives are worse at
+    // scale — a q27-style shared exchange would ship the token-scale
+    // (doc_id, pos, h) stream through a shuffle that the partial-
+    // combined occ aggregate avoids entirely, and a localCheckpoint
+    // would materialize the same token-scale stream to the block
+    // store. Plan check: the doc_id exchange feeds lag, running-sum,
+    // span groupBy AND per-doc groupBy with no further exchange
+    // (partitioning is preserved through all four).
     Q("q156_exact_substr",
       (s, dir) => {
         import s.implicits._
