@@ -604,6 +604,70 @@ object Similarity {
         SELECT t.qid, MAX(CASE WHEN t.rk = 1 THEN t.cid END) AS top1_cid,
           CAST(SUM(CASE WHEN nn.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
         FROM tp t LEFT JOIN nn ON nn.qid = t.qid AND nn.cid = t.cid
-        GROUP BY t.qid ORDER BY t.qid"""))
+        GROUP BY t.qid ORDER BY t.qid""")),
+
+    // ---- contrastive triplet mining (q158) ---------------------------
+    // Training-data prep for embedding models (SBERT/InfoNCE-style):
+    // for each anchor, its best same-label neighbor above the q33
+    // similarity threshold (the POSITIVE) and its most-similar
+    // DIFFERENT-label vector (the HARD NEGATIVE — hardest = highest
+    // cosine among negatives, the pairs a contrastive loss learns most
+    // from). Anchors with no qualifying positive or no negative are
+    // dropped (a triplet needs all three legs); the published margin
+    // pos_cos - neg_cos can be NEGATIVE — those are the most valuable
+    // triplets, and a mining pass that clipped them would starve the
+    // loss. Determinism: cosine rounded to 1e-6 BEFORE the argmax;
+    // count ties break toward the smallest candidate id via the same
+    // struct-argmax as q157.
+    //
+    // Scale: ONE pass over the candidate stream — both legs are
+    // conditional struct-argmaxes in a single qid-keyed aggregate
+    // (partial-combining: each partition contributes at most two
+    // struct rows per anchor), not two joins. Candidate generation
+    // reuses q34's declared brute-force-baseline shape (broadcast
+    // probe set x corpus, map-only); at corpus-sized anchor sets the
+    // scale path is the q55 hyperplane-LSH buckets (same-bucket
+    // different-label candidates are hard negatives BY CONSTRUCTION —
+    // close in projection) exactly as q34 defers to q35/q55.
+    Q("q158_triplet_mining",
+      (s, dir) => {
+        import s.implicits._
+        val e = prepared(s, dir)
+        val q = e.filter($"vec_id" < 50)
+          .select($"vec_id".as("qid"), $"label".as("qlabel"),
+            $"v".as("av"), $"nrm".as("na"))
+        val c = e.select($"vec_id".as("cid"), $"label".as("clabel"),
+          $"v".as("bv"), $"nrm".as("nb"))
+        broadcast(q).join(c, $"qid" =!= $"cid")
+          .withColumn("cosr", round(expr(dotExpr) / ($"na" * $"nb"), 6))
+          .groupBy($"qid")
+          .agg(
+            max(when($"qlabel" === $"clabel" && $"cosr" >= 0.35,
+              struct($"cosr", (-$"cid").as("nc")))).as("p"),
+            max(when($"qlabel" =!= $"clabel",
+              struct($"cosr", (-$"cid").as("nc")))).as("ng"))
+          .filter($"p".isNotNull && $"ng".isNotNull)
+          .select($"qid",
+            (-$"p.nc").as("pos_id"), $"p.cosr".as("pos_cos"),
+            (-$"ng.nc").as("neg_id"), $"ng.cosr".as("neg_cos"),
+            round($"p.cosr" - $"ng.cosr", 6).as("margin"))
+          .orderBy($"qid")
+      },
+      Some(s"""$prepCte,
+        scored AS (SELECT a.vec_id AS qid, a.label AS qlabel,
+                     b.vec_id AS cid, b.label AS clabel,
+                     ROUND($oracleDot / (a.nrm * b.nrm), 6) AS cosr
+                   FROM n a JOIN n b ON a.vec_id <> b.vec_id
+                   WHERE a.vec_id < 50),
+        agg AS (SELECT qid,
+            MAX(CASE WHEN qlabel = clabel AND cosr >= 0.35
+                     THEN {'c': cosr, 'nc': -cid} END) AS p,
+            MAX(CASE WHEN qlabel <> clabel
+                     THEN {'c': cosr, 'nc': -cid} END) AS ng
+          FROM scored GROUP BY qid)
+        SELECT qid, CAST(-(p['nc']) AS BIGINT) AS pos_id, p['c'] AS pos_cos,
+          CAST(-(ng['nc']) AS BIGINT) AS neg_id, ng['c'] AS neg_cos,
+          ROUND(p['c'] - ng['c'], 6) AS margin
+        FROM agg WHERE p IS NOT NULL AND ng IS NOT NULL ORDER BY qid"""))
   )
 }

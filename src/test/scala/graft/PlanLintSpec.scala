@@ -45,6 +45,7 @@ class PlanLintSpec extends SparkSuite {
     "q121_ols_trend",         // same grid via denseGrid
     "q104_mixture_rebalance", // 1-row min-count scalar
     "q34_ann_topk",           // fixed 50-vector probe set (declared brute-force baseline)
+    "q158_triplet_mining",    // same fixed probe set as q34 (scale path: q55 buckets)
     "q87_knn_label",          // same probe-set frame as q34
     "q78_corpus_stats",       // 1-row dataset-card scalars
     "q98_source_overlap",     // |sources| x |sources| pair grid (metadata-sized)

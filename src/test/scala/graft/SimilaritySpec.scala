@@ -99,4 +99,49 @@ class SimilaritySpec extends SparkSuite {
     got.foreach { case (d, _, _, v, mn, mx, zf) =>
       assert(v >= -1e-6 && mn <= mx && zf >= 0.0 && zf <= 1.0, s"dim $d") }
   }
+
+  test("q158 matches a brute-force triplet reference; negative margins kept, leg-less anchors dropped") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val vecs: Seq[(Long, Int, Seq[Float])] = Seq(
+      (0L, 1, Seq(1f, 0f, 0f, 0f)),        // anchor: pos=100, but 102 is CLOSER -> negative margin
+      (1L, 3, Seq(0f, 1f, 0f, 0f)),        // anchor: same-label 103 below tau -> NO positive -> dropped
+      (2L, 5, Seq(0f, 0f, 1f, 0f)),        // anchor: clean positive 105, far negatives
+      (100L, 1, Seq(0.9f, 0.1f, 0f, 0f)),  // positive for 0
+      (101L, 1, Seq(0.5f, 0.5f, 0f, 0f)),  // weaker same-label for 0
+      (102L, 2, Seq(0.95f, 0.05f, 0f, 0f)),// HARD negative for 0 (cos > pos_cos)
+      (103L, 3, Seq(0f, 0.2f, 0.9f, 0f)),  // same-label as 1 but cos < 0.35
+      (104L, 4, Seq(0f, 0.9f, 0.1f, 0f)),  // negative for 1 (unused: 1 has no pos)
+      (105L, 5, Seq(0f, 0f, 0.99f, 0.01f)))// positive for 2
+    val d = Files.createTempDirectory("triplets").toString
+    vecs.toDF("vec_id", "label", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+
+    // brute-force reference mirroring the operator's rounding contract:
+    // round cosine to 1e-6 FIRST, argmax by (cosr, -cid)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Seq[Float], b: Seq[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    def cos(a: Seq[Float], b: Seq[Float]) =
+      r6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    val expected = vecs.filter(_._1 < 50).flatMap { case (qid, ql, qv) =>
+      val cands = vecs.filter(_._1 != qid)
+        .map { case (cid, cl, cv) => (cid, cl, cos(qv, cv)) }
+      val pos = cands.filter(c => c._2 == ql && c._3 >= 0.35)
+        .sortBy(c => (-c._3, c._1)).headOption
+      val neg = cands.filter(_._2 != ql)
+        .sortBy(c => (-c._3, c._1)).headOption
+      for (p <- pos; g <- neg)
+        yield (qid, p._1, p._3, g._1, g._3, r6(p._3 - g._3))
+    }
+    val got = SparkEntry.queries("q158_triplet_mining")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expected, s"got=$got\nexpected=$expected")
+    // the designed cases actually bit:
+    val byQ = got.map(t => t._1 -> t).toMap
+    assert(byQ(0L)._6 < 0, "anchor 0's hard negative outranks its positive")
+    assert(!byQ.contains(1L), "anchor without a qualifying positive must be dropped")
+    assert(byQ(2L)._2 == 105L && byQ(2L)._6 > 0)
+  }
 }
