@@ -29,6 +29,21 @@ object RetrievalOps {
 
   private val toksCte = Dedup.toksCteSql
 
+  /** q159's literal trained merge table, ascending rank. WELL-FORMED:
+    * every composite operand (th, an) is produced by an earlier rank,
+    * the property that makes one ascending replace pass per merge the
+    * canonical greedy encode. */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+    "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+
+  /** The same chain spelled for DuckDB — generated from [[bpeMerges]]
+    * so the two engines cannot diverge on the tokenizer. */
+  private val bpeDuckChain: String = bpeMerges.foldLeft(
+    "concat(' ', array_to_string(list_filter(string_split_regex(tok, ''), c -> c <> ''), '  '), ' ')") {
+    case (acc, (x, y)) => s"replace($acc, ' $x  $y ', ' $x$y ')"
+  }
+
   // ---- BM25 constants (Robertson/Spärck Jones defaults) ------------
   private val K1 = 1.2
   private val B = 0.75
@@ -413,6 +428,64 @@ object RetrievalOps {
                   END AS l
                 FROM lc)
         SELECT doc_id, CAST(MAX(l) AS INT) AS longest_repeat
-        FROM lcp GROUP BY doc_id ORDER BY doc_id"""))
+        FROM lcp GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- BPE tokenizer APPLICATION (q159) ----------------------------
+    // The other half of the q147/q148 tokenizer story: ENCODE the
+    // corpus with a trained merge table. Encoding is "apply merges in
+    // rank order, leftmost non-overlapping" — for a WELL-FORMED merge
+    // table (every composite operand produced by an earlier merge,
+    // which BPE training guarantees and this literal table satisfies:
+    // th<the, an<and) one ascending pass per merge is exactly the
+    // canonical greedy encode, so the whole tokenizer is a chain of
+    // codegen'd string `replace`s, no UDF and no loop. Symbols are
+    // self-delimited (' sym ' with two-space gaps) so a pair pattern
+    // ' x  y ' can neither match inside a longer symbol ('h e' inside
+    // 'th e') nor consume a neighbor's boundary space (' a  a  a  a '
+    // merges to BOTH ' aa ' pairs in one scan).
+    //
+    // Scale: the classic word-cache shape — each DISTINCT (source,
+    // word) is encoded ONCE (HF tokenizers' cache, as dataflow): the
+    // token stream collapses in a partial-combined (source, word)
+    // aggregate BEFORE the replace chain runs, so encode cost is
+    // vocab-scale, not token-scale; the final per-source rollup is a
+    // second partial-combined aggregate over vocab-scale rows. Both
+    // engines run the IDENTICAL chain (generated from one merge list,
+    // spelled per engine), so tokenization cannot diverge.
+    Q("q159_bpe_encode",
+      (s, dir) => {
+        import s.implicits._
+        val chain = bpeMerges.foldLeft(
+          "concat(' ', array_join(filter(split(tok, ''), c -> c <> ''), '  '), ' ')") {
+          case (acc, (x, y)) => s"replace($acc, ' $x  $y ', ' $x$y ')"
+        }
+        val wc = Dedup.withToks(documents(s, dir))
+          .select($"source", explode($"toks").as("tok"))
+          .filter(length($"tok") > 0)
+          .groupBy($"source", $"tok").agg(count(lit(1)).as("cnt"))
+        wc.withColumn("nsym", size(split(trim(expr(chain)), "  ")).cast(LongType))
+          .groupBy($"source")
+          .agg(sum($"cnt").as("n_words"),
+            sum($"cnt" * length($"tok")).as("n_chars"),
+            sum($"cnt" * $"nsym").as("bpe_tokens"),
+            round(sum($"cnt" * length($"tok")).cast(DoubleType) /
+              sum($"cnt" * $"nsym"), 6).as("chars_per_token"))
+          .orderBy($"source")
+      },
+      Some(s"""
+        WITH $toksCte,
+        tx AS (SELECT source, unnest(w) AS tok FROM toksc),
+        wc AS (SELECT source, tok, COUNT(*) AS cnt
+               FROM tx WHERE len(tok) > 0 GROUP BY source, tok),
+        enc AS (SELECT source, tok, cnt,
+                  len(string_split(trim($bpeDuckChain), '  ')) AS nsym
+                FROM wc)
+        SELECT source,
+          CAST(SUM(cnt) AS BIGINT) AS n_words,
+          CAST(SUM(cnt * len(tok)) AS BIGINT) AS n_chars,
+          CAST(SUM(cnt * nsym) AS BIGINT) AS bpe_tokens,
+          ROUND(CAST(SUM(cnt * len(tok)) AS DOUBLE) / SUM(cnt * nsym), 6)
+            AS chars_per_token
+        FROM enc GROUP BY source ORDER BY source"""))
   )
 }

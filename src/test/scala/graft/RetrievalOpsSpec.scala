@@ -190,4 +190,45 @@ class RetrievalOpsSpec extends SparkSuite {
       .agg(avg(when(col("lang") === "en", 1.0).otherwise(0.0))).head().getDouble(0)
     assert(enShare >= 0.5, s"top-20 importance docs only $enShare English")
   }
+
+  test("q159 replace-chain encode equals CANONICAL greedy BPE (one pair at a time, lowest rank leftmost)") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // the q159 merge table, duplicated here as the independent reference
+    val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+      "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+    val rank = merges.zipWithIndex.toMap
+    def bpeRef(word: String): Vector[String] = {
+      var syms = word.map(_.toString).toVector
+      var go = true
+      while (go) {
+        val cands = syms.indices.dropRight(1)
+          .flatMap(i => rank.get((syms(i), syms(i + 1))).map(r => (r, i)))
+        if (cands.isEmpty) go = false
+        else {
+          val (_, i) = cands.min
+          syms = (syms.take(i) :+ (syms(i) + syms(i + 1))) ++ syms.drop(i + 2)
+        }
+      }
+      syms
+    }
+    // words chosen to exercise chained merges (the), composites feeding
+    // later ranks (anand -> an/and), repeats (ererer), and no-ops
+    val words = Seq("the", "theother", "anand", "and", "inner",
+      "ererer", "bandana", "xyz", "a1n", "thethe")
+    val d = Files.createTempDirectory("bpeenc").toString
+    words.zipWithIndex.map { case (w, i) =>
+      (i.toLong, w, "en", s"s$i", w.length.toLong) } // one source per word
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("q159_bpe_encode")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    words.zipWithIndex.foreach { case (w, i) =>
+      assert(got(s"s$i") == bpeRef(w).size.toLong,
+        s"'$w': operator ${got(s"s$i")} vs canonical ${bpeRef(w)}")
+    }
+    // the well-formedness property actually bit: 'anand' needs the
+    // rank-4 'an' composite before rank-5 (an,d) can fire
+    assert(bpeRef("anand") == Vector("an", "and"))
+  }
 }
