@@ -1596,6 +1596,89 @@ object AnalyticsOps {
         UNION ALL SELECT 'price_nonpos', price_nonpos, price_nonpos = 0 FROM m
         UNION ALL SELECT 'qty_range', qty_range, qty_range = 0 FROM m
         UNION ALL SELECT 'ri_orphans', ri_orphans, ri_orphans = 0 FROM m
-        ORDER BY "check" """))
+        ORDER BY "check" """)),
+
+    // ---- k-core decomposition by bounded peeling (q160) --------------
+    // Graph curation's standard spam/periphery filter (web-graph and
+    // social-graph pipelines): iteratively remove nodes of degree < k
+    // until the k-core remains. Rounds are FIXED (6) and the published
+    // output is the per-round (nodes, edges) survivor census — the
+    // fixpoint is visible as adjacent equal rows, and a graph whose
+    // peel hasn't stabilized by round 5 shows that honestly instead of
+    // hiding a data-dependent driver loop (the q148 lesson: bounded
+    // rounds + self-certifying output beats unbounded convergence).
+    // Graph = q140's customer-supplier trading graph, k = 30 (just
+    // under this graph's median degree, so the peel genuinely
+    // cascades: removing a median node pushes neighbors below k).
+    //
+    // Scale: each round is ONE degree aggregate (partial-combined,
+    // node-keyed) + two semi-joins against the >= k survivor set —
+    // the same per-round cost as a q140 iteration; per-round frames
+    // are lazily localCheckpointed (the q66 pattern) so round r+1
+    // reads materialized blocks instead of recomputing rounds 0..r,
+    // and the census rows are 1-row aggregates crossJoined
+    // broadcast-style. No driver-side convergence loop: 6 rounds is
+    // the plan, not a runtime decision.
+    Q("q160_kcore",
+      (s, dir) => {
+        import s.implicits._
+        val k = 30
+        val rounds = 6
+        val eo = orders(s, dir)
+          .join(lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+          .select(concat(lit("c"), $"o_custkey").as("a"),
+            concat(lit("s"), $"l_suppkey").as("b")).distinct()
+          .localCheckpoint(false)
+        def degs(e: DataFrame): DataFrame =
+          e.select($"a".as("n")).union(e.select($"b".as("n")))
+            .groupBy($"n").agg(count(lit(1)).as("dg"))
+        var e = eo
+        var out: DataFrame = null
+        for (r <- 0 until rounds) {
+          val d = degs(e).localCheckpoint(false)
+          val row = d.agg(count(lit(1)).as("n_nodes"))
+            .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+            .select(lit(r).as("round"), $"n_nodes", $"n_edges")
+          out = if (out == null) row else out.union(row)
+          val keep = d.filter($"dg" >= k).select($"n")
+          e = e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+            .localCheckpoint(false)
+        }
+        out.orderBy($"round")
+      },
+      Some("""
+        WITH e0 AS MATERIALIZED (SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        d0 AS MATERIALIZED (SELECT n, COUNT(*) AS dg FROM
+                 (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n),
+        e1 AS MATERIALIZED (SELECT * FROM e0 WHERE a IN (SELECT n FROM d0 WHERE dg >= 30)
+                                  AND b IN (SELECT n FROM d0 WHERE dg >= 30)),
+        d1 AS MATERIALIZED (SELECT n, COUNT(*) AS dg FROM
+                 (SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1) GROUP BY n),
+        e2 AS MATERIALIZED (SELECT * FROM e1 WHERE a IN (SELECT n FROM d1 WHERE dg >= 30)
+                                  AND b IN (SELECT n FROM d1 WHERE dg >= 30)),
+        d2 AS MATERIALIZED (SELECT n, COUNT(*) AS dg FROM
+                 (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) GROUP BY n),
+        e3 AS MATERIALIZED (SELECT * FROM e2 WHERE a IN (SELECT n FROM d2 WHERE dg >= 30)
+                                  AND b IN (SELECT n FROM d2 WHERE dg >= 30)),
+        d3 AS MATERIALIZED (SELECT n, COUNT(*) AS dg FROM
+                 (SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3) GROUP BY n),
+        e4 AS MATERIALIZED (SELECT * FROM e3 WHERE a IN (SELECT n FROM d3 WHERE dg >= 30)
+                                  AND b IN (SELECT n FROM d3 WHERE dg >= 30)),
+        d4 AS MATERIALIZED (SELECT n, COUNT(*) AS dg FROM
+                 (SELECT a AS n FROM e4 UNION ALL SELECT b FROM e4) GROUP BY n),
+        e5 AS MATERIALIZED (SELECT * FROM e4 WHERE a IN (SELECT n FROM d4 WHERE dg >= 30)
+                                  AND b IN (SELECT n FROM d4 WHERE dg >= 30)),
+        d5 AS MATERIALIZED (SELECT n, COUNT(*) AS dg FROM
+                 (SELECT a AS n FROM e5 UNION ALL SELECT b FROM e5) GROUP BY n)
+        SELECT 0 AS round, (SELECT CAST(COUNT(*) AS BIGINT) FROM d0) AS n_nodes,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges
+        UNION ALL SELECT 1, (SELECT COUNT(*) FROM d1), (SELECT COUNT(*) FROM e1)
+        UNION ALL SELECT 2, (SELECT COUNT(*) FROM d2), (SELECT COUNT(*) FROM e2)
+        UNION ALL SELECT 3, (SELECT COUNT(*) FROM d3), (SELECT COUNT(*) FROM e3)
+        UNION ALL SELECT 4, (SELECT COUNT(*) FROM d4), (SELECT COUNT(*) FROM e4)
+        UNION ALL SELECT 5, (SELECT COUNT(*) FROM d5), (SELECT COUNT(*) FROM e5)
+        ORDER BY round"""))
   )
 }

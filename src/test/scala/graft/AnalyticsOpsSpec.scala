@@ -661,4 +661,54 @@ class AnalyticsOpsSpec extends SparkSuite {
     // the epsilon-band gate itself: every sketch estimate within 5%
     got.foreach { case (k, _, ok) => assert(ok, s"$k sketch out of band") }
   }
+
+  test("q160 peel census equals a brute-force k-core reference, with a genuinely multi-round cascade") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // stable core + a DOMINO CHAIN that peels exactly one node per
+    // round: K(40,40) core (deg >= 40, never peels), then customers
+    // D0..D2 (ids 100..102) and suppliers T0..T1 (ids 100..101) where
+    // D0 has deg 29 (< k, dies round 1) and each later domino has deg
+    // exactly 30 INCLUDING one edge to the previous domino — so every
+    // peel pushes the next node below k, one round at a time
+    val core = for (c <- 0 until 40; s <- 0 until 40) yield (c.toLong, s.toLong)
+    // chain links (each counts for BOTH endpoints):
+    //   D0 -l1- T0 -l2- D1 -l3- T1 -l4- D2
+    // degrees: D0 = l1+28core = 29 (< k); middles = 2 links + 28 core
+    // = 30; D2 = l4 + 29 core = 30
+    val dominoes =
+      ((100L, 100L) +: (0 until 28).map(s => (100L, s.toLong))) ++   // D0 (+l1)
+        (0 until 28).map(c => (c.toLong, 100L)) ++                   // T0 core (l1+l2 elsewhere)
+        ((101L, 100L) +: (0 until 28).map(s => (101L, s.toLong))) ++ // l2 + D1 core
+        ((101L, 101L) +: (0 until 28).map(c => (c.toLong, 101L))) ++ // l3 + T1 core
+        ((102L, 101L) +: (0 until 29).map(s => (102L, s.toLong)))    // l4 + D2 core
+    val edges = core ++ dominoes
+    val d = Files.createTempDirectory("kcore").toString
+    edges.zipWithIndex.map { case ((c, _), k) => (k.toLong, c) }
+      .toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/orders.parquet")
+    edges.zipWithIndex.map { case ((_, sp), k) => (k.toLong, sp) }
+      .toDF("l_orderkey", "l_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+
+    // brute-force reference: the same fixed 6-round, k = 30 peel
+    def census(es: Seq[(String, String)]): (Long, Long) = {
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+      (nodes.size.toLong, es.size.toLong)
+    }
+    var cur = edges.map { case (c, s) => (s"c$c", s"s$s") }
+    val expected = (0 until 6).map { _ =>
+      val row = census(cur)
+      val deg = (cur.map(_._1) ++ cur.map(_._2)).groupBy(identity).view.mapValues(_.size)
+      val keep = deg.filter(_._2 >= 30).keySet
+      cur = cur.filter(e => keep(e._1) && keep(e._2))
+      row
+    }
+    val got = SparkEntry.queries("q160_kcore")(spark, d).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"got=$got expected=$expected")
+    // the domino chain bit: every round's census is DIFFERENT (one
+    // node peels per round — the multi-round cascade k-core exists for)
+    assert(expected.distinct.size == 6, s"cascade too shallow: $expected")
+  }
 }
