@@ -48,17 +48,7 @@ class MisraGries(m: Int)
 
   override def reduce(
       b: mutable.HashMap[String, Long], x: String): mutable.HashMap[String, Long] = {
-    if (x == null) return b
-    b.get(x) match {
-      case Some(c) => b.update(x, c + 1)
-      case None if b.size < m => b.update(x, 1L)
-      case None =>
-        // decrement-all: evict zeros, do not insert x
-        val dead = mutable.ArrayBuffer.empty[String]
-        b.mapValuesInPlace((_, c) => c - 1)
-        b.foreach { case (k, c) => if (c <= 0) dead += k }
-        dead.foreach(b.remove)
-    }
+    MisraGries.observe(b, x, m)
     b
   }
 
@@ -88,6 +78,26 @@ class MisraGries(m: Int)
 }
 
 object MisraGries {
+  /** The classic counter update — increment a held counter, insert
+    * while capacity remains, else decrement ALL (zeros evicted, the
+    * new item NOT inserted). Shared by the batch Aggregator and the
+    * streaming skew monitor (`StreamOps.skewMonitor`): ONE source of
+    * truth for the summary semantics, so the q131 error bound applies
+    * identically to both forms. */
+  private[graft] def observe(
+      b: mutable.HashMap[String, Long], x: String, m: Int): Unit = {
+    if (x == null) return
+    b.get(x) match {
+      case Some(c) => b.update(x, c + 1)
+      case None if b.size < m => b.update(x, 1L)
+      case None =>
+        val dead = mutable.ArrayBuffer.empty[String]
+        b.mapValuesInPlace((_, c) => c - 1)
+        b.foreach { case (k, c) => if (c <= 0) dead += k }
+        dead.foreach(b.remove)
+    }
+  }
+
   /** Column API: `tokens.agg(MisraGries.summary($"tok", 256))` →
     * one `map<string,bigint>` of ≤ 256 candidate heavy hitters. */
   def summary(c: Column, m: Int): Column = udaf(new MisraGries(m)).apply(c)

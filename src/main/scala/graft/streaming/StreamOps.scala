@@ -133,6 +133,57 @@ object StreamOps {
   final case class PackSpan(source: String, chunk: Long, doc_id: Long,
       doc_off: Long, n_tok: Long, chunk_off: Long)
 
+  final case class KeyObs(shard: Int, key: String)
+  final case class MgState(counters: Map[String, Long], n: Long)
+  final case class ShardHeavy(shard: Int, key: String, est: Long, n: Long, bound: Long)
+
+  /** Streaming heavy-key monitor [EXT] — the incremental form of
+    * q157's skew advisor and q131's heavy hitters: per key-space
+    * SHARD, a Misra–Gries summary rides flatMapGroupsWithState. State
+    * is at most `m` counters + one Long per shard — O(shards × m)
+    * TOTAL no matter how much history has flowed — and never times
+    * out (the q76 forever-index contract: a skew monitor that forgot
+    * history would under-report steady heavy keys).
+    *
+    * Every trigger emits the shard's counters with est > n/(m+1),
+    * each row carrying (est, n, bound) so the guarantee is
+    * self-certifying: est ≤ true always, so an emitted key REALLY
+    * exceeds the bound (no false heavies), and any key with
+    * true > 2n/(m+1) is always emitted (est ≥ true − n/(m+1) >
+    * bound). Exact counter values legitimately vary with arrival
+    * order — only the bound-facts are contracts, the q131 doctrine.
+    *
+    * Sharding IS the scale contract: observations partition across
+    * shards (callers hash the key, `pmod(xxhash64(key), lit(shards))`)
+    * so no single task becomes the hot-spot the monitor exists to
+    * detect; cross-shard totals merge downstream with the q131 batch
+    * aggregate, MG summaries being mergeable (PODS '12). The counter
+    * update is [[graft.functions.MisraGries.observe]] — ONE source of
+    * truth with the batch Aggregator, so the error bound is the same
+    * theorem in both forms. */
+  def skewMonitor(obs: Dataset[KeyObs], m: Int = 64): Dataset[ShardHeavy] = {
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.shard)
+      .flatMapGroupsWithState[MgState, ShardHeavy](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[KeyObs], state: GroupState[MgState]) =>
+          val st = state.getOption.getOrElse(MgState(Map.empty, 0L))
+          val b = scala.collection.mutable.HashMap(st.counters.toSeq: _*)
+          var n = st.n
+          rows.foreach { r =>
+            if (r.key != null) {
+              graft.functions.MisraGries.observe(b, r.key, m)
+              n += 1
+            }
+          }
+          state.update(MgState(b.toMap, n))
+          val bound = n / (m + 1)
+          b.toSeq.filter(_._2 > bound).sortBy(_._1)
+            .map { case (k, est) => ShardHeavy(shard, k, est, n, bound) }
+            .iterator
+      }
+  }
+
   /** Streaming GPT-style sequence packing — the streaming form of
     * q153: per source, an arriving doc stream is cut into fixed
     * `ctx`-token chunks with docs SPLIT across chunk boundaries, and

@@ -548,4 +548,50 @@ class StreamingSpec extends SparkSuite {
         s"$src chunk $c not fully tiled")
     }
   }
+
+  test("streaming skewMonitor: MG bounds hold across batches, state accumulates, shards isolate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val m = 4
+    val input = MemoryStream[StreamOps.KeyObs]
+    val q = StreamOps.skewMonitor(input.toDS(), m)
+      .writeStream.format("memory").queryName("heavies")
+      .outputMode("append").start()
+
+    // batch 1: shard 0 — 'hot' dominates over 10 singletons; shard 1 quiet
+    input.addData(
+      (Seq.fill(30)(StreamOps.KeyObs(0, "hot")) ++
+        (1 to 10).map(i => StreamOps.KeyObs(0, s"k$i")) ++
+        Seq.fill(3)(StreamOps.KeyObs(1, "other"))): _*)
+    q.processAllAvailable()
+    val b1 = spark.table("heavies").as[StreamOps.ShardHeavy].collect().toSeq
+    // batch 2: 'hot' keeps flowing, 'warm' arrives — STATE must carry over
+    input.addData(
+      (Seq.fill(20)(StreamOps.KeyObs(0, "hot")) ++
+        Seq.fill(15)(StreamOps.KeyObs(0, "warm"))): _*)
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("heavies").as[StreamOps.ShardHeavy].collect().toSeq
+    val b2 = all.diff(b1)
+
+    val true1 = Map("hot" -> 30L); val n1 = 40L
+    val true2 = Map("hot" -> 50L, "warm" -> 15L); val n2 = 75L
+    // batch-1 shard 0: n and bound right; est in [true - n/(m+1), true]
+    val h1 = b1.filter(r => r.shard == 0 && r.key == "hot")
+    assert(h1.size == 1 && h1.head.n == n1 && h1.head.bound == n1 / (m + 1))
+    assert(h1.head.est <= true1("hot") && h1.head.est >= true1("hot") - n1 / (m + 1))
+    // batch 2 reflects CUMULATIVE counts (state survived the trigger)
+    val h2 = b2.filter(r => r.shard == 0 && r.key == "hot")
+    assert(h2.size == 1 && h2.head.n == n2, s"state lost: $b2")
+    assert(h2.head.est <= true2("hot") && h2.head.est >= true2("hot") - n2 / (m + 1))
+    assert(h2.head.est > h1.head.est, "est did not grow with the stream")
+    // guarantee direction: every emitted key's TRUE count exceeds the bound
+    b2.filter(_.shard == 0).foreach { r =>
+      assert(true2.getOrElse(r.key, 0L) > r.bound,
+        s"${r.key} emitted but not truly heavy") }
+    // 'hot' is >2x bound in both batches -> MUST be emitted (completeness)
+    assert(true2("hot") > 2 * (n2 / (m + 1)) && h2.nonEmpty)
+    // shard isolation: shard 1 never saw shard 0's keys
+    assert(all.filter(_.shard == 1).forall(_.key == "other"))
+  }
 }
