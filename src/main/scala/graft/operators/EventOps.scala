@@ -304,21 +304,85 @@ object EventOps {
     Q("q155_scd2_history",
       (s, dir) => {
         import s.implicits._
-        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-        events(s, dir).select($"user_id", $"event_id", $"ts", $"event_type")
-          .withColumn("prev", lag($"event_type", 1).over(w))
-          .filter($"prev".isNull || $"prev" =!= $"event_type")
-          .withColumn("version", row_number().over(w))
-          .withColumn("next_ts", lead($"ts", 1).over(w))
-          .select($"user_id", $"version", $"event_type".as("state"),
-            unix_micros($"ts").as("valid_from"),
-            unix_micros($"next_ts").as("valid_to"),
-            $"next_ts".isNull.as("is_current"))
+        scd2(s, dir)
+          .withColumn("is_current", $"valid_to".isNull)
           .orderBy($"user_id", $"version")
       },
-      Some("""
-        WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
-                    FROM events),
+      Some(s"""
+        WITH $scd2Cte
+        SELECT user_id, version, state,
+          CAST(valid_from AS BIGINT) AS valid_from,
+          CAST(valid_to AS BIGINT) AS valid_to,
+          (valid_to IS NULL) AS is_current
+        FROM hist ORDER BY user_id, version""")),
+
+    // ---- point-in-time-correct enrichment join (q161) ----------------
+    // The feature-store join that prevents training-serving LEAKAGE
+    // (Feast's get_historical_features semantics): each fact row is
+    // enriched with the dimension version that was valid AT ITS EVENT
+    // TIME — never the current one, never a future one. Dimension =
+    // q155's SCD-2 history; facts = the event stream itself, which
+    // makes the contract self-checking: intervals are half-open
+    // [valid_from, valid_to) and per-user disjoint, so EVERY event
+    // matches exactly one version (same-timestamp transitions create
+    // empty intervals that match nothing) and the output row count
+    // must equal the event count — the oracle's row-count compare
+    // enforces completeness, its cell compare enforces correctness.
+    //
+    // Scale: an EQUI-join on user_id (the stream's natural
+    // distribution) with the interval test as a post-probe residual —
+    // per-user version counts are bounded by the change rate, so the
+    // residual scans a handful of versions per probe; never an
+    // unbounded range join, never a broadcast hint (both sides are
+    // corpus-derived; the history is usually the small side and AQE
+    // may broadcast it when it measures small).
+    Q("q161_pit_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir).select($"event_id", $"user_id",
+          unix_micros($"ts").as("ts_us"), $"event_type")
+        val dim = scd2(s, dir)
+          .select($"user_id", $"version", $"state", $"valid_from", $"valid_to")
+        ev.join(dim, Seq("user_id"))
+          .filter($"ts_us" >= $"valid_from" &&
+            ($"valid_to".isNull || $"ts_us" < $"valid_to"))
+          .select($"event_id", $"user_id", $"ts_us", $"event_type",
+            $"state", $"version")
+          .orderBy($"event_id")
+      },
+      Some(s"""
+        WITH $scd2Cte
+        SELECT e.event_id, e.user_id, epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us,
+          e.event_type, h.state, h.version
+        FROM events e JOIN hist h ON h.user_id = e.user_id
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= h.valid_from
+          AND (h.valid_to IS NULL OR epoch_us(CAST(e.ts AS TIMESTAMP)) < h.valid_to)
+        ORDER BY e.event_id"""))
+  )
+
+  /** q155's SCD-2 history build, shared with q161's point-in-time
+    * join: per user, consecutive-duplicate states collapse, change
+    * points are versioned, each interval closes at the next change
+    * (NULL valid_to = current). Both windows ride ONE user_id
+    * exchange; timestamps are epoch micros (cross-engine-exact). */
+  private def scd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(s, dir).select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"event_type")
+      .withColumn("version", row_number().over(w))
+      .withColumn("next_ts", lead($"ts", 1).over(w))
+      .select($"user_id", $"version", $"event_type".as("state"),
+        unix_micros($"ts").as("valid_from"),
+        unix_micros($"next_ts").as("valid_to"))
+  }
+
+  /** Oracle twin of [[scd2]], ending in `hist(user_id, version, state,
+    * valid_from, valid_to)` — one source of truth for both oracles. */
+  private val scd2Cte: String = """
+        ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+               FROM events),
         ch AS (SELECT user_id, event_id, ts, event_type,
                  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
                FROM ev),
@@ -329,11 +393,5 @@ object EventOps {
                    event_type AS state,
                    epoch_us(ts) AS valid_from,
                    epoch_us(LEAD(ts) OVER w) AS valid_to
-                 FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-        SELECT user_id, version, state,
-          CAST(valid_from AS BIGINT) AS valid_from,
-          CAST(valid_to AS BIGINT) AS valid_to,
-          (valid_to IS NULL) AS is_current
-        FROM hist ORDER BY user_id, version"""))
-  )
+                 FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))"""
 }

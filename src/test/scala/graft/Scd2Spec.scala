@@ -46,4 +46,36 @@ class Scd2Spec extends SparkSuite {
       }
     }
   }
+
+  test("q161 point-in-time join: complete, leakage-free, and transition events see their NEW state") {
+    val ev = graft.operators.Tables.events(spark, dir)
+      .selectExpr("event_id", "user_id", "unix_micros(ts) AS us", "event_type")
+      .collect().toSeq
+      .map { case Row(e: Long, u: Long, us: Long, t: String) => (e, u, us, t) }
+    val got = SparkEntry.queries("q161_pit_join")(spark, dir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4), r.getInt(5)))
+
+    // completeness: every event enriched exactly once
+    assert(got.size == ev.size, s"${got.size} enriched rows for ${ev.size} events")
+    assert(got.map(_._1).distinct.size == got.size, "an event matched two versions")
+
+    // the temporal-correctness reference: per user, derive the change
+    // list, then the in-effect state at an event is the LAST change
+    // at-or-before its timestamp — including a later change at the
+    // SAME instant (two transitions at one timestamp leave an empty
+    // [t, t) interval; the final state of the instant governs it).
+    // The transition event sees the state it just opened — never the
+    // previous one, never a future one: the leakage property.
+    val inEffect = ev.groupBy(_._2).flatMap { case (_, es) =>
+      val ordered = es.sortBy(x => (x._3, x._1))
+      val changes = ordered.foldLeft(Vector.empty[(Long, String)]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last._2 == x._4) acc else acc :+ ((x._3, x._4))
+      }
+      ordered.map(e => e._1 -> changes.takeWhile(_._1 <= e._3).last._2)
+    }
+    got.foreach { case (eid, _, _, _, state, _) =>
+      assert(state == inEffect(eid), s"event $eid enriched with wrong-era state")
+    }
+  }
 }
