@@ -1635,7 +1635,14 @@ object AnalyticsOps {
         var e = eo
         var out: DataFrame = null
         for (r <- 0 until rounds) {
-          val d = degs(e).localCheckpoint(false)
+          // deg is consumed twice (census + keep) but NOT checkpointed:
+          // a degree aggregate over the checkpointed edge blocks costs
+          // the same recomputed as materialized (measured at sf0.1 —
+          // 6.0 s min both ways; the round cost is exchange latency,
+          // not this frame), so prefer the form with less block-store
+          // state. e itself MUST checkpoint: round r+1's lineage would
+          // otherwise re-run every earlier round per census row.
+          val d = degs(e)
           val row = d.agg(count(lit(1)).as("n_nodes"))
             .crossJoin(e.agg(count(lit(1)).as("n_edges")))
             .select(lit(r).as("round"), $"n_nodes", $"n_edges")

@@ -123,4 +123,35 @@ class DedupSpec extends SparkSuite {
     assert(want(4L)._2 == 2L)  // within-doc repeat: two spans (gap > k apart is false here — one island would mean the gap merged; assert the ref itself)
     assert(want(5L)._3 == 0L)  // unique doc: zero coverage
   }
+
+  test("q156 randomized sweep: seeded corpora with shared phrases at random offsets match the reference") {
+    import spark.implicits._
+    // docs alternate unique noise with randomly-chosen SHARED phrases
+    // (>= window length), so duplicate runs appear at arbitrary
+    // offsets and adjacencies — probing island-merge edges a crafted
+    // corpus can miss
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val phrases = Vector.tabulate(3)(p => Seq.tabulate(16 + rnd.nextInt(8))(j => s"p${p}w$j"))
+      var uid = 0
+      val docs = (0 until 12).map { i =>
+        val segs = (0 to rnd.nextInt(3)).map { _ =>
+          val noise = Seq.fill(rnd.nextInt(12)) { uid += 1; s"u$uid" }
+          noise ++ (if (rnd.nextBoolean()) phrases(rnd.nextInt(3)) else Seq.empty)
+        }
+        (i.toLong, segs.flatten.mkString(" ")) // may be empty or sub-window
+      }
+      val d = Files.createTempDirectory(s"exsub$seed").toString
+      docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+      val got = SparkEntry.queries("q156_exact_substr")(spark, d).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      val want = exactSubstrRef(docs, 16)
+      assert(got == want, s"seed $seed:\ngot $got\nwant $want")
+      // the sweep is only meaningful if collisions actually happened
+      assert(want.values.exists(_._3 > 0), s"seed $seed produced no duplicate windows")
+    }
+  }
 }
