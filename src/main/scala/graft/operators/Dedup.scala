@@ -415,7 +415,7 @@ object Dedup {
     // the precise failure mode ExactSubstr dedup (Lee et al.,
     // "Deduplicating Training Data Makes Language Models Better",
     // ACL '22) addresses with suffix arrays. The relational
-    // equivalent: EVERY k-token window (stride 1) is keyed by a 16-hex
+    // equivalent: EVERY k-token window (stride 1) is keyed by its full
     // md5; a window occurring more than once corpus-wide (within-doc
     // repeats count, as in the paper) marks its k positions
     // duplicated; per doc, overlapping-or-adjacent marked intervals
@@ -425,7 +425,7 @@ object Dedup {
     // this corpus averages ~54 tokens/doc.
     //
     // Scale: the window stream is token-scale with a fixed-width
-    // (16-hex + int) payload; the occurrence aggregate
+    // (32-hex + int) payload; the occurrence aggregate
     // partial-combines (a boilerplate window repeated 1e9 times
     // contributes ONE row per input partition to its exchange); the
     // occ > 1 filter runs BEFORE the join-back, so the probe side
@@ -451,9 +451,17 @@ object Dedup {
         import org.apache.spark.sql.expressions.Window
         val k = 16
         val base = withToks(documents(s, dir))
+        // FULL 128-bit digest, unlike q119's 16-hex idiom: q156's key
+        // population is stride-1 (token-scale — 1e12 windows at
+        // 100 TB), where a 64-bit key has a real birthday-collision
+        // probability (~3% at 1e9 keys) that would silently mark
+        // unique windows duplicated; at 2^128 the bound is negligible
+        // at any corpus size. Any residual collision is still
+        // cross-engine-identical (same md5 both sides), so the oracle
+        // could never diverge — only the exactness claim could.
         val wins = base
           .select($"doc_id", posexplode(expr(gramArraySql(k))))
-          .select($"doc_id", $"pos", substring(md5($"col"), 1, 16).as("h"))
+          .select($"doc_id", $"pos", md5($"col").as("h"))
         val dupKeys = wins.groupBy($"h").agg(count(lit(1)).as("occ"))
           .filter($"occ" > 1).select($"h")
         val w = Window.partitionBy($"doc_id").orderBy($"pos")
@@ -482,7 +490,7 @@ object Dedup {
       Some(s"""
         WITH $toksCteSql,
         wins AS (SELECT doc_id, i AS pos,
-            substr(md5(array_to_string(list_slice(w, i + 1, i + 16), ' ')), 1, 16) AS h
+            md5(array_to_string(list_slice(w, i + 1, i + 16), ' ')) AS h
           FROM toksc, UNNEST(range(0, len(w) - 15)) AS t(i)),
         dupk AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1),
         dup AS (SELECT doc_id, pos FROM wins JOIN dupk USING (h)),

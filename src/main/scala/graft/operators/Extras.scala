@@ -948,7 +948,13 @@ object Extras {
               $"heavy_key", $"p99_cnt",
               round($"max_cnt".cast(DoubleType) * $"n_keys" / $"n_rows", 6)
                 .as("skew_ratio"),
-              expr("CAST(least(64, (max_cnt * n_keys + n_rows - 1) div n_rows) AS BIGINT)")
+              // ceil over the DOUBLE ratio, not an integer product:
+              // max_cnt * n_keys wraps 64-bit arithmetic at exactly
+              // the extreme fact sides this advisor targets (1e10 max
+              // over 1e9 keys > Long.Max) — a wrapped product would
+              // recommend a NEGATIVE salt. Both engines evaluate the
+              // identical double expression, so they cannot diverge.
+              expr("CAST(least(64, CAST(ceil(CAST(max_cnt AS DOUBLE) * n_keys / n_rows) AS BIGINT)) AS BIGINT)")
                 .as("salt_buckets"))
         audit(lineitem(s, dir), "l_orderkey", "lineitem.l_orderkey")
           .union(audit(lineitem(s, dir), "l_suppkey", "lineitem.l_suppkey"))
@@ -969,7 +975,7 @@ object Extras {
           CAST(-((MAX({'c': cnt, 'nk': -k})).nk) AS BIGINT) AS heavy_key,
           ROUND(QUANTILE_CONT(cnt, 0.99), 6) AS p99_cnt,
           ROUND(CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / SUM(cnt), 6) AS skew_ratio,
-          CAST(LEAST(64, (MAX(cnt) * COUNT(*) + SUM(cnt) - 1) // SUM(cnt)) AS BIGINT)
+          CAST(LEAST(64, CAST(CEIL(CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / SUM(cnt)) AS BIGINT)) AS BIGINT)
             AS salt_buckets
         FROM s1 GROUP BY rel ORDER BY rel"""))
   )

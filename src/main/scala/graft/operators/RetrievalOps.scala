@@ -37,12 +37,20 @@ object RetrievalOps {
     "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
     "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
 
-  /** The same chain spelled for DuckDB — generated from [[bpeMerges]]
-    * so the two engines cannot diverge on the tokenizer. */
-  private val bpeDuckChain: String = bpeMerges.foldLeft(
-    "concat(' ', array_to_string(list_filter(string_split_regex(tok, ''), c -> c <> ''), '  '), ' ')") {
-    case (acc, (x, y)) => s"replace($acc, ' $x  $y ', ' $x$y ')"
-  }
+  /** The q159 replace chain over a per-engine seed expression. The
+    * CHAIN construction — not just the merge list — is single-sourced
+    * here, because the self-delimiting invariant (each symbol wrapped
+    * in its own spaces, two-space gaps) is what the canonical-encode
+    * proof rests on: a delimiter edit on one engine must be a compile
+    * change on both. */
+  private def bpeChain(seed: String): String =
+    bpeMerges.foldLeft(seed) {
+      case (acc, (x, y)) => s"replace($acc, ' $x  $y ', ' $x$y ')"
+    }
+
+  /** The chain over DuckDB's spelling of the symbol string. */
+  private val bpeDuckChain: String = bpeChain(
+    "concat(' ', array_to_string(list_filter(string_split_regex(tok, ''), c -> c <> ''), '  '), ' ')")
 
   // ---- BM25 constants (Robertson/Spärck Jones defaults) ------------
   private val K1 = 1.2
@@ -455,10 +463,8 @@ object RetrievalOps {
     Q("q159_bpe_encode",
       (s, dir) => {
         import s.implicits._
-        val chain = bpeMerges.foldLeft(
-          "concat(' ', array_join(filter(split(tok, ''), c -> c <> ''), '  '), ' ')") {
-          case (acc, (x, y)) => s"replace($acc, ' $x  $y ', ' $x$y ')"
-        }
+        val chain = bpeChain(
+          "concat(' ', array_join(filter(split(tok, ''), c -> c <> ''), '  '), ' ')")
         val wc = Dedup.withToks(documents(s, dir))
           .select($"source", explode($"toks").as("tok"))
           .filter(length($"tok") > 0)

@@ -57,14 +57,25 @@ object Similarity {
     * self-exclusion, k) can't silently diverge the two. */
   private def knnTop5(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val w = Window.partitionBy($"qid").orderBy($"cosr".desc, $"cid")
+    probeScored(s, dir).withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+  }
+
+  /** The rounded-cosine scored-pair frame of the fixed probe set
+    * (vec_id < 50) against the corpus: broadcast probe × corpus,
+    * self-pairs excluded, cosine rounded to 1e-6 BEFORE any
+    * ranking/threshold decision. Single source of truth for
+    * [[knnTop5]] (q34/q87) and q158's triplet legs, so an edit to the
+    * probe predicate, rounding precision, or self-exclusion cannot
+    * silently diverge the neighbor definition between them. */
+  private def probeScored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val e = prepared(s, dir)
     val q = e.filter($"vec_id" < 50)
       .select($"vec_id".as("qid"), $"label".as("qlabel"), $"v".as("av"), $"nrm".as("na"))
     val c = e.select($"vec_id".as("cid"), $"label".as("clabel"), $"v".as("bv"), $"nrm".as("nb"))
-    val scored = broadcast(q).join(c, $"qid" =!= $"cid")
+    broadcast(q).join(c, $"qid" =!= $"cid")
       .withColumn("cosr", round(expr(dotExpr) / ($"na" * $"nb"), 6))
-    val w = Window.partitionBy($"qid").orderBy($"cosr".desc, $"cid")
-    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
   }
 
   /** Matching oracle CTE, ending in
@@ -632,14 +643,7 @@ object Similarity {
     Q("q158_triplet_mining",
       (s, dir) => {
         import s.implicits._
-        val e = prepared(s, dir)
-        val q = e.filter($"vec_id" < 50)
-          .select($"vec_id".as("qid"), $"label".as("qlabel"),
-            $"v".as("av"), $"nrm".as("na"))
-        val c = e.select($"vec_id".as("cid"), $"label".as("clabel"),
-          $"v".as("bv"), $"nrm".as("nb"))
-        broadcast(q).join(c, $"qid" =!= $"cid")
-          .withColumn("cosr", round(expr(dotExpr) / ($"na" * $"nb"), 6))
+        probeScored(s, dir)
           .groupBy($"qid")
           .agg(
             max(when($"qlabel" === $"clabel" && $"cosr" >= 0.35,
