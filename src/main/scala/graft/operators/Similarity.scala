@@ -672,6 +672,82 @@ object Similarity {
         SELECT qid, CAST(-(p['nc']) AS BIGINT) AS pos_id, p['c'] AS pos_cos,
           CAST(-(ng['nc']) AS BIGINT) AS neg_id, ng['c'] AS neg_cos,
           ROUND(p['c'] - ng['c'], 6) AS margin
-        FROM agg WHERE p IS NOT NULL AND ng IS NOT NULL ORDER BY qid"""))
+        FROM agg WHERE p IS NOT NULL AND ng IS NOT NULL ORDER BY qid""")),
+
+    // ---- farthest-point-sampling coreset (q162) ----------------------
+    // Diversity-based data SELECTION (k-center greedy / farthest-point
+    // sampling — the classic 2-approximation to the k-center cover,
+    // used for coreset construction and diversity pruning of training
+    // corpora): start from the smallest vec_id, then k−1 times pick
+    // the vector FARTHEST from the selected set (max over vecs of min
+    // squared distance to any center; d² rounded to 1e-6 BEFORE both
+    // the min and the argmax, ties to the smallest vec_id — the q64
+    // determinism contract). Published as the selection order plus
+    // each pick's distance-at-selection: the decreasing COVERAGE
+    // RADIUS curve, which is the quantity a pruning policy reads
+    // ("how much diversity does the (r+1)-th sample still add").
+    //
+    // Scale: per round, the ≤k-row center frame broadcasts against
+    // the corpus (BNLJ, whitelisted — tiny by construction like
+    // q64's centroids), the per-vector min collapses in a
+    // vec_id-keyed partial-combined aggregate, and the argmax is
+    // orderBy.limit(1) — TakeOrderedAndProject, per-partition heaps,
+    // O(1) to the driver plan. Rounds are FIXED (6); round frames are
+    // lazily localCheckpointed (the q160 pattern) so round r+1 reads
+    // materialized blocks. Nothing corpus-sized ever collects.
+    Q("q162_fps_coreset",
+      (s, dir) => {
+        import s.implicits._
+        val k = 6
+        val e = prepared(s, dir).select($"vec_id", $"v")
+          .withColumn("vv", expr("dot_product(v, v)"))
+          .localCheckpoint(false)
+        val first = e.orderBy($"vec_id").limit(1)
+        var centers = first
+          .select($"vec_id".as("cid"), $"v".as("cv"), $"vv".as("cc"))
+          .localCheckpoint(false)
+        var out = first.select(lit(1).as("round"), $"vec_id",
+          lit(0.0).as("radius"))
+        for (r <- 2 to k) {
+          val dmin = e.crossJoin(broadcast(centers))
+            .withColumn("d2",
+              round($"vv" - lit(2.0) * expr("dot_product(v, cv)") + $"cc", 6))
+            .groupBy($"vec_id").agg(min($"d2").as("dmin"))
+          val next = dmin.orderBy($"dmin".desc, $"vec_id").limit(1)
+            .localCheckpoint(false)
+          out = out.union(
+            next.select(lit(r).as("round"), $"vec_id", $"dmin".as("radius")))
+          centers = centers.union(
+            e.join(next.select($"vec_id"), "vec_id")
+              .select($"vec_id".as("cid"), $"v".as("cv"), $"vv".as("cc")))
+            .localCheckpoint(false)
+        }
+        out.orderBy($"round")
+      },
+      Some {
+        val dot = "list_sum([e2.v[i] * c.cv[i] for i in range(1, len(e2.v) + 1)])"
+        val rounds = (2 to 6).map { r =>
+          s"""s$r AS MATERIALIZED (SELECT e2.vec_id,
+                MIN(ROUND(e2.vv - 2.0 * $dot + c.cc, 6)) AS dmin
+              FROM e2 CROSS JOIN c${r - 1} c GROUP BY e2.vec_id),
+          n$r AS MATERIALIZED (SELECT vec_id, dmin FROM s$r
+              ORDER BY dmin DESC, vec_id LIMIT 1),
+          c$r AS MATERIALIZED (SELECT * FROM c${r - 1}
+              UNION ALL SELECT e2.vec_id, e2.v, e2.vv
+              FROM e2 JOIN n$r USING (vec_id))"""
+        }.mkString(",\n          ")
+        val outs = (2 to 6)
+          .map(r => s"UNION ALL SELECT $r, vec_id, dmin FROM n$r")
+          .mkString("\n          ")
+        s"""$prepCte,
+          e2 AS MATERIALIZED (SELECT vec_id, v,
+              list_sum([v[i] * v[i] for i in range(1, len(v) + 1)]) AS vv FROM n),
+          c1 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv, vv AS cc
+              FROM e2 WHERE vec_id = (SELECT MIN(vec_id) FROM e2)),
+          $rounds
+          SELECT 1 AS round, cid AS vec_id, CAST(0.0 AS DOUBLE) AS radius FROM c1
+          $outs
+          ORDER BY round"""
+      })
   )
 }

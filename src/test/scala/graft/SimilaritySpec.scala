@@ -144,4 +144,36 @@ class SimilaritySpec extends SparkSuite {
     assert(!byQ.contains(1L), "anchor without a qualifying positive must be dropped")
     assert(byQ(2L)._2 == 105L && byQ(2L)._6 > 0)
   }
+
+  test("q162 equals a brute-force farthest-point-sampling reference; radius curve non-increasing") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val nn = vecs.map { case (id, v) => (id, v, dot(v, v)) }
+    var centers = Vector(nn.head) // min vec_id
+    var expect = Vector((1, nn.head._1, 0.0))
+    for (r <- 2 to 6) {
+      // mirror the operator's rounding contract: round EACH pair d2,
+      // then min, then argmax with smallest-id tie-break
+      val next = nn.map { case (id, v, vv) =>
+        val dmin = centers.map { case (_, cv, cc) => r6(vv - 2.0 * dot(v, cv) + cc) }.min
+        (id, v, vv, dmin)
+      }.minBy { case (id, _, _, dmin) => (-dmin, id) }
+      expect :+= ((r, next._1, next._4))
+      centers :+= ((next._1, next._2, next._3))
+    }
+    val got = SparkEntry.queries("q162_fps_coreset")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toVector
+    assert(got == expect, s"got=$got expect=$expect")
+    // the k-center property the curve is FOR: radii never increase
+    got.drop(1).sliding(2).foreach {
+      case Vector(a, b) => assert(b._3 <= a._3, s"radius rose: $a -> $b")
+      case _ =>
+    }
+  }
 }
