@@ -977,6 +977,101 @@ object Extras {
           ROUND(CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / SUM(cnt), 6) AS skew_ratio,
           CAST(LEAST(64, CAST(CEIL(CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / SUM(cnt)) AS BIGINT)) AS BIGINT)
             AS salt_buckets
-        FROM s1 GROUP BY rel ORDER BY rel"""))
+        FROM s1 GROUP BY rel ORDER BY rel""")),
+
+    // ---- equi-join output-size pre-computation (q163) ----------------
+    // q157's companion pre-flight: the EXACT output cardinality of a
+    // planned equi-join, computed on per-key COUNT frames instead of
+    // by paying the join — |A ⋈ B| = Σ over shared keys ca·cb, a
+    // distinct-key-scale job against a row-scale one. This is what a
+    // planner wants BEFORE committing cluster hours: the expansion
+    // factor (fan-out joins announce themselves), the hottest key's
+    // pair contribution (the q157 skew surface, priced in output
+    // rows), and a broadcast-vs-shuffle hint from the measured side
+    // sizes. Not an estimate — exact for equi-joins; the sketch
+    // relaxation (HLL per key range) is the documented path when even
+    // the count frames are too hot to join.
+    //
+    // Scale: two partial-combined per-key counts (each the classic
+    // pre-aggregation), one distinct-key equi-join between them, and
+    // 1-row side-count aggregates crossJoined broadcast-style
+    // (whitelisted). out_rows/hot_pairs ride BIGINT under ANSI mode —
+    // a join output past 2^63 rows fails loudly, never wraps. The
+    // hot key is the q157 struct-argmax (deterministic tie-break).
+    Q("q163_join_estimator",
+      (s, dir) => {
+        import s.implicits._
+        def est(a: DataFrame, ka: String, b: DataFrame, kb: String,
+            rel: String): DataFrame = {
+          val ca = a.groupBy(col(ka).cast(LongType).as("k"))
+            .agg(count(lit(1)).as("ca"))
+          val cb = b.groupBy(col(kb).cast(LongType).as("k"))
+            .agg(count(lit(1)).as("cb"))
+          ca.join(cb, "k")
+            .agg(
+              count(lit(1)).as("keys_matched"),
+              coalesce(sum($"ca" * $"cb"), lit(0L)).as("out_rows"),
+              max(struct(($"ca" * $"cb").as("p"), (-$"k").as("nk"))).as("m"))
+            .crossJoin(a.agg(count(lit(1)).as("rows_a")))
+            .crossJoin(b.agg(count(lit(1)).as("rows_b")))
+            .select(lit(rel).as("rel"), $"rows_a", $"rows_b",
+              $"keys_matched", $"out_rows",
+              round($"out_rows".cast(DoubleType) /
+                greatest($"rows_a", $"rows_b"), 6).as("expansion"),
+              coalesce(-$"m.nk", lit(-1L)).as("hot_key"),
+              coalesce($"m.p", lit(0L)).as("hot_pairs"),
+              when(least($"rows_a", $"rows_b") <= 100000L, lit("broadcast_smaller"))
+                .otherwise(lit("shuffle")).as("plan_hint"))
+        }
+        est(lineitem(s, dir), "l_orderkey", orders(s, dir), "o_orderkey",
+            "lineitem*orders")
+          .union(est(orders(s, dir), "o_custkey", customer(s, dir), "c_custkey",
+            "orders*customer"))
+          .union(est(lineitem(s, dir), "l_suppkey", supplier(s, dir), "s_suppkey",
+            "lineitem*supplier"))
+          .orderBy($"rel")
+      },
+      Some("""
+        WITH
+        a1 AS (SELECT l_orderkey AS k, COUNT(*) AS ca FROM lineitem GROUP BY 1),
+        b1 AS (SELECT o_orderkey AS k, COUNT(*) AS cb FROM orders GROUP BY 1),
+        a2 AS (SELECT o_custkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1),
+        b2 AS (SELECT c_custkey AS k, COUNT(*) AS cb FROM customer GROUP BY 1),
+        a3 AS (SELECT l_suppkey AS k, COUNT(*) AS ca FROM lineitem GROUP BY 1),
+        b3 AS (SELECT s_suppkey AS k, COUNT(*) AS cb FROM supplier GROUP BY 1),
+        j1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS keys_matched,
+                 CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS out_rows,
+                 MAX({'p': ca * cb, 'nk': -k}) AS m
+               FROM a1 JOIN b1 USING (k)),
+        j2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS keys_matched,
+                 CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS out_rows,
+                 MAX({'p': ca * cb, 'nk': -k}) AS m
+               FROM a2 JOIN b2 USING (k)),
+        j3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS keys_matched,
+                 CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS out_rows,
+                 MAX({'p': ca * cb, 'nk': -k}) AS m
+               FROM a3 JOIN b3 USING (k)),
+        sides AS (SELECT
+          (SELECT COUNT(*) FROM lineitem) AS li, (SELECT COUNT(*) FROM orders) AS ord,
+          (SELECT COUNT(*) FROM customer) AS cust, (SELECT COUNT(*) FROM supplier) AS supp)
+        SELECT 'lineitem*orders' AS rel, li AS rows_a, ord AS rows_b,
+          keys_matched, out_rows,
+          ROUND(CAST(out_rows AS DOUBLE) / GREATEST(li, ord), 6) AS expansion,
+          CAST(COALESCE(-(m['nk']), -1) AS BIGINT) AS hot_key,
+          CAST(COALESCE(m['p'], 0) AS BIGINT) AS hot_pairs,
+          CASE WHEN LEAST(li, ord) <= 100000 THEN 'broadcast_smaller'
+               ELSE 'shuffle' END AS plan_hint
+        FROM j1, sides
+        UNION ALL SELECT 'orders*customer', ord, cust, keys_matched, out_rows,
+          ROUND(CAST(out_rows AS DOUBLE) / GREATEST(ord, cust), 6),
+          CAST(COALESCE(-(m['nk']), -1) AS BIGINT), CAST(COALESCE(m['p'], 0) AS BIGINT),
+          CASE WHEN LEAST(ord, cust) <= 100000 THEN 'broadcast_smaller' ELSE 'shuffle' END
+        FROM j2, sides
+        UNION ALL SELECT 'lineitem*supplier', li, supp, keys_matched, out_rows,
+          ROUND(CAST(out_rows AS DOUBLE) / GREATEST(li, supp), 6),
+          CAST(COALESCE(-(m['nk']), -1) AS BIGINT), CAST(COALESCE(m['p'], 0) AS BIGINT),
+          CASE WHEN LEAST(li, supp) <= 100000 THEN 'broadcast_smaller' ELSE 'shuffle' END
+        FROM j3, sides
+        ORDER BY rel"""))
   )
 }
