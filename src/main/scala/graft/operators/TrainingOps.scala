@@ -60,6 +60,54 @@ object TrainingOps {
       .localCheckpoint(true)
   }
 
+  /** q125's lossless exact J >= 0.5 pair set (unordered), shared with
+    * q164's recall measurement so "ground truth" and "the exact path"
+    * are one construction.
+    *
+    * Prefix entries carry (position, doc size) so the two other
+    * PPJoin prunes apply BEFORE the pair shuffle:
+    *  - length filter: J >= 1/2 forces 2*min(na,nb) >= max(na,nb)
+    *    — pruned inside the join condition;
+    *  - positional filter: for a pair's FIRST shared prefix gram
+    *    (min position — same gram achieves both mins, since prefixes
+    *    are heads of ONE global order and any earlier shared gram
+    *    would contradict minimality), the overlap is at most
+    *    1 + min(na-pa, nb-pb); J >= 1/2 needs 3*overlap >= na+nb.
+    *    Pure integers — no float boundary.
+    * Both prune CANDIDATES only; the theorem keeps the survivor set
+    * lossless (TrainingOpsSpec's brute-force equality).
+    *
+    * The final threshold is on RAW J, not the rounded publication
+    * value: the prefix-filter theorem guarantees candidate recall
+    * only for raw J >= 0.5, so a pair with raw J in [0.4999995, 0.5)
+    * that ROUNDS to 0.5 is not guaranteed to be a candidate — and the
+    * two engines order prefixes differently, so one could surface it
+    * and the other miss it, breaking both the hash compare and the
+    * lossless claim. The raw-double compare is itself exact at this
+    * boundary: jraw >= 0.5 iff the integer inequality 3*i >= na + nb
+    * (0.5's boundary case i/(2i) is a power-of-two quotient,
+    * represented exactly). */
+  private def ppjoinPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val st = ppState(s, dir)
+    val prefix = st.select($"doc_id", $"n", posexplode(expr(
+        "slice(transform(a, x -> x.sh), 1, size(a) - (size(a) + 1) div 2 + 1)")))
+      .select($"doc_id", $"n", ($"pos" + 1).as("p"), $"col".as("sh"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id" &&
+          $"a.n" * 2 >= $"b.n" && $"b.n" * 2 >= $"a.n")
+      .groupBy($"a.doc_id".as("ida"), $"b.doc_id".as("idb"))
+      .agg(max($"a.n").as("na"), max($"b.n").as("nb"),
+        min($"a.p").as("pa"), min($"b.p").as("pb"))
+      .filter(lit(3) * (lit(1) + least($"na" - $"pa", $"nb" - $"pb"))
+        >= $"na" + $"nb")
+      .select($"ida", $"idb")
+    Dedup.verifyJaccardSets(cand,
+        st.select($"doc_id", expr("transform(a, x -> x.sh)").as("shs"), $"n"))
+      .filter($"jraw" >= 0.5)
+      .select($"ida", $"idb", round($"jraw", 6).as("jacc"))
+  }
+
   def queries: Vector[Q] = Vector(
     // ---- intra-doc repetition ratios (Gopher quality signals) --------
     // rep_n = 1 - distinct_ngrams / total_ngrams, the "fraction of
@@ -472,49 +520,7 @@ object TrainingOps {
     // the length and positional filters (in-body comment) prune
     // candidates further without touching the survivor set.
     Q("q125_ppjoin",
-      (s, dir) => {
-        import s.implicits._
-        val st = ppState(s, dir)
-        // prefix entries carry (position, doc size) so the two other
-        // PPJoin prunes apply BEFORE the pair shuffle:
-        //  - length filter: J >= 1/2 forces 2*min(na,nb) >= max(na,nb)
-        //    — pruned inside the join condition;
-        //  - positional filter: for a pair's FIRST shared prefix gram
-        //    (min position — same gram achieves both mins, since
-        //    prefixes are heads of ONE global order and any earlier
-        //    shared gram would contradict minimality), the overlap is
-        //    at most 1 + min(na-pa, nb-pb); J >= 1/2 needs 3*overlap
-        //    >= na+nb. Pure integers — no float boundary.
-        // Both prune CANDIDATES only; the theorem keeps the survivor
-        // set lossless (TrainingOpsSpec's brute-force equality).
-        val prefix = st.select($"doc_id", $"n", posexplode(expr(
-            "slice(transform(a, x -> x.sh), 1, size(a) - (size(a) + 1) div 2 + 1)")))
-          .select($"doc_id", $"n", ($"pos" + 1).as("p"), $"col".as("sh"))
-        val cand = prefix.as("a").join(prefix.as("b"),
-            $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id" &&
-              $"a.n" * 2 >= $"b.n" && $"b.n" * 2 >= $"a.n")
-          .groupBy($"a.doc_id".as("ida"), $"b.doc_id".as("idb"))
-          .agg(max($"a.n").as("na"), max($"b.n").as("nb"),
-            min($"a.p").as("pa"), min($"b.p").as("pb"))
-          .filter(lit(3) * (lit(1) + least($"na" - $"pa", $"nb" - $"pb"))
-            >= $"na" + $"nb")
-          .select($"ida", $"idb")
-        // Threshold on RAW J, not the rounded publication value: the
-        // prefix-filter theorem guarantees candidate recall only for
-        // raw J >= 0.5, so a pair with raw J in [0.4999995, 0.5) that
-        // ROUNDS to 0.5 is not guaranteed to be a candidate — and the
-        // two engines order prefixes differently, so one could surface
-        // it and the other miss it, breaking both the hash compare and
-        // the lossless claim. The raw-double compare is itself exact
-        // at this boundary: jraw >= 0.5 iff the integer inequality
-        // 3*i >= na + nb (0.5's boundary case i/(2i) is a power-of-two
-        // quotient, represented exactly).
-        Dedup.verifyJaccardSets(cand,
-            st.select($"doc_id", expr("transform(a, x -> x.sh)").as("shs"), $"n"))
-          .filter($"jraw" >= 0.5)
-          .select($"ida", $"idb", round($"jraw", 6).as("jacc"))
-          .orderBy($"ida", $"idb")
-      },
+      (s, dir) => ppjoinPairs(s, dir).orderBy(col("ida"), col("idb")),
       Some(s"""${Dedup.shingleCte},
         dsh AS (SELECT DISTINCT doc_id, s FROM sh),
         df AS (SELECT s, COUNT(*) AS dfc FROM dsh GROUP BY s),
@@ -534,6 +540,79 @@ object TrainingOps {
         FROM inter JOIN card ca ON ida = ca.doc_id JOIN card cb ON idb = cb.doc_id
         WHERE 3 * i >= ca.n + cb.n
         ORDER BY ida, idb""")),
+
+    // ---- LSH recall, oracle-gated (q164) -----------------------------
+    // Puts the engine's flagship dedup RECALL CONTRACT under the
+    // driver's gate: q27's MinHash-LSH pair set measured against the
+    // lossless exact J >= 0.5 ground truth (the shared ppjoinPairs
+    // construction — "ground truth" and "the exact path" are one
+    // code path, so the measurement cannot drift from the method it
+    // audits). Until now the r5 band-rework recall (>= 96.6% at
+    // J ~ 0.95, docs/SCALING.md) lived in docs; this row re-measures
+    // it every round, cross-engine. The rounding boundary is
+    // honest: q27 publishes pairs whose ROUNDED J >= 0.5, the truth
+    // thresholds RAW J >= 0.5, so a [0.4999995, 0.5) pair can be an
+    // LSH "extra" — hits are counted by pair identity against truth,
+    // and an empty-truth corpus defines recall as vacuous 1.0.
+    //
+    // Scale: the two pair pipelines are exactly q27's and q125's
+    // (their contracts apply unchanged); the comparison adds one
+    // pair-keyed join between two output-sized frames and three 1-row
+    // count scalars (crossJoined broadcast-style, whitelisted).
+    Q("q164_lsh_recall",
+      (s, dir) => {
+        import s.implicits._
+        val truth = ppjoinPairs(s, dir).select($"ida", $"idb")
+        val lsh = Dedup.nearDupPairs(s, dir)
+          .filter(round($"jraw", 6) >= 0.5).select($"ida", $"idb")
+        truth.agg(count(lit(1)).as("n_true"))
+          .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+          .crossJoin(truth.join(lsh, Seq("ida", "idb"))
+            .agg(count(lit(1)).as("n_hits")))
+          .select($"n_true", $"n_lsh", $"n_hits",
+            when($"n_true" === 0, lit(1.0))
+              .otherwise(round($"n_hits".cast(DoubleType) / $"n_true", 6))
+              .as("recall"))
+      },
+      Some(s"""${Dedup.shingleCte}, ${Dedup.signatureSql},
+        ${Dedup.bandsCteSql},
+        dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+        card AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+        cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+                 FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.sg = b.sg AND a.doc_id < b.doc_id),
+        inter AS (SELECT c.ida, c.idb, COUNT(*) AS i FROM cand c
+                  JOIN dsh x ON x.doc_id = c.ida
+                  JOIN dsh y ON y.doc_id = c.idb AND y.s = x.s
+                  GROUP BY c.ida, c.idb),
+        lshp AS (SELECT i2.ida, i2.idb FROM inter i2
+                 JOIN card ca ON ca.doc_id = i2.ida
+                 JOIN card cb ON cb.doc_id = i2.idb
+                 WHERE ROUND(CAST(i2.i AS DOUBLE) / (ca.n + cb.n - i2.i), 6) >= 0.5),
+        df AS (SELECT s, COUNT(*) AS dfc FROM dsh GROUP BY s),
+        ranked AS (SELECT dsh.doc_id, dsh.s,
+                     ROW_NUMBER() OVER (PARTITION BY dsh.doc_id ORDER BY df.dfc, dsh.s) AS rk,
+                     COUNT(*) OVER (PARTITION BY dsh.doc_id) AS n
+                   FROM dsh JOIN df ON dsh.s = df.s),
+        pfx AS (SELECT doc_id, s FROM ranked WHERE rk <= n - (n + 1) // 2 + 1),
+        tcand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+                  FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id),
+        tinter AS (SELECT c.ida, c.idb, COUNT(*) AS i FROM tcand c
+                   JOIN dsh x ON x.doc_id = c.ida
+                   JOIN dsh y ON y.doc_id = c.idb AND x.s = y.s
+                   GROUP BY c.ida, c.idb),
+        truth AS (SELECT t.ida, t.idb FROM tinter t
+                  JOIN card ca ON t.ida = ca.doc_id
+                  JOIN card cb ON t.idb = cb.doc_id
+                  WHERE 3 * t.i >= ca.n + cb.n),
+        hits AS (SELECT tr.ida, tr.idb FROM truth tr JOIN lshp USING (ida, idb))
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM lshp) AS n_lsh,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
+          CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 1.0
+               ELSE ROUND(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM truth), 6) END AS recall""")),
 
     // ---- asymmetric containment pairs (quote/excerpt detection) ------
     // Jaccard misses the "small doc quoted inside a much bigger doc"

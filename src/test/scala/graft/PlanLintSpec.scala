@@ -48,6 +48,7 @@ class PlanLintSpec extends SparkSuite {
     "q158_triplet_mining",    // same fixed probe set as q34 (scale path: q55 buckets)
     "q160_kcore",             // six 1-row census scalars (nodes x edges counts)
     "q163_join_estimator",    // 1-row side-count scalars per audited join
+    "q164_lsh_recall",        // three 1-row pair-count scalars
     "q87_knn_label",          // same probe-set frame as q34
     "q78_corpus_stats",       // 1-row dataset-card scalars
     "q98_source_overlap",     // |sources| x |sources| pair grid (metadata-sized)
