@@ -316,6 +316,66 @@ object EventOps {
           (valid_to IS NULL) AS is_current
         FROM hist ORDER BY user_id, version""")),
 
+    // ---- as-of feature snapshot (q165) -------------------------------
+    // The OTHER half of the q161 leakage story: q161 joins facts to
+    // the dimension version valid at event time; this MATERIALIZES
+    // the per-user feature vector AS OF a cutoff — trailing-window
+    // counts, value sums, recency, last action — computed STRICTLY
+    // from events at-or-before the cutoff, with post-cutoff events in
+    // the corpus as live leakage bait (cutoff = max ts − 7 days, so a
+    // leaky implementation would change the published numbers). This
+    // is the feature-store materialization job (what a training run
+    // reads at time T); all window arithmetic is epoch-micro integers,
+    // the last action rides a (ts, event_id, type) struct-argmax
+    // (event_id unique ⇒ deterministic), and users whose history is
+    // entirely post-cutoff are absent by definition (they did not
+    // exist at T).
+    //
+    // Scale: one corpus scan filtered against the broadcast 1-row
+    // cutoff (BNLJ whitelisted), then ONE user-keyed partial-combined
+    // aggregate carrying every feature as a conditional agg — adding
+    // a feature adds zero passes, the q151 ANALYZE principle.
+    Q("q165_feature_snapshot",
+      (s, dir) => {
+        import s.implicits._
+        val day = 86400000000L
+        val ev = events(s, dir)
+          .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+            $"event_type", $"value")
+        val cut = ev.agg((max($"us") - lit(7L * day)).as("cut"))
+        ev.crossJoin(broadcast(cut))
+          .filter($"us" <= $"cut")
+          .groupBy($"user_id")
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(when($"us" > $"cut" - lit(30L * day), 1L).otherwise(0L)).as("n_30d"),
+            sum(when($"us" > $"cut" - lit(7L * day), 1L).otherwise(0L)).as("n_7d"),
+            dsum(when($"us" > $"cut" - lit(30L * day), $"value"), 4).as("value_30d"),
+            max($"us").as("last_us"),
+            max(struct($"us", $"event_id", $"event_type")).getField("event_type")
+              .as("last_type"),
+            first($"cut").as("c"))
+          .select($"user_id", $"n_total", $"n_30d", $"n_7d",
+            coalesce($"value_30d", lit(0.0)).as("value_30d"), $"last_us",
+            expr("CAST((c - last_us) div 86400000000 AS BIGINT)").as("days_idle"),
+            $"last_type")
+          .orderBy($"user_id")
+      },
+      Some(s"""
+        WITH ev AS (SELECT user_id, event_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value FROM events),
+        cut AS (SELECT MAX(us) - 7 * 86400000000 AS c FROM ev)
+        SELECT user_id,
+          CAST(COUNT(*) AS BIGINT) AS n_total,
+          CAST(SUM(CASE WHEN us > c - 30 * 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_30d,
+          CAST(SUM(CASE WHEN us > c - 7 * 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_7d,
+          COALESCE(${dsumSql("CASE WHEN us > c - 30 * 86400000000 THEN value END", 4)}, 0.0) AS value_30d,
+          CAST(MAX(us) AS BIGINT) AS last_us,
+          CAST((ANY_VALUE(c) - MAX(us)) // 86400000000 AS BIGINT) AS days_idle,
+          (MAX({'t': us, 'e': event_id, 'y': event_type}))['y'] AS last_type
+        FROM ev, cut WHERE us <= c
+        GROUP BY user_id ORDER BY user_id""")),
+
     // ---- point-in-time-correct enrichment join (q161) ----------------
     // The feature-store join that prevents training-serving LEAKAGE
     // (Feast's get_historical_features semantics): each fact row is

@@ -49,6 +49,7 @@ class PlanLintSpec extends SparkSuite {
     "q160_kcore",             // six 1-row census scalars (nodes x edges counts)
     "q163_join_estimator",    // 1-row side-count scalars per audited join
     "q164_lsh_recall",        // three 1-row pair-count scalars
+    "q165_feature_snapshot",  // 1-row cutoff scalar
     "q87_knn_label",          // same probe-set frame as q34
     "q78_corpus_stats",       // 1-row dataset-card scalars
     "q98_source_overlap",     // |sources| x |sources| pair grid (metadata-sized)

@@ -78,4 +78,33 @@ class Scd2Spec extends SparkSuite {
       assert(state == inEffect(eid), s"event $eid enriched with wrong-era state")
     }
   }
+
+  test("q165 features are leakage-free: post-cutoff events invisible, post-cutoff-only users absent") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import java.sql.Timestamp
+    val day = 86400000L // ms
+    val dayUs = 86400000000L
+    def ts(d: Int) = new Timestamp(d.toLong * day)
+    // max ts = day 100 -> cutoff = day 93
+    val rows = Seq(
+      (1L, ts(60), 10L, "click", 1.0, "{}"),     // old history
+      (2L, ts(92), 10L, "view", 2.0, "{}"),      // inside both windows
+      (3L, ts(95), 10L, "purchase", 100.0, "{}"),// POST-cutoff leakage bait
+      (4L, ts(100), 20L, "click", 5.0, "{}"),    // sets max ts; user 20 has NO pre-cutoff history
+      (5L, ts(93), 30L, "view", 3.0, "{}"))      // exactly AT the cutoff: included
+    val d = Files.createTempDirectory("feat").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("q165_feature_snapshot")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6), r.getString(7)))).toMap
+    // the user who did not exist at the cutoff is absent
+    assert(!got.contains(20L), s"post-cutoff-only user materialized: $got")
+    // user 10: the day-95 purchase must be INVISIBLE everywhere —
+    // counts, value sum, recency, and last action
+    assert(got(10L) == ((2L, 1L, 1L, 2.0, 92L * dayUs, 1L, "view")), got(10L))
+    // user 30's at-cutoff event is included (<=), idle 0 days
+    assert(got(30L) == ((1L, 1L, 1L, 3.0, 93L * dayUs, 0L, "view")), got(30L))
+  }
 }
