@@ -93,6 +93,32 @@ object Dedup {
     sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
            FROM toksc, UNNEST(range(1, len(w) - 1)) AS t(i))"""
 
+  /** Oracle CTEs `dsh(doc_id, s)` / `card(doc_id, n)` — the distinct
+    * per-doc shingle sets and their cardinalities, shared by the q27
+    * LSH chain, q125's exact chain and q164's recall audit. */
+  private[operators] val dshCardCteSql: String = """
+        dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+        card AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id)"""
+
+  /** Oracle CTE chain ending in `lshp(ida, idb, jacc)` — q27's LSH
+    * candidate generation + Jaccard verification at the rounded
+    * >= 0.5 threshold. ONE source of truth for q27's published pairs
+    * and q164's recall numerator, so an edit to the band scheme or
+    * the threshold cannot silently diverge the audit from the method
+    * it audits. Requires `bands`, `dsh`, `card` in scope. */
+  private[operators] val lshPairsCteSql: String = """
+        cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+                 FROM bands a JOIN bands b ON a.band = b.band AND a.sg = b.sg AND a.doc_id < b.doc_id),
+        inter AS (SELECT c.ida, c.idb, COUNT(*) AS i
+                  FROM cand c JOIN dsh x ON x.doc_id = c.ida
+                  JOIN dsh y ON y.doc_id = c.idb AND y.s = x.s
+                  GROUP BY c.ida, c.idb),
+        lshp AS (SELECT i2.ida, i2.idb,
+                   ROUND(CAST(i2.i AS DOUBLE) / (ca.n + cb.n - i2.i), 6) AS jacc
+                 FROM inter i2 JOIN card ca ON ca.doc_id = i2.ida
+                 JOIN card cb ON cb.doc_id = i2.idb
+                 WHERE ROUND(CAST(i2.i AS DOUBLE) / (ca.n + cb.n - i2.i), 6) >= 0.5)"""
+
   private val nBands = 8       // slice minima per signature (16-bit each)
   private val nCandBands = 2   // candidate bands, r = nBands/nCandBands = 4
 
@@ -245,18 +271,9 @@ object Dedup {
       },
       Some(s"""$shingleCte, $signatureSql,
         $bandsCteSql,
-        cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-                 FROM bands a JOIN bands b ON a.band = b.band AND a.sg = b.sg AND a.doc_id < b.doc_id),
-        dsh AS (SELECT DISTINCT doc_id, s FROM sh),
-        card AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
-        inter AS (SELECT c.ida, c.idb, COUNT(*) AS i
-                  FROM cand c JOIN dsh x ON x.doc_id = c.ida
-                  JOIN dsh y ON y.doc_id = c.idb AND y.s = x.s
-                  GROUP BY c.ida, c.idb)
-        SELECT i2.ida, i2.idb,
-          ROUND(CAST(i2.i AS DOUBLE) / (ca.n + cb.n - i2.i), 6) AS jaccard
-        FROM inter i2 JOIN card ca ON ca.doc_id = i2.ida JOIN card cb ON cb.doc_id = i2.idb
-        WHERE ROUND(CAST(i2.i AS DOUBLE) / (ca.n + cb.n - i2.i), 6) >= 0.5
+        $dshCardCteSql,
+        $lshPairsCteSql
+        SELECT ida, idb, jacc AS jaccard FROM lshp
         ORDER BY ida, idb""")),
 
     // ---- composed training-data prep pipeline ------------------------

@@ -1003,17 +1003,23 @@ object Extras {
         import s.implicits._
         def est(a: DataFrame, ka: String, b: DataFrame, kb: String,
             rel: String): DataFrame = {
+          // lazily checkpointed: each count frame feeds the key join
+          // AND its side-total sum — one computation, read twice
           val ca = a.groupBy(col(ka).cast(LongType).as("k"))
-            .agg(count(lit(1)).as("ca"))
+            .agg(count(lit(1)).as("ca")).localCheckpoint(false)
           val cb = b.groupBy(col(kb).cast(LongType).as("k"))
-            .agg(count(lit(1)).as("cb"))
+            .agg(count(lit(1)).as("cb")).localCheckpoint(false)
+          // side totals come from the count frames (rows_a = Σ ca), the
+          // q157 idiom — NOT a second scan of the base tables: the
+          // operator's whole point is distinct-key-scale cost, and keys
+          // are non-null here so the sums equal the row counts exactly
           ca.join(cb, "k")
             .agg(
               count(lit(1)).as("keys_matched"),
               coalesce(sum($"ca" * $"cb"), lit(0L)).as("out_rows"),
               max(struct(($"ca" * $"cb").as("p"), (-$"k").as("nk"))).as("m"))
-            .crossJoin(a.agg(count(lit(1)).as("rows_a")))
-            .crossJoin(b.agg(count(lit(1)).as("rows_b")))
+            .crossJoin(ca.agg(sum($"ca").as("rows_a")))
+            .crossJoin(cb.agg(sum($"cb").as("rows_b")))
             .select(lit(rel).as("rel"), $"rows_a", $"rows_b",
               $"keys_matched", $"out_rows",
               round($"out_rows".cast(DoubleType) /
@@ -1052,8 +1058,10 @@ object Extras {
                  MAX({'p': ca * cb, 'nk': -k}) AS m
                FROM a3 JOIN b3 USING (k)),
         sides AS (SELECT
-          (SELECT COUNT(*) FROM lineitem) AS li, (SELECT COUNT(*) FROM orders) AS ord,
-          (SELECT COUNT(*) FROM customer) AS cust, (SELECT COUNT(*) FROM supplier) AS supp)
+          (SELECT CAST(SUM(ca) AS BIGINT) FROM a1) AS li,
+          (SELECT CAST(SUM(cb) AS BIGINT) FROM b1) AS ord,
+          (SELECT CAST(SUM(cb) AS BIGINT) FROM b2) AS cust,
+          (SELECT CAST(SUM(cb) AS BIGINT) FROM b3) AS supp)
         SELECT 'lineitem*orders' AS rel, li AS rows_a, ord AS rows_b,
           keys_matched, out_rows,
           ROUND(CAST(out_rows AS DOUBLE) / GREATEST(li, ord), 6) AS expansion,

@@ -709,10 +709,16 @@ object Similarity {
         var out = first.select(lit(1).as("round"), $"vec_id",
           lit(0.0).as("radius"))
         for (r <- 2 to k) {
+          // the argmax ranges over UNSELECTED points only (true k-center
+          // greedy): without the anti-join, a fully-covered corpus
+          // (duplicates of every center) would re-publish center #1 —
+          // all dmin round to 0 and the id tie-break lands on an
+          // already-selected row — instead of an unselected duplicate
           val dmin = e.crossJoin(broadcast(centers))
             .withColumn("d2",
               round($"vv" - lit(2.0) * expr("dot_product(v, cv)") + $"cc", 6))
             .groupBy($"vec_id").agg(min($"d2").as("dmin"))
+            .join(centers.select($"cid".as("vec_id")), Seq("vec_id"), "left_anti")
           val next = dmin.orderBy($"dmin".desc, $"vec_id").limit(1)
             .localCheckpoint(false)
           out = out.union(
@@ -729,7 +735,9 @@ object Similarity {
         val rounds = (2 to 6).map { r =>
           s"""s$r AS MATERIALIZED (SELECT e2.vec_id,
                 MIN(ROUND(e2.vv - 2.0 * $dot + c.cc, 6)) AS dmin
-              FROM e2 CROSS JOIN c${r - 1} c GROUP BY e2.vec_id),
+              FROM e2 CROSS JOIN c${r - 1} c
+              WHERE e2.vec_id NOT IN (SELECT cid FROM c${r - 1})
+              GROUP BY e2.vec_id),
           n$r AS MATERIALIZED (SELECT vec_id, dmin FROM s$r
               ORDER BY dmin DESC, vec_id LIMIT 1),
           c$r AS MATERIALIZED (SELECT * FROM c${r - 1}

@@ -87,6 +87,32 @@ object TrainingOps {
     * boundary: jraw >= 0.5 iff the integer inequality 3*i >= na + nb
     * (0.5's boundary case i/(2i) is a power-of-two quotient,
     * represented exactly). */
+  /** Oracle twin of [[ppjoinPairs]], ending in `truth(ida, idb,
+    * jacc)` — the lossless exact raw-J >= 0.5 pair set. ONE source of
+    * truth for q125's published pairs and q164's recall denominator.
+    * Requires `dsh`/`card` (Dedup.dshCardCteSql) in scope; CTE names
+    * are t-prefixed where they would collide with the q27 LSH chain
+    * so the two compose in q164. */
+  private val ppTruthCteSql: String = """
+        df AS (SELECT s, COUNT(*) AS dfc FROM dsh GROUP BY s),
+        ranked AS (SELECT dsh.doc_id, dsh.s,
+                     ROW_NUMBER() OVER (PARTITION BY dsh.doc_id ORDER BY df.dfc, dsh.s) AS rk,
+                     COUNT(*) OVER (PARTITION BY dsh.doc_id) AS n
+                   FROM dsh JOIN df ON dsh.s = df.s),
+        pfx AS (SELECT doc_id, s FROM ranked WHERE rk <= n - (n + 1) // 2 + 1),
+        tcand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+                  FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id),
+        tinter AS (SELECT c.ida, c.idb, COUNT(*) AS i FROM tcand c
+                   JOIN dsh x ON x.doc_id = c.ida
+                   JOIN dsh y ON y.doc_id = c.idb AND x.s = y.s
+                   GROUP BY c.ida, c.idb),
+        truth AS (SELECT t.ida, t.idb,
+                    ROUND(CAST(t.i AS DOUBLE) / (ca.n + cb.n - t.i), 6) AS jacc
+                  FROM tinter t
+                  JOIN card ca ON t.ida = ca.doc_id
+                  JOIN card cb ON t.idb = cb.doc_id
+                  WHERE 3 * t.i >= ca.n + cb.n)"""
+
   private def ppjoinPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val st = ppState(s, dir)
@@ -522,23 +548,9 @@ object TrainingOps {
     Q("q125_ppjoin",
       (s, dir) => ppjoinPairs(s, dir).orderBy(col("ida"), col("idb")),
       Some(s"""${Dedup.shingleCte},
-        dsh AS (SELECT DISTINCT doc_id, s FROM sh),
-        df AS (SELECT s, COUNT(*) AS dfc FROM dsh GROUP BY s),
-        ranked AS (SELECT dsh.doc_id, dsh.s,
-                     ROW_NUMBER() OVER (PARTITION BY dsh.doc_id ORDER BY df.dfc, dsh.s) AS rk,
-                     COUNT(*) OVER (PARTITION BY dsh.doc_id) AS n
-                   FROM dsh JOIN df ON dsh.s = df.s),
-        pfx AS (SELECT doc_id, s FROM ranked WHERE rk <= n - (n + 1) // 2 + 1),
-        cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-                 FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id),
-        card AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
-        inter AS (SELECT c.ida, c.idb, COUNT(*) AS i FROM cand c
-                  JOIN dsh x ON x.doc_id = c.ida
-                  JOIN dsh y ON y.doc_id = c.idb AND x.s = y.s
-                  GROUP BY c.ida, c.idb)
-        SELECT ida, idb, ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jacc
-        FROM inter JOIN card ca ON ida = ca.doc_id JOIN card cb ON idb = cb.doc_id
-        WHERE 3 * i >= ca.n + cb.n
+        ${Dedup.dshCardCteSql},
+        $ppTruthCteSql
+        SELECT ida, idb, jacc FROM truth
         ORDER BY ida, idb""")),
 
     // ---- LSH recall, oracle-gated (q164) -----------------------------
@@ -562,9 +574,14 @@ object TrainingOps {
     Q("q164_lsh_recall",
       (s, dir) => {
         import s.implicits._
+        // both pair frames feed a count aggregate AND the hits join —
+        // lazily checkpointed so the candidate-generation and verify
+        // pipelines above them run once, not per reference
         val truth = ppjoinPairs(s, dir).select($"ida", $"idb")
+          .localCheckpoint(false)
         val lsh = Dedup.nearDupPairs(s, dir)
           .filter(round($"jraw", 6) >= 0.5).select($"ida", $"idb")
+          .localCheckpoint(false)
         truth.agg(count(lit(1)).as("n_true"))
           .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
           .crossJoin(truth.join(lsh, Seq("ida", "idb"))
@@ -576,35 +593,9 @@ object TrainingOps {
       },
       Some(s"""${Dedup.shingleCte}, ${Dedup.signatureSql},
         ${Dedup.bandsCteSql},
-        dsh AS (SELECT DISTINCT doc_id, s FROM sh),
-        card AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
-        cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-                 FROM bands a JOIN bands b
-                 ON a.band = b.band AND a.sg = b.sg AND a.doc_id < b.doc_id),
-        inter AS (SELECT c.ida, c.idb, COUNT(*) AS i FROM cand c
-                  JOIN dsh x ON x.doc_id = c.ida
-                  JOIN dsh y ON y.doc_id = c.idb AND y.s = x.s
-                  GROUP BY c.ida, c.idb),
-        lshp AS (SELECT i2.ida, i2.idb FROM inter i2
-                 JOIN card ca ON ca.doc_id = i2.ida
-                 JOIN card cb ON cb.doc_id = i2.idb
-                 WHERE ROUND(CAST(i2.i AS DOUBLE) / (ca.n + cb.n - i2.i), 6) >= 0.5),
-        df AS (SELECT s, COUNT(*) AS dfc FROM dsh GROUP BY s),
-        ranked AS (SELECT dsh.doc_id, dsh.s,
-                     ROW_NUMBER() OVER (PARTITION BY dsh.doc_id ORDER BY df.dfc, dsh.s) AS rk,
-                     COUNT(*) OVER (PARTITION BY dsh.doc_id) AS n
-                   FROM dsh JOIN df ON dsh.s = df.s),
-        pfx AS (SELECT doc_id, s FROM ranked WHERE rk <= n - (n + 1) // 2 + 1),
-        tcand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-                  FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id),
-        tinter AS (SELECT c.ida, c.idb, COUNT(*) AS i FROM tcand c
-                   JOIN dsh x ON x.doc_id = c.ida
-                   JOIN dsh y ON y.doc_id = c.idb AND x.s = y.s
-                   GROUP BY c.ida, c.idb),
-        truth AS (SELECT t.ida, t.idb FROM tinter t
-                  JOIN card ca ON t.ida = ca.doc_id
-                  JOIN card cb ON t.idb = cb.doc_id
-                  WHERE 3 * t.i >= ca.n + cb.n),
+        ${Dedup.dshCardCteSql},
+        ${Dedup.lshPairsCteSql},
+        $ppTruthCteSql,
         hits AS (SELECT tr.ida, tr.idb FROM truth tr JOIN lshp USING (ida, idb))
         SELECT
           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,

@@ -159,8 +159,9 @@ class SimilaritySpec extends SparkSuite {
     var expect = Vector((1, nn.head._1, 0.0))
     for (r <- 2 to 6) {
       // mirror the operator's rounding contract: round EACH pair d2,
-      // then min, then argmax with smallest-id tie-break
-      val next = nn.map { case (id, v, vv) =>
+      // then min, then argmax over UNSELECTED points, smallest-id ties
+      val sel = centers.map(_._1).toSet
+      val next = nn.filterNot(x => sel(x._1)).map { case (id, v, vv) =>
         val dmin = centers.map { case (_, cv, cc) => r6(vv - 2.0 * dot(v, cv) + cc) }.min
         (id, v, vv, dmin)
       }.minBy { case (id, _, _, dmin) => (-dmin, id) }
@@ -175,5 +176,27 @@ class SimilaritySpec extends SparkSuite {
       case Vector(a, b) => assert(b._3 <= a._3, s"radius rose: $a -> $b")
       case _ =>
     }
+  }
+
+  test("q162 degenerate coverage: duplicate-heavy corpus picks unselected duplicates, never re-publishes a center") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // 3 distinct directions, each duplicated — after round 3 every
+    // point is at rounded distance 0 from the selected set, the case
+    // where an argmax over ALL points would re-pick center #1
+    val vecs = Seq(
+      (0L, 1, Seq(1f, 0f, 0f)), (1L, 1, Seq(1f, 0f, 0f)),
+      (2L, 2, Seq(0f, 1f, 0f)), (3L, 2, Seq(0f, 1f, 0f)),
+      (4L, 3, Seq(0f, 0f, 1f)), (5L, 3, Seq(0f, 0f, 1f)))
+    val d = Files.createTempDirectory("fpsdup").toString
+    vecs.toDF("vec_id", "label", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = SparkEntry.queries("q162_fps_coreset")(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._2).distinct.length == 6, s"re-published a selected center: ${got.toSeq}")
+    // rounds 1-3 pick the three distinct directions (0, then farthest),
+    // rounds 4-6 sweep up the zero-distance duplicates by id
+    assert(got.map(_._2).toSet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(got.filter(_._1 >= 4).forall(_._3 == 0.0), s"duplicates should be radius 0: ${got.toSeq}")
   }
 }
