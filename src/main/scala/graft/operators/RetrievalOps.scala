@@ -37,6 +37,25 @@ object RetrievalOps {
     "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
     "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
 
+  /** q146's verified ≤2-edit pair frame `(name_a, name_b, dist)` over
+    * DISTINCT part names — FastSS deletion-neighborhood blocking +
+    * levenshtein verify. Shared with q166's entity resolution so the
+    * matcher and the clustering consume ONE pair construction. */
+  private[operators] def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = part(s, dir).select($"p_name".as("nm")).distinct()
+      .localCheckpoint(true)
+    val variants = names
+      .select($"nm", explode(expr(deletionVariantsSql("nm"))).as("v"))
+    val cand = variants.as("a")
+      .join(variants.as("b"), $"a.v" === $"b.v" && $"a.nm" < $"b.nm")
+      .select($"a.nm".as("name_a"), $"b.nm".as("name_b"))
+      .distinct()
+    cand
+      .withColumn("dist", levenshtein($"name_a", $"name_b"))
+      .where($"dist" <= 2)
+  }
+
   /** The q159 replace chain over a per-engine seed expression. The
     * CHAIN construction — not just the merge list — is single-sourced
     * here, because the self-delimiting invariant (each symbol wrapped
@@ -184,21 +203,7 @@ object RetrievalOps {
     // levenshtein join — a different strategy, so the hash match
     // proves the neighborhood theorem on real data.
     Q("q146_fuzzy_pairs",
-      (s, dir) => {
-        import s.implicits._
-        val names = part(s, dir).select($"p_name".as("nm")).distinct()
-          .localCheckpoint(true)
-        val variants = names
-          .select($"nm", explode(expr(deletionVariantsSql("nm"))).as("v"))
-        val cand = variants.as("a")
-          .join(variants.as("b"), $"a.v" === $"b.v" && $"a.nm" < $"b.nm")
-          .select($"a.nm".as("name_a"), $"b.nm".as("name_b"))
-          .distinct()
-        cand
-          .withColumn("dist", levenshtein($"name_a", $"name_b"))
-          .where($"dist" <= 2)
-          .orderBy($"name_a", $"name_b")
-      },
+      (s, dir) => fuzzyPairs(s, dir).orderBy(col("name_a"), col("name_b")),
       Some("""
         WITH n AS (SELECT DISTINCT p_name AS nm FROM part)
         SELECT a.nm AS name_a, b.nm AS name_b,
@@ -492,6 +497,72 @@ object RetrievalOps {
           CAST(SUM(cnt * nsym) AS BIGINT) AS bpe_tokens,
           ROUND(CAST(SUM(cnt * len(tok)) AS DOUBLE) / SUM(cnt * nsym), 6)
             AS chars_per_token
-        FROM enc GROUP BY source ORDER BY source"""))
+        FROM enc GROUP BY source ORDER BY source""")),
+
+    // ---- end-to-end entity resolution (q166) -------------------------
+    // The full ER pipeline over the part-name space: blocking +
+    // matching (q146's shared fuzzyPairs — FastSS neighborhood,
+    // levenshtein verify), CLUSTERING (q66's label-propagation over
+    // the match graph — transitive: a~b~c is one entity even when
+    // dist(a,c) > 2), and CANONICALIZATION (per cluster: the
+    // lexicographically smallest member name, its distinct-name count
+    // and its total part-row mass). This is q79's keep-one-per-cluster
+    // discipline applied to the entity space instead of the document
+    // space.
+    //
+    // Internals vs publication: propagation labels are xxhash64(name)
+    // (fixed-width exchanges — names never ride the iteration), but
+    // the PUBLISHED cluster identity is re-derived as MIN(name) within
+    // the cluster, so the output is label-scheme-independent and the
+    // DuckDB oracle (which propagates over raw names) must agree
+    // unless memberships differ — a 2^-64 hash collision merges
+    // clusters and fails the gate LOUDLY, the established contract.
+    // Singleton names never enter the propagation at all (left join +
+    // coalesce to own id): the iteration runs on the match graph,
+    // which is dup-density-scale, not name-scale.
+    Q("q166_entity_resolution",
+      (s, dir) => {
+        import s.implicits._
+        val names = part(s, dir).select($"p_name".as("nm")).distinct()
+          .localCheckpoint(true)
+        val pairs = fuzzyPairs(s, dir)
+          .select(xxhash64($"name_a").as("ida"), xxhash64($"name_b").as("idb"))
+        val comp = Dedup.componentsFromPairs(s, pairs)
+          .select($"doc_id".as("id"), $"component".as("label"))
+        val labeled = names.withColumn("id", xxhash64($"nm"))
+          .join(comp, Seq("id"), "left")
+          .select($"nm", coalesce($"label", $"id").as("cluster"))
+        val clusters = labeled.groupBy($"cluster")
+          .agg(min($"nm").as("canon_name"), count(lit(1)).as("n_names"))
+        val mass = part(s, dir).groupBy($"p_name".as("nm"))
+          .agg(count(lit(1)).as("np"))
+          .join(labeled, "nm")
+          .groupBy($"cluster").agg(sum($"np").as("n_parts"))
+        clusters.join(mass, "cluster")
+          .select($"canon_name", $"n_names", $"n_parts")
+          .orderBy($"canon_name")
+      },
+      Some("""
+        WITH RECURSIVE nms AS (SELECT DISTINCT p_name AS nm FROM part),
+        prs AS (SELECT a.nm AS na, b.nm AS nb FROM nms a JOIN nms b
+                ON a.nm < b.nm WHERE levenshtein(a.nm, b.nm) <= 2),
+        edges AS (SELECT na AS src, nb AS dst FROM prs
+                  UNION SELECT nb, na FROM prs),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        closure AS (SELECT id AS node, id AS reach FROM nodes
+                    UNION
+                    SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src),
+        comp AS (SELECT node, MIN(reach) AS cluster FROM closure GROUP BY node),
+        lab AS (SELECT nms.nm, COALESCE(comp.cluster, nms.nm) AS cluster
+                FROM nms LEFT JOIN comp ON comp.node = nms.nm),
+        agg AS (SELECT cluster, MIN(nm) AS canon_name,
+                  CAST(COUNT(*) AS BIGINT) AS n_names
+                FROM lab GROUP BY cluster),
+        counts AS (SELECT p_name AS nm, COUNT(*) AS np FROM part GROUP BY 1),
+        mass AS (SELECT l.cluster, CAST(SUM(c.np) AS BIGINT) AS n_parts
+                 FROM lab l JOIN counts c ON c.nm = l.nm GROUP BY l.cluster)
+        SELECT a.canon_name, a.n_names, m.n_parts
+        FROM agg a JOIN mass m USING (cluster)
+        ORDER BY canon_name"""))
   )
 }

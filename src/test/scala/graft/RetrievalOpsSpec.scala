@@ -231,4 +231,23 @@ class RetrievalOpsSpec extends SparkSuite {
     // rank-4 'an' composite before rank-5 (an,d) can fire
     assert(bpeRef("anand") == Vector("an", "and"))
   }
+
+  test("q166 clusters are transitive (a~b~c with dist(a,c)>2 is ONE entity), singletons isolate, mass conserves") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // chain: widget -> widgex -> widgexx -> widgexxx: adjacent dists
+    // are 1, but dist(widget, widgexxx) = 3 — only transitive
+    // clustering unifies them. 'sprocket' is a singleton.
+    val rows = Seq(
+      (1L, "widget"), (2L, "widget"), (3L, "widgex"), (4L, "widgexx"),
+      (5L, "widgexxx"), (6L, "sprocket"), (7L, "sprocket"))
+    val d = Files.createTempDirectory("er").toString
+    rows.map { case (k, n) => (k, n, "B", "T", 1, 1.0) }
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/part.parquet")
+    val got = SparkEntry.queries("q166_entity_resolution")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("sprocket", 1L, 2L), ("widget", 4L, 5L)),
+      s"got $got — the 3-edit endpoints must still be one transitive entity")
+  }
 }
