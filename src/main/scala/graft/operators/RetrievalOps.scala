@@ -56,6 +56,41 @@ object RetrievalOps {
       .where($"dist" <= 2)
   }
 
+  /** The resolved entity membership `(nm, cluster)` over distinct part
+    * names: [[fuzzyPairs]] matching + q66 label propagation
+    * (hash-labeled; singletons coalesce to their own id without ever
+    * entering the iteration). Shared by q166 (census) and q167
+    * (survivorship), so both read ONE clustering. */
+  private def entityClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = part(s, dir).select($"p_name".as("nm")).distinct()
+      .localCheckpoint(true)
+    val pairs = fuzzyPairs(s, dir)
+      .select(xxhash64($"name_a").as("ida"), xxhash64($"name_b").as("idb"))
+    val comp = Dedup.componentsFromPairs(s, pairs)
+      .select($"doc_id".as("id"), $"component".as("label"))
+    names.withColumn("id", xxhash64($"nm"))
+      .join(comp, Seq("id"), "left")
+      .select($"nm", coalesce($"label", $"id").as("cluster"))
+  }
+
+  /** Oracle twin of [[entityClusters]], ending in `lab(nm, cluster)`
+    * with raw-name labels — shared by q166 and q167. Must follow a
+    * `WITH RECURSIVE` prefix. */
+  private val entityClustersCteSql: String = """
+        nms AS (SELECT DISTINCT p_name AS nm FROM part),
+        prs AS (SELECT a.nm AS na, b.nm AS nb FROM nms a JOIN nms b
+                ON a.nm < b.nm WHERE levenshtein(a.nm, b.nm) <= 2),
+        edges AS (SELECT na AS src, nb AS dst FROM prs
+                  UNION SELECT nb, na FROM prs),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        closure AS (SELECT id AS node, id AS reach FROM nodes
+                    UNION
+                    SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src),
+        comp AS (SELECT node, MIN(reach) AS cluster FROM closure GROUP BY node),
+        lab AS (SELECT nms.nm, COALESCE(comp.cluster, nms.nm) AS cluster
+                FROM nms LEFT JOIN comp ON comp.node = nms.nm)"""
+
   /** The q159 replace chain over a per-engine seed expression. The
     * CHAIN construction — not just the merge list — is single-sourced
     * here, because the self-delimiting invariant (each symbol wrapped
@@ -523,15 +558,7 @@ object RetrievalOps {
     Q("q166_entity_resolution",
       (s, dir) => {
         import s.implicits._
-        val names = part(s, dir).select($"p_name".as("nm")).distinct()
-          .localCheckpoint(true)
-        val pairs = fuzzyPairs(s, dir)
-          .select(xxhash64($"name_a").as("ida"), xxhash64($"name_b").as("idb"))
-        val comp = Dedup.componentsFromPairs(s, pairs)
-          .select($"doc_id".as("id"), $"component".as("label"))
-        val labeled = names.withColumn("id", xxhash64($"nm"))
-          .join(comp, Seq("id"), "left")
-          .select($"nm", coalesce($"label", $"id").as("cluster"))
+        val labeled = entityClusters(s, dir)
         val clusters = labeled.groupBy($"cluster")
           .agg(min($"nm").as("canon_name"), count(lit(1)).as("n_names"))
         val mass = part(s, dir).groupBy($"p_name".as("nm"))
@@ -542,19 +569,8 @@ object RetrievalOps {
           .select($"canon_name", $"n_names", $"n_parts")
           .orderBy($"canon_name")
       },
-      Some("""
-        WITH RECURSIVE nms AS (SELECT DISTINCT p_name AS nm FROM part),
-        prs AS (SELECT a.nm AS na, b.nm AS nb FROM nms a JOIN nms b
-                ON a.nm < b.nm WHERE levenshtein(a.nm, b.nm) <= 2),
-        edges AS (SELECT na AS src, nb AS dst FROM prs
-                  UNION SELECT nb, na FROM prs),
-        nodes AS (SELECT DISTINCT src AS id FROM edges),
-        closure AS (SELECT id AS node, id AS reach FROM nodes
-                    UNION
-                    SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src),
-        comp AS (SELECT node, MIN(reach) AS cluster FROM closure GROUP BY node),
-        lab AS (SELECT nms.nm, COALESCE(comp.cluster, nms.nm) AS cluster
-                FROM nms LEFT JOIN comp ON comp.node = nms.nm),
+      Some(s"""
+        WITH RECURSIVE $entityClustersCteSql,
         agg AS (SELECT cluster, MIN(nm) AS canon_name,
                   CAST(COUNT(*) AS BIGINT) AS n_names
                 FROM lab GROUP BY cluster),
@@ -563,6 +579,78 @@ object RetrievalOps {
                  FROM lab l JOIN counts c ON c.nm = l.nm GROUP BY l.cluster)
         SELECT a.canon_name, a.n_names, m.n_parts
         FROM agg a JOIN mass m USING (cluster)
+        ORDER BY canon_name""")),
+
+    // ---- golden-record survivorship (q167) ---------------------------
+    // Master-data-management's final step over q166's clusters: ONE
+    // golden record per resolved entity, each attribute elected by an
+    // explicit survivorship rule — canonical name = lexicographic min
+    // member; brand = MAJORITY vote over the cluster's part rows
+    // (ties -> lexicographically smallest brand: a struct-argmax over
+    // (count, rev(brand)) per the q157 determinism pattern, spelled
+    // as (count, -?) via a second aggregate because strings don't
+    // negate — here via min-brand-among-max-count); price = the
+    // cluster MIN (the conservative rule); size span published so a
+    // consumer sees the conflict width the election hid. Every rule
+    // is deterministic and stated — survivorship that can't say WHY a
+    // value won is how silent data corruption ships.
+    //
+    // Scale: membership comes from the shared entityClusters frame
+    // (computed once, the match-graph contract); part rows join on
+    // name (AQE decides — both sides corpus-derived), then ONE
+    // cluster-keyed aggregate; the brand election is a (cluster,
+    // brand) count + argmax, two partial-combined exchanges bounded
+    // by clusters × brands.
+    Q("q167_golden_record",
+      (s, dir) => {
+        import s.implicits._
+        val labeled = entityClusters(s, dir).localCheckpoint(false)
+        val rows = part(s, dir).select($"p_name".as("nm"), $"p_brand",
+            $"p_size", $"p_retailprice")
+          .join(labeled, "nm")
+        val brandVotes = rows.groupBy($"cluster", $"p_brand")
+          .agg(count(lit(1)).as("bc"))
+        // majority with smallest-brand ties: max count first, then the
+        // MIN brand among rows achieving it — two aggregates, both
+        // partial-combined, no negated-string trickery
+        val brand = brandVotes
+          .groupBy($"cluster").agg(max($"bc").as("mbc"))
+          .join(brandVotes, Seq("cluster"))
+          .filter($"bc" === $"mbc")
+          .groupBy($"cluster").agg(min($"p_brand").as("brand"))
+        val attrs = rows.groupBy($"cluster").agg(
+          min($"nm").as("canon_name"),
+          count(lit(1)).as("n_rows"),
+          min($"p_retailprice").as("min_price"),
+          min($"p_size").as("size_min"),
+          max($"p_size").as("size_max"))
+        attrs.join(brand, "cluster")
+          .select($"canon_name", $"n_rows", $"brand",
+            $"min_price".cast(DecimalType(12, 2)).as("min_price"),
+            $"size_min", $"size_max")
+          .orderBy($"canon_name")
+      },
+      Some(s"""
+        WITH RECURSIVE $entityClustersCteSql,
+        rows_ AS (SELECT l.cluster, p.p_name AS nm, p.p_brand, p.p_size,
+                    p.p_retailprice
+                  FROM part p JOIN lab l ON l.nm = p.p_name),
+        votes AS (SELECT cluster, p_brand, COUNT(*) AS bc
+                  FROM rows_ GROUP BY cluster, p_brand),
+        mv AS (SELECT cluster, MAX(bc) AS mbc FROM votes GROUP BY cluster),
+        brand AS (SELECT v.cluster, MIN(v.p_brand) AS brand
+                  FROM votes v JOIN mv ON mv.cluster = v.cluster AND v.bc = mv.mbc
+                  GROUP BY v.cluster),
+        attrs AS (SELECT cluster, MIN(nm) AS canon_name,
+                    CAST(COUNT(*) AS BIGINT) AS n_rows,
+                    MIN(p_retailprice) AS min_price,
+                    CAST(MIN(p_size) AS INT) AS size_min,
+                    CAST(MAX(p_size) AS INT) AS size_max
+                  FROM rows_ GROUP BY cluster)
+        SELECT a.canon_name, a.n_rows, b.brand,
+          CAST(a.min_price AS DECIMAL(12,2)) AS min_price,
+          a.size_min, a.size_max
+        FROM attrs a JOIN brand b USING (cluster)
         ORDER BY canon_name"""))
   )
 }

@@ -250,4 +250,25 @@ class RetrievalOpsSpec extends SparkSuite {
     assert(got == Set(("sprocket", 1L, 2L), ("widget", 4L, 5L)),
       s"got $got — the 3-edit endpoints must still be one transitive entity")
   }
+
+  test("q167 survivorship: majority brand with smallest-brand ties, min price, conflict span visible") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // widget cluster: brands B2 x3, B1 x2 -> majority B2;
+    // sprocket cluster: B3 x1, B1 x1 (tie) -> smallest brand B1
+    val rows = Seq(
+      (1L, "widget", "B2", 5, 10.0), (2L, "widget", "B2", 7, 12.0),
+      (3L, "widgex", "B2", 9, 8.5), (4L, "widgexx", "B1", 3, 20.0),
+      (5L, "widgexxx", "B1", 11, 9.0),
+      (6L, "sprocket", "B3", 2, 5.0), (7L, "sprocket", "B1", 4, 6.0))
+    val d = Files.createTempDirectory("golden").toString
+    rows.map { case (k, n, b, sz, pr) => (k, n, b, "T", sz, pr) }
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/part.parquet")
+    val got = SparkEntry.queries("q167_golden_record")(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2),
+        r.getDecimal(3).doubleValue, r.getInt(4), r.getInt(5)))).toMap
+    assert(got("widget") == ((5L, "B2", 8.5, 3, 11)), got("widget"))
+    assert(got("sprocket") == ((2L, "B1", 5.0, 2, 4)), got("sprocket"))
+  }
 }
