@@ -626,12 +626,21 @@ object Dedup {
                   WHERE ROUND(CAST(i2.i AS DOUBLE) / (ca.n + cb.n - i2.i), 6) >= 0.5),
         edges AS (SELECT ida AS src, idb AS dst FROM pairs
                   UNION SELECT idb, ida FROM pairs),
+        $closureCompCteSql,
+        comp AS (SELECT node AS doc_id, CAST(lbl AS BIGINT) AS component FROM compc)"""
+
+  /** Recursive-closure component CTEs over an in-scope `edges(src,
+    * dst)` (symmetrized), ending in `compc(node, lbl)` with lbl =
+    * min-reachable id. The SINGLE source of the oracle-side component
+    * algorithm, shared by [[componentsCte]] (q66/q79/q88) and
+    * `RetrievalOps.entityClustersCteSql` (q166/q167) — a closure-shape
+    * fix lands in both oracles or neither. */
+  private[graft] val closureCompCteSql: String = """
         nodes AS (SELECT DISTINCT src AS id FROM edges),
         closure AS (SELECT id AS node, id AS reach FROM nodes
                     UNION
                     SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src),
-        comp AS (SELECT node AS doc_id, CAST(MIN(reach) AS BIGINT) AS component
-                 FROM closure GROUP BY node)"""
+        compc AS (SELECT node, MIN(reach) AS lbl FROM closure GROUP BY node)"""
 
   /** Per-doc quality frame `(doc_id, n_tokens, quality)` — the q30
     * formula (token-count, punctuation-ratio and stopword-ratio

@@ -41,10 +41,20 @@ object RetrievalOps {
     * DISTINCT part names — FastSS deletion-neighborhood blocking +
     * levenshtein verify. Shared with q166's entity resolution so the
     * matcher and the clustering consume ONE pair construction. */
-  private[operators] def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def fuzzyPairs(s: SparkSession, dir: String): DataFrame =
+    fuzzyPairsFrom(s, distinctNames(s, dir))
+
+  /** The checkpointed distinct part-name frame — built ONCE per query
+    * even when both the matcher and the clustering consume it
+    * (entityClusters passes it through, avoiding a second corpus scan
+    * + checkpoint of identical data). */
+  private def distinctNames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val names = part(s, dir).select($"p_name".as("nm")).distinct()
-      .localCheckpoint(true)
+    part(s, dir).select($"p_name".as("nm")).distinct().localCheckpoint(true)
+  }
+
+  private def fuzzyPairsFrom(s: SparkSession, names: DataFrame): DataFrame = {
+    import s.implicits._
     val variants = names
       .select($"nm", explode(expr(deletionVariantsSql("nm"))).as("v"))
     val cand = variants.as("a")
@@ -63,9 +73,8 @@ object RetrievalOps {
     * (survivorship), so both read ONE clustering. */
   private def entityClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val names = part(s, dir).select($"p_name".as("nm")).distinct()
-      .localCheckpoint(true)
-    val pairs = fuzzyPairs(s, dir)
+    val names = distinctNames(s, dir)
+    val pairs = fuzzyPairsFrom(s, names)
       .select(xxhash64($"name_a").as("ida"), xxhash64($"name_b").as("idb"))
     val comp = Dedup.componentsFromPairs(s, pairs)
       .select($"doc_id".as("id"), $"component".as("label"))
@@ -77,19 +86,15 @@ object RetrievalOps {
   /** Oracle twin of [[entityClusters]], ending in `lab(nm, cluster)`
     * with raw-name labels — shared by q166 and q167. Must follow a
     * `WITH RECURSIVE` prefix. */
-  private val entityClustersCteSql: String = """
+  private val entityClustersCteSql: String = s"""
         nms AS (SELECT DISTINCT p_name AS nm FROM part),
         prs AS (SELECT a.nm AS na, b.nm AS nb FROM nms a JOIN nms b
                 ON a.nm < b.nm WHERE levenshtein(a.nm, b.nm) <= 2),
         edges AS (SELECT na AS src, nb AS dst FROM prs
                   UNION SELECT nb, na FROM prs),
-        nodes AS (SELECT DISTINCT src AS id FROM edges),
-        closure AS (SELECT id AS node, id AS reach FROM nodes
-                    UNION
-                    SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src),
-        comp AS (SELECT node, MIN(reach) AS cluster FROM closure GROUP BY node),
-        lab AS (SELECT nms.nm, COALESCE(comp.cluster, nms.nm) AS cluster
-                FROM nms LEFT JOIN comp ON comp.node = nms.nm)"""
+        ${Dedup.closureCompCteSql},
+        lab AS (SELECT nms.nm, COALESCE(c.lbl, nms.nm) AS cluster
+                FROM nms LEFT JOIN compc c ON c.node = nms.nm)"""
 
   /** The q159 replace chain over a per-engine seed expression. The
     * CHAIN construction — not just the merge list — is single-sourced
