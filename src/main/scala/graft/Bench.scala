@@ -35,9 +35,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       // mergeable-sketch partials (q142's bloom) legitimately exceed
-      // the 1g default on the 100x scale probes; bounded by
-      // 32 partials x sketch size
-      .config("spark.driver.maxResultSize", "16g")
+      // the 1g default ONLY on the 100x scale probes, which also raise
+      // SPARK_DRIVER_MEM — those runs export SPARK_GRAFT_MAXRESULT=16g.
+      // The driver-bench default stays heap-proportional (4g under the
+      // default 8g heap) so an accidental corpus-sized collect fails
+      // cleanly at the result-size rail instead of as a driver OOM.
+      .config("spark.driver.maxResultSize",
+        sys.env.getOrElse("SPARK_GRAFT_MAXRESULT", "4g"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -179,7 +183,20 @@ object Bench {
     val vsJson = prevFile.map("\"" + _ + "\"").getOrElse("null")
     // Double.toString is locale-independent ('.'), unlike f"%.3f"
     val driftStr = (math.round(drift * 1000) / 1000.0).toString
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","regressions_vs":$vsJson,"drift":$driftStr,"regressions":$regJson}""")
+    // Truncation-proof emission (the r6 lesson: the driver keeps only
+    // an output TAIL, and r6's single giant line lost its header and
+    // the first ~110 per-query entries). Two lines, both valid JSON:
+    //  1. the full detail line, with queries_min FIRST so truncation
+    //     eats best-of-reps before medians;
+    //  2. a compact summary line LAST — total, reps, drift, regression
+    //     list, failures and the top-10 slowest medians — so ANY tail
+    //     capture retains the verdict-grade numbers.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries_min":$qsMin,"queries":$qs,"sf":"$sfDir","regressions_vs":$vsJson,"drift":$driftStr,"regressions":$regJson}""")
+    val failed = results.collect { case (n, (m, _)) if m < 0 => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
+    val top10 = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(10)
+      .map { case (k, (m, _)) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","reps":$reps,"sf":"$sfDir","n_queries":${results.size},"failed":$failed,"drift":$driftStr,"regressions_vs":$vsJson,"regressions":$regJson,"top10_median":$top10}""")
     spark.stop()
   }
 }

@@ -287,7 +287,13 @@ object RetrievalOps {
     // (names << rows at 100 TB); block sizes are bounded by near-dup
     // density, never by vocabulary shape. The ORACLE is the quadratic
     // levenshtein join — a different strategy, so the hash match
-    // proves the neighborhood theorem on real data.
+    // proves the neighborhood theorem on real data. ORACLE
+    // PRECONDITION: the oracle is uncapped while the engine blocks on
+    // the [[FastSsMaxLen]]-char prefix, so the gate compares the same
+    // algorithm only while every gate name is <= that cap —
+    // FastSsGuardSpec pins max(length(p_name)) <= 64 on all three gate
+    // corpora (q166/q167 inherit the same precondition via
+    // entityClusters).
     Q("q146_fuzzy_pairs",
       (s, dir) => fuzzyPairs(s, dir).orderBy(col("name_a"), col("name_b")),
       Some("""

@@ -123,11 +123,16 @@ object Scale {
     val kHashes = math.max(1, math.round(numBits.toDouble / n * math.log(2)).toInt)
     val spark = keys.sparkSession
     import spark.implicits._
-    // coalesce(32): treeAggregate ships last-level partials
-    // (numBits/8 bytes each) to the driver; at high partition counts
-    // unbounded partials trip spark.driver.maxResultSize.
+    // repartition(32), not coalesce(32): treeAggregate ships
+    // last-level partials (numBits/8 bytes each) to the driver, so at
+    // high partition counts unbounded partials trip
+    // spark.driver.maxResultSize — but coalesce MERGES partitions
+    // without a shuffle, which for a non-checkpointed keys frame
+    // throttles the ENTIRE upstream key-producing pipeline to 32
+    // tasks, not just the aggregate's final level. A shuffle of bare
+    // longs is cheap (8 bytes/key) and keeps scan parallelism intact.
     keys.select(col(colName)).as[Long].rdd
-      .coalesce(32)
+      .repartition(32)
       .treeAggregate(org.apache.spark.util.sketch.BloomFilter.create(
         org.apache.spark.util.sketch.BloomFilter.Version.V1, n, numBits, kHashes))(
         (b, k) => { b.putLong(k); b },

@@ -688,8 +688,12 @@ object Similarity {
     // ("how much diversity does the (r+1)-th sample still add").
     //
     // Scale: per round, the ≤k-row center frame broadcasts against
-    // the corpus (BNLJ, whitelisted — tiny by construction like
-    // q64's centroids), the per-vector min collapses in a
+    // the corpus (a BNLJ that is tiny-by-construction like q64's
+    // centroids; NOTE it is NOT in PlanLintSpec's whitelist because
+    // the eager localCheckpoint below materializes each round, so the
+    // lint — which plans the final query only — sees a LogicalRDD
+    // boundary, not the join; the justification lives here and in
+    // docs/PLANS_r6.md), the per-vector min collapses in a
     // vec_id-keyed partial-combined aggregate, and the argmax is
     // orderBy.limit(1) — TakeOrderedAndProject, per-partition heaps,
     // O(1) to the driver plan. Rounds are FIXED (6); round frames are

@@ -26,7 +26,14 @@ import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
   *
   * Plans are built at sf0.001 without executing the final query (some
   * operators run eager prep actions by design — bloom build, label
-  * propagation, the dense-grid checkpoint — which is fine). */
+  * propagation, the dense-grid checkpoint — which is fine).
+  *
+  * KNOWN BLIND SPOT: subplans already materialized behind a
+  * localCheckpoint appear to this lint as a LogicalRDD leaf — the
+  * operators inside them (e.g. q162's per-round ≤k-row center BNLJ,
+  * justified at its definition site) are invisible here. The lint
+  * covers the plan of the final query; iterative operators' per-round
+  * plans are audited manually in docs/PLANS_r*.md. */
 class PlanLintSpec extends SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"

@@ -52,4 +52,23 @@ class FastSsGuardSpec extends SparkSuite {
     assert(pairs.length == 1 && pairs.head.getInt(2) == 1,
       s"expected the ed=1 long pair to survive the capped block join, got ${pairs.length} rows")
   }
+
+  test("oracle-gate precondition: every gate corpus keeps part names at or below maxLen") {
+    // the q146/q166/q167 DuckDB oracles run an UNCAPPED quadratic
+    // levenshtein join; the Spark side blocks on the capped-prefix
+    // FastSS neighborhood. The two are the same algorithm exactly when
+    // every name is <= maxLen (the cap is identity there). This pins
+    // that precondition on all three gate corpora, so a future
+    // testdata change with >64-char names fails HERE with a message,
+    // not in the driver gate as an unexplained hash mismatch (the
+    // round-6 ADVICE divergence scenario: >=2 indels inside the
+    // prefix of a >64-char name).
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val mx = spark.read.parquet(s"/root/testdata/$sf/part.parquet")
+        .select(max(length($"p_name"))).head().getInt(0)
+      assert(mx <= maxLen,
+        s"$sf part names reach $mx chars > cap $maxLen: the uncapped oracle and " +
+          "the capped engine would no longer compute the same pair set")
+    }
+  }
 }
