@@ -760,6 +760,147 @@ object Similarity {
           SELECT 1 AS round, cid AS vec_id, CAST(0.0 AS DOUBLE) AS radius FROM c1
           $outs
           ORDER BY round"""
+      }),
+
+    // ---- IVF with √n-trained nlist: the scale contract as CODE -------
+    // q137 measures the FIXED-nlist anti-pattern (its 10× re-measure
+    // shows candidates growing linearly with the corpus — the "index"
+    // decays toward brute force at constant scan fraction). This query
+    // is the documented fix, executable: nlist = ⌈√n⌉ cells TRAINED on
+    // the corpus (seed = first nlist vectors, one Lloyd refinement —
+    // the q64 step with the q118 decimal-exact means), every vector
+    // assigned to its nearest trained cell, queries probing their
+    // nprobe = 1..3 nearest cells, recall@5 scored against the same
+    // exact knnTop5 baseline as q137. Candidates per (query, probe)
+    // are now n/nlist ≈ √n BY CONSTRUCTION — the per-query scan
+    // fraction decays as 1/√n as the corpus grows instead of staying
+    // constant (measured across sf0.01 / sf0.1 / 10× in
+    // docs/SCALING.md; nlist is published in the output so the gate
+    // pins the √n computation itself).
+    //
+    // Determinism: distances use q64's expanded-form contract
+    // (vv − 2·dot + cc, rounded 1e-6, lowest-cell-id ties); cell means
+    // are DECIMAL(30,15) exact sums, so both engines refine identical
+    // centroids. Scale: both assignment passes are map-only against a
+    // broadcast O(√n·dims) centroid frame followed by a vec_id-keyed
+    // partial-combined struct-min (NO per-vector window — the argmin
+    // combines map-side); the probe frame is queries × nprobe rows;
+    // the candidate join is an equi-join on cell id. The only
+    // driver-side values are the corpus count (1 row) and the
+    // O(√n·dims) centroid broadcast.
+    Q("q168_ivf_sqrtn_recall",
+      (s, dir) => {
+        import s.implicits._
+        val e = prepared(s, dir)
+          .withColumn("vv", expr("dot_product(v, v)"))
+          .localCheckpoint(false)
+        val nlist = math.ceil(math.sqrt(e.count().toDouble)).toLong
+        val c0 = e.filter($"vec_id" < nlist)
+          .select($"vec_id".as("cid"), $"v".as("cv"), $"vv".as("cc"))
+        // nearest trained cell per vector: map-only distance against the
+        // broadcast centroid frame, then a partial-combined struct-min
+        // (lexicographic (d2, cid) — q64's tie contract) per vec_id
+        def assign(cents: DataFrame): DataFrame =
+          e.crossJoin(broadcast(cents))
+            .withColumn("d2",
+              round($"vv" - lit(2.0) * expr("dot_product(v, cv)") + $"cc", 6))
+            .groupBy($"vec_id").agg(min(struct($"d2", $"cid")).as("m"))
+            .select($"vec_id", $"m.cid".as("cell"))
+        val means = assign(c0).join(e.select($"vec_id", $"v"), "vec_id")
+          .select($"cell", posexplode($"v").as(Seq("dim", "x")))
+          .groupBy($"cell", $"dim").agg(davg($"x", 15).as("m"))
+        val c1 = means.groupBy($"cell")
+          .agg(expr("transform(array_sort(collect_list(struct(dim, m))), t -> t.m)").as("cv"))
+          .withColumn("cc", expr("dot_product(cv, cv)"))
+          .select($"cell".as("cid"), $"cv", $"cc")
+          .localCheckpoint(true)
+        val asg = assign(c1)
+        val exact = knnTop5(s, dir).select($"qid".as("eqid"), $"cid".as("ecid"))
+        val q = e.filter($"vec_id" < 50)
+          .select($"vec_id".as("qid"), $"v".as("av"), $"nrm".as("na"), $"vv")
+        val pw = Window.partitionBy($"qid").orderBy($"d2", $"cell")
+        val probes = q.crossJoin(broadcast(c1.withColumnRenamed("cid", "cell")))
+          .withColumn("d2",
+            round($"vv" - lit(2.0) * expr("dot_product(av, cv)") + $"cc", 6))
+          .withColumn("probe_rank", row_number().over(pw))
+          .filter($"probe_rank" <= 3)
+          .select($"qid", $"av", $"na", $"cell", $"probe_rank")
+        val corpus = e.select($"vec_id".as("cid"), $"v".as("bv"), $"nrm".as("nb"))
+          .join(asg.select($"vec_id".as("cid"), $"cell"), "cid")
+        val cand = broadcast(probes).join(corpus, Seq("cell"))
+          .filter($"qid" =!= $"cid")
+          .withColumn("cosr", round(expr(dotExpr) / ($"na" * $"nb"), 6))
+          .withColumn("np", explode(expr("sequence(probe_rank, 3)")))
+        val w = Window.partitionBy($"np", $"qid").orderBy($"cosr".desc, $"cid")
+        val top = cand.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+          .select($"np", $"qid", $"cid")
+        val hits = top.join(exact, $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
+          .groupBy($"np").agg(count(lit(1)).as("hits"))
+        cand.groupBy($"np")
+          .agg(count(lit(1)).as("candidates"), countDistinct($"qid").as("n_queries"))
+          .join(hits, Seq("np"), "left")
+          .select($"np".cast(IntegerType).as("nprobe"),
+            lit(nlist).as("nlist"), $"n_queries", $"candidates",
+            coalesce($"hits", lit(0L)).as("hits"),
+            round(coalesce($"hits", lit(0L)).cast(DoubleType) / ($"n_queries" * 5), 6)
+              .as("recall_at_5"))
+          .orderBy($"nprobe")
+      },
+      Some {
+        val argmin = (src: String, cents: String) => s"""
+          SELECT vec_id, cell FROM (
+            SELECT $src.vec_id, c.cid AS cell,
+              ROW_NUMBER() OVER (PARTITION BY $src.vec_id ORDER BY
+                ROUND($src.vv - 2.0 * list_sum([$src.v[i] * c.cv[i] for i in range(1, len($src.v) + 1)]) + c.cc, 6),
+                c.cid) AS rk
+            FROM $src CROSS JOIN $cents c) t WHERE rk = 1"""
+        s"""$prepCte,
+        $knnTop5Cte,
+        nl AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS nlist FROM n),
+        e2 AS (SELECT vec_id, v, nrm,
+                 list_sum(list_transform(v, x -> x * x)) AS vv FROM n),
+        c0 AS (SELECT vec_id AS cid, v AS cv, vv AS cc
+               FROM e2, nl WHERE vec_id < nl.nlist),
+        s0 AS MATERIALIZED (${argmin("e2", "c0")}),
+        dims AS (SELECT s0.cell, i - 1 AS dim, e2.v[i] AS x
+                 FROM s0 JOIN e2 USING (vec_id),
+                      UNNEST(range(1, len(e2.v) + 1)) AS t(i)),
+        means AS (SELECT cell, dim, ${davgSql("x", 15)} AS m
+                  FROM dims GROUP BY cell, dim),
+        c1 AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv FROM means GROUP BY cell),
+        c1n AS MATERIALIZED (SELECT cid, cv,
+                 list_sum(list_transform(cv, x -> x * x)) AS cc FROM c1),
+        asg AS MATERIALIZED (${argmin("e2", "c1n")}),
+        qv AS (SELECT vec_id AS qid, v AS av, nrm AS na, vv FROM e2 WHERE vec_id < 50),
+        pr AS (SELECT qid, cell, probe_rank FROM (
+                 SELECT q.qid, c.cid AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                     ROUND(q.vv - 2.0 * list_sum([q.av[i] * c.cv[i] for i in range(1, len(q.av) + 1)]) + c.cc, 6),
+                     c.cid) AS probe_rank
+                 FROM qv q CROSS JOIN c1n c) t
+               WHERE probe_rank <= 3),
+        cand AS (SELECT p.qid, p.probe_rank, b.vec_id AS cid,
+                   ROUND(list_sum([q.av[i] * b.v[i] for i in range(1, len(q.av) + 1)]) / (q.na * b.nrm), 6) AS cosr
+                 FROM pr p
+                 JOIN qv q ON q.qid = p.qid
+                 JOIN asg a ON a.cell = p.cell
+                 JOIN e2 b ON b.vec_id = a.vec_id AND b.vec_id <> p.qid),
+        lv AS (SELECT qid, cid, cosr, np
+               FROM cand, UNNEST(range(probe_rank, 4)) AS t(np)),
+        top AS (SELECT np, qid, cid FROM (SELECT *,
+                  ROW_NUMBER() OVER (PARTITION BY np, qid ORDER BY cosr DESC, cid) AS rk
+                FROM lv) t WHERE rk <= 5),
+        hits AS (SELECT t.np, CAST(COUNT(*) AS BIGINT) AS hits
+                 FROM top t JOIN nn ON nn.qid = t.qid AND nn.cid = t.cid
+                 GROUP BY t.np),
+        vol AS (SELECT np, CAST(COUNT(*) AS BIGINT) AS candidates,
+                  CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries
+                FROM lv GROUP BY np)
+        SELECT CAST(v.np AS INT) AS nprobe, nl.nlist, v.n_queries, v.candidates,
+          COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
+          ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / (v.n_queries * 5), 6) AS recall_at_5
+        FROM vol v CROSS JOIN nl LEFT JOIN hits h ON h.np = v.np
+        ORDER BY nprobe"""
       })
   )
 }

@@ -199,4 +199,31 @@ class SimilaritySpec extends SparkSuite {
     assert(got.map(_._2).toSet == Set(0L, 1L, 2L, 3L, 4L, 5L))
     assert(got.filter(_._1 >= 4).forall(_._3 == 0.0), s"duplicates should be radius 0: ${got.toSeq}")
   }
+
+  test("q168 √n-nlist contract: trained cells, bounded candidates, recall-per-candidate beats fixed-nlist q137") {
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val rows = run("q168_ivf_sqrtn_recall").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    // the √n computation itself is part of the published output
+    assert(rows.forall(_._2 == math.ceil(math.sqrt(n.toDouble)).toLong))
+    // candidate volume grows with nprobe; hits can only be gained by
+    // probing MORE cells (the top-5-of-superset argument, mod ties)
+    assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted)
+    assert(rows.map(_._5).toSeq == rows.map(_._5).toSeq.sorted)
+    // the scale contract: a probe scans ~n/√n = √n candidates, far
+    // below the brute-force n-1 per query (allow 4x cell imbalance)
+    val perQuery1 = rows.head._4.toDouble / rows.head._3
+    assert(perQuery1 <= 4 * math.sqrt(n.toDouble),
+      s"nprobe=1 scans $perQuery1 per query — cells are degenerate")
+    // the reason to TRAIN cells: recall per candidate examined must
+    // beat q137's fixed-label cells at the same nprobe
+    val q137 = run("q137_ann_recall").collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getDouble(4))).sortBy(_._1)
+    val effT = rows.head._6 / rows.head._4   // trained: recall@5 / candidates
+    val effF = q137.head._3 / q137.head._2   // fixed labels
+    assert(effT > effF,
+      s"trained √n cells ($effT) must beat fixed labels ($effF) on recall-per-candidate")
+  }
 }
