@@ -875,16 +875,19 @@ object AnalyticsOps {
     // classify every key as inserted / deleted / updated / unchanged —
     // the change-data-capture feed an incremental pipeline consumes
     // when the source can't produce one. One full-outer join on the
-    // key; value comparison on the decimal-cast price so "updated" is
-    // exact cross-engine. Snapshot B = the q111 merge minus keys ≡0
-    // (mod 11), so all four classes are non-empty.
+    // key; value comparison on INTEGER CENTS (round(p*100) — the r7
+    // representation audit replaced the DECIMAL(18,2)-from-double
+    // casts, whose rounding is the one step that has diverged between
+    // oracle environments) so "updated" is exact cross-engine.
+    // Snapshot B = the q111 merge minus keys ≡0 (mod 11), so all four
+    // classes are non-empty.
     Q("q112_snapshot_diff",
       (s, dir) => {
         import s.implicits._
         val snapA = orders(s, dir).filter($"o_orderkey" % 7 =!= 0)
-          .select($"o_orderkey", $"o_totalprice".cast(DecimalType(18, 2)).as("va"))
+          .select($"o_orderkey", round($"o_totalprice" * 100).cast(LongType).as("va"))
         val snapB = upsertMerged(s, dir).filter($"o_orderkey" % 11 =!= 0)
-          .select($"o_orderkey", $"o_totalprice".cast(DecimalType(18, 2)).as("vb"))
+          .select($"o_orderkey", round($"o_totalprice" * 100).cast(LongType).as("vb"))
         snapA.join(snapB, Seq("o_orderkey"), "full_outer")
           .select(
             when($"va".isNull, lit("inserted"))
@@ -896,9 +899,9 @@ object AnalyticsOps {
       },
       Some(s"""
         WITH $upsertMergedCteSql,
-        snap_a AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS va
+        snap_a AS (SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS va
                    FROM orders WHERE o_orderkey % 7 <> 0),
-        snap_b AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS vb
+        snap_b AS (SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS vb
                    FROM merged WHERE o_orderkey % 11 <> 0)
         SELECT CASE WHEN a.va IS NULL THEN 'inserted'
                     WHEN b.vb IS NULL THEN 'deleted'

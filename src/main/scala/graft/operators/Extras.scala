@@ -790,9 +790,18 @@ object Extras {
         val cols = Seq("l_orderkey", "l_quantity", "l_shipdate", "l_returnflag")
         // min/max aggregate on the RAW column (numeric/temporal order),
         // rendered to a type-pinned string only afterwards — a min over
-        // pre-rendered strings would compare "9999" > "14999"
+        // pre-rendered strings would compare "9999" > "14999".
+        // The decimal rendering goes through INTEGER CENTS + div/mod
+        // string assembly (the r7 representation-hazard audit: a
+        // double→DECIMAL cast is the one step whose rounding has
+        // diverged between oracle environments — q167's r6 red cell;
+        // round(x*100) is monotone so rendering after MIN/MAX equals
+        // per-row cents aggregation)
         def rendered(e: Column, c: String) = c match {
-          case "l_quantity" => e.cast(DecimalType(12, 2)).cast(StringType)
+          case "l_quantity" =>
+            val cents = round(e * 100).cast(LongType)
+            concat((cents / lit(100)).cast(LongType).cast(StringType),
+              lit("."), lpad(pmod(cents, lit(100)).cast(StringType), 2, "0"))
           case "l_shipdate" => e.cast(DateType).cast(StringType)
           case _            => e.cast(StringType)
         }
@@ -824,8 +833,8 @@ object Extras {
             CAST(MAX(l_orderkey) AS VARCHAR) AS ok_max,
             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ok_ndv,
             CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS qt_nulls,
-            CAST(MIN(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS qt_min,
-            CAST(MAX(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS qt_max,
+            CAST(ROUND(MIN(l_quantity) * 100) AS BIGINT) AS qt_min_c,
+            CAST(ROUND(MAX(l_quantity) * 100) AS BIGINT) AS qt_max_c,
             CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS qt_ndv,
             CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS sd_nulls,
             CAST(MIN(CAST(l_shipdate AS DATE)) AS VARCHAR) AS sd_min,
@@ -837,7 +846,10 @@ object Extras {
           FROM lineitem)
         SELECT 'l_orderkey' AS "column", n_rows, ok_nulls AS n_nulls,
           ok_min AS min_val, ok_max AS max_val, ok_ndv AS ndv, TRUE AS ndv_within_eps FROM m
-        UNION ALL SELECT 'l_quantity', n_rows, qt_nulls, qt_min, qt_max, qt_ndv, TRUE FROM m
+        UNION ALL SELECT 'l_quantity', n_rows, qt_nulls,
+          CAST(qt_min_c // 100 AS VARCHAR) || '.' || lpad(CAST(qt_min_c % 100 AS VARCHAR), 2, '0'),
+          CAST(qt_max_c // 100 AS VARCHAR) || '.' || lpad(CAST(qt_max_c % 100 AS VARCHAR), 2, '0'),
+          qt_ndv, TRUE FROM m
         UNION ALL SELECT 'l_returnflag', n_rows, rf_nulls, rf_min, rf_max, rf_ndv, TRUE FROM m
         UNION ALL SELECT 'l_shipdate', n_rows, sd_nulls, sd_min, sd_max, sd_ndv, TRUE FROM m
         ORDER BY "column" """)),
