@@ -1689,6 +1689,77 @@ object AnalyticsOps {
         UNION ALL SELECT 3, (SELECT COUNT(*) FROM d3), (SELECT COUNT(*) FROM e3)
         UNION ALL SELECT 4, (SELECT COUNT(*) FROM d4), (SELECT COUNT(*) FROM e4)
         UNION ALL SELECT 5, (SELECT COUNT(*) FROM d5), (SELECT COUNT(*) FROM e5)
-        ORDER BY round"""))
+        ORDER BY round""")),
+
+    // ---- Heaps'-law vocabulary growth curve (q169, new r7) -----------
+    // The corpus-sizing diagnostic a tokenizer/training plan is built
+    // on: how fast does the type inventory grow as the corpus grows?
+    // Docs are bucketed into 10 id-range deciles (VALUE-based cuts
+    // from the min/max id — one 1-row broadcast, never a global rank:
+    // an ntile here would be the q102 single-partition window
+    // anti-pattern); each token TYPE is attributed to the decile of
+    // its FIRST document, so per-decile new-type counts need exactly
+    // ONE token-keyed exchange (min(doc_id) per token, partial-
+    // combined). The cumulative curve is assembled by a <=10-row
+    // self theta-join (q134's metadata-grid class — never a window).
+    // Published per decile: docs, token instances, new types,
+    // cumulative types/tokens and the running type/token ratio — a
+    // flattening TTR curve is Heaps' law in action; a LINEAR one
+    // screams synthetic/templated content (dedup before tokenizing).
+    // Integer decile math ((fd-mn)*10 DIV span) is exact in both
+    // engines; the one double (TTR) divides two BIGINTs and rounds
+    // to 1e-6 per the repo contract.
+    Q("q169_vocab_growth",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Dedup.withToks(documents(s, dir)).select($"doc_id", $"toks")
+        val consts = docs.agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"))
+        val decile = (c: String) =>
+          expr(s"CAST((($c - mn) * 10) DIV (mx - mn + 1) AS INT)").as("decile")
+        val perDoc = docs
+          .select($"doc_id", size(filter($"toks", t => length(t) > 0)).cast(LongType).as("ntok"))
+          .crossJoin(broadcast(consts))
+          .groupBy(decile("doc_id"))
+          .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("n_tokens"))
+        val newTypes = docs.select($"doc_id", explode($"toks").as("tok"))
+          .filter(length($"tok") > 0)
+          .groupBy($"tok").agg(min($"doc_id").as("fd"))
+          .crossJoin(broadcast(consts))
+          .groupBy(decile("fd")).agg(count(lit(1)).as("new_types"))
+        val base = perDoc.join(newTypes, Seq("decile"), "left")
+          .na.fill(0L, Seq("new_types"))
+        base.as("a").join(base.as("b"), $"b.decile" <= $"a.decile")
+          .groupBy($"a.decile".as("decile"))
+          .agg(max($"a.n_docs").as("n_docs"), max($"a.n_tokens").as("n_tokens"),
+            max($"a.new_types").as("new_types"),
+            sum($"b.new_types").as("cum_types"),
+            sum($"b.n_tokens").as("cum_tokens"))
+          .withColumn("type_token_ratio",
+            round($"cum_types".cast(DoubleType) / $"cum_tokens", 6))
+          .orderBy($"decile")
+      },
+      Some(s"""
+        WITH ${Dedup.toksCteSql},
+        c AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+        perdoc AS (SELECT CAST(((doc_id - mn) * 10) // (mx - mn + 1) AS INT) AS decile,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(len(list_filter(w, s -> len(s) > 0))) AS BIGINT) AS n_tokens
+                   FROM toksc, c GROUP BY 1),
+        first_ AS (SELECT tok, MIN(doc_id) AS fd
+                   FROM (SELECT doc_id, UNNEST(w) AS tok FROM toksc) u
+                   WHERE len(tok) > 0 GROUP BY tok),
+        nt AS (SELECT CAST(((fd - mn) * 10) // (mx - mn + 1) AS INT) AS decile,
+                 CAST(COUNT(*) AS BIGINT) AS new_types
+               FROM first_, c GROUP BY 1),
+        base AS (SELECT p.decile, p.n_docs, p.n_tokens,
+                   CAST(COALESCE(nt.new_types, 0) AS BIGINT) AS new_types
+                 FROM perdoc p LEFT JOIN nt USING (decile))
+        SELECT a.decile, MAX(a.n_docs) AS n_docs, MAX(a.n_tokens) AS n_tokens,
+          MAX(a.new_types) AS new_types,
+          CAST(SUM(b.new_types) AS BIGINT) AS cum_types,
+          CAST(SUM(b.n_tokens) AS BIGINT) AS cum_tokens,
+          ROUND(CAST(SUM(b.new_types) AS DOUBLE) / SUM(b.n_tokens), 6) AS type_token_ratio
+        FROM base a JOIN base b ON b.decile <= a.decile
+        GROUP BY a.decile ORDER BY a.decile"""))
   )
 }

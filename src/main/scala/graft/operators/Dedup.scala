@@ -532,7 +532,63 @@ object Dedup {
           COALESCE(p.max_span, 0) AS max_span,
           ROUND(CAST(COALESCE(p.dup_toks, 0) AS DOUBLE) / len(t.w), 6) AS dup_frac
         FROM toksc t LEFT JOIN per_doc p USING (doc_id)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- cross-source duplication flow matrix (q170, new r7) ---------
+    // The provenance complement of q25's exact dedup and q98's lexical
+    // overlap: for EVERY source pair, how many exact-content groups
+    // the two sources share and how many doc copies each side
+    // contributes — the table a mixture designer reads to find mirror
+    // sites, scraped re-posts and licensing double-counts before
+    // weighting sources independently. The full |S|x|S|/2 grid is
+    // published (zero rows included, q98's contract) so an empty cell
+    // is an assertion, not an absence.
+    //
+    // Scale: content collapses to (xxhash64, source) counts FIRST —
+    // one 8B-key partial-combined exchange, whole documents never
+    // shuffle (the q25 shape); the flow join is hash-keyed equi on
+    // that collapsed frame, bounded by cross-source dup density; the
+    // source grid is |sources|^2 metadata (BNLJ, whitelisted). The
+    // oracle groups by RAW text, so a 2^-64 collision fails the gate
+    // loudly (the established contract).
+    Q("q170_dup_flow",
+      (s, dir) => {
+        import s.implicits._
+        val hs = documents(s, dir)
+          .groupBy(xxhash64($"text").as("h"), $"source")
+          .agg(count(lit(1)).as("n"))
+        val flows = hs.as("a")
+          .join(hs.as("b"), $"a.h" === $"b.h" && $"a.source" < $"b.source")
+          .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+          .agg(count(lit(1)).as("shared_groups"),
+            sum($"a.n").as("docs_a"), sum($"b.n").as("docs_b"))
+        val srcs = documents(s, dir).select($"source").distinct()
+        val grid = srcs.select($"source".as("src_a"))
+          .join(srcs.select($"source".as("src_b")), $"src_a" < $"src_b")
+        grid.join(flows, Seq("src_a", "src_b"), "left")
+          .select($"src_a", $"src_b",
+            coalesce($"shared_groups", lit(0L)).as("shared_groups"),
+            coalesce($"docs_a", lit(0L)).as("docs_a"),
+            coalesce($"docs_b", lit(0L)).as("docs_b"))
+          .orderBy($"src_a", $"src_b")
+      },
+      Some("""
+        WITH hs AS (SELECT text, source, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM documents GROUP BY 1, 2),
+        flows AS (SELECT a.source AS src_a, b.source AS src_b,
+                    CAST(COUNT(*) AS BIGINT) AS shared_groups,
+                    CAST(SUM(a.n) AS BIGINT) AS docs_a,
+                    CAST(SUM(b.n) AS BIGINT) AS docs_b
+                  FROM hs a JOIN hs b ON a.text = b.text AND a.source < b.source
+                  GROUP BY 1, 2),
+        srcs AS (SELECT DISTINCT source FROM documents)
+        SELECT x.source AS src_a, y.source AS src_b,
+          COALESCE(f.shared_groups, 0) AS shared_groups,
+          COALESCE(f.docs_a, 0) AS docs_a,
+          COALESCE(f.docs_b, 0) AS docs_b
+        FROM srcs x JOIN srcs y ON x.source < y.source
+        LEFT JOIN flows f ON f.src_a = x.source AND f.src_b = y.source
+        ORDER BY src_a, src_b"""))
   )
 
   /** Min-label propagation over the verified near-dup pair graph:

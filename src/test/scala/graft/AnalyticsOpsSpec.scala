@@ -711,4 +711,30 @@ class AnalyticsOpsSpec extends SparkSuite {
     // node peels per round — the multi-round cascade k-core exists for)
     assert(expected.distinct.size == 6, s"cascade too shallow: $expected")
   }
+
+  test("q169 equals an in-memory Heaps recount (deciles, firsts, cumulative TTR)") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split("\\W+").toSeq.filter(_.nonEmpty)))
+    val mn = rows.map(_._1).min; val mx = rows.map(_._1).max
+    def dec(id: Long): Int = (((id - mn) * 10) / (mx - mn + 1)).toInt
+    val perDec = rows.groupBy(r => dec(r._1))
+      .map { case (d, rs) => d -> ((rs.size.toLong, rs.map(_._2.size.toLong).sum)) }
+    val firsts = rows.flatMap { case (id, ts) => ts.map(t => (t, id)) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).min }
+    val newT = firsts.values.toSeq.groupBy(dec)
+      .map { case (d, xs) => d -> xs.size.toLong }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = perDec.keys.toSeq.sorted.map { d =>
+      val (nd, ntok) = perDec(d)
+      val cumT = (0 to d).map(newT.getOrElse(_, 0L)).sum
+      val cumTok = (0 to d).flatMap(perDec.get(_).map(_._2)).sum
+      (d, nd, ntok, newT.getOrElse(d, 0L), cumT, cumTok, r6(cumT.toDouble / cumTok))
+    }
+    val got = run("q169_vocab_growth").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got == expect, s"\ngot    $got\nexpect $expect")
+  }
 }

@@ -154,4 +154,29 @@ class DedupSpec extends SparkSuite {
       assert(want.values.exists(_._3 > 0), s"seed $seed produced no duplicate windows")
     }
   }
+
+  test("q170 flow matrix: cross-source dup groups counted with copy mass, absent pairs published as zeros") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // s1 holds 2 copies of 'alpha' + 'beta'; s2 holds 1 'alpha' +
+    // 'gamma'; s3 is disjoint. Expected: (s1,s2) shares ONE group with
+    // docs_a=2 (both s1 copies count as mass), every other pair is a
+    // published zero row (the grid contract).
+    val docs = Seq(
+      (0L, "alpha text body", "en", "s1", 15L),
+      (1L, "alpha text body", "en", "s1", 15L),
+      (2L, "beta text body", "en", "s1", 14L),
+      (3L, "alpha text body", "en", "s2", 15L),
+      (4L, "gamma text body", "en", "s2", 15L),
+      (5L, "delta text body", "en", "s3", 15L))
+    val d = Files.createTempDirectory("dupflow").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("q170_dup_flow")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("s1", "s2", 1L, 2L, 1L),
+      ("s1", "s3", 0L, 0L, 0L),
+      ("s2", "s3", 0L, 0L, 0L)), got.toString)
+  }
 }
