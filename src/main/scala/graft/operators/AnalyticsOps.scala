@@ -24,6 +24,24 @@ import org.apache.spark.sql.types._
 object AnalyticsOps {
   import Tables._
 
+  /** The q113 deterministic split assignment (md5 first hex digit,
+    * 12/2/2) — single source of truth shared with q172's leakage
+    * audit, so an edit to the split rule cannot diverge the assigner
+    * from its auditor. */
+  private def splitAssignCol: Column = {
+    val h = substring(md5(col("doc_id").cast(StringType)), 1, 1)
+    when(h.isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b"), "train")
+      .when(h.isin("c", "d"), "val")
+      .otherwise("test")
+  }
+
+  /** The oracle spelling of [[splitAssignCol]]. */
+  private val splitAssignSql: String = """
+    CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1)
+              IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+         WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+         ELSE 'test' END"""
+
   /** (event_type, d, n_events) daily counts on integer epoch days —
     * the shared base frame for q95/q100/q107. Materialized EAGERLY
     * (localCheckpoint, the q66-components pattern) so the calendar
@@ -920,22 +938,14 @@ object AnalyticsOps {
     Q("q113_split_assign",
       (s, dir) => {
         import s.implicits._
-        val h = substring(md5($"doc_id".cast(StringType)), 1, 1)
         documents(s, dir)
-          .withColumn("split",
-            when(h.isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b"), "train")
-              .when(h.isin("c", "d"), "val")
-              .otherwise("test"))
+          .withColumn("split", splitAssignCol)
           .groupBy($"lang", $"source", $"split")
           .agg(count(lit(1)).as("n"), sum($"n_chars").cast(LongType).as("chars"))
           .orderBy($"lang", $"source", $"split")
       },
-      Some("""
-        WITH s AS (SELECT lang, source, n_chars,
-            CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1)
-                      IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
-                 WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
-                 ELSE 'test' END AS split
+      Some(s"""
+        WITH s AS (SELECT lang, source, n_chars, $splitAssignSql AS split
           FROM documents)
         SELECT lang, source, split, CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(n_chars) AS BIGINT) AS chars
@@ -1760,6 +1770,52 @@ object AnalyticsOps {
           CAST(SUM(b.n_tokens) AS BIGINT) AS cum_tokens,
           ROUND(CAST(SUM(b.new_types) AS DOUBLE) / SUM(b.n_tokens), 6) AS type_token_ratio
         FROM base a JOIN base b ON b.decile <= a.decile
-        GROUP BY a.decile ORDER BY a.decile"""))
+        GROUP BY a.decile ORDER BY a.decile""")),
+
+    // ---- train/val/test split leakage audit (q172, new r7) -----------
+    // The eval-integrity check that must run AFTER q113's split
+    // assignment: does identical content straddle split boundaries?
+    // (A val/test doc whose exact text also sits in train silently
+    // inflates every benchmark score.) Shares [[splitAssignCol]] with
+    // q113 — the auditor and the assigner cannot drift apart — and
+    // publishes per split: docs, leaked docs (content also present in
+    // ANOTHER split), leak fraction. Zero is the healthy value and is
+    // published as zero (an assertion, not an absence).
+    //
+    // Scale: content collapses to (xxhash64, split) counts first (8B
+    // keys, docs never shuffle — the q25/q170 shape); per-hash split
+    // fan-out is <= 3 rows, so the collect_list is bounded by the
+    // split count, not the corpus; NO doc-level join-back — the
+    // second exchange carries distinct contents only. The near-dup
+    // form of this audit is q71/q81 decontamination (n-gram
+    // containment); this is the exact-content gate. Oracle groups raw
+    // text (the collision contract).
+    Q("q172_split_leakage",
+      (s, dir) => {
+        import s.implicits._
+        val d = documents(s, dir)
+          .select(xxhash64($"text").as("h"), splitAssignCol.as("split"))
+        val g = d.groupBy($"h", $"split").agg(count(lit(1)).as("n"))
+        g.groupBy($"h")
+          .agg(count(lit(1)).as("ns"), collect_list(struct($"split", $"n")).as("parts"))
+          .select(explode($"parts").as("p"), $"ns")
+          .groupBy($"p.split".as("split"))
+          .agg(sum($"p.n").as("n_docs"),
+            sum(when($"ns" > 1, $"p.n").otherwise(0L)).as("leaked_docs"))
+          .withColumn("leaked_frac",
+            round($"leaked_docs".cast(DoubleType) / $"n_docs", 6))
+          .orderBy($"split")
+      },
+      Some(s"""
+        WITH d AS (SELECT text, $splitAssignSql AS split FROM documents),
+        g AS (SELECT text, split, CAST(COUNT(*) AS BIGINT) AS n
+              FROM d GROUP BY 1, 2),
+        ph AS (SELECT text, COUNT(*) AS ns FROM g GROUP BY text)
+        SELECT g.split, CAST(SUM(g.n) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN ph.ns > 1 THEN g.n ELSE 0 END) AS BIGINT) AS leaked_docs,
+          ROUND(CAST(SUM(CASE WHEN ph.ns > 1 THEN g.n ELSE 0 END) AS DOUBLE) / SUM(g.n), 6)
+            AS leaked_frac
+        FROM g JOIN ph USING (text)
+        GROUP BY g.split ORDER BY split"""))
   )
 }

@@ -588,7 +588,65 @@ object Dedup {
           COALESCE(f.docs_b, 0) AS docs_b
         FROM srcs x JOIN srcs y ON x.source < y.source
         LEFT JOIN flows f ON f.src_a = x.source AND f.src_b = y.source
-        ORDER BY src_a, src_b"""))
+        ORDER BY src_a, src_b""")),
+
+    // ---- incremental-ingest dedup (q171, new r7) ----------------------
+    // The production ingestion step the whole-corpus q25 doesn't model:
+    // a NEW BATCH (here: the last 20% of the id range — the cutoff is
+    // derived, not hardcoded, so the query scales with the corpus)
+    // arrives against an EXISTING corpus, and each new doc is
+    // classified: dup_corpus (content already in the old corpus —
+    // corpus membership wins over batch position), dup_batch (batch-
+    // internal duplicate that is not the batch-first occurrence), or
+    // kept. Published per source, so the ingest report shows which
+    // feeds are re-sending content.
+    //
+    // Scale: the old corpus collapses to DISTINCT 8-byte hashes before
+    // any join (at a 100 TB corpus this frame is the dedup index — the
+    // batch never joins against raw old documents); batch-first is one
+    // 8B-key min aggregate; both classification joins are hash-keyed
+    // equi. The streaming form of exactly this operator is
+    // StreamOps.dedupAgainstIndex / incremental dedup; this is the
+    // batch form under the oracle gate. Oracle groups raw text — the
+    // q25 collision contract.
+    Q("q171_incremental_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val d = documents(s, dir).select($"doc_id", $"source", xxhash64($"text").as("h"))
+        val cut = d.agg(expr("(MAX(doc_id) + 1) * 8 DIV 10").as("cut"))
+        val dc = d.crossJoin(broadcast(cut))
+        val old = dc.filter($"doc_id" < $"cut").select($"h").distinct()
+          .withColumn("in_old", lit(1L))
+        val nw = dc.filter($"doc_id" >= $"cut").select($"doc_id", $"source", $"h")
+        val first = nw.groupBy($"h").agg(min($"doc_id").as("first_id"))
+        nw.join(old, Seq("h"), "left")
+          .join(first, "h")
+          .withColumn("cls",
+            when($"in_old".isNotNull, "dup_corpus")
+              .when($"doc_id" =!= $"first_id", "dup_batch")
+              .otherwise("kept"))
+          .groupBy($"source").agg(
+            count(lit(1)).as("n_new"),
+            sum(when($"cls" === "dup_corpus", 1L).otherwise(0L)).as("dup_corpus"),
+            sum(when($"cls" === "dup_batch", 1L).otherwise(0L)).as("dup_batch"),
+            sum(when($"cls" === "kept", 1L).otherwise(0L)).as("kept"))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH c AS (SELECT (MAX(doc_id) + 1) * 8 // 10 AS cut FROM documents),
+        o AS (SELECT DISTINCT text FROM documents, c WHERE doc_id < cut),
+        nw AS (SELECT doc_id, source, text FROM documents, c WHERE doc_id >= cut),
+        f AS (SELECT text, MIN(doc_id) AS first_id FROM nw GROUP BY text),
+        cls AS (SELECT nw.source,
+            CASE WHEN o.text IS NOT NULL THEN 'dup_corpus'
+                 WHEN nw.doc_id <> f.first_id THEN 'dup_batch'
+                 ELSE 'kept' END AS cls
+          FROM nw JOIN f USING (text) LEFT JOIN o ON o.text = nw.text)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new,
+          CAST(SUM(CASE WHEN cls = 'dup_corpus' THEN 1 ELSE 0 END) AS BIGINT) AS dup_corpus,
+          CAST(SUM(CASE WHEN cls = 'dup_batch' THEN 1 ELSE 0 END) AS BIGINT) AS dup_batch,
+          CAST(SUM(CASE WHEN cls = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS kept
+        FROM cls GROUP BY source ORDER BY source"""))
   )
 
   /** Min-label propagation over the verified near-dup pair graph:

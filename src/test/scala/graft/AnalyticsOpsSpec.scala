@@ -737,4 +737,50 @@ class AnalyticsOpsSpec extends SparkSuite {
         r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
     assert(got == expect, s"\ngot    $got\nexpect $expect")
   }
+
+  test("q172 split leakage equals an in-memory recount with the q113 split rule") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def split(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      hex.head match {
+        case c if c <= '9' || c == 'a' || c == 'b' => "train"
+        case 'c' | 'd' => "val"
+        case _ => "test"
+      }
+    }
+    val bySplit = docs.groupBy(d => split(d._1))
+    val spanning = docs.groupBy(_._2)
+      .filter(_._2.map(d => split(d._1)).distinct.size > 1)
+      .values.flatten.toSet
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = bySplit.toSeq.map { case (sp, ds) =>
+      val leaked = ds.count(spanning)
+      (sp, ds.size.toLong, leaked.toLong, r6(leaked.toDouble / ds.size))
+    }.sortBy(_._1)
+    val got = run("q172_split_leakage").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expect, s"\ngot    $got\nexpect $expect")
+    // plus a fixture where leakage is KNOWN nonzero: same text under
+    // ids landing in different splits
+    import spark.implicits._
+    import java.nio.file.Files
+    val ids = (0L to 200L)
+    val trainId = ids.find(i => split(i) == "train").get
+    val testId = ids.find(i => split(i) == "test").get
+    val valId = ids.find(i => split(i) == "val").get
+    val fix = Seq(
+      (trainId, "leaky shared body", "en", "s1", 17L),
+      (testId, "leaky shared body", "en", "s1", 17L),
+      (valId, "clean body", "en", "s1", 10L))
+    val d2 = Files.createTempDirectory("leak").toString
+    fix.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val got2 = SparkEntry.queries("q172_split_leakage")(spark, d2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got2 == Set(("train", 1L, 1L), ("test", 1L, 1L), ("val", 1L, 0L)), got2.toString)
+  }
 }

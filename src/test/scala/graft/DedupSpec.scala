@@ -179,4 +179,23 @@ class DedupSpec extends SparkSuite {
       ("s1", "s3", 0L, 0L, 0L),
       ("s2", "s3", 0L, 0L, 0L)), got.toString)
   }
+
+  test("q171 incremental ingest: corpus-dup beats batch position, batch-first wins within batch") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // 20 docs -> cut = 16: old = ids 0..15 (contains text 'A'),
+    // new batch = 16..19: 16 re-sends 'A' (dup_corpus even though it
+    // is also batch-first), 17 is novel, 18/19 duplicate each other
+    // (18 = batch-first kept, 19 = dup_batch)
+    val texts = (0 to 15).map(i => if (i == 3) "A" else s"old text $i") ++
+      Seq("A", "Z novel", "Y pair", "Y pair")
+    val docs = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "s1", t.length.toLong) }
+    val d = Files.createTempDirectory("ingest").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("q171_incremental_ingest")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(("s1", 4L, 1L, 1L, 2L)), got.toString)
+  }
 }
