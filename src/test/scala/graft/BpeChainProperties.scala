@@ -80,4 +80,44 @@ object BpeChainProperties extends Properties("BpeChain") {
     forAll(tableGen, wordGen) { (merges, word) =>
       chainEncode(word, merges).mkString == word
     }
+
+  // ---- the q148 ORACLE's per-round claim (round 7) -------------------
+  // q148's DuckDB oracle applies each trained merge by ONE delimited-
+  // string replace, while the Spark side is a greedy left fold
+  // (`aggregate`: merge when acc.last == l && x == r, the just-merged
+  // symbol never re-splitting). The equivalence needs NO
+  // well-formedness at the single-round level: symbols are space-free,
+  // and a just-created 'lr' can never match the round's own l (that
+  // would need l = l+r, impossible for non-empty r) — so it holds for
+  // ARBITRARY symbol sequences and rules, which is what this property
+  // quantifies over (strictly stronger than the trained-table case the
+  // query hits).
+
+  private val symGen: Gen[String] = for {
+    n <- Gen.choose(1, 3)
+    cs <- Gen.listOfN(n, Gen.oneOf('a', 'b'))
+  } yield cs.mkString
+
+  private val symsGen: Gen[List[String]] = for {
+    n <- Gen.choose(0, 10)
+    ss <- Gen.listOfN(n, symGen)
+  } yield ss
+
+  /** The Spark `aggregate` fold of q148, verbatim in Scala. */
+  private def greedyFold(syms: List[String], l: String, r: String): List[String] =
+    syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+      if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+      else acc :+ x
+    }.toList
+
+  /** The oracle's one-round delimited replace, verbatim in Scala. */
+  private def replaceRound(syms: List[String], l: String, r: String): List[String] = {
+    val s = syms.map(x => s" $x ").mkString("")
+    s.replace(s" $l  $r ", s" $l$r ").trim.split("  ").toList.filter(_.nonEmpty)
+  }
+
+  property("ONE delimited replace == the greedy left fold, for arbitrary symbols and rules") =
+    forAll(symsGen, symGen, symGen) { (syms, l, r) =>
+      replaceRound(syms, l, r) == greedyFold(syms, l, r)
+    }
 }
