@@ -1816,6 +1816,81 @@ object AnalyticsOps {
           ROUND(CAST(SUM(CASE WHEN ph.ns > 1 THEN g.n ELSE 0 END) AS DOUBLE) / SUM(g.n), 6)
             AS leaked_frac
         FROM g JOIN ph USING (text)
-        GROUP BY g.split ORDER BY split"""))
+        GROUP BY g.split ORDER BY split""")),
+
+    // ---- val/test OOV rate vs train (q173, new r7) --------------------
+    // The statistical complement of q172's exact-content gate: how much
+    // of the val/test vocabulary (1-grams) and phrase space (2-grams)
+    // was NEVER SEEN in train? Low OOV = the eval split measures
+    // generalization on familiar surface forms; near-zero 2-gram OOV is
+    // a contamination smell (eval text assembled from training
+    // phrases); very high OOV = the split is out-of-domain for the
+    // corpus. Published per (gram_n, split): distinct types, OOV types,
+    // token instances, OOV instances, both fractions.
+    //
+    // Scale: gram instances ride ONE gram-keyed exchange with all three
+    // split counts as conditional partial-combined sums (no per-split
+    // scans, no join between splits); the val/test unpivot is a
+    // map-side stack over that collapsed frame; the final aggregate is
+    // 4 rows. Gram construction shares Dedup.gramArraySql (the q116
+    // let-binding lesson) and the split rule shares [[splitAssignCol]]
+    // with q113/q172.
+    Q("q173_oov_rate",
+      (s, dir) => {
+        import s.implicits._
+        val base = Dedup.withToks(documents(s, dir))
+          .withColumn("split", splitAssignCol)
+          .withColumn("w2", expr("filter(toks, __t -> length(__t) > 0)"))
+        def grams(n: Int) = base
+          .select(lit(n).as("n"), $"split",
+            explode(expr(Dedup.gramArraySql(n, "w2"))).as("g"))
+        val byGram = grams(1).union(grams(2))
+          .groupBy($"n", $"g").agg(
+            sum(when($"split" === "train", 1L).otherwise(0L)).as("c_train"),
+            sum(when($"split" === "val", 1L).otherwise(0L)).as("c_val"),
+            sum(when($"split" === "test", 1L).otherwise(0L)).as("c_test"))
+        byGram
+          .select($"n", $"c_train",
+            expr("stack(2, 'val', c_val, 'test', c_test) AS (split, c)"))
+          .filter($"c" > 0)
+          .groupBy($"n", $"split").agg(
+            count(lit(1)).as("n_types"),
+            sum(when($"c_train" === 0, 1L).otherwise(0L)).as("oov_types"),
+            sum($"c").as("n_instances"),
+            sum(when($"c_train" === 0, $"c").otherwise(0L)).as("oov_instances"))
+          .select($"n".as("gram_n"), $"split", $"n_types", $"oov_types",
+            round($"oov_types".cast(DoubleType) / $"n_types", 6).as("type_oov_frac"),
+            $"n_instances", $"oov_instances",
+            round($"oov_instances".cast(DoubleType) / $"n_instances", 6).as("inst_oov_frac"))
+          .orderBy($"gram_n", $"split")
+      },
+      Some(s"""
+        WITH ${Dedup.toksCteSql},
+        t2 AS (SELECT doc_id, list_filter(w, s -> len(s) > 0) AS w2 FROM toksc),
+        sp AS (SELECT doc_id, $splitAssignSql AS split FROM documents),
+        g1 AS (SELECT sp.split, 1 AS n, w2[i] AS g
+               FROM t2 JOIN sp USING (doc_id),
+                    UNNEST(range(1, len(w2) + 1)) AS u(i)),
+        g2 AS (SELECT sp.split, 2 AS n, w2[i] || ' ' || w2[i+1] AS g
+               FROM t2 JOIN sp USING (doc_id),
+                    UNNEST(range(1, len(w2))) AS u(i)),
+        bg AS (SELECT n, g,
+                 CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS c_train,
+                 CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS c_val,
+                 CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS c_test
+               FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2) i GROUP BY n, g),
+        lv AS (SELECT n, 'val' AS split, c_train, c_val AS c FROM bg
+               UNION ALL SELECT n, 'test', c_train, c_test FROM bg)
+        SELECT CAST(n AS INT) AS gram_n, split,
+          CAST(COUNT(*) AS BIGINT) AS n_types,
+          CAST(SUM(CASE WHEN c_train = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oov_types,
+          ROUND(CAST(SUM(CASE WHEN c_train = 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+            AS type_oov_frac,
+          CAST(SUM(c) AS BIGINT) AS n_instances,
+          CAST(SUM(CASE WHEN c_train = 0 THEN c ELSE 0 END) AS BIGINT) AS oov_instances,
+          ROUND(CAST(SUM(CASE WHEN c_train = 0 THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 6)
+            AS inst_oov_frac
+        FROM lv WHERE c > 0
+        GROUP BY n, split ORDER BY gram_n, split"""))
   )
 }

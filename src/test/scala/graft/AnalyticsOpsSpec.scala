@@ -783,4 +783,41 @@ class AnalyticsOpsSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got2 == Set(("train", 1L, 1L), ("test", 1L, 1L), ("val", 1L, 0L)), got2.toString)
   }
+
+  test("q173 OOV rates equal an in-memory recount over the same split rule") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split("\\W+").toSeq.filter(_.nonEmpty)))
+    def split(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      hex.head match {
+        case c if c <= '9' || c == 'a' || c == 'b' => "train"
+        case 'c' | 'd' => "val"
+        case _ => "test"
+      }
+    }
+    def grams(ts: Seq[String], n: Int): Seq[String] =
+      if (ts.size < n) Seq.empty else ts.sliding(n).map(_.mkString(" ")).toSeq
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = (for (n <- Seq(1, 2); sp <- Seq("test", "val")) yield {
+      val by: Map[String, Seq[String]] = docs.groupBy(d => split(d._1))
+        .map { case (k, ds) => k -> ds.toSeq.flatMap(d => grams(d._2, n)) }
+        .withDefaultValue(Seq.empty[String])
+      val train = by("train").toSet
+      val inst = by(sp)
+      if (inst.isEmpty) None else {
+        val types = inst.distinct
+        val oovT = types.count(!train(_))
+        val oovI = inst.count(!train(_))
+        Some((n, sp, types.size.toLong, oovT.toLong, r6(oovT.toDouble / types.size),
+          inst.size.toLong, oovI.toLong, r6(oovI.toDouble / inst.size)))
+      }
+    }).flatten.sortBy(t => (t._1, t._2))
+    val got = run("q173_oov_rate").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6), r.getDouble(7))).toSeq
+    assert(got == expect, s"\ngot    $got\nexpect $expect")
+  }
 }
