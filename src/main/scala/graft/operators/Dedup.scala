@@ -601,35 +601,44 @@ object Dedup {
     // kept. Published per source, so the ingest report shows which
     // feeds are re-sending content.
     //
-    // Scale: the old corpus collapses to DISTINCT 8-byte hashes before
-    // any join (at a 100 TB corpus this frame is the dedup index — the
-    // batch never joins against raw old documents); batch-first is one
-    // 8B-key min aggregate; both classification joins are hash-keyed
-    // equi. The streaming form of exactly this operator is
+    // Scale: ONE parquet scan — the slim (doc_id, source, hash) frame
+    // is eagerly localCheckpointed (the q26 signature-frame precedent:
+    // ~24 B/row) and the cutoff scalar, the old-corpus index and the
+    // new batch all read those blocks instead of re-scanning. The old
+    // corpus collapses to DISTINCT 8-byte hashes (the dedup index —
+    // the batch never joins raw old documents); the batch collapses to
+    // (hash, source) copy counts BEFORE classification, so the
+    // batch-first election and both joins run at distinct-content
+    // scale, never doc scale (the first plan shape paid two doc-level
+    // joins + 4 scans — caught by the PlanDump audit, docs/PLANS_r7.md).
+    // The streaming form of exactly this operator is
     // StreamOps.dedupAgainstIndex / incremental dedup; this is the
     // batch form under the oracle gate. Oracle groups raw text — the
-    // q25 collision contract.
+    // q25 collision contract — and classifies per doc, a different
+    // strategy than the collapsed-count arithmetic it checks.
     Q("q171_incremental_ingest",
       (s, dir) => {
         import s.implicits._
-        val d = documents(s, dir).select($"doc_id", $"source", xxhash64($"text").as("h"))
+        val d = documents(s, dir)
+          .select($"doc_id", $"source", xxhash64($"text").as("h"))
+          .localCheckpoint(true)
         val cut = d.agg(expr("(MAX(doc_id) + 1) * 8 DIV 10").as("cut"))
         val dc = d.crossJoin(broadcast(cut))
         val old = dc.filter($"doc_id" < $"cut").select($"h").distinct()
           .withColumn("in_old", lit(1L))
-        val nw = dc.filter($"doc_id" >= $"cut").select($"doc_id", $"source", $"h")
-        val first = nw.groupBy($"h").agg(min($"doc_id").as("first_id"))
-        nw.join(old, Seq("h"), "left")
-          .join(first, "h")
-          .withColumn("cls",
-            when($"in_old".isNotNull, "dup_corpus")
-              .when($"doc_id" =!= $"first_id", "dup_batch")
-              .otherwise("kept"))
+        val hsNew = dc.filter($"doc_id" >= $"cut")
+          .groupBy($"h", $"source")
+          .agg(count(lit(1)).as("n"), min($"doc_id").as("mn"))
+        val firsts = hsNew.groupBy($"h").agg(min($"mn").as("fid"))
+        hsNew.join(firsts, "h").join(old, Seq("h"), "left")
+          .select($"source", $"n",
+            when($"in_old".isNotNull, $"n").otherwise(0L).as("dc_"),
+            when($"in_old".isNull && $"mn" === $"fid", 1L).otherwise(0L).as("k_"))
           .groupBy($"source").agg(
-            count(lit(1)).as("n_new"),
-            sum(when($"cls" === "dup_corpus", 1L).otherwise(0L)).as("dup_corpus"),
-            sum(when($"cls" === "dup_batch", 1L).otherwise(0L)).as("dup_batch"),
-            sum(when($"cls" === "kept", 1L).otherwise(0L)).as("kept"))
+            sum($"n").as("n_new"),
+            sum($"dc_").as("dup_corpus"),
+            (sum($"n") - sum($"dc_") - sum($"k_")).as("dup_batch"),
+            sum($"k_").as("kept"))
           .orderBy($"source")
       },
       Some("""
