@@ -53,6 +53,23 @@ class FastSsGuardSpec extends SparkSuite {
       s"expected the ed=1 long pair to survive the capped block join, got ${pairs.length} rows")
   }
 
+  test("the SQL deletion neighborhood equals FastSsProperties' pure-Scala reference (the theorem bridge)") {
+    // FastSsProperties proves the lossless-blocking theorem over the
+    // pure-Scala `variants`; this test ties that reference to the
+    // SHIPPED Spark expression on 100 seeded-random words, so the
+    // ScalaCheck law is about the actual code path
+    val rnd = new scala.util.Random(46)
+    val words = Seq.fill(100)(
+      (0 until rnd.nextInt(30)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    val got = words.toDF("nm")
+      .select($"nm", expr(RetrievalOps.deletionVariantsSql("nm")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    words.foreach { w =>
+      assert(got(w) == graft.FastSsProperties.variants(w),
+        s"SQL neighborhood of '$w' diverges from the reference")
+    }
+  }
+
   test("oracle-gate precondition: every gate corpus keeps part names at or below maxLen") {
     // the q146/q166/q167 DuckDB oracles run an UNCAPPED quadratic
     // levenshtein join; the Spark side blocks on the capped-prefix
