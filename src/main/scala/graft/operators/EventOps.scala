@@ -417,7 +417,54 @@ object EventOps {
         FROM events e JOIN hist h ON h.user_id = e.user_id
           AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= h.valid_from
           AND (h.valid_to IS NULL OR epoch_us(CAST(e.ts AS TIMESTAMP)) < h.valid_to)
-        ORDER BY e.event_id"""))
+        ORDER BY e.event_id""")),
+
+    // ---- next-event-prediction dataset (q174, new r7) -----------------
+    // The behavioral-LM training-data builder: per user, the event
+    // stream in (epoch-µs, event_id) order becomes sliding
+    // (3-event context → next event) training pairs — the event-log
+    // twin of next-token prediction, and the dataset a
+    // recommendation / journey model trains on. Published as the
+    // top-20 (context, next) pair counts: the transition table a
+    // modeler eyeballs for degenerate loops (one dominant
+    // context→next pair = a tracking bug, not behavior) before
+    // training on the full pair stream.
+    //
+    // Scale: ONE user-keyed window exchange (lag ×3 share the same
+    // window frame — q09's class, bounded by per-user history), then
+    // a partial-combined (context, next) count whose key space is
+    // |event_types|^4, corpus-independent; top-20 is orderBy.limit
+    // (TakeOrderedAndProject). Ordering is epoch-µs + event_id on
+    // BOTH engines (Spark truncates parquet ns to µs; DuckDB
+    // TIMESTAMP is µs) — the established EventOps contract.
+    Q("q174_event_lm_dataset",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"), $"event_id")
+        events(s, dir)
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("e1", lag($"event_type", 3).over(w))
+          .withColumn("e2", lag($"event_type", 2).over(w))
+          .withColumn("e3", lag($"event_type", 1).over(w))
+          .filter($"e1".isNotNull)
+          .select(concat_ws(" > ", $"e1", $"e2", $"e3").as("ctx"),
+            $"event_type".as("next_event"))
+          .groupBy($"ctx", $"next_event").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"ctx", $"next_event")
+          .limit(20)
+      },
+      Some("""
+        WITH o AS (SELECT user_id, event_type,
+            LAG(event_type, 3) OVER w AS e1,
+            LAG(event_type, 2) OVER w AS e2,
+            LAG(event_type, 1) OVER w AS e3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id))
+        SELECT e1 || ' > ' || e2 || ' > ' || e3 AS ctx,
+          event_type AS next_event, CAST(COUNT(*) AS BIGINT) AS n
+        FROM o WHERE e1 IS NOT NULL
+        GROUP BY 1, 2 ORDER BY n DESC, ctx, next_event LIMIT 20"""))
   )
 
   /** q155's SCD-2 history build, shared with q161's point-in-time

@@ -107,4 +107,21 @@ class Scd2Spec extends SparkSuite {
     // user 30's at-cutoff event is included (<=), idle 0 days
     assert(got(30L) == ((1L, 1L, 1L, 3.0, 93L * dayUs, 0L, "view")), got(30L))
   }
+
+  test("q174 next-event pairs equal an in-memory sliding-window recount") {
+    val ev = graft.operators.Tables.events(spark, dir)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us", "event_type")
+      .collect().toSeq
+      .map { case Row(u: Long, e: Long, us: Long, t: String) => (u, e, us, t) }
+    val pairs = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val types = es.sortBy(x => (x._3, x._2)).map(_._4)
+      types.sliding(4).filter(_.size == 4).map(w =>
+        (w.take(3).mkString(" > "), w.last))
+    }
+    val expect = pairs.groupBy(identity).map { case ((c, nx), xs) => (c, nx, xs.size.toLong) }
+      .toSeq.sortBy { case (c, nx, n) => (-n, c, nx) }.take(20)
+    val got = SparkEntry.queries("q174_event_lm_dataset")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expect, s"\ngot    ${got.take(8)}\nexpect ${expect.take(8)}")
+  }
 }
