@@ -843,6 +843,76 @@ object TrainingOps {
           CAST(GREATEST(st, chunk * 256) - st AS BIGINT) AS doc_off,
           CAST(LEAST(cum, (chunk + 1) * 256) - GREATEST(st, chunk * 256) AS BIGINT) AS n_tok,
           CAST(GREATEST(st, chunk * 256) - chunk * 256 AS BIGINT) AS chunk_off
-        FROM x ORDER BY source, chunk, chunk_off, doc_id"""))
+        FROM x ORDER BY source, chunk, chunk_off, doc_id""")),
+
+    // ---- √-temperature token-budget allocation (q175, new r7) --------
+    // The multinomial mixture-weighting step of mT5/mBERT-style
+    // training (sample source s with p ∝ n_s^α): at α = 0.5 the
+    // temperature is sqrt — the ONE power that is cross-engine exact,
+    // because IEEE 754 requires sqrt correctly rounded while libm's
+    // pow/exp/ln are not (the registry's standing no-libm rule). Each
+    // source's share of a fixed 1 M-token budget is B·√n_s / Σ√n_s,
+    // made an EXACT integer partition by largest-remainder rounding
+    // (floor everything, then +1 to the k = B − Σfloor largest
+    // remainders, source-asc ties) — Σ alloc = B is an identity of the
+    // output, not a hope, and the spec asserts it. Σ√n goes through
+    // dsum (decimal quantization) so the denominator cannot drift with
+    // summation order; every other double op is a fixed
+    // multiply/divide/floor chain on identical inputs.
+    //
+    // Scale: per-source token counts are ONE map-only pass (size of
+    // the filtered token array — no explode) + a partial-combined
+    // source aggregate; everything after is |sources|-scale metadata —
+    // the remainder ranking is a theta self-join on that frame (q134's
+    // grid class, whitelisted), NEVER a global rank window.
+    Q("q175_temperature_alloc",
+      (s, dir) => {
+        import s.implicits._
+        val budget = 1000000L
+        val tok = Dedup.withToks(documents(s, dir))
+          .select($"source",
+            size(filter($"toks", t => length(t) > 0)).cast(LongType).as("nt"))
+          .groupBy($"source").agg(sum($"nt").as("n_tokens"))
+          .withColumn("w", sqrt($"n_tokens".cast(DoubleType)))
+        val tot = tok.agg(dsum($"w", 10).as("tw"))
+        val raw = tok.crossJoin(broadcast(tot))
+          .withColumn("raw", lit(budget.toDouble) * $"w" / $"tw")
+          .withColumn("fl", floor($"raw").cast(LongType))
+          .withColumn("rem", $"raw" - floor($"raw"))
+          .localCheckpoint(true)
+        val short = raw.agg((lit(budget) - sum($"fl")).as("k"))
+        val ranked = raw.as("a")
+          .join(raw.as("b"),
+            ($"b.rem" > $"a.rem") ||
+              ($"b.rem" === $"a.rem" && $"b.source" < $"a.source"), "left")
+          .groupBy($"a.source", $"a.n_tokens", $"a.fl")
+          .agg((count($"b.source") + 1).as("rnk"))
+        ranked.crossJoin(broadcast(short))
+          .select($"source", $"n_tokens",
+            ($"fl" + when($"rnk" <= $"k", 1L).otherwise(0L)).as("alloc_tokens"))
+          .orderBy($"source")
+      },
+      Some(s"""
+        WITH ${Dedup.toksCteSql},
+        tok AS (SELECT source,
+                  CAST(SUM(len(list_filter(w, t -> len(t) > 0))) AS BIGINT) AS n_tokens
+                FROM toksc GROUP BY source),
+        tw AS (SELECT ${dsumSql("sqrt(CAST(n_tokens AS DOUBLE))", 10)} AS tw FROM tok),
+        raw AS (SELECT source, n_tokens,
+                  1000000.0 * sqrt(CAST(n_tokens AS DOUBLE)) / tw.tw AS raw
+                FROM tok, tw),
+        fr AS (SELECT source, n_tokens,
+                 CAST(FLOOR(raw) AS BIGINT) AS fl, raw - FLOOR(raw) AS rem
+               FROM raw),
+        k AS (SELECT 1000000 - SUM(fl) AS k FROM fr),
+        rk AS (SELECT a.source, a.n_tokens, a.fl,
+                 1 + (SELECT COUNT(*) FROM fr b
+                      WHERE b.rem > a.rem
+                         OR (b.rem = a.rem AND b.source < a.source)) AS rnk
+               FROM fr a)
+        SELECT rk.source, rk.n_tokens,
+          CAST(rk.fl + CASE WHEN rk.rnk <= k.k THEN 1 ELSE 0 END AS BIGINT)
+            AS alloc_tokens
+        FROM rk, k ORDER BY source"""))
   )
 }

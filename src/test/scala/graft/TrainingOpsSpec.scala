@@ -272,4 +272,40 @@ class TrainingOpsSpec extends SparkSuite {
     assert(got == expected,
       s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
   }
+
+  test("q175 allocation partitions the budget exactly and equals a mirrored in-memory chain") {
+    val budget = 1000000L
+    val real = "/root/testdata/sf0.001"
+    val rows = graft.operators.Tables.documents(spark, real)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).toLowerCase.split("\\W+").count(_.nonEmpty).toLong))
+    val nTok = rows.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    // mirror the engine's tree exactly: IEEE sqrt, DECIMAL(30,10)
+    // quantized sum, one multiply/divide, floor, largest remainder
+    val w = nTok.map { case (s, n) => s -> math.sqrt(n.toDouble) }
+    val tw = w.values.map(x =>
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val fr = w.toSeq.map { case (s, wi) =>
+      val raw = budget.toDouble * wi / tw
+      (s, nTok(s), math.floor(raw).toLong, raw - math.floor(raw))
+    }
+    val k = budget - fr.map(_._3).sum
+    val order = fr.sortBy { case (s, _, _, rem) => (-rem, s) }.map(_._1).zipWithIndex.toMap
+    val expect = fr.map { case (s, n, fl, _) =>
+      (s, n, fl + (if (order(s) < k) 1L else 0L))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q175_temperature_alloc")(spark, real).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(_._3).sum == budget, s"allocation does not partition the budget: $got")
+    assert(got == expect, s"\ngot    $got\nexpect $expect")
+    // temperature sanity: allocation order follows corpus-size order,
+    // but flatter — the biggest source gets LESS than its raw share
+    val bySize = nTok.toSeq.sortBy(-_._2)
+    val totTok = nTok.values.sum
+    val gotMap = got.map(t => t._1 -> t._3).toMap
+    val (bigSrc, bigN) = bySize.head
+    assert(gotMap(bigSrc).toDouble / budget <= bigN.toDouble / totTok + 1e-9,
+      "sqrt temperature must flatten the biggest source's share")
+  }
 }
