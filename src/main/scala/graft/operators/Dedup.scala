@@ -655,7 +655,72 @@ object Dedup {
           CAST(SUM(CASE WHEN cls = 'dup_corpus' THEN 1 ELSE 0 END) AS BIGINT) AS dup_corpus,
           CAST(SUM(CASE WHEN cls = 'dup_batch' THEN 1 ELSE 0 END) AS BIGINT) AS dup_batch,
           CAST(SUM(CASE WHEN cls = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS kept
-        FROM cls GROUP BY source ORDER BY source"""))
+        FROM cls GROUP BY source ORDER BY source""")),
+
+    // ---- near-dup cluster-size histogram (q176, new r7) --------------
+    // The dedup-QA dashboard table: the distribution of q66 component
+    // sizes in power-of-two buckets, plus the singleton mass (docs in
+    // NO near-dup pair — bucket 0 by construction, since every
+    // clustered component has >= 2 members). This is the table that
+    // exposes a degenerate clustering instantly: round 5's LSH cliff
+    // announced itself as one 94,000-doc band bucket — on this
+    // histogram that is a lone row at bucket 16 with max_size 94k,
+    // visible before any join stalls. Composes the SAME components
+    // frame/oracle CTE as q66/q79, so it audits the clustering the
+    // engine actually ships.
+    //
+    // Determinism: the log2 bucket is the binary-digit count of the
+    // integer size (length(bin(sz)) - 1) — pure integer/string ops,
+    // identical in both engines; no libm log. Scale: component sizes
+    // are one partial-combined count over the (pair-graph-sized) comp
+    // frame; the histogram is <= 64 rows; the singleton row derives
+    // from two 1-row counts.
+    Q("q176_cluster_size_histogram",
+      (s, dir) => {
+        import s.implicits._
+        // the components pipeline (LSH + label prop) runs ONCE: the
+        // <=64-row histogram is eagerly checkpointed, and the
+        // clustered-doc total the singleton row needs is DERIVED from
+        // it (sum of n_docs) instead of re-counting the comp frame —
+        // the first shape called components() twice and measured ~2x
+        // q66's full cost at 10x
+        val hist = components(s, dir)
+          .groupBy($"component").agg(count(lit(1)).as("sz"))
+          .withColumn("bucket", (length(bin($"sz")) - 1).cast(IntegerType))
+          .groupBy($"bucket").agg(
+            count(lit(1)).as("n_clusters"),
+            sum($"sz").as("n_docs"),
+            max($"sz").as("max_size"))
+          .localCheckpoint(true)
+        val inComp = hist.agg(coalesce(sum($"n_docs"), lit(0L)).as("nc"))
+        val singles = documents(s, dir).agg(count(lit(1)).as("nd"))
+          .crossJoin(broadcast(inComp))
+          .select(lit(0).as("bucket"),
+            ($"nd" - $"nc").as("n_clusters"),
+            ($"nd" - $"nc").as("n_docs"),
+            when($"nd" > $"nc", 1L).otherwise(0L).as("max_size"))
+        hist.unionByName(singles)
+          .withColumn("size_lo", expr("shiftleft(CAST(1 AS BIGINT), bucket)"))
+          .select($"bucket", $"size_lo", $"n_clusters", $"n_docs", $"max_size")
+          .orderBy($"bucket")
+      },
+      Some(s"""$componentsCte,
+        sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+                  FROM comp GROUP BY component),
+        hist AS (SELECT CAST(length(bin(sz)) - 1 AS INT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                   CAST(SUM(sz) AS BIGINT) AS n_docs,
+                   CAST(MAX(sz) AS BIGINT) AS max_size
+                 FROM sizes GROUP BY 1),
+        sing AS (SELECT CAST(0 AS INT) AS bucket,
+                   CAST((SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM comp) AS BIGINT) AS n_clusters,
+                   CAST((SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM comp) AS BIGINT) AS n_docs,
+                   CAST(CASE WHEN (SELECT COUNT(*) FROM documents) > (SELECT COUNT(*) FROM comp)
+                        THEN 1 ELSE 0 END AS BIGINT) AS max_size),
+        allb AS (SELECT * FROM hist UNION ALL SELECT * FROM sing)
+        SELECT bucket, CAST(1::BIGINT << bucket AS BIGINT) AS size_lo,
+          n_clusters, n_docs, max_size
+        FROM allb ORDER BY bucket"""))
   )
 
   /** Min-label propagation over the verified near-dup pair graph:

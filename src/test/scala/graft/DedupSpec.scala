@@ -198,4 +198,25 @@ class DedupSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
     assert(got == Seq(("s1", 4L, 1L, 1L, 2L)), got.toString)
   }
+
+  test("q176 histogram equals an in-memory bucketing of q66's published components") {
+    val real = "/root/testdata/sf0.001"
+    val comp = SparkEntry.queries("q66_dup_components")(spark, real).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nDocs = spark.read.parquet(s"$real/documents.parquet").count()
+    val sizes = comp.groupBy(_._2).map(_._2.size.toLong).toSeq
+    def bucket(n: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(n) // floor(log2)
+    val hist = sizes.groupBy(bucket).map { case (b, xs) =>
+      (b, xs.size.toLong, xs.sum, xs.max)
+    }
+    val singles = nDocs - comp.length
+    val expect = (hist.toSeq :+ ((0, singles, singles, if (singles > 0) 1L else 0L)))
+      .map { case (b, nc, nd, mx) => (b, 1L << b, nc, nd, mx) }
+      .sortBy(_._1)
+    val got = SparkEntry.queries("q176_cluster_size_histogram")(spark, real).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expect, s"\ngot    $got\nexpect $expect")
+    // conservation: histogram masses partition the corpus
+    assert(got.map(_._4).sum == nDocs)
+  }
 }
