@@ -720,7 +720,58 @@ object Dedup {
         allb AS (SELECT * FROM hist UNION ALL SELECT * FROM sing)
         SELECT bucket, CAST(1::BIGINT << bucket AS BIGINT) AS size_lo,
           n_clusters, n_docs, max_size
-        FROM allb ORDER BY bucket"""))
+        FROM allb ORDER BY bucket""")),
+
+    // ---- quality-score calibration vs dup-ness (q177, new r7) --------
+    // The model-card table that decides whether the q30 quality score
+    // earns its threshold: per 0.1-wide quality band — doc count,
+    // near-dup members (q66 components, doc != component), mean token
+    // length, English count, dup fraction. If the low bands are not
+    // measurably dirtier (more duplicated, shorter), the score is
+    // noise and every quality-gated stage downstream (q58, q88) is
+    // filtering on it anyway — this is the audit that catches that
+    // BEFORE a training run does. Banding is value-based integer math
+    // on the already-rounded score (floor(q*10) — no rank windows, no
+    // libm); the mean rides davg's exact-decimal contract.
+    //
+    // Scale: ONE corpus scan computes quality + lang together
+    // (withQuality is map-only); the only other input is the q66
+    // components frame (dup-bounded — the priced dependency, as in
+    // q176); one left join + one partial-combined band aggregate.
+    Q("q177_quality_calibration",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val q = withQuality(withToks(documents(s, dir)))
+          .filter($"quality".isNotNull)
+          .select($"doc_id", $"lang", $"n_tokens", $"quality")
+        val dupm = components(s, dir).filter($"doc_id" =!= $"component")
+          .select($"doc_id").withColumn("is_dup", lit(1L))
+        q.join(dupm, Seq("doc_id"), "left")
+          .withColumn("band", floor($"quality" * 10).cast(IntegerType))
+          .groupBy($"band").agg(
+            count(lit(1)).as("n_docs"),
+            sum(coalesce($"is_dup", lit(0L))).as("dup_docs"),
+            round(davg($"n_tokens".cast(DoubleType), 6), 6).as("mean_tokens"),
+            sum(when($"lang" === "en", 1L).otherwise(0L)).as("en_docs"))
+          .withColumn("dup_frac",
+            round($"dup_docs".cast(DoubleType) / $"n_docs", 6))
+          .orderBy($"band")
+      },
+      Some(s"""$componentsCte,
+        $qualityCte,
+        dupm AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+        j AS (SELECT q.doc_id, q.n_tokens, q.quality, d.lang,
+                CASE WHEN dm.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+              FROM quality q JOIN documents d USING (doc_id)
+              LEFT JOIN dupm dm ON dm.doc_id = q.doc_id)
+        SELECT CAST(FLOOR(quality * 10) AS INT) AS band,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(is_dup) AS BIGINT) AS dup_docs,
+          ROUND(${davgSql("CAST(n_tokens AS DOUBLE)", 6)}, 6) AS mean_tokens,
+          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en_docs,
+          ROUND(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+        FROM j GROUP BY 1 ORDER BY band"""))
   )
 
   /** Min-label propagation over the verified near-dup pair graph:

@@ -219,4 +219,28 @@ class DedupSpec extends SparkSuite {
     // conservation: histogram masses partition the corpus
     assert(got.map(_._4).sum == nDocs)
   }
+
+  test("q177 calibration conserves masses against q66 components and the quality frame") {
+    import org.apache.spark.sql.functions._
+    val real = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q177_quality_calibration")(spark, real).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    // total docs = quality-eligible docs (non-empty text/tokens)
+    val eligible = spark.read.parquet(s"$real/documents.parquet")
+      .filter(length(col("text")) > 0 &&
+        size(array_remove(split(lower(col("text")), "\\W+"), "")) > 0)
+      .count()
+    assert(got.map(_._2).sum == eligible, s"band masses ${got.map(_._2).sum} != eligible $eligible")
+    // dup mass = q66's non-canonical members restricted to eligible docs
+    val comp = SparkEntry.queries("q66_dup_components")(spark, real).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(p => p._1 != p._2).map(_._1).toSet
+    val eligibleIds = spark.read.parquet(s"$real/documents.parquet")
+      .filter(length(col("text")) > 0 &&
+        size(array_remove(split(lower(col("text")), "\\W+"), "")) > 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.map(_._3).sum == comp.count(eligibleIds), "dup mass != q66 non-canonical members")
+    got.foreach { case (b, n, d, mt, en) =>
+      assert(d <= n && en <= n && mt > 0.0, s"band $b inconsistent: $n/$d/$mt/$en")
+    }
+  }
 }
