@@ -72,6 +72,7 @@ class PlanLintSpec extends SparkSuite {
     "q170_dup_flow",          // |sources|^2 grid (q98's class) — the flow join itself is hash-keyed equi
     "q171_incremental_ingest", // 1-row derived-cutoff scalar broadcast (q104's class)
     "q175_temperature_alloc", // |sources|-row remainder-rank theta self-join (q134's grid class) + 1-row scalars
+    "q176_cluster_size_histogram", // 1-row (nd x nc) scalar crossJoin for the singleton row (q104's class)
     "q138_sq8_recall",        // 1-row dim-stats arrays (O(dims) metadata) + the q34-class probe-set broadcast
     "q142_triangles",         // two 1-row census scalars (edge count x triangle count)
     "q144_data_expectations",  // 1-row metric frames stitched into the audit rows
