@@ -90,6 +90,70 @@ object Similarity {
                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosr DESC, cid) AS rank
                FROM scored) t WHERE rank <= 5)"""
 
+  /** The √n-trained IVF index shared by q168 (recall curve) and q178
+    * (cell-balance audit): the prepared corpus with vv (lazily
+    * checkpointed), the Lloyd-refined centroid frame (eagerly
+    * checkpointed, O(√n·dims)), and nlist = ⌈√n⌉. One construction so
+    * the audit measures exactly the index the recall curve probes. */
+  private def sqrtnIndex(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
+    import s.implicits._
+    val e = prepared(s, dir)
+      .withColumn("vv", expr("dot_product(v, v)"))
+      .localCheckpoint(false)
+    val nlist = math.ceil(math.sqrt(e.count().toDouble)).toLong
+    val c0 = e.filter($"vec_id" < nlist)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"vv".as("cc"))
+    val means = sqrtnAssign(e, c0).join(e.select($"vec_id", $"v"), "vec_id")
+      .select($"cell", posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"cell", $"dim").agg(davg($"x", 15).as("m"))
+    val c1 = means.groupBy($"cell")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), t -> t.m)").as("cv"))
+      .withColumn("cc", expr("dot_product(cv, cv)"))
+      .select($"cell".as("cid"), $"cv", $"cc")
+      .localCheckpoint(true)
+    (e, c1, nlist)
+  }
+
+  /** Nearest trained cell per vector: map-only distance against the
+    * broadcast centroid frame, then a partial-combined struct-min
+    * (lexicographic (d2, cid) — q64's tie contract) per vec_id. */
+  private def sqrtnAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        round($"vv" - lit(2.0) * expr("dot_product(v, cv)") + $"cc", 6))
+      .groupBy($"vec_id").agg(min(struct($"d2", $"cid")).as("m"))
+      .select($"vec_id", $"m.cid".as("cell"))
+  }
+
+  /** Oracle twin of [[sqrtnIndex]]+[[sqrtnAssign]], ending in
+    * `asg(vec_id, cell)` (plus `nl(nlist)`, `e2`, `c1n` in scope).
+    * Must follow `$prepCte,`. Shared by the q168 and q178 oracles. */
+  private val sqrtnAsgCteSql: String = {
+    val argmin = (src: String, cents: String) => s"""
+          SELECT vec_id, cell FROM (
+            SELECT $src.vec_id, c.cid AS cell,
+              ROW_NUMBER() OVER (PARTITION BY $src.vec_id ORDER BY
+                ROUND($src.vv - 2.0 * list_sum([$src.v[i] * c.cv[i] for i in range(1, len($src.v) + 1)]) + c.cc, 6),
+                c.cid) AS rk
+            FROM $src CROSS JOIN $cents c) t WHERE rk = 1"""
+    s"""nl AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS nlist FROM n),
+        e2 AS (SELECT vec_id, v, nrm,
+                 list_sum(list_transform(v, x -> x * x)) AS vv FROM n),
+        c0 AS (SELECT vec_id AS cid, v AS cv, vv AS cc
+               FROM e2, nl WHERE vec_id < nl.nlist),
+        s0 AS MATERIALIZED (${argmin("e2", "c0")}),
+        dims AS (SELECT s0.cell, i - 1 AS dim, e2.v[i] AS x
+                 FROM s0 JOIN e2 USING (vec_id),
+                      UNNEST(range(1, len(e2.v) + 1)) AS t(i)),
+        means AS (SELECT cell, dim, ${davgSql("x", 15)} AS m
+                  FROM dims GROUP BY cell, dim),
+        c1 AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv FROM means GROUP BY cell),
+        c1n AS MATERIALIZED (SELECT cid, cv,
+                 list_sum(list_transform(cv, x -> x * x)) AS cc FROM c1),
+        asg AS MATERIALIZED (${argmin("e2", "c1n")})"""
+  }
+
   def queries: Vector[Q] = Vector(
     // ---- near-duplicate pairs by cosine, blocked on label ------------
     // Scale contract: the equi-join on the block key distributes work
@@ -791,30 +855,8 @@ object Similarity {
     Q("q168_ivf_sqrtn_recall",
       (s, dir) => {
         import s.implicits._
-        val e = prepared(s, dir)
-          .withColumn("vv", expr("dot_product(v, v)"))
-          .localCheckpoint(false)
-        val nlist = math.ceil(math.sqrt(e.count().toDouble)).toLong
-        val c0 = e.filter($"vec_id" < nlist)
-          .select($"vec_id".as("cid"), $"v".as("cv"), $"vv".as("cc"))
-        // nearest trained cell per vector: map-only distance against the
-        // broadcast centroid frame, then a partial-combined struct-min
-        // (lexicographic (d2, cid) — q64's tie contract) per vec_id
-        def assign(cents: DataFrame): DataFrame =
-          e.crossJoin(broadcast(cents))
-            .withColumn("d2",
-              round($"vv" - lit(2.0) * expr("dot_product(v, cv)") + $"cc", 6))
-            .groupBy($"vec_id").agg(min(struct($"d2", $"cid")).as("m"))
-            .select($"vec_id", $"m.cid".as("cell"))
-        val means = assign(c0).join(e.select($"vec_id", $"v"), "vec_id")
-          .select($"cell", posexplode($"v").as(Seq("dim", "x")))
-          .groupBy($"cell", $"dim").agg(davg($"x", 15).as("m"))
-        val c1 = means.groupBy($"cell")
-          .agg(expr("transform(array_sort(collect_list(struct(dim, m))), t -> t.m)").as("cv"))
-          .withColumn("cc", expr("dot_product(cv, cv)"))
-          .select($"cell".as("cid"), $"cv", $"cc")
-          .localCheckpoint(true)
-        val asg = assign(c1)
+        val (e, c1, nlist) = sqrtnIndex(s, dir)
+        val asg = sqrtnAssign(e, c1)
         val exact = knnTop5(s, dir).select($"qid".as("eqid"), $"cid".as("ecid"))
         val q = e.filter($"vec_id" < 50)
           .select($"vec_id".as("qid"), $"v".as("av"), $"nrm".as("na"), $"vv")
@@ -846,31 +888,9 @@ object Similarity {
               .as("recall_at_5"))
           .orderBy($"nprobe")
       },
-      Some {
-        val argmin = (src: String, cents: String) => s"""
-          SELECT vec_id, cell FROM (
-            SELECT $src.vec_id, c.cid AS cell,
-              ROW_NUMBER() OVER (PARTITION BY $src.vec_id ORDER BY
-                ROUND($src.vv - 2.0 * list_sum([$src.v[i] * c.cv[i] for i in range(1, len($src.v) + 1)]) + c.cc, 6),
-                c.cid) AS rk
-            FROM $src CROSS JOIN $cents c) t WHERE rk = 1"""
-        s"""$prepCte,
+      Some(s"""$prepCte,
         $knnTop5Cte,
-        nl AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS nlist FROM n),
-        e2 AS (SELECT vec_id, v, nrm,
-                 list_sum(list_transform(v, x -> x * x)) AS vv FROM n),
-        c0 AS (SELECT vec_id AS cid, v AS cv, vv AS cc
-               FROM e2, nl WHERE vec_id < nl.nlist),
-        s0 AS MATERIALIZED (${argmin("e2", "c0")}),
-        dims AS (SELECT s0.cell, i - 1 AS dim, e2.v[i] AS x
-                 FROM s0 JOIN e2 USING (vec_id),
-                      UNNEST(range(1, len(e2.v) + 1)) AS t(i)),
-        means AS (SELECT cell, dim, ${davgSql("x", 15)} AS m
-                  FROM dims GROUP BY cell, dim),
-        c1 AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv FROM means GROUP BY cell),
-        c1n AS MATERIALIZED (SELECT cid, cv,
-                 list_sum(list_transform(cv, x -> x * x)) AS cc FROM c1),
-        asg AS MATERIALIZED (${argmin("e2", "c1n")}),
+        $sqrtnAsgCteSql,
         qv AS (SELECT vec_id AS qid, v AS av, nrm AS na, vv FROM e2 WHERE vec_id < 50),
         pr AS (SELECT qid, cell, probe_rank FROM (
                  SELECT q.qid, c.cid AS cell,
@@ -900,7 +920,49 @@ object Similarity {
           COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
           ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / (v.n_queries * 5), 6) AS recall_at_5
         FROM vol v CROSS JOIN nl LEFT JOIN hits h ON h.np = v.np
-        ORDER BY nprobe"""
-      })
+        ORDER BY nprobe""")),
+
+    // ---- IVF cell-balance audit (q178, new r7) -----------------------
+    // The health check q168's √n candidate contract rests on: the
+    // per-probe scan is n/nlist ONLY while the trained cells stay
+    // balanced — a degenerate clustering (one mega-cell) silently
+    // turns the index back into brute force for every query that
+    // probes it, exactly the failure class q176 exposes for LSH
+    // buckets. Publishes the index's vital signs in one row: nlist,
+    // cells actually used, corpus size, the largest cell, the mean,
+    // and the imbalance factor max/mean — the multiplier on the √n
+    // candidate bound a worst-case probe pays. Audits the SAME index
+    // construction q168 probes ([[sqrtnIndex]]/[[sqrtnAssign]] and the
+    // shared oracle CTE), so the two cannot drift.
+    //
+    // Scale: the training/assignment cost is q168's (audited in
+    // docs/PLANS_r7.md); on top of it, cell sizes are one
+    // partial-combined count over the (vec_id, cell) frame and the
+    // stats row is an O(√n)-row aggregate.
+    Q("q178_ivf_cell_balance",
+      (s, dir) => {
+        import s.implicits._
+        val (e, c1, nlist) = sqrtnIndex(s, dir)
+        sqrtnAssign(e, c1)
+          .groupBy($"cell").agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("cells_used"),
+            sum($"sz").as("n_vecs"),
+            max($"sz").as("max_cell"))
+          .select(lit(nlist).as("nlist"), $"cells_used", $"n_vecs", $"max_cell",
+            round($"n_vecs".cast(DoubleType) / lit(nlist.toDouble), 6).as("mean_cell"),
+            round($"max_cell".cast(DoubleType) * lit(nlist.toDouble) / $"n_vecs", 6)
+              .as("imbalance"))
+      },
+      Some(s"""$prepCte,
+        $sqrtnAsgCteSql,
+        sizes AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS sz
+                  FROM asg GROUP BY cell)
+        SELECT nl.nlist,
+          CAST(COUNT(*) AS BIGINT) AS cells_used,
+          CAST(SUM(sz) AS BIGINT) AS n_vecs,
+          CAST(MAX(sz) AS BIGINT) AS max_cell,
+          ROUND(CAST(SUM(sz) AS DOUBLE) / nl.nlist, 6) AS mean_cell,
+          ROUND(CAST(MAX(sz) AS DOUBLE) * nl.nlist / SUM(sz), 6) AS imbalance
+        FROM sizes CROSS JOIN nl GROUP BY nl.nlist"""))
   )
 }

@@ -226,4 +226,21 @@ class SimilaritySpec extends SparkSuite {
     assert(effT > effF,
       s"trained √n cells ($effT) must beat fixed labels ($effF) on recall-per-candidate")
   }
+
+  test("q178 cell-balance audit: masses conserve, imbalance consistent, index matches q168's nlist") {
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val r = run("q178_ivf_cell_balance").collect()
+    assert(r.length == 1)
+    val (nlist, used, nv, mx, mean, imb) = (r(0).getLong(0), r(0).getLong(1),
+      r(0).getLong(2), r(0).getLong(3), r(0).getDouble(4), r(0).getDouble(5))
+    assert(nlist == math.ceil(math.sqrt(n.toDouble)).toLong)
+    assert(nv == n, s"every vector must land in exactly one cell: $nv != $n")
+    assert(used <= nlist && mx >= nv / nlist)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(mean == r6(nv.toDouble / nlist) && imb == r6(mx.toDouble * nlist / nv))
+    assert(imb >= 1.0, "max cell cannot be below the mean")
+    // and the audited index is the one q168 probes: same nlist
+    val q168 = run("q168_ivf_sqrtn_recall").collect()
+    assert(q168.forall(_.getLong(1) == nlist))
+  }
 }
