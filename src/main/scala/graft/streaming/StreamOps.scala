@@ -434,18 +434,30 @@ object StreamOps {
     * idempotence. Only a MISSING index path reads as empty (first
     * batch); any other read failure fails the batch so the checkpoint
     * retries it — swallowing a transient storage error would silently
-    * disable dedup for that batch. */
+    * disable dedup for that batch.
+    *
+    * With `reportPath` set, each batch also publishes the q171-style
+    * per-source INGEST REPORT (batch_id, source, n_new, dup_index,
+    * dup_batch, kept — the identity n_new = dup_index + dup_batch +
+    * kept holds per row): the streaming twin of the batch
+    * q171_incremental_ingest, derived from the same frames the dedup
+    * itself consumes so the report cannot disagree with the sink.
+    * Report rows land in `<reportPath>/batch_id=<N>` with OVERWRITE —
+    * a replayed batch rewrites its own report instead of duplicating
+    * it (idempotent where the out/index appends are at-least-once). */
   def incrementalIndexedDedup(
       docs: DataFrame,
       indexPath: String,
       outPath: String,
       checkpoint: String,
       textCol: String = "text",
-      idCol: String = "doc_id"): org.apache.spark.sql.streaming.StreamingQuery = {
+      idCol: String = "doc_id",
+      reportPath: Option[String] = None,
+      srcCol: String = "source"): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.expressions.Window
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val fp = withFingerprint(batch, textCol, "__fp")
         val hadoopPath = new org.apache.hadoop.fs.Path(indexPath)
@@ -476,11 +488,40 @@ object StreamOps {
         // persist: both writes below consume `kept`, and the second
         // must not re-trigger the index scan while appending to it
         val kept = firstPerFp.join(losers, Seq(idCol), "left_anti").persist()
+        // the report's lineage includes `fresh` = the anti-join against
+        // the index AS OF BATCH START, so it must be FULLY MATERIALIZED
+        // before the index append below: the append invalidates every
+        // cache entry that reads indexPath (CacheManager recache), and
+        // a lazily re-evaluated report would see this batch's own
+        // fingerprints in the index and classify everything dup_index
+        // (observed: a persisted frame survived collect() but its WRITE
+        // re-ran post-append). The report is |sources| rows BY
+        // CONSTRUCTION (SCALE_DESIGN rule 2 compliant), so it collects
+        // to the driver and is written back from literal rows — no
+        // lineage, no laziness hazard.
+        val report = reportPath.map { rp =>
+          def bySrc(df: DataFrame, nm: String) =
+            df.groupBy(col(srcCol).as("source")).agg(count(lit(1)).as(nm))
+          val r = bySrc(fp, "n_new")
+            .join(bySrc(fresh, "after_index"), Seq("source"), "left")
+            .join(bySrc(kept, "kept"), Seq("source"), "left")
+            .na.fill(0L, Seq("after_index", "kept"))
+            .select(col("source"), col("n_new"),
+              (col("n_new") - col("after_index")).as("dup_index"),
+              (col("after_index") - col("kept")).as("dup_batch"),
+              col("kept"))
+          (rp, r.schema, r.collect())
+        }
         try {
           kept.drop("__fp").write.mode("append").parquet(outPath)
           kept.filter(col("__fp").isNotNull)
             .select(col("__fp").as("simhash")).distinct()
             .write.mode("append").parquet(indexPath)
+          report.foreach { case (rp, schema, rows) =>
+            spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+              .coalesce(1)
+              .write.mode("overwrite").parquet(s"$rp/batch_id=$batchId")
+          }
         } finally kept.unpersist()
         ()
       }

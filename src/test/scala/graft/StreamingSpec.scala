@@ -594,4 +594,45 @@ class StreamingSpec extends SparkSuite {
     // shard isolation: shard 1 never saw shard 0's keys
     assert(all.filter(_.shard == 1).forall(_.key == "other"))
   }
+
+  test("incrementalIndexedDedup ingest report: per-batch per-source classes partition n_new") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("irep")
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamOps.incrementalIndexedDedup(
+      input.toDF().toDF("doc_id", "text", "source"),
+      base.resolve("index").toString, base.resolve("out").toString,
+      base.resolve("ckpt").toString,
+      reportPath = Some(base.resolve("report").toString))
+    // batch 0: s1 sends a doc, its exact-token dup, and a distinct doc;
+    // s2 sends one fresh doc
+    input.addData(
+      (1L, "alpha beta gamma delta", "s1"),
+      (2L, "ALPHA beta, gamma delta", "s1"), // same token set -> dup_batch
+      (3L, "a completely different document", "s1"),
+      (4L, "payment events arriving hourly", "s2"))
+    q.processAllAvailable()
+    // batch 1: s1 re-sends batch-0 content (dup_index) + a fresh pair
+    // of in-batch dups; s2 sends one fresh doc
+    input.addData(
+      (5L, "alpha beta gamma delta", "s1"),    // in the index -> dup_index
+      (6L, "totally novel text body here", "s1"),
+      (7L, "totally NOVEL text body here!", "s1"), // token-dup of 6 -> dup_batch
+      (8L, "fresh corpus material again", "s2"))
+    q.processAllAvailable()
+    q.stop()
+    // batch_id arrives via partition discovery (the directory layout
+    // IS the batch key; a replayed batch overwrites its own dir)
+    val rep = spark.read.parquet(base.resolve("report").toString)
+      .select("batch_id", "source", "n_new", "dup_index", "dup_batch", "kept")
+      .collect().map(r => ((r.getInt(0).toLong, r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(rep((0L, "s1")) == ((3L, 0L, 1L, 2L)), rep.toString)
+    assert(rep((0L, "s2")) == ((1L, 0L, 0L, 1L)), rep.toString)
+    assert(rep((1L, "s1")) == ((3L, 1L, 1L, 1L)), rep.toString)
+    assert(rep((1L, "s2")) == ((1L, 0L, 0L, 1L)), rep.toString)
+    // the identity the report ships with: classes partition n_new
+    rep.values.foreach { case (n, di, db, k) => assert(n == di + db + k) }
+  }
 }
