@@ -154,6 +154,90 @@ object Similarity {
         asg AS MATERIALIZED (${argmin("e2", "c1n")})"""
   }
 
+  // ---- product quantization (q179) ---------------------------------
+  // m contiguous subspaces of dsub dims, k codes per subspace. The
+  // codebook is trained like [[sqrtnIndex]] — deterministic vec_id<k
+  // seed, ONE Lloyd round with exact-decimal means — so both engines
+  // derive the bit-identical codebook, and assignment reuses the q64
+  // (round-to-1e-6, cid-tiebreak) argmin contract per subspace.
+  private val pqM = 8
+  private val pqDsub = 8
+  private val pqK = 16
+
+  /** (vec_id, s, sv, ss): the corpus split into the m contiguous
+    * subvectors, with each subvector's squared norm. */
+  private def pqSub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    prepared(s, dir)
+      .select($"vec_id", explode(expr(s"sequence(0, ${pqM - 1})")).as("s"), $"v")
+      .withColumn("sv", expr(s"slice(v, s * $pqDsub + 1, $pqDsub)"))
+      .withColumn("ss", expr("dot_product(sv, sv)"))
+      .select($"vec_id", $"s", $"sv", $"ss")
+  }
+
+  /** Nearest code per (vec_id, s): the ≤ m·k-row codebook broadcasts,
+    * the join is EQUI on the subspace id (no BNLJ), and the argmin is
+    * a partial-combined struct-min over the 1e-6-rounded squared L2
+    * with cid tiebreak — q64/q168's tie contract, per subspace. */
+  private def pqAssign(sub: DataFrame, book: DataFrame): DataFrame = {
+    import sub.sparkSession.implicits._
+    sub.join(broadcast(book), Seq("s"))
+      .withColumn("d2",
+        round($"ss" - lit(2.0) * expr("dot_product(sv, cv)") + $"cc", 6))
+      .groupBy($"vec_id", $"s").agg(min(struct($"d2", $"cid")).as("m"))
+      .select($"vec_id", $"s", $"m.cid".as("code"))
+  }
+
+  /** The refined codebook (s, cid, cv, cc): vec_id<k subvectors seed
+    * each subspace, one Lloyd round with davg(·,15) exact-decimal
+    * means. O(m·k·dsub) values — always broadcastable, eagerly
+    * checkpointed so every consumer reads the SAME trained book. */
+  private def pqCodebook(sub: DataFrame): DataFrame = {
+    import sub.sparkSession.implicits._
+    val c0 = sub.filter($"vec_id" < pqK)
+      .select($"s", $"vec_id".as("cid"), $"sv".as("cv"), $"ss".as("cc"))
+    val means = pqAssign(sub, c0).withColumnRenamed("code", "cell")
+      .join(sub.select($"vec_id", $"s", $"sv"), Seq("vec_id", "s"))
+      .select($"s", $"cell", posexplode($"sv").as(Seq("dim", "x")))
+      .groupBy($"s", $"cell", $"dim").agg(davg($"x", 15).as("m"))
+    means.groupBy($"s", $"cell")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), t -> t.m)").as("cv"))
+      .withColumn("cc", expr("dot_product(cv, cv)"))
+      .select($"s", $"cell".as("cid"), $"cv", $"cc")
+      .localCheckpoint(true)
+  }
+
+  /** Oracle twin of [[pqSub]]/[[pqCodebook]]/[[pqAssign]]: must follow
+    * `$prepCte,`; ends with `codes(vec_id, s, cell)` (plus `sub2` and
+    * `c1n` in scope). The per-subspace argmin mirrors the Spark side
+    * term-for-term (round 6 then cid tiebreak). */
+  private val pqCteSql: String = {
+    val argmin = (cents: String) => s"""
+          SELECT vec_id, s, cell FROM (
+            SELECT b.vec_id, b.s, c.cid AS cell,
+              ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.s ORDER BY
+                ROUND(b.ss - 2.0 * list_sum([b.sv[i] * c.cv[i] for i in range(1, ${pqDsub + 1})]) + c.cc, 6),
+                c.cid) AS rk
+            FROM sub2 b JOIN $cents c ON c.s = b.s) t WHERE rk = 1"""
+    s"""sub AS (SELECT vec_id, t.s, v[t.s * $pqDsub + 1 : t.s * $pqDsub + $pqDsub] AS sv
+               FROM n, UNNEST(range(0, $pqM)) AS t(s)),
+        sub2 AS (SELECT vec_id, s, sv,
+                   list_sum(list_transform(sv, x -> x * x)) AS ss FROM sub),
+        c0 AS (SELECT s, vec_id AS cid, sv AS cv, ss AS cc
+               FROM sub2 WHERE vec_id < $pqK),
+        a0 AS MATERIALIZED (${argmin("c0")}),
+        dims AS (SELECT a0.s, a0.cell, i - 1 AS dim, b.sv[i] AS x
+                 FROM a0 JOIN sub2 b ON b.vec_id = a0.vec_id AND b.s = a0.s,
+                      UNNEST(range(1, ${pqDsub + 1})) AS t(i)),
+        means AS (SELECT s, cell, dim, ${davgSql("x", 15)} AS m
+                  FROM dims GROUP BY s, cell, dim),
+        c1 AS (SELECT s, cell AS cid, list(m ORDER BY dim) AS cv
+               FROM means GROUP BY s, cell),
+        c1n AS MATERIALIZED (SELECT s, cid, cv,
+                 list_sum(list_transform(cv, x -> x * x)) AS cc FROM c1),
+        codes AS MATERIALIZED (${argmin("c1n")})"""
+  }
+
   def queries: Vector[Q] = Vector(
     // ---- near-duplicate pairs by cosine, blocked on label ------------
     // Scale contract: the equi-join on the block key distributes work
@@ -963,6 +1047,117 @@ object Similarity {
           CAST(MAX(sz) AS BIGINT) AS max_cell,
           ROUND(CAST(SUM(sz) AS DOUBLE) / nl.nlist, 6) AS mean_cell,
           ROUND(CAST(MAX(sz) AS DOUBLE) * nl.nlist / SUM(sz), 6) AS imbalance
-        FROM sizes CROSS JOIN nl GROUP BY nl.nlist"""))
+        FROM sizes CROSS JOIN nl GROUP BY nl.nlist""")),
+
+    // ---- PQ + asymmetric-distance recall audit (q179, new r7) --------
+    // Product quantization — the memory half of the billion-scale ANN
+    // stack (IVF-PQ): each vector compresses from d floats to m code
+    // ids (here 64 floats → 8 half-byte codes, 64×), and query-time
+    // distance is ADC (asymmetric distance computation) — per query,
+    // ONE distance table of m·k entries against the broadcast
+    // codebook, then every corpus vector's approximate d² is m table
+    // LOOKUPS instead of d float ops. Published output, per probe
+    // query (vec_id<50): recall@5 of the raw ADC ranking vs the exact
+    // full-vector L2 top-5, AND the exact top-5's coverage by the ADC
+    // top-50 shortlist — the operative production number, since
+    // IVF-PQ serves by ADC-shortlisting then exact re-ranking (sf0.01
+    // measures ≈0.25 raw / ≈0.72 shortlist for this 32-bit budget).
+    //
+    // Determinism contract: codebook training is [[pqCodebook]]'s
+    // exact-decimal Lloyd round; every per-subspace d² rounds to 1e-6
+    // BEFORE any decision; and the m-way ADC sum is INTEGER-SCALED
+    // (×1e6 → BIGINT) so its value is order-independent — a float sum
+    // across an unordered groupBy would land exactly on the rounding
+    // boundary the rank then reads (SCALE_DESIGN rule 7).
+    //
+    // Scale: the codebook is O(m·k·dsub) — broadcast; training and
+    // encode are corpus × (m·k) equi-joined distance evals, partial-
+    // combined per (vec_id, s); the ADC exchange is n·m rows per query
+    // batch. Unblocked ADC is the RE-RANK layer — at corpus scale the
+    // candidate set comes from q168's √n-IVF probes first (IVF-PQ
+    // composition), which this audit's recall floor prices.
+    Q("q179_pq_adc_recall",
+      (s, dir) => {
+        import s.implicits._
+        val sub = pqSub(s, dir).localCheckpoint(false)
+        val book = pqCodebook(sub)
+        val codes = pqAssign(sub, book).withColumnRenamed("code", "cid")
+        val dtab = sub.filter($"vec_id" < 50)
+          .select($"vec_id".as("qid"), $"s", $"sv".as("qv"), $"ss".as("qq"))
+          .join(broadcast(book), Seq("s"))
+          .withColumn("si",
+            round(round($"qq" - lit(2.0) * expr("dot_product(qv, cv)") + $"cc", 6) * 1e6)
+              .cast(LongType))
+          .select($"qid", $"s", $"cid", $"si")
+        val adc = dtab.join(codes, Seq("s", "cid"))
+          .filter($"vec_id" =!= $"qid")
+          .groupBy($"qid", $"vec_id").agg(sum($"si").as("adc"))
+        val aw = Window.partitionBy($"qid").orderBy($"adc", $"vec_id")
+        val ark = adc.withColumn("rk", row_number().over(aw))
+        val atop = ark.filter($"rk" <= 5).select($"qid", $"vec_id".as("cid"))
+        val asl = ark.filter($"rk" <= 50).select($"qid", $"vec_id".as("cid"))
+        val ev = prepared(s, dir).withColumn("vv", expr("dot_product(v, v)"))
+        val qe = ev.filter($"vec_id" < 50)
+          .select($"vec_id".as("qid"), $"v".as("av"), $"vv".as("qq"))
+        val ex = broadcast(qe)
+          .join(ev.select($"vec_id".as("cid"), $"v".as("bv"), $"vv".as("bb")),
+            $"qid" =!= $"cid")
+          .withColumn("d2",
+            round($"qq" - lit(2.0) * expr("dot_product(av, bv)") + $"bb", 6))
+        val ew = Window.partitionBy($"qid").orderBy($"d2", $"cid")
+        val etop = ex.withColumn("rk", row_number().over(ew)).filter($"rk" <= 5)
+          .select($"qid".as("eqid"), $"cid".as("ecid"))
+        val hits = atop
+          .join(etop, $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
+          .groupBy($"qid").agg(count(lit(1)).as("hits"))
+        // shortlist coverage: which of the EXACT top-5 survive into the
+        // ADC top-50 (the set the re-rank layer would then score exactly)
+        val slHits = etop
+          .join(asl, $"eqid" === $"qid" && $"ecid" === $"cid", "left_semi")
+          .groupBy($"eqid".as("qid")).agg(count(lit(1)).as("sl_hits"))
+        adc.select($"qid").distinct()
+          .join(hits, Seq("qid"), "left")
+          .join(slHits, Seq("qid"), "left")
+          .select($"qid", coalesce($"hits", lit(0L)).as("hits"),
+            round(coalesce($"hits", lit(0L)).cast(DoubleType) / 5, 6).as("recall_at_5"),
+            coalesce($"sl_hits", lit(0L)).as("sl_hits"),
+            round(coalesce($"sl_hits", lit(0L)).cast(DoubleType) / 5, 6).as("recall_in_sl50"))
+          .orderBy($"qid")
+      },
+      Some(s"""$prepCte,
+        $pqCteSql,
+        dtab AS (SELECT q.vec_id AS qid, c.s, c.cid,
+                   CAST(ROUND(ROUND(q.ss - 2.0 * list_sum([q.sv[i] * c.cv[i] for i in range(1, ${pqDsub + 1})]) + c.cc, 6) * 1e6) AS BIGINT) AS si
+                 FROM sub2 q JOIN c1n c ON c.s = q.s WHERE q.vec_id < 50),
+        adc AS (SELECT d.qid, k.vec_id AS cid, SUM(d.si) AS adc
+                FROM dtab d JOIN codes k ON k.s = d.s AND k.cell = d.cid
+                WHERE k.vec_id <> d.qid GROUP BY d.qid, k.vec_id),
+        ark AS (SELECT qid, cid,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS rk
+                FROM adc),
+        atop AS (SELECT qid, cid FROM ark WHERE rk <= 5),
+        asl AS (SELECT qid, cid FROM ark WHERE rk <= 50),
+        ev AS (SELECT vec_id, v,
+                 list_sum(list_transform(v, x -> x * x)) AS vv FROM n),
+        ex AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+                 ROUND(a.vv - 2.0 * list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) + b.vv, 6) AS d2
+               FROM ev a JOIN ev b ON b.vec_id <> a.vec_id WHERE a.vec_id < 50),
+        etop AS (SELECT qid, cid FROM (SELECT qid, cid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) AS rk
+                 FROM ex) t WHERE rk <= 5),
+        hits AS (SELECT a.qid, CAST(COUNT(*) AS BIGINT) AS hits
+                 FROM atop a JOIN etop e ON e.qid = a.qid AND e.cid = a.cid
+                 GROUP BY a.qid),
+        slh AS (SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS sl_hits
+                FROM etop e JOIN asl a ON a.qid = e.qid AND a.cid = e.cid
+                GROUP BY e.qid)
+        SELECT q.qid AS qid, COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
+          ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5, 6) AS recall_at_5,
+          COALESCE(s.sl_hits, CAST(0 AS BIGINT)) AS sl_hits,
+          ROUND(CAST(COALESCE(s.sl_hits, 0) AS DOUBLE) / 5, 6) AS recall_in_sl50
+        FROM (SELECT DISTINCT vec_id AS qid FROM sub2 WHERE vec_id < 50) q
+        LEFT JOIN hits h ON h.qid = q.qid
+        LEFT JOIN slh s ON s.qid = q.qid
+        ORDER BY q.qid"""))
   )
 }

@@ -866,34 +866,172 @@ object TrainingOps {
     // the remainder ranking is a theta self-join on that frame (q134's
     // grid class, whitelisted), NEVER a global rank window.
     Q("q175_temperature_alloc",
+      (s, dir) => tempAllocFrame(s, dir).orderBy(col("source")),
+      Some(s"""
+        WITH ${Dedup.toksCteSql},
+        $tempAllocCteSql
+        SELECT source, n_tokens, alloc_tokens FROM alloc ORDER BY source""")),
+
+    // ---- mixture-epoch materialization (q180, new r7) ----------------
+    // q175 decides how many tokens each source CONTRIBUTES; this is the
+    // step that turns that budget into the actual training list: a
+    // per-document integer repeat count such that Σ repeats·n_tokens
+    // lands on the source's allocation. Deterministic scheme (the
+    // sampling-with-replacement limit every loader converges to):
+    // full epochs = alloc DIV src_tokens for every doc, plus ONE extra
+    // repeat for a deterministic pseudo-random prefix — docs ordered
+    // by (md5(doc_id), doc_id), taken until the cumulative token count
+    // reaches alloc MOD src_tokens (the boundary doc is included, so
+    // the per-source overshoot is < its longest doc — asserted in the
+    // spec). Upsampling (alloc > src_tokens, the low-resource case √-
+    // temperature exists for) and partial passes fall out of the same
+    // two integers.
+    //
+    // Scale: shares q175's alloc chain (|sources|-scale metadata) and
+    // the q153 class's DISTRIBUTED TWO-PHASE PREFIX SUM — the running
+    // token count in hash order buckets by the hash's FIRST HEX NIBBLE
+    // (lexicographic bucket order = hash order, so per-bucket sums +
+    // a ≤16-row per-source offset frame replace any whole-source
+    // window). One exchange for the bucketed window, one broadcast
+    // metadata join; repeat counts never materialize as rows.
+    Q("q180_epoch_materialize",
       (s, dir) => {
         import s.implicits._
-        val budget = 1000000L
-        val tok = Dedup.withToks(documents(s, dir))
-          .select($"source",
-            size(filter($"toks", t => length(t) > 0)).cast(LongType).as("nt"))
-          .groupBy($"source").agg(sum($"nt").as("n_tokens"))
-          .withColumn("w", sqrt($"n_tokens".cast(DoubleType)))
-        val tot = tok.agg(dsum($"w", 10).as("tw"))
-        val raw = tok.crossJoin(broadcast(tot))
-          .withColumn("raw", lit(budget.toDouble) * $"w" / $"tw")
-          .withColumn("fl", floor($"raw").cast(LongType))
-          .withColumn("rem", $"raw" - floor($"raw"))
-          .localCheckpoint(true)
-        val short = raw.agg((lit(budget) - sum($"fl")).as("k"))
-        val ranked = raw.as("a")
-          .join(raw.as("b"),
-            ($"b.rem" > $"a.rem") ||
-              ($"b.rem" === $"a.rem" && $"b.source" < $"a.source"), "left")
-          .groupBy($"a.source", $"a.n_tokens", $"a.fl")
-          .agg((count($"b.source") + 1).as("rnk"))
-        ranked.crossJoin(broadcast(short))
-          .select($"source", $"n_tokens",
-            ($"fl" + when($"rnk" <= $"k", 1L).otherwise(0L)).as("alloc_tokens"))
-          .orderBy($"source")
+        val docTok = Dedup.withToks(documents(s, dir))
+          .select($"source", $"doc_id",
+            size(filter($"toks", t => length(t) > 0)).cast(LongType).as("n_tokens"))
+          .withColumn("h", md5($"doc_id".cast(StringType)))
+          .withColumn("bkt", substring($"h", 1, 1))
+        val wIn = Window.partitionBy($"source", $"bkt").orderBy($"h", $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wOff = Window.partitionBy($"source").orderBy($"bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = docTok.groupBy($"source", $"bkt").agg(sum($"n_tokens").as("bt"))
+          .withColumn("off", coalesce(sum($"bt").over(wOff), lit(0L)))
+          .select($"source", $"bkt", $"off")
+        val alloc = tempAllocFrame(s, dir)
+          .select($"source", $"n_tokens".as("src_tokens"), $"alloc_tokens")
+        docTok
+          .withColumn("cin", coalesce(sum($"n_tokens").over(wIn), lit(0L)))
+          .join(offsets, Seq("source", "bkt"))
+          .withColumn("cum_before", $"cin" + $"off")
+          .join(broadcast(alloc), Seq("source"))
+          .select($"source", $"doc_id", $"n_tokens",
+            (expr("alloc_tokens DIV src_tokens") +
+              when($"cum_before" < expr("alloc_tokens % src_tokens"), 1L)
+                .otherwise(0L)).as("repeats"))
+          .orderBy($"source", $"doc_id")
       },
       Some(s"""
         WITH ${Dedup.toksCteSql},
+        $tempAllocCteSql,
+        dt AS (SELECT source, doc_id,
+                 CAST(len(list_filter(w, t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+               FROM toksc),
+        cb AS (SELECT source, doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+                   ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+               FROM dt)
+        SELECT cb.source AS source, cb.doc_id, cb.n_tokens,
+          CAST(a.alloc_tokens // a.n_tokens
+            + CASE WHEN cb.cum_before < a.alloc_tokens % a.n_tokens
+                   THEN 1 ELSE 0 END AS BIGINT) AS repeats
+        FROM cb JOIN alloc a ON a.source = cb.source
+        ORDER BY cb.source, cb.doc_id""")),
+
+    // ---- length-bucket padding-waste audit (q181, new r7) ------------
+    // The batching-efficiency companion of q153: if the loader pads
+    // each document to its power-of-two length bucket (bucketed
+    // batching) instead of packing the token stream, how many padding
+    // tokens does each bucket burn? Buckets are next-pow2(n_tokens)
+    // floored at 16 — computed by BINARY DIGIT COUNT (length of bin(),
+    // q176's integer-log2 trick; shiftleft materializes the power), so
+    // the banding is pure integer math, no libm. Per bucket: docs,
+    // real tokens, padded slots, padding overhead, and fill efficiency
+    // — the table that prices bucketed batching against q153's packed
+    // stream (whose waste is ~0 by construction).
+    //
+    // Scale: map-only bucket computation, ONE partial-combined
+    // aggregate over ≤~16 bucket keys, metadata-scale output.
+    Q("q181_padding_waste",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.withToks(documents(s, dir))
+          .select(size(filter($"toks", t => length(t) > 0))
+            .cast(LongType).as("n_tokens"))
+          .withColumn("bucket",
+            greatest(lit(16L),
+              expr("CAST(shiftleft(1L, length(bin(greatest(n_tokens, 1L) - 1L))) AS BIGINT)")))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"))
+          .select($"bucket", $"n_docs", $"sum_tokens",
+            ($"n_docs" * $"bucket" - $"sum_tokens").as("pad_tokens"),
+            round(($"n_docs" * $"bucket" - $"sum_tokens").cast(DoubleType) /
+              ($"n_docs" * $"bucket"), 6).as("pad_frac"),
+            round($"sum_tokens".cast(DoubleType) / ($"n_docs" * $"bucket"), 6)
+              .as("fill_efficiency"))
+          .orderBy($"bucket")
+      },
+      Some(s"""
+        WITH ${Dedup.toksCteSql},
+        nt AS (SELECT CAST(len(list_filter(w, t -> len(t) > 0)) AS BIGINT)
+                 AS n_tokens FROM toksc),
+        b AS (SELECT n_tokens,
+                GREATEST(CAST(16 AS BIGINT),
+                  CAST(CAST(1 AS BIGINT) << length(bin(GREATEST(n_tokens, 1) - 1))
+                    AS BIGINT)) AS bucket
+              FROM nt),
+        g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+              FROM b GROUP BY bucket)
+        SELECT bucket, n_docs, sum_tokens,
+          CAST(n_docs * bucket - sum_tokens AS BIGINT) AS pad_tokens,
+          ROUND(CAST(n_docs * bucket - sum_tokens AS DOUBLE) / (n_docs * bucket), 6)
+            AS pad_frac,
+          ROUND(CAST(sum_tokens AS DOUBLE) / (n_docs * bucket), 6)
+            AS fill_efficiency
+        FROM g ORDER BY bucket"""))
+  )
+
+  /** The √-temperature allocation frame (source, n_tokens,
+    * alloc_tokens) — q175's published output, and the budget q180
+    * materializes. ONE construction (and one oracle CTE,
+    * [[tempAllocCteSql]]) so the decider and the materializer cannot
+    * drift. See q175's scaladoc for the determinism contract
+    * (cross-engine-exact sqrt, dsum denominator, largest-remainder
+    * integer partition). */
+  private def tempAllocFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 1000000L
+    val tok = Dedup.withToks(documents(s, dir))
+      .select($"source",
+        size(filter($"toks", t => length(t) > 0)).cast(LongType).as("nt"))
+      .groupBy($"source").agg(sum($"nt").as("n_tokens"))
+      .withColumn("w", sqrt($"n_tokens".cast(DoubleType)))
+    val tot = tok.agg(dsum($"w", 10).as("tw"))
+    val raw = tok.crossJoin(broadcast(tot))
+      .withColumn("raw", lit(budget.toDouble) * $"w" / $"tw")
+      .withColumn("fl", floor($"raw").cast(LongType))
+      .withColumn("rem", $"raw" - floor($"raw"))
+      .localCheckpoint(true)
+    val short = raw.agg((lit(budget) - sum($"fl")).as("k"))
+    val ranked = raw.as("a")
+      .join(raw.as("b"),
+        ($"b.rem" > $"a.rem") ||
+          ($"b.rem" === $"a.rem" && $"b.source" < $"a.source"), "left")
+      .groupBy($"a.source", $"a.n_tokens", $"a.fl")
+      .agg((count($"b.source") + 1).as("rnk"))
+    ranked.crossJoin(broadcast(short))
+      .select($"source", $"n_tokens",
+        ($"fl" + when($"rnk" <= $"k", 1L).otherwise(0L)).as("alloc_tokens"))
+  }
+
+  /** Oracle twin of [[tempAllocFrame]]: must follow the toksc CTE;
+    * ends in `alloc(source, n_tokens, alloc_tokens)`. */
+  private val tempAllocCteSql: String = s"""
         tok AS (SELECT source,
                   CAST(SUM(len(list_filter(w, t -> len(t) > 0))) AS BIGINT) AS n_tokens
                 FROM toksc GROUP BY source),
@@ -909,10 +1047,9 @@ object TrainingOps {
                  1 + (SELECT COUNT(*) FROM fr b
                       WHERE b.rem > a.rem
                          OR (b.rem = a.rem AND b.source < a.source)) AS rnk
-               FROM fr a)
-        SELECT rk.source, rk.n_tokens,
+               FROM fr a),
+        alloc AS MATERIALIZED (SELECT rk.source, rk.n_tokens,
           CAST(rk.fl + CASE WHEN rk.rnk <= k.k THEN 1 ELSE 0 END AS BIGINT)
             AS alloc_tokens
-        FROM rk, k ORDER BY source"""))
-  )
+        FROM rk, k)"""
 }

@@ -74,6 +74,8 @@ class PlanLintSpec extends SparkSuite {
     "q175_temperature_alloc", // |sources|-row remainder-rank theta self-join (q134's grid class) + 1-row scalars
     "q176_cluster_size_histogram", // 1-row (nd x nc) scalar crossJoin for the singleton row (q104's class)
     "q178_ivf_cell_balance",  // the same O(sqrt(n) x dims) centroid-assignment broadcast as q168
+    "q179_pq_adc_recall",     // fixed 50-vector probe set broadcast for the exact-L2 ground truth (q34's declared brute-force class); the PQ side itself is equi-joined
+    "q180_epoch_materialize", // shares q175's alloc chain (1-row scalars + |sources|-row remainder-rank theta join); the doc-level side is hash-keyed equi
     "q138_sq8_recall",        // 1-row dim-stats arrays (O(dims) metadata) + the q34-class probe-set broadcast
     "q142_triangles",         // two 1-row census scalars (edge count x triangle count)
     "q144_data_expectations",  // 1-row metric frames stitched into the audit rows

@@ -243,4 +243,74 @@ class SimilaritySpec extends SparkSuite {
     val q168 = run("q168_ivf_sqrtn_recall").collect()
     assert(q168.forall(_.getLong(1) == nlist))
   }
+
+  test("q179 equals an independent Scala PQ/ADC reference (codebook, codes, integer-scaled ADC, both recalls)") {
+    // full-chain dual implementation: subvector split -> seeded Lloyd
+    // round with decimal(30,15) means -> per-subspace argmin with the
+    // (round-6, cid) tie contract -> integer-scaled ADC sums -> top-5
+    // and top-50 vs the exact L2 top-5. Pins the SEMANTICS engine-
+    // independently; the DuckDB oracle separately proves cross-engine
+    // equality of the same chain.
+    val m = 8; val dsub = 8; val k = 16
+    def d15(x: Double) = BigDecimal(x).setScale(15, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val sub = raw.flatMap { case (id, v) =>
+      (0 until m).map(s => ((id, s), v.slice(s * dsub, s * dsub + dsub)))
+    }.toMap
+    def argmin(book: Map[(Int, Int), Array[Double]]): Map[(Long, Int), Int] =
+      sub.map { case ((id, s), sv) =>
+        val ss = dot(sv, sv)
+        val best = book.collect { case ((bs, cid), cv) if bs == s =>
+          (r6(ss - 2.0 * dot(sv, cv) + dot(cv, cv)), cid)
+        }.min
+        (id, s) -> best._2
+      }
+    val seed = (for (s <- 0 until m; c <- 0 until k) yield ((s, c), sub((c.toLong, s)))).toMap
+    val a0 = argmin(seed)
+    val book = (for (s <- 0 until m; c <- 0 until k) yield (s, c)).flatMap { case (s, c) =>
+      val members = raw.map(_._1).filter(id => a0((id, s)) == c)
+      if (members.isEmpty) None
+      else Some((s, c) -> (0 until dsub).map { j =>
+        members.map(id => d15(sub((id, s))(j))).sum.toDouble / members.size
+      }.toArray)
+    }.toMap
+    val codes = argmin(book)
+    def si(qsv: Array[Double], cv: Array[Double]): Long = {
+      val d = r6(dot(qsv, qsv) - 2.0 * dot(qsv, cv) + dot(cv, cv))
+      BigDecimal(d * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val ids = raw.map(_._1)
+    val expected = ids.filter(_ < 50).map { qid =>
+      val adc = ids.filter(_ != qid).map { id =>
+        id -> (0 until m).map(s => si(sub((qid, s)), book((s, codes((id, s)))))).sum
+      }
+      val aRank = adc.sortBy { case (id, d) => (d, id) }.map(_._1)
+      val qv = raw.find(_._1 == qid).get._2
+      val eTop = ids.filter(_ != qid).map { id =>
+        id -> r6 {
+          val bv = raw.find(_._1 == id).get._2
+          dot(qv, qv) - 2.0 * dot(qv, bv) + dot(bv, bv)
+        }
+      }.sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+      val hits = aRank.take(5).count(eTop)
+      val slHits = aRank.take(50).count(eTop)
+      (qid, hits.toLong, r6(hits / 5.0), slHits.toLong, r6(slHits / 5.0))
+    }.sortBy(_._1)
+    val got = run("q179_pq_adc_recall").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"got $g expected $e") }
+    // structure: the shortlist can only add coverage (top-50 superset of top-5)
+    got.foreach { case (_, h, _, sl, _) => assert(sl >= h) }
+  }
 }

@@ -308,4 +308,65 @@ class TrainingOpsSpec extends SparkSuite {
     assert(gotMap(bigSrc).toDouble / budget <= bigN.toDouble / totTok + 1e-9,
       "sqrt temperature must flatten the biggest source's share")
   }
+
+  test("q180 materialization hits each source's q175 allocation within one doc, equals an in-memory replay") {
+    val real = "/root/testdata/sf0.001"
+    val alloc = SparkEntry.queries("q175_temperature_alloc")(spark, real).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = SparkEntry.queries("q180_epoch_materialize")(spark, real).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // identity: per source, Σ repeats·n_tokens lands in [alloc,
+    // alloc + longest doc) — the boundary doc is included by contract
+    got.groupBy(_._1).foreach { case (src, docs) =>
+      val (srcTokens, a) = alloc(src)
+      assert(docs.map(_._3).sum == srcTokens)
+      val emitted = docs.map(d => d._4 * d._3).sum
+      val maxDoc = docs.map(_._3).max
+      assert(emitted >= a && emitted < a + maxDoc,
+        s"$src emitted $emitted for alloc $a (max doc $maxDoc)")
+    }
+    // dual implementation: md5(doc_id) hash order, strict-prefix fill
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expect = got.groupBy(_._1).toSeq.flatMap { case (src, docs) =>
+      val (srcTokens, a) = alloc(src)
+      val full = a / srcTokens
+      val rem = a % srcTokens
+      val ordered = docs.map(d => (md5hex(d._2.toString), d._2, d._3)).sortBy(t => (t._1, t._2))
+      val cumBefore = ordered.scanLeft(0L)(_ + _._3).init
+      ordered.zip(cumBefore).map { case ((_, id, nt), cb) =>
+        (src, id, nt, full + (if (cb < rem) 1L else 0L))
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == expect)
+  }
+
+  test("q181 buckets are tight powers of two and masses conserve") {
+    val real = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q181_padding_waste")(spark, real).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (b, nd, st, pad, pf, fe) =>
+      assert(b >= 16 && java.lang.Long.bitCount(b) == 1, s"bucket $b not a pow2 >= 16")
+      assert(pad == nd * b - st)
+      assert(pf == r6(pad.toDouble / (nd * b)) && fe == r6(st.toDouble / (nd * b)))
+      // tightness: the bucket's docs could not all fit one bucket down
+      // (unless at the 16 floor); no doc exceeds its bucket
+      assert(st <= nd * b)
+    }
+    // conservation vs the corpus: doc counts and token mass
+    val docs = graft.operators.Tables.documents(spark, real)
+      .select("text").collect()
+      .map(_.getString(0).toLowerCase.split("\\W+").count(_.nonEmpty).toLong)
+    assert(rows.map(_._2).sum == docs.length)
+    assert(rows.map(_._3).sum == docs.sum)
+    // per-doc bucket assignment matches the integer-log2 banding
+    def pow2ceil(n: Long): Long = {
+      var b = 16L; while (b < n) b <<= 1; b
+    }
+    val expectBuckets = docs.groupBy(pow2ceil).map { case (b, xs) => b -> xs.length.toLong }
+    assert(rows.map(r => r._1 -> r._2).toMap == expectBuckets)
+  }
 }
