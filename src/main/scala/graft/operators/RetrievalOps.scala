@@ -722,6 +722,60 @@ object RetrievalOps {
         SELECT a.canon_name, a.n_rows, b.brand,
           a.min_price_cents, a.size_min, a.size_max
         FROM attrs a JOIN brand b USING (cluster)
-        ORDER BY canon_name"""))
+        ORDER BY canon_name""")),
+
+    // ---- tokenizer fertility by language (q182, new r7) --------------
+    // The model-card fairness metric for a trained tokenizer: FERTILITY
+    // (BPE symbols emitted per word) and the single-token word rate,
+    // per LANGUAGE. A tokenizer trained on English-heavy data encodes
+    // other languages at higher fertility — more sequence positions
+    // per sentence for the same content — which silently taxes both
+    // training cost and effective context length for those languages;
+    // this is the table that makes the tax visible before a vocab is
+    // frozen. Uses the q159 trained merge table and THE SAME
+    // [[bpeChain]] construction (single-sourced — a tokenizer change
+    // cannot diverge the audit from the encoder).
+    //
+    // Scale: the q159 word-cache shape re-keyed by language — each
+    // DISTINCT (lang, word) is encoded ONCE, so the replace chain runs
+    // at vocab scale, not token scale; one partial-combined (lang,
+    // word) aggregate collapses the corpus, one ≤|langs|-key aggregate
+    // publishes. Both ratios divide BIGINTs cast to double and round
+    // to 6, the engine-exact form.
+    Q("q182_tokenizer_fertility",
+      (s, dir) => {
+        import s.implicits._
+        val chain = bpeChain(
+          "concat(' ', array_join(filter(split(tok, ''), c -> c <> ''), '  '), ' ')")
+        val wc = Dedup.withToks(documents(s, dir))
+          .select($"lang", explode($"toks").as("tok"))
+          .filter(length($"tok") > 0)
+          .groupBy($"lang", $"tok").agg(count(lit(1)).as("cnt"))
+        wc.withColumn("nsym", size(split(trim(expr(chain)), "  ")).cast(LongType))
+          .groupBy($"lang")
+          .agg(sum($"cnt").as("n_words"),
+            sum($"cnt" * $"nsym").as("bpe_tokens"),
+            round(sum($"cnt" * $"nsym").cast(DoubleType) / sum($"cnt"), 6)
+              .as("fertility"),
+            round(sum(when($"nsym" === 1L, $"cnt").otherwise(0L))
+              .cast(DoubleType) / sum($"cnt"), 6).as("single_token_frac"))
+          .orderBy($"lang")
+      },
+      Some(s"""
+        WITH tl AS (SELECT lang,
+                 unnest(string_split_regex(lower(text), '\\W+')) AS tok
+               FROM documents),
+        wc AS (SELECT lang, tok, COUNT(*) AS cnt
+               FROM tl WHERE len(tok) > 0 GROUP BY lang, tok),
+        enc AS (SELECT lang, cnt,
+                  len(string_split(trim($bpeDuckChain), '  ')) AS nsym
+                FROM wc)
+        SELECT lang,
+          CAST(SUM(cnt) AS BIGINT) AS n_words,
+          CAST(SUM(cnt * nsym) AS BIGINT) AS bpe_tokens,
+          ROUND(CAST(SUM(cnt * nsym) AS DOUBLE) / SUM(cnt), 6) AS fertility,
+          ROUND(CAST(SUM(CASE WHEN nsym = 1 THEN cnt ELSE 0 END) AS DOUBLE)
+            / SUM(cnt), 6) AS single_token_frac
+        FROM enc GROUP BY lang ORDER BY lang"""))
   )
 }

@@ -993,7 +993,85 @@ object TrainingOps {
             AS pad_frac,
           ROUND(CAST(sum_tokens AS DOUBLE) / (n_docs * bucket), 6)
             AS fill_efficiency
-        FROM g ORDER BY bucket"""))
+        FROM g ORDER BY bucket""")),
+
+    // ---- shuffle-mix audit (q183, new r7) ----------------------------
+    // Is the training order actually shuffled? The loader order is the
+    // deterministic (md5(doc_id), doc_id) permutation (q180's hash
+    // order — the order the materialized epochs stream in); the audit
+    // compares, per source, the OBSERVED count of same-source adjacent
+    // pairs against the EXPECTATION under a uniform random permutation
+    // (E[same] = n_s(n_s-1)/N summed adjacencies). mix_ratio ≈ 1 means
+    // the hash order mixes sources as well as a true shuffle; ≫ 1 is
+    // source clumping (curriculum leakage into what the model sees as
+    // i.i.d. batches), which md5 order rules out BY CONSTRUCTION here
+    // — the audit is the proof the pipeline gets to print.
+    //
+    // Scale: the global-adjacency count NEVER runs a global window —
+    // the q153/q180 two-phase trick: the lag window is bucketed by the
+    // hash's first hex nibble (lex bucket order = hash order), and the
+    // ≤16 bucket-boundary adjacencies come from a 16-row first/last
+    // frame (struct min/max per bucket) theta-joined to its successor
+    // (metadata-scale BNLJ, whitelisted). One doc-scale exchange for
+    // the window, partial-combined counts everywhere else.
+    Q("q183_shuffle_mix_audit",
+      (s, dir) => {
+        import s.implicits._
+        val docs = documents(s, dir)
+          .select($"doc_id", $"source")
+          .withColumn("h", md5($"doc_id".cast(StringType)))
+          .withColumn("bkt", substring($"h", 1, 1))
+        val wIn = Window.partitionBy($"bkt").orderBy($"h", $"doc_id")
+        val innerSame = docs
+          .withColumn("prev_src", lag($"source", 1).over(wIn))
+          .filter($"prev_src" === $"source")
+          .groupBy($"source").agg(count(lit(1)).as("c"))
+        val ends = docs
+          .groupBy($"bkt")
+          .agg(min(struct($"h", $"doc_id", $"source")).as("first"),
+            max(struct($"h", $"doc_id", $"source")).as("last"))
+          .localCheckpoint(true) // ≤16 rows: one per hex nibble
+        val bndSame = ends.as("a")
+          .join(ends.as("b"), $"b.bkt" > $"a.bkt")
+          .groupBy($"a.bkt", $"a.last")
+          .agg(min(struct($"b.bkt", $"b.first")).as("nb"))
+          .filter($"last.source" === $"nb.first.source")
+          .select($"last.source".as("source"))
+          .groupBy($"source").agg(count(lit(1)).as("c"))
+        val same = innerSame.union(bndSame)
+          .groupBy($"source").agg(sum($"c").as("same_adj"))
+        val nsrc = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        val ntot = docs.agg(count(lit(1)).as("n"))
+        nsrc.join(same, Seq("source"), "left")
+          .na.fill(0L, Seq("same_adj"))
+          .crossJoin(broadcast(ntot))
+          .select($"source", $"n_docs", $"same_adj",
+            round(($"n_docs" * ($"n_docs" - 1L)).cast(DoubleType) / $"n", 6)
+              .as("exp_same"),
+            when($"n_docs" > 1L,
+              round($"same_adj".cast(DoubleType) * $"n" /
+                ($"n_docs" * ($"n_docs" - 1L)), 6)).as("mix_ratio"))
+          .orderBy($"source")
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id, source,
+                 md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        sq AS (SELECT source, LAG(source) OVER (ORDER BY h, doc_id)
+                 AS prev_src FROM d),
+        sa AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS same_adj
+               FROM sq WHERE prev_src = source GROUP BY source),
+        ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM d GROUP BY source),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d)
+        SELECT ns.source AS source, ns.n_docs,
+          CAST(COALESCE(sa.same_adj, 0) AS BIGINT) AS same_adj,
+          ROUND(CAST(ns.n_docs * (ns.n_docs - 1) AS DOUBLE) / nt.n, 6)
+            AS exp_same,
+          CASE WHEN ns.n_docs > 1 THEN
+            ROUND(CAST(COALESCE(sa.same_adj, 0) AS DOUBLE) * nt.n
+              / (ns.n_docs * (ns.n_docs - 1)), 6) END AS mix_ratio
+        FROM ns LEFT JOIN sa ON sa.source = ns.source, nt
+        ORDER BY ns.source"""))
   )
 
   /** The √-temperature allocation frame (source, n_tokens,

@@ -76,6 +76,7 @@ class PlanLintSpec extends SparkSuite {
     "q178_ivf_cell_balance",  // the same O(sqrt(n) x dims) centroid-assignment broadcast as q168
     "q179_pq_adc_recall",     // fixed 50-vector probe set broadcast for the exact-L2 ground truth (q34's declared brute-force class); the PQ side itself is equi-joined
     "q180_epoch_materialize", // shares q175's alloc chain (1-row scalars + |sources|-row remainder-rank theta join); the doc-level side is hash-keyed equi
+    "q183_shuffle_mix_audit", // ≤16-row bucket first/last frame theta-joined to its successor bucket + the 1-row corpus-count scalar
     "q138_sq8_recall",        // 1-row dim-stats arrays (O(dims) metadata) + the q34-class probe-set broadcast
     "q142_triangles",         // two 1-row census scalars (edge count x triangle count)
     "q144_data_expectations",  // 1-row metric frames stitched into the audit rows

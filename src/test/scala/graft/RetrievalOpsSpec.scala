@@ -306,4 +306,50 @@ class RetrievalOpsSpec extends SparkSuite {
         r.getLong(3), r.getInt(4), r.getInt(5))).toSeq
     assert(got == expect, s"\ngot    ${got.take(10)}\nexpect ${expect.take(10)}")
   }
+
+  test("q182 fertility equals a canonical-BPE in-memory replay per language, and its totals partition q159's") {
+    import spark.implicits._
+    // independent reference: the same canonical greedy encoder the
+    // q159 spec uses (lowest rank leftmost, one pair at a time)
+    val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+      "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+    val rank = merges.zipWithIndex.toMap
+    val cache = scala.collection.mutable.Map.empty[String, Int]
+    def nsym(word: String): Int = cache.getOrElseUpdate(word, {
+      var syms = word.map(_.toString).toVector
+      var go = true
+      while (go) {
+        val cands = syms.indices.dropRight(1)
+          .flatMap(i => rank.get((syms(i), syms(i + 1))).map(r => (r, i)))
+        if (cands.isEmpty) go = false
+        else {
+          val (_, i) = cands.min
+          syms = (syms.take(i) :+ (syms(i) + syms(i + 1))) ++ syms.drop(i + 2)
+        }
+      }
+      syms.size
+    })
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = graft.operators.Tables.documents(spark, dir)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = docs
+      .flatMap { case (l, t) =>
+        t.toLowerCase.split("\\W+").filter(_.nonEmpty).map(w => (l, w)) }
+      .groupBy(_._1).map { case (l, ws) =>
+        val n = ws.length.toLong
+        val bt = ws.map(w => nsym(w._2).toLong).sum
+        val st = ws.count(w => nsym(w._2) == 1).toLong
+        (l, n, bt, r6(bt.toDouble / n), r6(st.toDouble / n))
+      }.toSeq.sortBy(_._1)
+    val got = run("q182_tokenizer_fertility").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == expect, s"\ngot    $got\nexpect $expect")
+    // the lang partition and q159's source partition cover the SAME
+    // word stream: totals must agree exactly
+    val q159 = run("q159_bpe_encode").collect()
+    assert(got.map(_._2).sum == q159.map(_.getLong(1)).sum)
+    assert(got.map(_._3).sum == q159.map(_.getLong(3)).sum)
+  }
 }

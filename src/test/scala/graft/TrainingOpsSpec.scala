@@ -369,4 +369,32 @@ class TrainingOpsSpec extends SparkSuite {
     val expectBuckets = docs.groupBy(pow2ceil).map { case (b, xs) => b -> xs.length.toLong }
     assert(rows.map(r => r._1 -> r._2).toMap == expectBuckets)
   }
+
+  test("q183 adjacency counts equal a GLOBAL-order in-memory replay (bucketed two-phase = one global lag)") {
+    val real = "/root/testdata/sf0.001"
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = graft.operators.Tables.documents(spark, real)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ordered = docs.map { case (id, src) => (md5hex(id.toString), id, src) }
+      .sortBy(t => (t._1, t._2)).map(_._3)
+    val sameAdj = ordered.zip(ordered.tail).filter(p => p._1 == p._2)
+      .groupBy(_._1).map { case (s, xs) => s -> xs.length.toLong }
+    val n = docs.length.toLong
+    val expect = docs.groupBy(_._2).map { case (src, xs) =>
+      val nd = xs.length.toLong
+      val sa = sameAdj.getOrElse(src, 0L)
+      val mix = if (nd > 1) Some(r6(sa.toDouble * n / (nd * (nd - 1)))) else None
+      (src, nd, sa, r6(nd.toDouble * (nd - 1) / n), mix)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q183_shuffle_mix_audit")(spark, real).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(got == expect, s"\ngot    $got\nexpect $expect")
+    // adjacency mass bound: at most N-1 adjacent pairs exist at all
+    assert(got.map(_._3).sum <= n - 1)
+  }
 }
