@@ -771,7 +771,70 @@ object Dedup {
           ROUND(${davgSql("CAST(n_tokens AS DOUBLE)", 6)}, 6) AS mean_tokens,
           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en_docs,
           ROUND(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 6) AS dup_frac
-        FROM j GROUP BY 1 ORDER BY band"""))
+        FROM j GROUP BY 1 ORDER BY band""")),
+
+    // ---- preference-pair construction (q184, new r7) -----------------
+    // The DPO/reward-model data builder: within each verified near-dup
+    // cluster (q66 components — same content, different tellings), the
+    // highest-quality member becomes `chosen` and the lowest-quality
+    // member `rejected`, with the quality margin published so the
+    // trainer can weight or threshold pairs. Near-dup clusters are the
+    // one place preference pairs come for free at corpus scale: the
+    // members agree on content (so the pair isolates FORM quality),
+    // which is exactly the contrast a style/quality reward model needs.
+    // Election contract (engine-independent, spec-pinned): chosen =
+    // max quality, ties broken to the SMALLEST doc_id; rejected = min
+    // quality, ties to the LARGEST doc_id — so a ≥2-member cluster can
+    // never elect the same doc twice, even when all qualities tie.
+    //
+    // Scale: the components frame is the priced dependency (dup-
+    // bounded, as q176/q177); both elections ride ONE partial-combined
+    // struct-min/max aggregate over it (quality first, negated id
+    // second — the (round, cid) discipline of q64 applied to the
+    // election), no window, no second corpus scan.
+    Q("q184_preference_pairs",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val q = withQuality(withToks(documents(s, dir)))
+          .filter($"quality".isNotNull)
+          .select($"doc_id", $"quality")
+        val mem = components(s, dir).join(q, "doc_id")
+        mem.groupBy($"component").agg(
+            count(lit(1)).as("n_members"),
+            max(struct($"quality", (-$"doc_id").as("nid"))).as("ch"),
+            min(struct($"quality", (-$"doc_id").as("nid"))).as("rj"))
+          .filter($"n_members" >= 2L)
+          .select($"component".as("cluster"), $"n_members",
+            (-$"ch.nid").as("chosen_doc"),
+            round($"ch.quality", 6).as("q_chosen"),
+            (-$"rj.nid").as("rejected_doc"),
+            round($"rj.quality", 6).as("q_rejected"),
+            round($"ch.quality" - $"rj.quality", 6).as("margin"))
+          .orderBy($"cluster")
+      },
+      Some(s"""$componentsCte,
+        $qualityCte,
+        mem AS (SELECT c.component, c.doc_id, q.quality
+                FROM comp c JOIN quality q ON q.doc_id = c.doc_id),
+        pe AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
+                 MAX(quality) AS qmax, MIN(quality) AS qmin
+               FROM mem GROUP BY component HAVING COUNT(*) >= 2),
+        ch AS (SELECT m.component, MIN(m.doc_id) AS chosen_doc
+               FROM mem m JOIN pe ON pe.component = m.component
+                 AND m.quality = pe.qmax
+               GROUP BY m.component),
+        rj AS (SELECT m.component, MAX(m.doc_id) AS rejected_doc
+               FROM mem m JOIN pe ON pe.component = m.component
+                 AND m.quality = pe.qmin
+               GROUP BY m.component)
+        SELECT pe.component AS cluster, pe.n_members,
+          ch.chosen_doc, ROUND(pe.qmax, 6) AS q_chosen,
+          rj.rejected_doc, ROUND(pe.qmin, 6) AS q_rejected,
+          ROUND(pe.qmax - pe.qmin, 6) AS margin
+        FROM pe JOIN ch ON ch.component = pe.component
+        JOIN rj ON rj.component = pe.component
+        ORDER BY cluster"""))
   )
 
   /** Min-label propagation over the verified near-dup pair graph:

@@ -243,4 +243,35 @@ class DedupSpec extends SparkSuite {
       assert(d <= n && en <= n && mt > 0.0, s"band $b inconsistent: $n/$d/$mt/$en")
     }
   }
+
+  test("q184 preference pairs equal an election replay over q66 components + the quality frame; chosen never equals rejected") {
+    val real = "/root/testdata/sf0.001"
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val comp = SparkEntry.queries("q66_dup_components")(spark, real).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val qual = SparkEntry.queries("q30_text_quality")(spark, real).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val expect = comp.groupBy(_._2).toSeq.flatMap { case (cl, ms) =>
+      val withQ = ms.map(_._1).flatMap(id => qual.get(id).map(id -> _))
+      if (withQ.size < 2) None
+      else {
+        val qmax = withQ.map(_._2).max
+        val qmin = withQ.map(_._2).min
+        val chosen = withQ.filter(_._2 == qmax).map(_._1).min
+        val rejected = withQ.filter(_._2 == qmin).map(_._1).max
+        Some((cl, withQ.size.toLong, chosen, r6(qmax), rejected, r6(qmin),
+          r6(qmax - qmin)))
+      }
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q184_preference_pairs")(spark, real).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got.nonEmpty, "sf0.001 has near-dup clusters; q184 must emit pairs")
+    assert(got == expect, s"\ngot    ${got.take(5)}\nexpect ${expect.take(5)}")
+    // the tie contract guarantees a real pair even when all qualities tie
+    got.foreach { case (cl, _, ch, qc, rjd, qr, m) =>
+      assert(ch != rjd, s"cluster $cl elected doc $ch twice")
+      assert(m >= 0.0 && qc >= qr)
+    }
+  }
 }
