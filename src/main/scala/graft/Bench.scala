@@ -36,12 +36,22 @@ object Bench {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       // mergeable-sketch partials (q142's bloom) legitimately exceed
       // the 1g default ONLY on the 100x scale probes, which also raise
-      // SPARK_DRIVER_MEM — those runs export SPARK_GRAFT_MAXRESULT=16g.
-      // The driver-bench default stays heap-proportional (4g under the
-      // default 8g heap) so an accidental corpus-sized collect fails
-      // cleanly at the result-size rail instead of as a driver OOM.
+      // SPARK_DRIVER_MEM — so the default rail is DERIVED from the
+      // heap (half of SPARK_DRIVER_MEM: 4g under the default 8g heap,
+      // 24g under a 48g scale-probe heap) rather than a fixed constant
+      // a raised-heap run would still trip. An accidental corpus-sized
+      // collect fails cleanly at the result-size rail instead of as a
+      // driver OOM; SPARK_GRAFT_MAXRESULT overrides explicitly.
       .config("spark.driver.maxResultSize",
-        sys.env.getOrElse("SPARK_GRAFT_MAXRESULT", "4g"))
+        sys.env.getOrElse("SPARK_GRAFT_MAXRESULT", {
+          val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+          val m = "^(\\d+)([gGmM])$".r
+          heap match {
+            case m(n, u) if u.toLowerCase == "g" => s"${math.max(1, n.toLong / 2)}g"
+            case m(n, u) if u.toLowerCase == "m" => s"${math.max(512, n.toLong / 2)}m"
+            case _ => "4g"
+          }
+        }))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

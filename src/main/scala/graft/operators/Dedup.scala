@@ -839,14 +839,25 @@ object Dedup {
 
   /** Min-label propagation over the verified near-dup pair graph:
     * `(doc_id, component)` for every doc appearing in a pair. Shared
-    * by q66 (published labels), q79 (canonical corpus) and q88 (which
-    * feeds [[componentsFromPairs]] from its own single corpus pass). */
-  private[operators] def components(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    componentsFromPairs(s, nearDupPairs(s, dir)
-      .filter(round($"jraw", 6) >= 0.5)
-      .select($"ida", $"idb"))
-  }
+    * by q66 (published labels), q79 (canonical corpus), q176/q177/q184
+    * (cluster QA / preference pairs) and q88 (which feeds
+    * [[componentsFromPairs]] from its own single corpus pass).
+    *
+    * Memoized per (session, dir) via [[SessionMemo]]: the ~6-round
+    * label-propagation loop is the most expensive shared frame in the
+    * repo (100.6 s at 100×), and the five consumers plus bench reps
+    * each re-ran it — correct, but the family quintuple-paid it per
+    * process. The memo is semantically transparent (the helper is a
+    * deterministic function of (session, dir); the threshold is the
+    * fixed raw-J ≥ 0.5 contract baked in here) and the cached labels
+    * frame is dup-bounded, checkpoint-backed, and session-scoped. */
+  private[operators] def components(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.get(s, s"dup-components:$dir") {
+      import s.implicits._
+      componentsFromPairs(s, nearDupPairs(s, dir)
+        .filter(round($"jraw", 6) >= 0.5)
+        .select($"ida", $"idb"))
+    }
 
   /** The propagation loop over a distinct `(ida, idb)` pair frame.
     *

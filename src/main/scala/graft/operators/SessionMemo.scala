@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped memo for expensive shared frames (the q66
+  * components run, the q168 √n-IVF index, the q179 PQ codebook).
+  * Several registered queries legitimately share one priced
+  * dependency — q66/q79/q176/q177/q184 all ride the label-propagation
+  * components frame, q168/q178/q185 the trained IVF index — and
+  * re-deriving it per query is correct but quintuple-pays the most
+  * expensive frame in the repo within one bench/Verify process (and,
+  * at 100 TB, within one production session). The memo key is
+  * (SparkSession, helper:dir): the helpers are deterministic
+  * functions of (session, dir), so serving the cached frame is
+  * semantically transparent — every consumer sees exactly the frame a
+  * fresh run would compute, and Verify's per-query isolation is
+  * preserved because the cached value IS the per-query value.
+  *
+  * Sessions are weak keys: a stopped-and-dropped SparkSession's
+  * entries (and the localCheckpoint blocks its frames pin) become
+  * collectable with it. Values are pinned for the session's lifetime
+  * — only frames that are dup-/√n-/metadata-bounded belong here,
+  * never a corpus-sized frame.
+  */
+private[operators] object SessionMemo {
+  private val maps =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
+
+  def get[T <: AnyRef](s: SparkSession, key: String)(compute: => T): T = {
+    val m = maps.synchronized {
+      var mm = maps.get(s)
+      if (mm == null) {
+        mm = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+        maps.put(s, mm)
+      }
+      mm
+    }
+    // computeIfAbsent would deadlock-risk recursive helper chains and
+    // runs Spark jobs under the map's bin lock; the helpers are invoked
+    // from a single driver thread (Verify/Bench are sequential), so a
+    // plain check-then-put is race-free in practice and a duplicate
+    // compute under a true race is merely wasted work, never wrong.
+    val cached = m.get(key)
+    if (cached != null) cached.asInstanceOf[T]
+    else {
+      val v = compute
+      m.put(key, v.asInstanceOf[AnyRef])
+      v
+    }
+  }
+}

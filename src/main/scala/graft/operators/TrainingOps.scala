@@ -909,8 +909,13 @@ object TrainingOps {
         val offsets = docTok.groupBy($"source", $"bkt").agg(sum($"n_tokens").as("bt"))
           .withColumn("off", coalesce(sum($"bt").over(wOff), lit(0L)))
           .select($"source", $"bkt", $"off")
+        // a source whose documents ALL tokenize empty (src_tokens = 0)
+        // has nothing to materialize — and an unguarded DIV/% by zero
+        // would diverge the engines (Spark NULL vs DuckDB error), so
+        // the degenerate case is excluded IDENTICALLY on both sides
         val alloc = tempAllocFrame(s, dir)
           .select($"source", $"n_tokens".as("src_tokens"), $"alloc_tokens")
+          .filter($"src_tokens" > 0)
         docTok
           .withColumn("cin", coalesce(sum($"n_tokens").over(wIn), lit(0L)))
           .join(offsets, Seq("source", "bkt"))
@@ -940,6 +945,7 @@ object TrainingOps {
             + CASE WHEN cb.cum_before < a.alloc_tokens % a.n_tokens
                    THEN 1 ELSE 0 END AS BIGINT) AS repeats
         FROM cb JOIN alloc a ON a.source = cb.source
+        WHERE a.n_tokens > 0
         ORDER BY cb.source, cb.doc_id""")),
 
     // ---- length-bucket padding-waste audit (q181, new r7) ------------

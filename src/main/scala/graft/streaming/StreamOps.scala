@@ -517,10 +517,23 @@ object StreamOps {
           kept.filter(col("__fp").isNotNull)
             .select(col("__fp").as("simhash")).distinct()
             .write.mode("append").parquet(indexPath)
+          // the report is ADVISORY: it runs after the out/index appends,
+          // so a report-write failure must not fail the batch — that
+          // would trigger a checkpoint replay that RE-APPENDS the
+          // already-committed rows, widening the at-least-once
+          // duplication window for the sake of a diagnostic artifact.
+          // Log and move on; the (overwrite-mode, per-batch-dir) write
+          // self-heals on the next successful batch of the same id.
           report.foreach { case (rp, schema, rows) =>
-            spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+            try spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
               .coalesce(1)
               .write.mode("overwrite").parquet(s"$rp/batch_id=$batchId")
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(
+                  s"[incrementalIndexedDedup] ingest-report write failed for batch $batchId " +
+                    s"(out/index appends already committed, batch NOT failed): ${e.getMessage}")
+            }
           }
         } finally kept.unpersist()
         ()

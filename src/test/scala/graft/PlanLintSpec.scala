@@ -75,6 +75,12 @@ class PlanLintSpec extends SparkSuite {
     "q176_cluster_size_histogram", // 1-row (nd x nc) scalar crossJoin for the singleton row (q104's class)
     "q178_ivf_cell_balance",  // the same O(sqrt(n) x dims) centroid-assignment broadcast as q168
     "q179_pq_adc_recall",     // fixed 50-vector probe set broadcast for the exact-L2 ground truth (q34's declared brute-force class); the PQ side itself is equi-joined
+    // q185_ivfpq_recall is NOT whitelisted: its two BNLJ constructions
+    // (q168's centroid broadcast, q179's exact-truth probe broadcast)
+    // sit upstream of its lv/etop localCheckpoints, i.e. behind this
+    // spec's documented plan-boundary blind spot — the visible plan is
+    // equi-joins + windows only, and the hidden halves are exactly the
+    // q168/q178/q179 constructions already whitelisted and linted there.
     "q180_epoch_materialize", // shares q175's alloc chain (1-row scalars + |sources|-row remainder-rank theta join); the doc-level side is hash-keyed equi
     "q183_shuffle_mix_audit", // ≤16-row bucket first/last frame theta-joined to its successor bucket + the 1-row corpus-count scalar
     "q138_sq8_recall",        // 1-row dim-stats arrays (O(dims) metadata) + the q34-class probe-set broadcast

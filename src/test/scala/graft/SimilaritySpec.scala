@@ -313,4 +313,32 @@ class SimilaritySpec extends SparkSuite {
     // structure: the shortlist can only add coverage (top-50 superset of top-5)
     got.foreach { case (_, h, _, sl, _) => assert(sl >= h) }
   }
+
+  test("q185 composes q168's index consistently: same nlist and candidate volumes, exact-re-rank identity, recall within the q168 ceiling's neighborhood") {
+    // the chain semantics are pinned by the DuckDB oracle (probe/ADC/
+    // re-rank CTEs) and by q168's/q179's dual-implementation tests on
+    // the shared halves; this gates the COMPOSITION invariants.
+    val got = run("q185_ivfpq_recall").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3), "one row per nprobe")
+    val ivf = run("q168_ivf_sqrtn_recall").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    // same memoized index + same probe contract => identical nlist and
+    // per-np candidate volumes as q168
+    got.zip(ivf).foreach { case ((np, nlist, _, cand, _, _, _, _), (inp, inlist, icand)) =>
+      assert(np == inp && nlist == inlist && cand == icand,
+        s"q185 np=$np diverges from q168's index: ($nlist,$cand) vs ($inlist,$icand)")
+    }
+    got.foreach { case (np, _, nq, cand, slHits, hits, rsl, r5) =>
+      // exact-re-rank identity: a true top-5 member in the shortlist has
+      // a smaller exact d2 than every non-member, so it always survives
+      assert(hits == slHits, s"np=$np: re-rank must attain the shortlist ceiling")
+      assert(rsl == r5)
+      assert(hits <= nq * 5 && cand >= hits)
+    }
+    // more probes never shrink the candidate set
+    assert(got.map(_._4).toSeq == got.map(_._4).sorted.toSeq)
+  }
 }
