@@ -77,9 +77,16 @@ object Bench {
       // which a 100 GiB mostly-idle heap rarely runs — so 114 queries
       // x reps accumulate dead blocks until later queries pay eviction
       // churn (q48 measured 0.85s alone vs 6.7s late in a full run).
-      // Between queries nothing is live: drop dead checkpoint blocks
-      // and nudge the GC so every query measures steady-state cost.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // Between queries nothing is live EXCEPT the session-memoized
+      // shared frames (components, the IVF index, the PQ codebook —
+      // SessionMemo): those are checkpoint-backed with TRUNCATED
+      // lineage, so unpersisting them is not a recompute, it's
+      // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND for the next family member.
+      // Drop every other dead checkpoint block and nudge the GC so
+      // every query measures steady-state cost.
+      val pinned = graft.operators.SessionMemo.pinnedRddIds(spark)
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!pinned(id)) rdd.unpersist(false) }
       System.gc()
       val ts = Seq.fill(reps)(once(name))
       if (ts.exists(_ < 0)) (-1.0, -1.0)

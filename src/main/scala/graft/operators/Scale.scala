@@ -131,6 +131,18 @@ object Scale {
     // throttles the ENTIRE upstream key-producing pipeline to 32
     // tasks, not just the aggregate's final level. A shuffle of bare
     // longs is cheap (8 bytes/key) and keeps scan parallelism intact.
+    //
+    // ADJUDICATED (round 8) against the third shape, eager
+    // localCheckpoint + coalesce(32) — no shuffle, no throttle: it
+    // wins at toy scale (sf0.1 mins q142 5.26 -> 4.85 s, q99 0.70 ->
+    // 0.57 s, same session) but DIES at 100x with a 48g-heap executor
+    // OOM: the checkpoint pins the |E|-scale key column as row blocks
+    // in the same unified-memory region the treeAggregate needs for
+    // its 32 concurrent ~numBits/8-byte bloom buffers, while the
+    // shuffle streams keys through compressed spill files and holds
+    // ~nothing. The repartition shape completed the identical run in
+    // 486 s (docs/SCALING.md, docs/PLANS_r8.md) — memory-envelope
+    // safety beats a sub-second toy-scale win.
     keys.select(col(colName)).as[Long].rdd
       .repartition(32)
       .treeAggregate(org.apache.spark.util.sketch.BloomFilter.create(

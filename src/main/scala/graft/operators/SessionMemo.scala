@@ -22,9 +22,38 @@ import org.apache.spark.sql.SparkSession
   * — only frames that are dup-/√n-/metadata-bounded belong here,
   * never a corpus-sized frame.
   */
-private[operators] object SessionMemo {
+private[graft] object SessionMemo {
   private val maps =
     new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
+
+  /** The persisted-RDD ids backing this session's memoized frames.
+    *
+    * Bench's between-query hygiene unpersists every persistent RDD
+    * (dead checkpoint blocks otherwise accumulate until late queries
+    * pay eviction churn — its round-6 fix), but unpersisting a
+    * checkpoint-backed MEMOIZED frame is fatal, not wasteful: the
+    * lineage was truncated at checkpoint time, so the next consumer
+    * dies with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND instead of
+    * recomputing (observed: q178 at 100× after q179's run). Bench
+    * therefore skips exactly these ids. Walking `analyzed` is
+    * plan-only — nothing executes here. */
+  def pinnedRddIds(s: SparkSession): Set[Int] = {
+    import scala.jdk.CollectionConverters._
+    val mm = maps.synchronized(maps.get(s))
+    if (mm == null) Set.empty
+    else mm.values.asScala.toSeq.flatMap(datasetsIn).flatMap { d =>
+      d.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }
+    }.toSet
+  }
+
+  private def datasetsIn(v: AnyRef): Seq[org.apache.spark.sql.Dataset[_]] = v match {
+    case d: org.apache.spark.sql.Dataset[_] => Seq(d)
+    case p: Product =>
+      p.productIterator.collect { case d: org.apache.spark.sql.Dataset[_] => d }.toSeq
+    case _ => Nil
+  }
 
   def get[T <: AnyRef](s: SparkSession, key: String)(compute: => T): T = {
     val m = maps.synchronized {

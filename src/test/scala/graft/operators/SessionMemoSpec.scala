@@ -23,4 +23,23 @@ class SessionMemoSpec extends graft.SparkSuite {
     SessionMemo.get(s2, "memo-spec:c") { n += 1; "y" }
     assert(n == 2, "sessions must not share memo entries")
   }
+
+  test("pinnedRddIds surfaces the checkpoint RDDs of memoized frames (incl. tuples) so Bench's unpersist sweep spares them") {
+    import spark.implicits._
+    val df = SessionMemo.get(spark, "memo-spec:pinned") {
+      Seq(1L, 2L, 3L).toDF("k").localCheckpoint(true)
+    }
+    val tup = SessionMemo.get(spark, "memo-spec:pinned-tuple") {
+      (Seq(4L).toDF("k").localCheckpoint(true), 7L)
+    }
+    val pinned = SessionMemo.pinnedRddIds(spark)
+    val persistent = spark.sparkContext.getPersistentRDDs.keySet
+    val hits = pinned.intersect(persistent)
+    assert(hits.size >= 2,
+      s"both memoized checkpoints must be pinned AND persistent (pinned=$pinned persistent=$persistent)")
+    // and the frames stay servable after a Bench-style sweep that spares them
+    spark.sparkContext.getPersistentRDDs
+      .foreach { case (id, rdd) => if (!pinned(id)) rdd.unpersist(false) }
+    assert(df.count() == 3 && tup._1.count() == 1)
+  }
 }
