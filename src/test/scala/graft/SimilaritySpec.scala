@@ -341,4 +341,26 @@ class SimilaritySpec extends SparkSuite {
     // more probes never shrink the candidate set
     assert(got.map(_._4).toSeq == got.map(_._4).sorted.toSeq)
   }
+
+  test("q186 residual IVF-PQ: identical probe geometry to q185 (same nlist, same candidate volumes), same exact-re-rank identity") {
+    // the residual encoding changes WHAT the 32 bits describe, never
+    // which candidates are probed — so the volume columns must be
+    // bit-identical to q185's, and only the recall columns may differ.
+    def rows(name: String) = run(name).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+      .sortBy(_._1)
+    val res = rows("q186_ivfpq_residual_recall")
+    val raw = rows("q185_ivfpq_recall")
+    assert(res.map(_._1).toSeq == Seq(1, 2, 3))
+    res.zip(raw).foreach { case (a, b) =>
+      assert(a._2 == b._2 && a._3 == b._3 && a._4 == b._4,
+        s"np=${a._1}: probe geometry diverged from q185: (${a._2},${a._3},${a._4}) vs (${b._2},${b._3},${b._4})")
+    }
+    res.foreach { case (np, _, nq, cand, slHits, hits, rsl, r5) =>
+      assert(hits == slHits && rsl == r5,
+        s"np=$np: exact re-rank must attain the shortlist ceiling")
+      assert(hits <= nq * 5 && cand >= hits)
+    }
+  }
 }
