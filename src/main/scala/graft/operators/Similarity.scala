@@ -380,6 +380,83 @@ object Similarity {
       .orderBy($"nprobe")
   }
 
+  /** The residual-PQ ADC chain shared by q186 (recall curve) and q187
+    * (shortlist-budget audit): (adc pairs (qid, cid, probe_rank, adc),
+    * the prepared corpus e, nlist). The residual codebook is memoized
+    * per (session, dir) like every other trained artifact. */
+  private def residualAdcPairs(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
+    import s.implicits._
+    val (e, c1, nlist) = sqrtnIndex(s, dir)
+    val asg = sqrtnAssign(e, c1)
+    val (rsub, rbook) = SessionMemo.get(s, s"pq-residual-book:$dir") {
+      val r = asg.join(e.select($"vec_id", $"v"), "vec_id")
+        .join(broadcast(c1.select($"cid".as("cell"), $"cv")), Seq("cell"))
+        .select($"vec_id", expr("zip_with(v, cv, (a, b) -> a - b)").as("v"))
+      val sub = pqSubOf(r).localCheckpoint(false)
+      (sub, pqCodebook(sub))
+    }
+    val rcodes = pqAssign(rsub, rbook)
+    val probes = ivfProbes(e, c1)
+    val cand = broadcast(probes)
+      .join(asg.select($"vec_id".as("cid"), $"cell"), Seq("cell"))
+      .filter($"qid" =!= $"cid")
+      .select($"qid", $"cell", $"cid", $"probe_rank")
+    // per (query, probed cell): the query's residual against THAT
+    // cell's centroid, split into subspaces — 50·3·m rows
+    val qres = probes.join(e.select($"vec_id".as("qid"), $"v"), Seq("qid"))
+      .join(broadcast(c1.select($"cid".as("cell"), $"cv")), Seq("cell"))
+      .select($"qid", $"cell",
+        expr("zip_with(v, cv, (a, b) -> a - b)").as("rv"))
+    val dtab = qres
+      .select($"qid", $"cell",
+        explode(expr(s"sequence(0, ${pqM - 1})")).as("s"), $"rv")
+      .withColumn("sv", expr(s"slice(rv, s * $pqDsub + 1, $pqDsub)"))
+      .withColumn("ss", expr("dot_product(sv, sv)"))
+      .join(broadcast(rbook), Seq("s"))
+      .withColumn("si",
+        round(round($"ss" - lit(2.0) * expr("dot_product(sv, cv)") + $"cc", 6) * 1e6)
+          .cast(LongType))
+      .select($"qid", $"cell", $"s", $"cid".as("code"), $"si")
+    val adc = rcodes.withColumnRenamed("vec_id", "cid")
+      .withColumnRenamed("code", "kc")
+      .join(broadcast(cand), Seq("cid"))
+      .join(broadcast(dtab.withColumnRenamed("code", "kc")),
+        Seq("qid", "cell", "s", "kc"))
+      .groupBy($"qid", $"cid", $"probe_rank").agg(sum($"si").as("adc"))
+    (adc, e, nlist)
+  }
+
+  /** Oracle twin of [[residualAdcPairs]]: must follow `$prepCte,` and
+    * `$sqrtnAsgCteSql,`; ends in `adc(qid, cid, probe_rank, adc)`. */
+  private val residualAdcCteSql: String = s"""
+        rn AS MATERIALIZED (SELECT e2.vec_id,
+               [e2.v[i] - c.cv[i] for i in range(1, len(e2.v) + 1)] AS v
+             FROM e2 JOIN asg a ON a.vec_id = e2.vec_id
+             JOIN c1n c ON c.cid = a.cell),
+        ${pqCteSqlP("pq_", "rn")},
+        $ivfProbesCteSql,
+        candp AS (SELECT p.qid, p.cell, a.vec_id AS cid, p.probe_rank
+                  FROM pr p JOIN asg a ON a.cell = p.cell
+                  WHERE a.vec_id <> p.qid),
+        qr AS (SELECT p.qid, p.cell,
+                 [q.v[i] - c.cv[i] for i in range(1, len(q.v) + 1)] AS rv
+               FROM pr p JOIN e2 q ON q.vec_id = p.qid
+               JOIN c1n c ON c.cid = p.cell),
+        qsub AS (SELECT qid, cell, t.s,
+                   rv[t.s * $pqDsub + 1 : t.s * $pqDsub + $pqDsub] AS sv
+                 FROM qr, UNNEST(range(0, $pqM)) AS t(s)),
+        qsub2 AS (SELECT qid, cell, s, sv,
+                    list_sum(list_transform(sv, x -> x * x)) AS ss FROM qsub),
+        dtab AS (SELECT b.qid, b.cell, b.s, c.cid AS code,
+                   CAST(ROUND(ROUND(b.ss - 2.0 * list_sum([b.sv[i] * c.cv[i] for i in range(1, ${pqDsub + 1})]) + c.cc, 6) * 1e6) AS BIGINT) AS si
+                 FROM qsub2 b JOIN pq_c1n c ON c.s = b.s),
+        adc AS MATERIALIZED (SELECT cp.qid, cp.cid, cp.probe_rank, SUM(d.si) AS adc
+                FROM candp cp
+                JOIN pq_codes k ON k.vec_id = cp.cid
+                JOIN dtab d ON d.qid = cp.qid AND d.cell = cp.cell
+                           AND d.s = k.s AND d.code = k.cell
+                GROUP BY cp.qid, cp.cid, cp.probe_rank)"""
+
   /** Oracle twin of [[ivfpqTail]]: needs `adc(qid, cid, probe_rank,
     * adc)`, `e2` and `nl` in scope; INCLUDES the final SELECT. */
   private val ivfpqTailSql: String = """
@@ -1448,75 +1525,109 @@ object Similarity {
     // ride the codes scan map-only, one partial-combined sum per pair.
     Q("q186_ivfpq_residual_recall",
       (s, dir) => {
-        import s.implicits._
-        val (e, c1, nlist) = sqrtnIndex(s, dir)
-        val asg = sqrtnAssign(e, c1)
-        val (rsub, rbook) = SessionMemo.get(s, s"pq-residual-book:$dir") {
-          val r = asg.join(e.select($"vec_id", $"v"), "vec_id")
-            .join(broadcast(c1.select($"cid".as("cell"), $"cv")), Seq("cell"))
-            .select($"vec_id", expr("zip_with(v, cv, (a, b) -> a - b)").as("v"))
-          val sub = pqSubOf(r).localCheckpoint(false)
-          (sub, pqCodebook(sub))
-        }
-        val rcodes = pqAssign(rsub, rbook)
-        val probes = ivfProbes(e, c1)
-        val cand = broadcast(probes)
-          .join(asg.select($"vec_id".as("cid"), $"cell"), Seq("cell"))
-          .filter($"qid" =!= $"cid")
-          .select($"qid", $"cell", $"cid", $"probe_rank")
-        // per (query, probed cell): the query's residual against THAT
-        // cell's centroid, split into subspaces — 50·3·m rows
-        val qres = probes.join(e.select($"vec_id".as("qid"), $"v"), Seq("qid"))
-          .join(broadcast(c1.select($"cid".as("cell"), $"cv")), Seq("cell"))
-          .select($"qid", $"cell",
-            expr("zip_with(v, cv, (a, b) -> a - b)").as("rv"))
-        val dtab = qres
-          .select($"qid", $"cell",
-            explode(expr(s"sequence(0, ${pqM - 1})")).as("s"), $"rv")
-          .withColumn("sv", expr(s"slice(rv, s * $pqDsub + 1, $pqDsub)"))
-          .withColumn("ss", expr("dot_product(sv, sv)"))
-          .join(broadcast(rbook), Seq("s"))
-          .withColumn("si",
-            round(round($"ss" - lit(2.0) * expr("dot_product(sv, cv)") + $"cc", 6) * 1e6)
-              .cast(LongType))
-          .select($"qid", $"cell", $"s", $"cid".as("code"), $"si")
-        val adc = rcodes.withColumnRenamed("vec_id", "cid")
-          .withColumnRenamed("code", "kc")
-          .join(broadcast(cand), Seq("cid"))
-          .join(broadcast(dtab.withColumnRenamed("code", "kc")),
-            Seq("qid", "cell", "s", "kc"))
-          .groupBy($"qid", $"cid", $"probe_rank").agg(sum($"si").as("adc"))
+        val (adc, e, nlist) = residualAdcPairs(s, dir)
         ivfpqTail(adc, e, nlist, dir)
       },
       Some(s"""$prepCte,
         $sqrtnAsgCteSql,
-        rn AS MATERIALIZED (SELECT e2.vec_id,
-               [e2.v[i] - c.cv[i] for i in range(1, len(e2.v) + 1)] AS v
-             FROM e2 JOIN asg a ON a.vec_id = e2.vec_id
-             JOIN c1n c ON c.cid = a.cell),
-        ${pqCteSqlP("pq_", "rn")},
-        $ivfProbesCteSql,
-        candp AS (SELECT p.qid, p.cell, a.vec_id AS cid, p.probe_rank
-                  FROM pr p JOIN asg a ON a.cell = p.cell
-                  WHERE a.vec_id <> p.qid),
-        qr AS (SELECT p.qid, p.cell,
-                 [q.v[i] - c.cv[i] for i in range(1, len(q.v) + 1)] AS rv
-               FROM pr p JOIN e2 q ON q.vec_id = p.qid
-               JOIN c1n c ON c.cid = p.cell),
-        qsub AS (SELECT qid, cell, t.s,
-                   rv[t.s * $pqDsub + 1 : t.s * $pqDsub + $pqDsub] AS sv
-                 FROM qr, UNNEST(range(0, $pqM)) AS t(s)),
-        qsub2 AS (SELECT qid, cell, s, sv,
-                    list_sum(list_transform(sv, x -> x * x)) AS ss FROM qsub),
-        dtab AS (SELECT b.qid, b.cell, b.s, c.cid AS code,
-                   CAST(ROUND(ROUND(b.ss - 2.0 * list_sum([b.sv[i] * c.cv[i] for i in range(1, ${pqDsub + 1})]) + c.cc, 6) * 1e6) AS BIGINT) AS si
-                 FROM qsub2 b JOIN pq_c1n c ON c.s = b.s),
-        adc AS MATERIALIZED (SELECT cp.qid, cp.cid, cp.probe_rank, SUM(d.si) AS adc
-                FROM candp cp
-                JOIN pq_codes k ON k.vec_id = cp.cid
-                JOIN dtab d ON d.qid = cp.qid AND d.cell = cp.cell
-                           AND d.s = k.s AND d.code = k.cell
-                GROUP BY cp.qid, cp.cid, cp.probe_rank),
-        $ivfpqTailSql"""))
+        $residualAdcCteSql,
+        $ivfpqTailSql""")),
+
+    // ---- IVF-PQ shortlist-budget audit (q187, new r8) -----------------
+    // q185 measured the failure (raw-PQ recall falls as nprobe grows
+    // because a FIXED 50-slot shortlist dilutes), q186 fixed the
+    // separation side (residual codes); this audits the remaining
+    // dial: how much recall each shortlist budget L buys at full
+    // probes (np=3), on the residual chain. Per L ∈ {10, 25, 50,
+    // 100}: shortlist rows actually taken, hits and recall@5 after
+    // exact re-rank — the operator a deployment reads to size its
+    // re-rank budget for a target recall (the re-rank pays L exact
+    // distance evals per query, so L IS the serve-latency dial).
+    // recall@5 is non-decreasing in L by construction (a larger
+    // shortlist is a superset and exact re-rank always surfaces true
+    // top-5 members it contains) — the spec gates the monotonicity.
+    //
+    // Determinism + scale: the chain up to the ADC pairs is q186's
+    // ([[residualAdcPairs]], memoized artifacts); this adds ONE
+    // ranking window over the per-query candidate frame, an explode
+    // over the 4 budgets, and the shared exact-re-rank shape per
+    // (L, qid) — all bounded by queries × max(L).
+    Q("q187_ivfpq_shortlist_budget",
+      (s, dir) => {
+        import s.implicits._
+        val (adc, e, nlist) = residualAdcPairs(s, dir)
+        val rw = Window.partitionBy($"qid").orderBy($"adc", $"cid")
+        val ranked = adc.withColumn("rk", row_number().over(rw))
+          .select($"qid", $"cid", $"rk")
+          .localCheckpoint(false)
+        val sl = ranked
+          .withColumn("L", explode(expr("array(10, 25, 50, 100)")))
+          .filter($"rk" <= $"L")
+          .select($"L", $"qid", $"cid")
+        val q = e.filter($"vec_id" < 50)
+          .select($"vec_id".as("qid"), $"v".as("av"), $"vv".as("qq"))
+        val corpus = e.select($"vec_id".as("cid"), $"v".as("bv"), $"vv".as("bb"))
+        val rrw = Window.partitionBy($"L", $"qid").orderBy($"d2", $"cid")
+        val rer = sl.join(corpus, Seq("cid")).join(broadcast(q), Seq("qid"))
+          .withColumn("d2",
+            round($"qq" - lit(2.0) * expr("dot_product(av, bv)") + $"bb", 6))
+          .withColumn("rrk", row_number().over(rrw)).filter($"rrk" <= 5)
+          .select($"L", $"qid", $"cid")
+        val etop = SessionMemo.get(s, s"ivfpq-etop:$dir") {
+          val ew = Window.partitionBy($"qid").orderBy($"d2", $"cid")
+          broadcast(q).join(corpus, $"qid" =!= $"cid")
+            .withColumn("d2",
+              round($"qq" - lit(2.0) * expr("dot_product(av, bv)") + $"bb", 6))
+            .withColumn("rk", row_number().over(ew)).filter($"rk" <= 5)
+            .select($"qid".as("eqid"), $"cid".as("ecid"))
+            .localCheckpoint(true)
+        }
+        val hits = rer
+          .join(etop, $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
+          .groupBy($"L").agg(count(lit(1)).as("h"))
+        sl.groupBy($"L")
+          .agg(count(lit(1)).as("sl_rows"), countDistinct($"qid").as("n_queries"))
+          .join(hits, Seq("L"), "left")
+          .select($"L".cast(IntegerType).as("shortlist"),
+            lit(nlist).as("nlist"), $"n_queries", $"sl_rows",
+            coalesce($"h", lit(0L)).as("hits"),
+            round(coalesce($"h", lit(0L)).cast(DoubleType) / ($"n_queries" * 5), 6)
+              .as("recall_at_5"))
+          .orderBy($"shortlist")
+      },
+      Some(s"""$prepCte,
+        $sqrtnAsgCteSql,
+        $residualAdcCteSql,
+        ranked AS (SELECT qid, cid,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS rk
+                   FROM adc),
+        sl AS (SELECT t.L, r.qid, r.cid
+               FROM ranked r, UNNEST([10, 25, 50, 100]) AS t(L)
+               WHERE r.rk <= t.L),
+        rer AS (SELECT L, qid, cid FROM (
+                 SELECT s.L, s.qid, s.cid,
+                   ROW_NUMBER() OVER (PARTITION BY s.L, s.qid ORDER BY
+                     ROUND(q.vv - 2.0 * list_sum([q.v[i] * b.v[i] for i in range(1, len(q.v) + 1)]) + b.vv, 6),
+                     s.cid) AS rrk
+                 FROM sl s
+                 JOIN e2 b ON b.vec_id = s.cid
+                 JOIN e2 q ON q.vec_id = s.qid) t WHERE rrk <= 5),
+        ex AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+                 ROUND(a.vv - 2.0 * list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) + b.vv, 6) AS d2
+               FROM e2 a JOIN e2 b ON b.vec_id <> a.vec_id WHERE a.vec_id < 50),
+        etop AS (SELECT qid, cid FROM (SELECT qid, cid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) AS rk
+                 FROM ex) t WHERE rk <= 5),
+        hits AS (SELECT r.L, CAST(COUNT(*) AS BIGINT) AS hits FROM rer r
+                 JOIN etop e ON e.qid = r.qid AND e.cid = r.cid GROUP BY r.L),
+        vol AS (SELECT L, CAST(COUNT(*) AS BIGINT) AS sl_rows,
+                  CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries
+                FROM sl GROUP BY L)
+        SELECT CAST(v.L AS INT) AS shortlist, nl.nlist, v.n_queries, v.sl_rows,
+          COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
+          ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / (v.n_queries * 5), 6) AS recall_at_5
+        FROM vol v CROSS JOIN nl
+        LEFT JOIN hits h ON h.L = v.L
+        ORDER BY shortlist"""))
   )
 }

@@ -363,4 +363,28 @@ class SimilaritySpec extends SparkSuite {
       assert(hits <= nq * 5 && cand >= hits)
     }
   }
+
+  test("q187 shortlist budget: monotone recall in L, and L=50 replays q186's np=3 row exactly") {
+    val got = run("q187_ivfpq_shortlist_budget").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(10, 25, 50, 100))
+    // recall@5 never decreases with shortlist budget: a larger
+    // shortlist is a superset, and the exact re-rank always surfaces
+    // any true top-5 member it contains
+    assert(got.map(_._6).toSeq == got.map(_._6).sorted.toSeq,
+      s"recall must be monotone in L: ${got.map(_._6).mkString(",")}")
+    // sl_rows per L is capped by both L·queries and the candidate pool
+    got.foreach { case (l, _, nq, slRows, hits, _) =>
+      assert(slRows <= l.toLong * nq && hits <= nq * 5)
+    }
+    // cross-gate: L=50 at full probes is EXACTLY q186's np=3 contract
+    val q186np3 = run("q186_ivfpq_residual_recall").collect()
+      .map(r => (r.getInt(0), r.getLong(5), r.getDouble(7)))
+      .find(_._1 == 3).get
+    val l50 = got.find(_._1 == 50).get
+    assert(l50._5 == q186np3._2 && l50._6 == q186np3._3,
+      s"q187@L=50 (${l50._5}, ${l50._6}) must replay q186@np=3 (${q186np3._2}, ${q186np3._3})")
+  }
 }
