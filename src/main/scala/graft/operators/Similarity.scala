@@ -1628,6 +1628,101 @@ object Similarity {
           ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / (v.n_queries * 5), 6) AS recall_at_5
         FROM vol v CROSS JOIN nl
         LEFT JOIN hits h ON h.L = v.L
-        ORDER BY shortlist"""))
+        ORDER BY shortlist""")),
+
+    // ---- matryoshka truncation recall audit (q188, new r8) ------------
+    // The OTHER storage/latency dial for embedding search: keep only
+    // the first d dimensions (matryoshka-style prefix truncation —
+    // 4× smaller vectors at d=16) and search exactly on the prefix.
+    // Published per d ∈ {16, 32, 48, 64}: recall@5 of prefix-L2
+    // search vs the full-64 exact top-5, and the mean captured-energy
+    // fraction E[‖v[1..d]‖²/‖v‖²] — the spectral mass the prefix
+    // retains. The d=64 row is the identity (recall 1.0, energy 1.0)
+    // and gates the chain's self-consistency. Together with q187
+    // (shortlist budget) and q179/q185/q186 (code budget) this
+    // completes the ANN resource-dial audit family: dims × bits ×
+    // re-rank, each priced against the same exact truth contract.
+    //
+    // Determinism: prefix distances use the same expanded-form
+    // round-to-1e-6 + cid-tiebreak contract (q64); the energy mean is
+    // a decimal-exact davg. Scale: the per-d prefix norms are ONE
+    // map-only pass over the corpus (n·4 rows); the scored pairs are
+    // the q34-class declared brute-force probe-set broadcast (the
+    // scale path for prefix search is the same IVF machinery — this
+    // is the audit that decides WHICH d the index is built at).
+    Q("q188_matryoshka_recall",
+      (s, dir) => {
+        import s.implicits._
+        val e = prepared(s, dir).withColumn("vv", expr("dot_product(v, v)"))
+        val dsq = expr("array(16, 32, 48, 64)")
+        val cd = e.select($"vec_id".as("cid"), $"v".as("bv"), $"vv".as("bb"),
+            explode(dsq).as("d"))
+          .withColumn("bp", expr("slice(bv, 1, d)"))
+          .withColumn("bbd", expr("dot_product(bp, bp)"))
+        val qd = e.filter($"vec_id" < 50)
+          .select($"vec_id".as("qid"), $"v".as("av"), explode(dsq).as("d"))
+          .withColumn("qp", expr("slice(av, 1, d)"))
+          .withColumn("qqd", expr("dot_product(qp, qp)"))
+          .select($"qid", $"d", $"qp", $"qqd")
+        val w = Window.partitionBy($"d", $"qid").orderBy($"d2", $"cid")
+        val top = broadcast(qd)
+          .join(cd.select($"cid", $"d", $"bp", $"bbd"), Seq("d"))
+          .filter($"qid" =!= $"cid")
+          .withColumn("d2",
+            round($"qqd" - lit(2.0) * expr("dot_product(qp, bp)") + $"bbd", 6))
+          .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+          .select($"d", $"qid", $"cid")
+          .localCheckpoint(false)
+        val truth = top.filter($"d" === 64)
+          .select($"qid".as("eqid"), $"cid".as("ecid"))
+        val hits = top
+          .join(truth, $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
+          .groupBy($"d").agg(count(lit(1)).as("h"))
+        val energy = cd.groupBy($"d")
+          .agg(davg(expr("bbd / bb"), 15).as("ef"))
+        top.groupBy($"d").agg(countDistinct($"qid").as("n_queries"))
+          .join(hits, Seq("d"), "left")
+          .join(energy, Seq("d"))
+          .select($"d".cast(IntegerType).as("dims"), $"n_queries",
+            coalesce($"h", lit(0L)).as("hits"),
+            round(coalesce($"h", lit(0L)).cast(DoubleType) / ($"n_queries" * 5), 6)
+              .as("recall_at_5"),
+            round($"ef", 6).as("energy_frac"))
+          .orderBy($"dims")
+      },
+      Some(s"""$prepCte,
+        e2 AS (SELECT vec_id, v,
+                 list_sum(list_transform(v, x -> x * x)) AS vv FROM n),
+        ds AS (SELECT UNNEST([16, 32, 48, 64]) AS d),
+        cd AS (SELECT e2.vec_id AS cid, ds.d, e2.v[1:ds.d] AS bp, e2.vv AS bb
+               FROM e2 CROSS JOIN ds),
+        cdn AS (SELECT cid, d, bp,
+                  list_sum(list_transform(bp, x -> x * x)) AS bbd, bb FROM cd),
+        qd AS (SELECT e2.vec_id AS qid, ds.d, e2.v[1:ds.d] AS qp
+               FROM e2 CROSS JOIN ds WHERE e2.vec_id < 50),
+        qdn AS (SELECT qid, d, qp,
+                  list_sum(list_transform(qp, x -> x * x)) AS qqd FROM qd),
+        top AS (SELECT d, qid, cid FROM (
+                 SELECT q.d, q.qid, b.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.d, q.qid ORDER BY
+                     ROUND(q.qqd - 2.0 * list_sum([q.qp[i] * b.bp[i] for i in range(1, len(q.qp) + 1)]) + b.bbd, 6),
+                     b.cid) AS rk
+                 FROM qdn q JOIN cdn b ON b.d = q.d AND b.cid <> q.qid) t
+               WHERE rk <= 5),
+        truth AS (SELECT qid, cid FROM top WHERE d = 64),
+        hits AS (SELECT t.d, CAST(COUNT(*) AS BIGINT) AS hits FROM top t
+                 JOIN truth e ON e.qid = t.qid AND e.cid = t.cid GROUP BY t.d),
+        energy AS (SELECT d, ${davgSql("bbd / bb", 15)} AS ef
+                   FROM cdn GROUP BY d),
+        vol AS (SELECT d, CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries
+                FROM top GROUP BY d)
+        SELECT CAST(v.d AS INT) AS dims, v.n_queries,
+          COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
+          ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / (v.n_queries * 5), 6) AS recall_at_5,
+          ROUND(e.ef, 6) AS energy_frac
+        FROM vol v
+        LEFT JOIN hits h ON h.d = v.d
+        JOIN energy e ON e.d = v.d
+        ORDER BY dims"""))
   )
 }

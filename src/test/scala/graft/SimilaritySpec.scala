@@ -387,4 +387,19 @@ class SimilaritySpec extends SparkSuite {
     assert(l50._5 == q186np3._2 && l50._6 == q186np3._3,
       s"q187@L=50 (${l50._5}, ${l50._6}) must replay q186@np=3 (${q186np3._2}, ${q186np3._3})")
   }
+
+  test("q188 matryoshka audit: d=64 is the identity row, captured energy is strictly monotone in the prefix") {
+    val got = run("q188_matryoshka_recall").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(16, 32, 48, 64))
+    val full = got.last
+    assert(full._4 == 1.0 && full._5 == 1.0,
+      s"the full-dims row must be the identity (got recall=${full._4}, energy=${full._5})")
+    // prefix energy strictly grows with d (each extra dim adds ≥0 mass,
+    // and these vectors have no all-zero suffix)
+    assert(got.map(_._5).toSeq == got.map(_._5).sorted.toSeq)
+    assert(got.init.forall(r => r._5 < 1.0))
+    got.foreach { case (_, nq, hits, _, _) => assert(hits <= nq * 5) }
+  }
 }
