@@ -106,6 +106,16 @@ object Similarity {
     val e = prepared(s, dir)
       .withColumn("vv", expr("dot_product(v, v)"))
       .localCheckpoint(false)
+    val (c1, nlist) = lloydOnce(e)
+    (e, c1, nlist)
+  }
+
+  /** One √n-seeded Lloyd refinement over any (vec_id, v, vv) frame:
+    * returns (trained centroid frame — eagerly checkpointed, nlist).
+    * Extracted from [[sqrtnIndex]] so q189 can train on the OLD
+    * corpus slice alone (the incremental-ingest shape). */
+  private def lloydOnce(e: DataFrame): (DataFrame, Long) = {
+    import e.sparkSession.implicits._
     val nlist = math.ceil(math.sqrt(e.count().toDouble)).toLong
     val c0 = e.filter($"vec_id" < nlist)
       .select($"vec_id".as("cid"), $"v".as("cv"), $"vv".as("cc"))
@@ -117,7 +127,7 @@ object Similarity {
       .withColumn("cc", expr("dot_product(cv, cv)"))
       .select($"cell".as("cid"), $"cv", $"cc")
       .localCheckpoint(true)
-    (e, c1, nlist)
+    (c1, nlist)
   }
 
   /** Nearest trained cell per vector: map-only distance against the
@@ -153,14 +163,19 @@ object Similarity {
   /** Oracle twin of [[sqrtnIndex]]+[[sqrtnAssign]], ending in
     * `asg(vec_id, cell)` (plus `nl(nlist)`, `e2`, `c1n` in scope).
     * Must follow `$prepCte,`. Shared by the q168 and q178 oracles. */
-  private val sqrtnAsgCteSql: String = {
-    val argmin = (src: String, cents: String) => s"""
+  /** Oracle argmin: nearest centroid in `cents` per `src` vector, the
+    * q64 (round-6, cid-tiebreak) contract — shared by the sqrtn chain
+    * and q189's old/new split assignments. */
+  private def ivfArgminSql(src: String, cents: String): String = s"""
           SELECT vec_id, cell FROM (
             SELECT $src.vec_id, c.cid AS cell,
               ROW_NUMBER() OVER (PARTITION BY $src.vec_id ORDER BY
                 ROUND($src.vv - 2.0 * list_sum([$src.v[i] * c.cv[i] for i in range(1, len($src.v) + 1)]) + c.cc, 6),
                 c.cid) AS rk
             FROM $src CROSS JOIN $cents c) t WHERE rk = 1"""
+
+  private val sqrtnAsgCteSql: String = {
+    val argmin = ivfArgminSql _
     s"""nl AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS nlist FROM n),
         e2 AS (SELECT vec_id, v, nrm,
                  list_sum(list_transform(v, x -> x * x)) AS vv FROM n),
@@ -1723,6 +1738,92 @@ object Similarity {
         FROM vol v
         LEFT JOIN hits h ON h.d = v.d
         JOIN energy e ON e.d = v.d
-        ORDER BY dims"""))
+        ORDER BY dims""")),
+
+    // ---- incremental IVF ingest / staleness audit (q189, new r8) -----
+    // The MAINTENANCE leg of the ANN lifecycle (build q168 → serve
+    // q185/q186 → budget q187/q188 → ingest THIS): production indexes
+    // are trained once and then absorb new data by plain assignment —
+    // retraining on every ingest would re-shuffle the whole corpus.
+    // The index trains on the OLDEST 90% (vec_id < ⌊9n/10⌋ — exact
+    // integer arithmetic, no float split point), the newest 10%
+    // assigns against those FROZEN centroids (one map-only broadcast
+    // pass — the actual ingest cost), and the published row is the
+    // health drift a deployment alarms on: cells gaining data, the
+    // max cell before/after, and the imbalance factor before/after.
+    // Rising imbalance_after is the retrain signal — new data landing
+    // disproportionately in few stale cells silently turns probes of
+    // those cells back toward brute force (q178's failure class, now
+    // measured ACROSS the ingest boundary).
+    //
+    // Scale: training cost is q168's on 0.9n; the ingest itself is
+    // the headline — assignment of the new batch is map-only against
+    // the O(√n·dims) broadcast centroids plus one hash-agg, NO
+    // retraining, NO touch of the old corpus. Cell sizes are two
+    // partial-combined counts full-outer-joined on the O(√n) cell id.
+    Q("q189_ivf_incremental_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val e = prepared(s, dir)
+          .withColumn("vv", expr("dot_product(v, v)"))
+          .localCheckpoint(false)
+        val n0 = e.count() * 9 / 10
+        val old = e.filter($"vec_id" < n0)
+        val fresh = e.filter($"vec_id" >= n0)
+        val (c1, nlist) =
+          SessionMemo.get(s, s"sqrtn-index-old:$dir")(lloydOnce(old))
+        val so = sqrtnAssign(old, c1).groupBy($"cell").agg(count(lit(1)).as("szo"))
+        val sn = sqrtnAssign(fresh, c1).groupBy($"cell").agg(count(lit(1)).as("szn"))
+        so.join(sn, Seq("cell"), "full")
+          .na.fill(0L, Seq("szo", "szn"))
+          .agg(
+            sum(when($"szo" > 0, 1L).otherwise(0L)).as("cells_used_old"),
+            sum(when($"szn" > 0, 1L).otherwise(0L)).as("cells_gaining"),
+            sum($"szo").as("n_old"), sum($"szn").as("n_new"),
+            max($"szo").as("max_cell_old"),
+            max($"szo" + $"szn").as("max_cell_after"))
+          .select(lit(nlist).as("nlist"),
+            $"cells_used_old", $"cells_gaining", $"n_old", $"n_new",
+            $"max_cell_old", $"max_cell_after",
+            round($"max_cell_old".cast(DoubleType) * lit(nlist.toDouble) / $"n_old", 6)
+              .as("imbalance_old"),
+            round($"max_cell_after".cast(DoubleType) * lit(nlist.toDouble)
+              / ($"n_old" + $"n_new"), 6).as("imbalance_after"))
+      },
+      Some(s"""$prepCte,
+        e2 AS (SELECT vec_id, v,
+                 list_sum(list_transform(v, x -> x * x)) AS vv FROM n),
+        spl AS (SELECT (COUNT(*) * 9) // 10 AS n0 FROM e2),
+        e2o AS (SELECT e2.* FROM e2, spl WHERE e2.vec_id < spl.n0),
+        e2n AS (SELECT e2.* FROM e2, spl WHERE e2.vec_id >= spl.n0),
+        nlo AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS nlist FROM e2o),
+        c0 AS (SELECT vec_id AS cid, v AS cv, vv AS cc
+               FROM e2o, nlo WHERE vec_id < nlo.nlist),
+        s0 AS MATERIALIZED (${ivfArgminSql("e2o", "c0")}),
+        dims AS (SELECT s0.cell, i - 1 AS dim, e2o.v[i] AS x
+                 FROM s0 JOIN e2o USING (vec_id),
+                      UNNEST(range(1, len(e2o.v) + 1)) AS t(i)),
+        means AS (SELECT cell, dim, ${davgSql("x", 15)} AS m
+                  FROM dims GROUP BY cell, dim),
+        c1 AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv FROM means GROUP BY cell),
+        c1n AS MATERIALIZED (SELECT cid, cv,
+                 list_sum(list_transform(cv, x -> x * x)) AS cc FROM c1),
+        asgo AS MATERIALIZED (${ivfArgminSql("e2o", "c1n")}),
+        asgn AS MATERIALIZED (${ivfArgminSql("e2n", "c1n")}),
+        so AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS sz FROM asgo GROUP BY cell),
+        sn AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS sz FROM asgn GROUP BY cell),
+        j AS (SELECT COALESCE(o.cell, w.cell) AS cell,
+                COALESCE(o.sz, 0) AS szo, COALESCE(w.sz, 0) AS szn
+              FROM so o FULL JOIN sn w ON w.cell = o.cell)
+        SELECT nlo.nlist,
+          CAST(SUM(CASE WHEN szo > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cells_used_old,
+          CAST(SUM(CASE WHEN szn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cells_gaining,
+          CAST(SUM(szo) AS BIGINT) AS n_old,
+          CAST(SUM(szn) AS BIGINT) AS n_new,
+          CAST(MAX(szo) AS BIGINT) AS max_cell_old,
+          CAST(MAX(szo + szn) AS BIGINT) AS max_cell_after,
+          ROUND(CAST(MAX(szo) AS DOUBLE) * nlo.nlist / SUM(szo), 6) AS imbalance_old,
+          ROUND(CAST(MAX(szo + szn) AS DOUBLE) * nlo.nlist / SUM(szo + szn), 6) AS imbalance_after
+        FROM j CROSS JOIN nlo GROUP BY nlo.nlist"""))
   )
 }

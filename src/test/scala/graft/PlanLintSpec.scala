@@ -74,6 +74,7 @@ class PlanLintSpec extends SparkSuite {
     "q175_temperature_alloc", // |sources|-row remainder-rank theta self-join (q134's grid class) + 1-row scalars
     "q176_cluster_size_histogram", // 1-row (nd x nc) scalar crossJoin for the singleton row (q104's class)
     "q178_ivf_cell_balance",  // the same O(sqrt(n) x dims) centroid-assignment broadcast as q168
+    "q189_ivf_incremental_ingest", // q168's centroid-assignment class: old/new slices each assign against the O(sqrt(n) x dims) frozen-centroid broadcast
     "q179_pq_adc_recall",     // fixed 50-vector probe set broadcast for the exact-L2 ground truth (q34's declared brute-force class); the PQ side itself is equi-joined
     // q185_ivfpq_recall is NOT whitelisted: its two BNLJ constructions
     // (q168's centroid broadcast, q179's exact-truth probe broadcast)

@@ -402,4 +402,22 @@ class SimilaritySpec extends SparkSuite {
     assert(got.init.forall(r => r._5 < 1.0))
     got.foreach { case (_, nq, hits, _, _) => assert(hits <= nq * 5) }
   }
+
+  test("q189 incremental ingest: masses conserve across the 90/10 split, frozen-index invariants hold") {
+    val r = run("q189_ivf_incremental_ingest").collect()
+    assert(r.length == 1)
+    val row = r.head
+    val Seq(nlist, usedOld, gaining, nOld, nNew, maxOld, maxAfter) =
+      (0 to 6).map(row.getLong)
+    val (imbOld, imbAfter) = (row.getDouble(7), row.getDouble(8))
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(nOld == n * 9 / 10 && nOld + nNew == n,
+      s"split must partition the corpus exactly: $nOld + $nNew vs $n")
+    assert(usedOld <= nlist && gaining <= nlist,
+      "cell census cannot exceed the trained cell count")
+    assert(maxAfter >= maxOld, "adding vectors can only grow the max cell")
+    assert(imbOld >= 1.0 && imbAfter >= 1.0, "max cell cannot be below the mean")
+    // the frozen index must be the OLD-slice training, not the full-corpus one
+    assert(nlist == math.ceil(math.sqrt(nOld.toDouble)).toLong)
+  }
 }
