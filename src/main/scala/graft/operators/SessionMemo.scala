@@ -16,15 +16,27 @@ import org.apache.spark.sql.SparkSession
   * fresh run would compute, and Verify's per-query isolation is
   * preserved because the cached value IS the per-query value.
   *
-  * Sessions are weak keys: a stopped-and-dropped SparkSession's
-  * entries (and the localCheckpoint blocks its frames pin) become
-  * collectable with it. Values are pinned for the session's lifetime
-  * — only frames that are dup-/√n-/metadata-bounded belong here,
-  * never a corpus-sized frame.
+  * Eviction is EXPLICIT, not weak-key: the cached values are Datasets
+  * (or tuples of them) and every Dataset strongly references its
+  * SparkSession, so a WeakHashMap's keys would never be collected
+  * (the documented value→key-cycle caveat). Instead, every access
+  * sweeps entries whose SparkContext has stopped — a stopped
+  * session's entries (and the localCheckpoint blocks its frames pin)
+  * are dropped at the next memo touch by ANY session. Values are
+  * pinned for the session's lifetime — only frames that are
+  * dup-/√n-/metadata-bounded belong here, never a corpus-sized frame.
   */
 private[graft] object SessionMemo {
   private val maps =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
+    new java.util.HashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
+
+  /** Drop entries for sessions whose context has stopped. Caller must
+    * hold `maps`' monitor. Cheap: |live sessions| is O(1) in every
+    * real process. */
+  private def evictStopped(): Unit = {
+    val it = maps.keySet().iterator()
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+  }
 
   /** The persisted-RDD ids backing this session's memoized frames.
     *
@@ -39,7 +51,7 @@ private[graft] object SessionMemo {
     * plan-only — nothing executes here. */
   def pinnedRddIds(s: SparkSession): Set[Int] = {
     import scala.jdk.CollectionConverters._
-    val mm = maps.synchronized(maps.get(s))
+    val mm = maps.synchronized { evictStopped(); maps.get(s) }
     if (mm == null) Set.empty
     else mm.values.asScala.toSeq.flatMap(datasetsIn).flatMap { d =>
       d.queryExecution.analyzed.collect {
@@ -57,6 +69,7 @@ private[graft] object SessionMemo {
 
   def get[T <: AnyRef](s: SparkSession, key: String)(compute: => T): T = {
     val m = maps.synchronized {
+      evictStopped()
       var mm = maps.get(s)
       if (mm == null) {
         mm = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
@@ -65,16 +78,19 @@ private[graft] object SessionMemo {
       mm
     }
     // computeIfAbsent would deadlock-risk recursive helper chains and
-    // runs Spark jobs under the map's bin lock; the helpers are invoked
-    // from a single driver thread (Verify/Bench are sequential), so a
-    // plain check-then-put is race-free in practice and a duplicate
-    // compute under a true race is merely wasted work, never wrong.
+    // runs Spark jobs under the map's bin lock, so compute runs
+    // unlocked. Under a true race two instances may be computed, but
+    // putIfAbsent makes every caller converge on the SINGLE winning
+    // instance — mandatory in the pinning context: a loser instance
+    // held by its caller would not be in pinnedRddIds, and Bench's
+    // unpersist sweep would kill its checkpoint blocks under the
+    // caller (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
     val cached = m.get(key)
     if (cached != null) cached.asInstanceOf[T]
     else {
       val v = compute
-      m.put(key, v.asInstanceOf[AnyRef])
-      v
+      val prev = m.putIfAbsent(key, v.asInstanceOf[AnyRef])
+      if (prev != null) prev.asInstanceOf[T] else v
     }
   }
 }

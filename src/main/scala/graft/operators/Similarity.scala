@@ -146,18 +146,35 @@ object Similarity {
     * integer-scaled-ADC trick), and with 0 ≤ cid < 2³² the composite
     * orders identically to (d2, cid) lexicographic — including
     * negative d2 grid cells, where two's-complement arithmetic keeps
-    * the low 32 bits = cid. Precondition (asserted by construction,
-    * not data): |d2| < 2³¹/1e6 ≈ 2147 — embeddings are unit-ish
-    * 64-dim vectors with d2 ≤ ~4·‖v‖² ≈ 256. */
+    * the low 32 bits = cid. Precondition: |d2| < 2³¹/1e6 ≈ 2147 —
+    * unit-ish 64-dim embeddings have d2 ≤ ~4·‖v‖² ≈ 256, but the
+    * encoder ENFORCES the bound ([[encodedArgminKey]]) instead of
+    * assuming it, so arbitrary-scale vectors fed through the same
+    * helpers fail loudly rather than silently corrupt the cid bits. */
   private def sqrtnAssign(e: DataFrame, cents: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
     e.crossJoin(broadcast(cents))
       .withColumn("d2",
         round($"vv" - lit(2.0) * expr("dot_product(v, cv)") + $"cc", 6))
-      .withColumn("enc",
-        round($"d2" * 1e6).cast(LongType) * lit(1L << 32) + $"cid")
+      .withColumn("enc", encodedArgminKey($"d2", $"cid"))
       .groupBy($"vec_id").agg(min($"enc").as("m"))
       .select($"vec_id", $"m".bitwiseAND(lit((1L << 32) - 1)).as("cell"))
+  }
+
+  /** The hash-aggregable argmin key: grid(d2)·2³² + cid, where
+    * grid(d2) = round(d2·1e6). A |d2| ≥ 2³¹/1e6 ≈ 2147 would overflow
+    * the grid index into the cid bits and SILENTLY corrupt the
+    * assignment, so the encoder raises on that branch instead of
+    * relying on a comment-level precondition — a predictable
+    * never-taken branch on in-contract corpora, a loud error (not a
+    * wrong cell) on arbitrary-scale embeddings. */
+  private def encodedArgminKey(d2: org.apache.spark.sql.Column,
+                               cid: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val grid = round(d2 * 1e6).cast(LongType)
+    when(abs(grid) < lit(1L << 31), grid * lit(1L << 32) + cid)
+      .otherwise(raise_error(concat(
+        lit("graft IVF argmin: d2 grid overflow (|d2| >= 2147), d2="),
+        d2.cast(StringType))))
   }
 
   /** Oracle twin of [[sqrtnIndex]]+[[sqrtnAssign]], ending in
@@ -230,8 +247,7 @@ object Similarity {
     sub.join(broadcast(book), Seq("s"))
       .withColumn("d2",
         round($"ss" - lit(2.0) * expr("dot_product(sv, cv)") + $"cc", 6))
-      .withColumn("enc",
-        round($"d2" * 1e6).cast(LongType) * lit(1L << 32) + $"cid")
+      .withColumn("enc", encodedArgminKey($"d2", $"cid"))
       .groupBy($"vec_id", $"s").agg(min($"enc").as("m"))
       .select($"vec_id", $"s", $"m".bitwiseAND(lit((1L << 32) - 1)).as("code"))
   }
@@ -338,6 +354,29 @@ object Similarity {
                  FROM qv q CROSS JOIN c1n c) t
                WHERE probe_rank <= 3)"""
 
+  /** The exact full-corpus L2 top-5 per query (qid < 50) — the ground
+    * truth every IVF-PQ audit compares against (q185/q186 via
+    * [[ivfpqTail]], q187's shortlist-budget curve, q190's bits
+    * curve). ONE defining site for the `ivfpq-etop:dir` memo key: the
+    * serve tail's single corpus-scale compute (50 × n full-vector
+    * scoring), eagerly checkpointed at O(queries·5) rows so every
+    * consumer and bench rep reads the same frame. Returns
+    * (eqid, ecid). */
+  private def exactTop5(e: DataFrame, dir: String): DataFrame =
+    SessionMemo.get(e.sparkSession, s"ivfpq-etop:$dir") {
+      import e.sparkSession.implicits._
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"v".as("av"), $"vv".as("qq"))
+      val corpus = e.select($"vec_id".as("cid"), $"v".as("bv"), $"vv".as("bb"))
+      val ew = Window.partitionBy($"qid").orderBy($"d2", $"cid")
+      broadcast(q).join(corpus, $"qid" =!= $"cid")
+        .withColumn("d2",
+          round($"qq" - lit(2.0) * expr("dot_product(av, bv)") + $"bb", 6))
+        .withColumn("rk", row_number().over(ew)).filter($"rk" <= 5)
+        .select($"qid".as("eqid"), $"cid".as("ecid"))
+        .localCheckpoint(true)
+    }
+
   /** Serve tail: ADC-scored candidate pairs (qid, cid, probe_rank,
     * adc) → per-nprobe ADC shortlist-50 (adc then cid ties) → exact
     * full-vector re-rank of the shortlist → per-nprobe recall vs the
@@ -361,19 +400,7 @@ object Similarity {
         round($"qq" - lit(2.0) * expr("dot_product(av, bv)") + $"bb", 6))
       .withColumn("rk", row_number().over(rw)).filter($"rk" <= 5)
       .select($"np", $"qid", $"cid")
-    // the exact ground truth is the tail's one corpus-scale compute
-    // (50 × n full-vector scoring) and is identical for q185/q186 and
-    // every bench rep — memoized like the index it audits (an eager
-    // checkpoint: O(queries·5) rows)
-    val etop = SessionMemo.get(e.sparkSession, s"ivfpq-etop:$dir") {
-      val ew = Window.partitionBy($"qid").orderBy($"d2", $"cid")
-      broadcast(q).join(corpus, $"qid" =!= $"cid")
-        .withColumn("d2",
-          round($"qq" - lit(2.0) * expr("dot_product(av, bv)") + $"bb", 6))
-        .withColumn("rk", row_number().over(ew)).filter($"rk" <= 5)
-        .select($"qid".as("eqid"), $"cid".as("ecid"))
-        .localCheckpoint(true)
-    }
+    val etop = exactTop5(e, dir)
     val hits = rer
       .join(etop, $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
       .groupBy($"np").agg(count(lit(1)).as("h"))
@@ -1588,15 +1615,7 @@ object Similarity {
             round($"qq" - lit(2.0) * expr("dot_product(av, bv)") + $"bb", 6))
           .withColumn("rrk", row_number().over(rrw)).filter($"rrk" <= 5)
           .select($"L", $"qid", $"cid")
-        val etop = SessionMemo.get(s, s"ivfpq-etop:$dir") {
-          val ew = Window.partitionBy($"qid").orderBy($"d2", $"cid")
-          broadcast(q).join(corpus, $"qid" =!= $"cid")
-            .withColumn("d2",
-              round($"qq" - lit(2.0) * expr("dot_product(av, bv)") + $"bb", 6))
-            .withColumn("rk", row_number().over(ew)).filter($"rk" <= 5)
-            .select($"qid".as("eqid"), $"cid".as("ecid"))
-            .localCheckpoint(true)
-        }
+        val etop = exactTop5(e, dir)
         val hits = rer
           .join(etop, $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
           .groupBy($"L").agg(count(lit(1)).as("h"))
