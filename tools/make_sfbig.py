@@ -18,6 +18,17 @@ the index/candidate machinery scales 100x. A 100x all-near-dup corpus
 would instead grow the true-pair OUTPUT ~110x over the 10x one and
 measure result materialization, not the engine.
 
+`embeddings` replicas (rep >= 1) are NOT verbatim copies (round-9 fix:
+verbatim replication saturated every 10x/100x ANN recall cell at 1.0 —
+the scaled corpus measured tie-breaking, not indexing). Each replica is
+a deterministic convex interpolation toward a hash-chosen SAME-LABEL
+partner: v' = a + t*(b - a), t in [0.05, 0.45]. Same-label keeps the
+cluster geometry (and `label` as a valid blocking key) while every
+replica is a genuinely new point — new points span many sqrt(n)-IVF
+cells (nlist grows with n, labels don't), so scaled recall is a real
+boundary-effects measurement. rep 0 keeps the original vectors, so the
+base corpus embeds verbatim.
+
 Usage: python3 tools/make_sfbig.py [src_dir] [out_dir] [reps]
 """
 import os
@@ -66,6 +77,36 @@ def main():
             print(f"{t}: copied 1x")
             continue
         n = con.sql(f"SELECT COUNT(*) FROM '{src}'").fetchone()[0]
+        if t == "embeddings":
+            # convex interpolation toward a same-label partner (see
+            # module doc): b is the (1 + hash) -th next row in a's
+            # label group (mod group size, never a itself), t is a
+            # per-(vec_id, rep) hash in [0.05, 0.45].
+            con.sql(f"""
+              COPY (
+                WITH s AS (SELECT *,
+                             ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) - 1 AS rn,
+                             COUNT(*) OVER (PARTITION BY label) AS cnt
+                           FROM '{src}'),
+                     reps AS (SELECT UNNEST(range({REPS})) AS rep)
+                SELECT a.vec_id + r.rep * {n} AS vec_id,
+                       CASE WHEN r.rep = 0 THEN a.embedding
+                            ELSE list_transform(range(1, array_length(a.embedding) + 1),
+                                   i -> CAST(a.embedding[i]
+                                        + ((500 + CAST(hash(a.vec_id || '|' || r.rep || '|t') % 3501 AS BIGINT)) / 10000.0)
+                                          * (b.embedding[i] - a.embedding[i]) AS FLOAT))
+                       END AS embedding,
+                       a.label
+                FROM s a, reps r
+                JOIN s b ON b.label = a.label
+                  AND b.rn = (a.rn + 1 + CAST(hash(a.vec_id || '|' || r.rep || '|p') % (a.cnt - 1) AS BIGINT)) % a.cnt
+                ORDER BY 1
+              ) TO '{dst}' (FORMAT parquet{rg})""")
+            dup = con.sql(
+                f"SELECT COUNT(*) - COUNT(DISTINCT embedding::VARCHAR) FROM '{dst}'"
+            ).fetchone()[0]
+            print(f"{t}: {n} x {REPS} (interpolated; duplicate vectors: {dup})")
+            continue
         cols = [d[0] for d in con.sql(f"SELECT * FROM '{src}' LIMIT 0").description]
         # per-replica deterministic token permutation: sort tokens by a
         # salted md5 (32 hex chars + '~' prefix; token recovered as
