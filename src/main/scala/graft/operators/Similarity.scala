@@ -227,10 +227,17 @@ object Similarity {
 
   /** [[pqSub]] over any (vec_id, v array<double>) frame — q186 feeds
     * it the RESIDUAL corpus (v − assigned centroid). */
-  private def pqSubOf(e: DataFrame): DataFrame = {
+  private def pqSubOf(e: DataFrame): DataFrame = pqSubOfM(e, pqM)
+
+  /** [[pqSubOf]] at an explicit subspace count m (dsub = 64/m): the
+    * bits dial — bits/vec = m·log₂(k) = 4m. q190 prices m ∈ {4,8,16}
+    * on the residual chain; everything downstream ([[pqAssign]],
+    * [[pqCodebook]]) is already per-subspace-id and m-agnostic. */
+  private def pqSubOfM(e: DataFrame, m: Int): DataFrame = {
     import e.sparkSession.implicits._
-    e.select($"vec_id", explode(expr(s"sequence(0, ${pqM - 1})")).as("s"), $"v")
-      .withColumn("sv", expr(s"slice(v, s * $pqDsub + 1, $pqDsub)"))
+    val dsub = 64 / m
+    e.select($"vec_id", explode(expr(s"sequence(0, ${m - 1})")).as("s"), $"v")
+      .withColumn("sv", expr(s"slice(v, s * $dsub + 1, $dsub)"))
       .withColumn("ss", expr("dot_product(sv, sv)"))
       .select($"vec_id", $"s", $"sv", $"ss")
   }
@@ -292,16 +299,22 @@ object Similarity {
     * uses the unprefixed form. `src` is the (vec_id, v) CTE the chain
     * quantizes — `n` (the raw corpus) by default, the residual frame
     * `rn` for q186. */
-  private def pqCteSqlP(p: String, src: String = "n"): String = {
+  private def pqCteSqlP(p: String, src: String = "n"): String =
+    pqCteSqlPM(p, src, pqM)
+
+  /** [[pqCteSqlP]] at an explicit subspace count m — the oracle twin
+    * of [[pqSubOfM]]'s dial. */
+  private def pqCteSqlPM(p: String, src: String, m: Int): String = {
+    val dsub = 64 / m
     val argmin = (cents: String) => s"""
           SELECT vec_id, s, cell FROM (
             SELECT b.vec_id, b.s, c.cid AS cell,
               ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.s ORDER BY
-                ROUND(b.ss - 2.0 * list_sum([b.sv[i] * c.cv[i] for i in range(1, ${pqDsub + 1})]) + c.cc, 6),
+                ROUND(b.ss - 2.0 * list_sum([b.sv[i] * c.cv[i] for i in range(1, ${dsub + 1})]) + c.cc, 6),
                 c.cid) AS rk
             FROM ${p}sub2 b JOIN $cents c ON c.s = b.s) t WHERE rk = 1"""
-    s"""${p}sub AS (SELECT vec_id, t.s, v[t.s * $pqDsub + 1 : t.s * $pqDsub + $pqDsub] AS sv
-               FROM $src, UNNEST(range(0, $pqM)) AS t(s)),
+    s"""${p}sub AS (SELECT vec_id, t.s, v[t.s * $dsub + 1 : t.s * $dsub + $dsub] AS sv
+               FROM $src, UNNEST(range(0, $m)) AS t(s)),
         ${p}sub2 AS (SELECT vec_id, s, sv,
                    list_sum(list_transform(sv, x -> x * x)) AS ss FROM ${p}sub),
         ${p}c0 AS (SELECT s, vec_id AS cid, sv AS cv, ss AS cc
@@ -309,7 +322,7 @@ object Similarity {
         ${p}a0 AS MATERIALIZED (${argmin(s"${p}c0")}),
         ${p}dims AS (SELECT a.s, a.cell, i - 1 AS dim, b.sv[i] AS x
                  FROM ${p}a0 a JOIN ${p}sub2 b ON b.vec_id = a.vec_id AND b.s = a.s,
-                      UNNEST(range(1, ${pqDsub + 1})) AS t(i)),
+                      UNNEST(range(1, ${dsub + 1})) AS t(i)),
         ${p}means AS (SELECT s, cell, dim, ${davgSql("x", 15)} AS m
                   FROM ${p}dims GROUP BY s, cell, dim),
         ${p}c1 AS (SELECT s, cell AS cid, list(m ORDER BY dim) AS cv
@@ -426,15 +439,25 @@ object Similarity {
     * (shortlist-budget audit): (adc pairs (qid, cid, probe_rank, adc),
     * the prepared corpus e, nlist). The residual codebook is memoized
     * per (session, dir) like every other trained artifact. */
-  private def residualAdcPairs(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
+  private def residualAdcPairs(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) =
+    residualAdcPairsM(s, dir, pqM)
+
+  /** [[residualAdcPairs]] at an explicit subspace count m — q190's
+    * bits dial. The m = [[pqM]] call keeps the shared
+    * `pq-residual-book` memo key so q186/q187/q190's 32-bit legs all
+    * encode against the SAME trained book. */
+  private def residualAdcPairsM(s: SparkSession, dir: String, m: Int): (DataFrame, DataFrame, Long) = {
     import s.implicits._
+    val dsub = 64 / m
     val (e, c1, nlist) = sqrtnIndex(s, dir)
     val asg = sqrtnAssign(e, c1)
-    val (rsub, rbook) = SessionMemo.get(s, s"pq-residual-book:$dir") {
+    val memoKey =
+      if (m == pqM) s"pq-residual-book:$dir" else s"pq-residual-book:m$m:$dir"
+    val (rsub, rbook) = SessionMemo.get(s, memoKey) {
       val r = asg.join(e.select($"vec_id", $"v"), "vec_id")
         .join(broadcast(c1.select($"cid".as("cell"), $"cv")), Seq("cell"))
         .select($"vec_id", expr("zip_with(v, cv, (a, b) -> a - b)").as("v"))
-      val sub = pqSubOf(r).localCheckpoint(false)
+      val sub = pqSubOfM(r, m).localCheckpoint(false)
       (sub, pqCodebook(sub))
     }
     val rcodes = pqAssign(rsub, rbook)
@@ -451,8 +474,8 @@ object Similarity {
         expr("zip_with(v, cv, (a, b) -> a - b)").as("rv"))
     val dtab = qres
       .select($"qid", $"cell",
-        explode(expr(s"sequence(0, ${pqM - 1})")).as("s"), $"rv")
-      .withColumn("sv", expr(s"slice(rv, s * $pqDsub + 1, $pqDsub)"))
+        explode(expr(s"sequence(0, ${m - 1})")).as("s"), $"rv")
+      .withColumn("sv", expr(s"slice(rv, s * $dsub + 1, $dsub)"))
       .withColumn("ss", expr("dot_product(sv, sv)"))
       .join(broadcast(rbook), Seq("s"))
       .withColumn("si",
@@ -498,6 +521,47 @@ object Similarity {
                 JOIN dtab d ON d.qid = cp.qid AND d.cell = cp.cell
                            AND d.s = k.s AND d.code = k.cell
                 GROUP BY cp.qid, cp.cid, cp.probe_rank)"""
+
+  /** One per-m oracle leg for q190's bits dial: the residual-PQ chain
+    * trained at m subspaces (prefix `b{m}_`), its ADC pairs over the
+    * shared np=3 candidate set, shortlist-50, exact re-rank, hits vs
+    * the shared `etop`. Needs `rn`, `candp`, `qr`, `etop`, `e2` in
+    * scope; ends with `b{m}_hits(hits)` and
+    * `b{m}_vol(sl_rows, n_queries)`. */
+  private def bitsLegCteSql(m: Int): String = {
+    val p = s"b${m}_"
+    val dsub = 64 / m
+    s"""${pqCteSqlPM(p, "rn", m)},
+        ${p}qsub AS (SELECT qid, cell, t.s,
+                   rv[t.s * $dsub + 1 : t.s * $dsub + $dsub] AS sv
+                 FROM qr, UNNEST(range(0, $m)) AS t(s)),
+        ${p}qsub2 AS (SELECT qid, cell, s, sv,
+                    list_sum(list_transform(sv, x -> x * x)) AS ss FROM ${p}qsub),
+        ${p}dtab AS (SELECT b.qid, b.cell, b.s, c.cid AS code,
+                   CAST(ROUND(ROUND(b.ss - 2.0 * list_sum([b.sv[i] * c.cv[i] for i in range(1, ${dsub + 1})]) + c.cc, 6) * 1e6) AS BIGINT) AS si
+                 FROM ${p}qsub2 b JOIN ${p}c1n c ON c.s = b.s),
+        ${p}adc AS MATERIALIZED (SELECT cp.qid, cp.cid, SUM(d.si) AS adc
+                FROM candp cp
+                JOIN ${p}codes k ON k.vec_id = cp.cid
+                JOIN ${p}dtab d ON d.qid = cp.qid AND d.cell = cp.cell
+                           AND d.s = k.s AND d.code = k.cell
+                GROUP BY cp.qid, cp.cid),
+        ${p}sl AS (SELECT qid, cid FROM (SELECT qid, cid,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS rk
+               FROM ${p}adc) t WHERE rk <= 50),
+        ${p}rer AS (SELECT qid, cid FROM (
+                 SELECT s.qid, s.cid,
+                   ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY
+                     ROUND(q.vv - 2.0 * list_sum([q.v[i] * b.v[i] for i in range(1, len(q.v) + 1)]) + b.vv, 6),
+                     s.cid) AS rrk
+                 FROM ${p}sl s
+                 JOIN e2 b ON b.vec_id = s.cid
+                 JOIN e2 q ON q.vec_id = s.qid) t WHERE rrk <= 5),
+        ${p}hits AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits FROM ${p}rer r
+                 JOIN etop e ON e.qid = r.qid AND e.cid = r.cid),
+        ${p}vol AS (SELECT CAST(COUNT(*) AS BIGINT) AS sl_rows,
+                  CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries FROM ${p}sl)"""
+  }
 
   /** Oracle twin of [[ivfpqTail]]: needs `adc(qid, cid, probe_rank,
     * adc)`, `e2` and `nl` in scope; INCLUDES the final SELECT. */
@@ -1843,6 +1907,101 @@ object Similarity {
           CAST(MAX(szo + szn) AS BIGINT) AS max_cell_after,
           ROUND(CAST(MAX(szo) AS DOUBLE) * nlo.nlist / SUM(szo), 6) AS imbalance_old,
           ROUND(CAST(MAX(szo + szn) AS DOUBLE) * nlo.nlist / SUM(szo + szn), 6) AS imbalance_after
-        FROM j CROSS JOIN nlo GROUP BY nlo.nlist"""))
+        FROM j CROSS JOIN nlo GROUP BY nlo.nlist""")),
+
+    // ---- IVF-PQ code-bits dial (q190, new r9) -------------------------
+    // The last unpriced ANN resource dial. nprobe (q185/q186),
+    // shortlist L (q187) and dims d (q188) are priced; bits/vec was
+    // fixed at 32 everywhere. This prices recall@5 per PQ budget
+    // bits = m·log₂(k) ∈ {16, 32, 64} (m ∈ {4, 8, 16} subspaces,
+    // k = 16 codes) on the RESIDUAL chain at np = 3 / L = 50 — the
+    // 32-bit row replays q186's np=3 leg with the SAME memoized
+    // codebook, so the dial reads directly against the lifecycle's
+    // committed configuration, and the decision table bits × L × np
+    // is complete across q185–q190.
+    //
+    // Determinism + scale: per m the chain is [[residualAdcPairsM]]
+    // (everything downstream of pqSubOfM is per-subspace-id and
+    // m-agnostic); the three legs share ONE trained IVF index, ONE
+    // residual frame shape and ONE exact ground truth
+    // ([[exactTop5]], memoized), so the extra cost over q186 is two
+    // more m·k-row codebook trainings and two more codes scans — all
+    // broadcast-joined, nothing quadratic. Bigger m = more codes
+    // rows (n·m) but the SAME one-row-per-(vec,s) HashAggregate
+    // shape; at 100 TB the bits dial moves storage (m bytes/vec) and
+    // ADC-sum width, never the shuffle pattern.
+    Q("q190_ivfpq_bits_budget",
+      (s, dir) => {
+        import s.implicits._
+        val legs = Seq(4, 8, 16).map { m =>
+          val (adc, e, nlist) = residualAdcPairsM(s, dir, m)
+          val rw = Window.partitionBy($"qid").orderBy($"adc", $"cid")
+          // bounded at queries × 50; checkpointed because it feeds BOTH
+          // the re-rank and the volume census (q187's discipline — this
+          // also keeps the upstream assignment crossJoin out of the
+          // serve plan, same as the rest of the IVF-PQ family)
+          val sl = adc.withColumn("rk", row_number().over(rw))
+            .filter($"rk" <= 50)
+            .select(lit(4 * m).as("bits"), $"qid", $"cid")
+            .localCheckpoint(false)
+          val q = e.filter($"vec_id" < 50)
+            .select($"vec_id".as("qid"), $"v".as("av"), $"vv".as("qq"))
+          val corpus = e.select($"vec_id".as("cid"), $"v".as("bv"), $"vv".as("bb"))
+          val rrw = Window.partitionBy($"qid").orderBy($"d2", $"cid")
+          val rer = sl.join(corpus, Seq("cid")).join(broadcast(q), Seq("qid"))
+            .withColumn("d2",
+              round($"qq" - lit(2.0) * expr("dot_product(av, bv)") + $"bb", 6))
+            .withColumn("rrk", row_number().over(rrw)).filter($"rrk" <= 5)
+            .select($"bits", $"qid", $"cid")
+          val etop = exactTop5(e, dir)
+          val hits = rer
+            .join(etop, $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
+            .groupBy($"bits").agg(count(lit(1)).as("h"))
+          sl.groupBy($"bits")
+            .agg(count(lit(1)).as("sl_rows"), countDistinct($"qid").as("n_queries"))
+            .join(hits, Seq("bits"), "left")
+            .select($"bits", lit(nlist).as("nlist"), $"n_queries", $"sl_rows",
+              coalesce($"h", lit(0L)).as("hits"),
+              round(coalesce($"h", lit(0L)).cast(DoubleType) / ($"n_queries" * 5), 6)
+                .as("recall_at_5"))
+        }
+        legs.reduce(_ unionByName _).orderBy($"bits")
+      },
+      Some(s"""$prepCte,
+        $sqrtnAsgCteSql,
+        rn AS MATERIALIZED (SELECT e2.vec_id,
+               [e2.v[i] - c.cv[i] for i in range(1, len(e2.v) + 1)] AS v
+             FROM e2 JOIN asg a ON a.vec_id = e2.vec_id
+             JOIN c1n c ON c.cid = a.cell),
+        $ivfProbesCteSql,
+        candp AS (SELECT p.qid, p.cell, a.vec_id AS cid, p.probe_rank
+                  FROM pr p JOIN asg a ON a.cell = p.cell
+                  WHERE a.vec_id <> p.qid),
+        qr AS (SELECT p.qid, p.cell,
+                 [q.v[i] - c.cv[i] for i in range(1, len(q.v) + 1)] AS rv
+               FROM pr p JOIN e2 q ON q.vec_id = p.qid
+               JOIN c1n c ON c.cid = p.cell),
+        ex AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+                 ROUND(a.vv - 2.0 * list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) + b.vv, 6) AS d2
+               FROM e2 a JOIN e2 b ON b.vec_id <> a.vec_id WHERE a.vec_id < 50),
+        etop AS (SELECT qid, cid FROM (SELECT qid, cid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) AS rk
+                 FROM ex) t WHERE rk <= 5),
+        ${bitsLegCteSql(4)},
+        ${bitsLegCteSql(8)},
+        ${bitsLegCteSql(16)}
+        SELECT * FROM (
+          SELECT 16 AS bits, nl.nlist, v.n_queries, v.sl_rows, h.hits,
+            ROUND(CAST(h.hits AS DOUBLE) / (v.n_queries * 5), 6) AS recall_at_5
+          FROM b4_vol v CROSS JOIN nl CROSS JOIN b4_hits h
+          UNION ALL
+          SELECT 32 AS bits, nl.nlist, v.n_queries, v.sl_rows, h.hits,
+            ROUND(CAST(h.hits AS DOUBLE) / (v.n_queries * 5), 6) AS recall_at_5
+          FROM b8_vol v CROSS JOIN nl CROSS JOIN b8_hits h
+          UNION ALL
+          SELECT 64 AS bits, nl.nlist, v.n_queries, v.sl_rows, h.hits,
+            ROUND(CAST(h.hits AS DOUBLE) / (v.n_queries * 5), 6) AS recall_at_5
+          FROM b16_vol v CROSS JOIN nl CROSS JOIN b16_hits h
+        ) ORDER BY bits"""))
   )
 }

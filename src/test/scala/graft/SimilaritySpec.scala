@@ -420,4 +420,30 @@ class SimilaritySpec extends SparkSuite {
     // the frozen index must be the OLD-slice training, not the full-corpus one
     assert(nlist == math.ceil(math.sqrt(nOld.toDouble)).toLong)
   }
+
+  test("q190 bits budget: 32-bit row replays q186's np=3 leg, volumes constant across bits") {
+    val got = run("q190_ivfpq_bits_budget").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(16, 32, 64))
+    // the bits dial changes only ADC fidelity — probe geometry and
+    // shortlist budget are fixed at np=3/L=50, so nlist, n_queries
+    // and sl_rows must be identical across the three legs
+    assert(got.map(t => (t._2, t._3, t._4)).distinct.length == 1,
+      s"volume columns must not move with bits: $got")
+    got.foreach { case (b, _, nq, slRows, hits, r5) =>
+      assert(hits <= nq * 5 && slRows <= 50L * nq, s"bits=$b row out of bounds")
+      assert(r5 >= 0.0 && r5 <= 1.0)
+    }
+    // cross-gate: the 32-bit leg IS q186's committed configuration
+    // (same memoized residual codebook, np=3, L=50) — hits and recall
+    // must replay its np=3 row exactly
+    val q186np3 = run("q186_ivfpq_residual_recall").collect()
+      .map(r => (r.getInt(0), r.getLong(5), r.getDouble(7)))
+      .find(_._1 == 3).get
+    val b32 = got.find(_._1 == 32).get
+    assert(b32._5 == q186np3._2 && b32._6 == q186np3._3,
+      s"q190@32bits (${b32._5}, ${b32._6}) must replay q186@np=3 (${q186np3._2}, ${q186np3._3})")
+  }
 }
