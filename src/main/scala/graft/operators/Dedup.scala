@@ -534,6 +534,85 @@ object Dedup {
         FROM toksc t LEFT JOIN per_doc p USING (doc_id)
         ORDER BY doc_id""")),
 
+    // ---- corpus-level line/paragraph boilerplate removal (q191, r9) --
+    // C4/CCNet-style: drop every LINE occurring in >= 3 DISTINCT
+    // documents — headers, nav bars, license banners. The corpus has
+    // no newlines (single-line token soup), so "line" is the
+    // deterministic stand-in both engines can compute: the aligned
+    // non-overlapping 10-token block (the last block may be short) —
+    // the line-level sibling of q156's stride-1 token windows.
+    // Published per doc: line/ token censuses before and after
+    // removal, so the mixture designer sees exactly how much mass
+    // boilerplate removal takes from each document.
+    //
+    // Scale contract (the q70/q117 DF-cap discipline): blocks collapse
+    // to md5 digests FIRST and the document-frequency census is ONE
+    // partial-combined exchange on the 128-bit key (COUNT(DISTINCT
+    // doc_id) per key — the distinct is per-key-bounded, never
+    // corpus-global); the flag-back is a left-semi hash join on the
+    // same key. Whole documents never shuffle; nothing is quadratic.
+    // Aligned blocks (not stride-1) keep the key population at
+    // n_toks/10 per doc — 10x smaller than q156's window set.
+    Q("q191_boilerplate_lines",
+      (s, dir) => {
+        import s.implicits._
+        val L = 10
+        val minDf = 3
+        val base = withToks(documents(s, dir))
+        // the same transform(array(toks), __tk -> …)[0] let-binding as
+        // gramArraySql: toks must not re-split per block reference
+        val blocksSql = s"""transform(array(toks), __tk ->
+            CASE WHEN size(__tk) > 0
+            THEN transform(sequence(0, CAST(ceil(size(__tk) / ${L}.0) AS INT) - 1),
+                   p -> concat_ws(' ', slice(__tk, p * $L + 1, $L)))
+            ELSE CAST(array() AS ARRAY<STRING>) END)[0]"""
+        val lines = base
+          .select($"doc_id", size($"toks").as("n_toks"),
+            posexplode(expr(blocksSql)).as(Seq("pos", "line")))
+          .select($"doc_id", $"pos", md5($"line").as("h"),
+            least(lit(L), $"n_toks" - $"pos" * L).cast("long").as("ltoks"))
+        val bp = lines.groupBy($"h")
+          .agg(countDistinct($"doc_id").as("df"))
+          .filter($"df" >= minDf).select($"h")
+        val removed = lines.join(bp, Seq("h"), "left_semi")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("removed_lines"), sum($"ltoks").as("removed_toks"))
+        base.select($"doc_id", size($"toks").cast("long").as("n_toks"),
+            ceil(size($"toks") / (L * 1.0)).cast("long").as("n_lines"))
+          .join(removed, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_lines",
+            coalesce($"removed_lines", lit(0L)).as("removed_lines"),
+            ($"n_lines" - coalesce($"removed_lines", lit(0L))).as("kept_lines"),
+            $"n_toks",
+            coalesce($"removed_toks", lit(0L)).as("removed_toks"),
+            ($"n_toks" - coalesce($"removed_toks", lit(0L))).as("kept_toks"),
+            round(coalesce($"removed_toks", lit(0L)).cast(DoubleType)
+              / greatest($"n_toks", lit(1L)), 6).as("removed_frac"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH $toksCteSql,
+        lines AS (SELECT doc_id, p AS pos,
+            md5(array_to_string(list_slice(w, p * 10 + 1, p * 10 + 10), ' ')) AS h,
+            LEAST(10, len(w) - p * 10) AS ltoks
+          FROM toksc, UNNEST(range(0, CAST(CEIL(len(w) / 10.0) AS BIGINT))) AS t(p)),
+        bp AS (SELECT h FROM lines GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 3),
+        removed AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS removed_lines,
+            CAST(SUM(ltoks) AS BIGINT) AS removed_toks
+          FROM lines JOIN bp USING (h) GROUP BY doc_id),
+        census AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_toks,
+            CAST(CEIL(len(w) / 10.0) AS BIGINT) AS n_lines FROM toksc)
+        SELECT c.doc_id, c.n_lines,
+          COALESCE(r.removed_lines, 0) AS removed_lines,
+          c.n_lines - COALESCE(r.removed_lines, 0) AS kept_lines,
+          c.n_toks,
+          COALESCE(r.removed_toks, 0) AS removed_toks,
+          c.n_toks - COALESCE(r.removed_toks, 0) AS kept_toks,
+          ROUND(CAST(COALESCE(r.removed_toks, 0) AS DOUBLE)
+            / GREATEST(c.n_toks, 1), 6) AS removed_frac
+        FROM census c LEFT JOIN removed r USING (doc_id)
+        ORDER BY c.doc_id""")),
+
     // ---- cross-source duplication flow matrix (q170, new r7) ---------
     // The provenance complement of q25's exact dedup and q98's lexical
     // overlap: for EVERY source pair, how many exact-content groups

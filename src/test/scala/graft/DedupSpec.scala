@@ -155,6 +155,57 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("q191 boilerplate lines: >=3-distinct-doc blocks removed everywhere, within-doc repeats and 2-doc blocks kept, straddles survive") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("boiler").toString
+    val header = (1 to 10).map(i => s"h$i").mkString(" ") // the banner
+    val pair = (1 to 10).map(i => s"p$i").mkString(" ")   // only 2 docs
+    def noise(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      // header block-aligned at pos 0 in three docs (df=3 -> removed),
+      // each at a different doc length/"quality tier"
+      (1L, s"$header ${noise("a", 30)}"),
+      (2L, s"$header ${noise("b", 10)}"),
+      (3L, s"$header ${noise("c", 3)}"), // short doc: header + ragged 3-token tail
+      // the SAME header content but shifted 5 tokens -> straddles two
+      // blocks, so the aligned-block rule does NOT fire here
+      (4L, s"${noise("d", 5)} $header ${noise("e", 5)}"),
+      // a block repeated twice within ONE doc only: df counts DISTINCT
+      // docs, so it stays
+      (5L, s"$pair $pair"),
+      // the pair block in a second doc: df=2 < 3, stays
+      (6L, s"$pair ${noise("f", 10)}"),
+      (7L, noise("g", 25)))
+    docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    // in-memory by-value reference of the same contract
+    val blocks = docs.map { case (id, t) =>
+      id -> t.split("\\W+").toSeq.grouped(10).map(_.mkString(" ")).toSeq
+    }
+    val df = blocks.flatMap { case (id, bs) => bs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).distinct.size }
+    val boiler = df.collect { case (b, n) if n >= 3 => b }.toSet
+    val want = blocks.map { case (id, bs) =>
+      val rem = bs.filter(boiler)
+      id -> ((bs.size.toLong, rem.size.toLong,
+        rem.map(_.split(" ").length.toLong).sum))
+    }.toMap
+
+    val got = SparkEntry.queries("q191_boilerplate_lines")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5))))
+      .toMap
+    assert(got == want, s"got $got\nwant $want")
+    // the designed cases actually exercised what they claim:
+    assert(want(1L)._2 == 1L && want(2L)._2 == 1L && want(3L)._2 == 1L,
+      "the 3-doc header must be removed from every tier")
+    assert(want(3L)._3 == 10L, "removal takes the full 10-token block")
+    assert(want(4L)._2 == 0L, "a straddling (non-aligned) copy survives")
+    assert(want(5L)._2 == 0L, "within-doc repetition is not boilerplate (distinct-doc df)")
+    assert(want(6L)._2 == 0L, "a 2-doc block stays below the df=3 threshold")
+  }
+
   test("q170 flow matrix: cross-source dup groups counted with copy mass, absent pairs published as zeros") {
     import spark.implicits._
     import java.nio.file.Files
