@@ -693,4 +693,109 @@ object StreamOps {
       expr(s"user_id = e_user_id AND ets > pts AND ets <= pts + INTERVAL $within"))
       .select(col("purchase_id"), col("error_id"))
   }
+
+  /** Streaming IVF serve leg — the streaming twin of q189's
+    * frozen-centroid assignment: arriving vectors are assigned to
+    * their nearest trained cell MAP-ONLY (no shuffle, no state), the
+    * production shape for index ingest between retrains.
+    *
+    * The trained centroid frame is collected ONCE at plan time
+    * (guarded — it is O(√n·dims) by construction, the
+    * [[dedupAgainstIndex]] static-side discipline) and folded into a
+    * per-row argmin over an array literal, so each row's assignment
+    * is a single codegen'd `aggregate` — the exact numeric contract
+    * of the batch path (1e-6-rounded expanded-form d2, cell-id
+    * tiebreak via the encoded-BIGINT key, overflow raising rather
+    * than corrupting). Emits (vec_id, cell, d2) in append mode.
+    * Freezing is STRUCTURAL: the literal is captured before the
+    * stream starts, so no micro-batch can observe a different index
+    * — retraining is a new query, never a mutation.
+    *
+    * Scale: √(10⁹)·64 dims ≈ 16 MB of literal — plan-shippable; for
+    * indexes beyond `maxCentroids` keep the frame on executors
+    * instead (stream-static broadcast join + per-key min, which
+    * re-introduces the per-trigger shuffle this form exists to
+    * avoid). */
+  def assignAgainstFrozenCentroids(
+      stream: DataFrame,       // (vec_id bigint, v array<double>, ...)
+      centroids: DataFrame,    // trained (cid bigint, cv array<double>, cc double)
+      maxCentroids: Int = 1 << 17): DataFrame = {
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    val rows = centroids.select(col("cid"), col("cv"), col("cc"))
+      .limit(maxCentroids + 1).collect()
+    require(rows.length <= maxCentroids,
+      s"centroid frame exceeds $maxCentroids rows — not a trained IVF index; " +
+        "use a stream-static broadcast join for indexes this large")
+    require(rows.nonEmpty, "empty centroid frame")
+    val cents: Seq[(Long, Seq[Double], Double)] =
+      rows.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    stream
+      .withColumn("__cents", typedLit(cents))
+      .withColumn("__vv", expr("dot_product(v, v)"))
+      .withColumn("__enc", expr(
+        """aggregate(__cents, CAST(9223372036854775807 AS BIGINT), (acc, c) ->
+          |  least(acc, CASE
+          |    WHEN abs(CAST(round(round(__vv - 2.0 * dot_product(v, c._2) + c._3, 6) * 1e6) AS BIGINT)) < 2147483648
+          |    THEN CAST(round(round(__vv - 2.0 * dot_product(v, c._2) + c._3, 6) * 1e6) AS BIGINT) * 4294967296 + c._1
+          |    ELSE raise_error('graft IVF argmin: d2 grid overflow (|d2| >= 2147)')
+          |  END))""".stripMargin))
+      .select(col("vec_id"),
+        col("__enc").bitwiseAND(lit((1L << 32) - 1)).as("cell"),
+        round(shiftright(col("__enc"), 32).cast("double") / 1e6, 6).as("d2"))
+  }
+
+  /** Per-trigger cell-count deltas for the ingest-imbalance alarm —
+    * the streaming feed for q178/q189's retrain signal. Each
+    * micro-batch's assignments collapse to (cell, delta) and commit
+    * under `deltaPath/b<batchId>` — overwrite per batch id, so a
+    * checkpoint replay after a crash rewrites the same directory
+    * instead of double-counting (the [[streamingUpsert]] idempotence
+    * rule); readers take only _SUCCESS-committed dirs. */
+  def ivfIngestDeltas(
+      assignments: DataFrame, // from [[assignAgainstFrozenCentroids]]
+      deltaPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    assignments.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.groupBy(col("cell")).agg(count(lit(1)).as("delta"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite").parquet(s"$deltaPath/b$id")
+        ()
+      }
+      .start()
+
+  /** The q189 imbalance-after-ingest alarm over a [[ivfIngestDeltas]]
+    * table: folds every committed per-trigger delta onto the batch
+    * census `base(cell, szo)` and publishes the same row shape as
+    * q189's tail (max cell × nlist / n) — the number a deployment
+    * compares against its retrain threshold. */
+  def ivfImbalanceAfterIngest(
+      spark: org.apache.spark.sql.SparkSession,
+      deltaPath: String,
+      base: DataFrame, // (cell, szo) — the frozen index's cell census
+      nlist: Long): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(deltaPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed =
+      if (!fs.exists(root)) Seq.empty[String]
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.matches("b\\d+"))
+        .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+        .map(_.getPath.toString)
+    val deltas = committed match {
+      case Nil => base.select(col("cell"), lit(0L).as("szn")).limit(0)
+      case ps => spark.read.parquet(ps: _*)
+        .groupBy(col("cell")).agg(sum(col("delta")).as("szn"))
+    }
+    base.join(deltas, Seq("cell"), "full")
+      .na.fill(0L, Seq("szo", "szn"))
+      .agg(
+        sum(col("szo")).as("n_old"), sum(col("szn")).as("n_new"),
+        max(col("szo") + col("szn")).as("max_cell_after"))
+      .select(lit(nlist).as("nlist"), col("n_old"), col("n_new"),
+        col("max_cell_after"),
+        round(col("max_cell_after").cast("double") * lit(nlist.toDouble)
+          / (col("n_old") + col("n_new")), 6).as("imbalance_after"))
+  }
 }

@@ -635,4 +635,79 @@ class StreamingSpec extends SparkSuite {
     // the identity the report ships with: classes partition n_new
     rep.values.foreach { case (n, di, db, k) => assert(n == di + db + k) }
   }
+
+  test("streaming IVF serve: assignments match the batch argmin contract, centroids frozen across batches, deltas feed the imbalance alarm") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivfserve").toString
+
+    // a tiny trained index: 3 cells in 4 dims (cc = |cv|^2)
+    val cvs = Seq(
+      (0L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(1.0, 1.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 1.0, 1.0)))
+    val cents = cvs.map { case (cid, cv) => (cid, cv, cv.map(x => x * x).sum) }
+      .toDF("cid", "cv", "cc")
+
+    val vecs = Seq(
+      (10L, Seq(0.1, 0.0, 0.0, 0.0)),   // -> cell 0
+      (11L, Seq(0.9, 1.1, 0.0, 0.0)),   // -> cell 1
+      (12L, Seq(0.0, 0.1, 0.9, 1.0)),   // -> cell 2
+      (13L, Seq(0.5, 0.5, 0.5, 0.5)),   // equidistant to all three -> cid tiebreak: cell 0
+      (14L, Seq(1.0, 1.0, 1.0, 1.0)))   // equidistant to cells 1,2 -> cell 1
+
+    val input = MemoryStream[(Long, Seq[Double])]
+    val assigned = StreamOps.assignAgainstFrozenCentroids(
+      input.toDF().toDF("vec_id", "v"), cents)
+    val q = StreamOps.ivfIngestDeltas(assigned, s"$dir/deltas", s"$dir/ckpt")
+    val qa = assigned.writeStream.format("memory").queryName("ivfassign")
+      .outputMode("append").start()
+
+    input.addData(vecs.take(3): _*)
+    q.processAllAvailable(); qa.processAllAvailable()
+    // batch 2 re-sends vec 10 (cross-batch centroid stability: same
+    // row must land in the same cell) plus the tiebreak vectors
+    input.addData(vecs.drop(3) :+ vecs.head: _*)
+    q.processAllAvailable(); qa.processAllAvailable()
+    q.stop(); qa.stop()
+
+    val got = spark.table("ivfassign")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    // dual implementation: brute-force batch argmin with the q64
+    // contract (1e-6-rounded expanded d2, cid tiebreak) over the same
+    // (row, centroid) grid
+    val want = (vecs :+ vecs.head).map { case (id, v) =>
+      val vv = v.map(x => x * x).sum
+      val best = cvs.map { case (cid, cv) =>
+        val d2 = BigDecimal(vv - 2.0 * v.zip(cv).map(t => t._1 * t._2).sum
+          + cv.map(x => x * x).sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (d2, cid)
+      }.min
+      (id, best._2, best._1)
+    }
+    assert(got.sorted.toSeq == want.sorted,
+      s"streaming assignment diverged from the batch contract:\n${got.sorted.toSeq}\nvs $want")
+    // the designed tiebreaks actually exercised the cid contract
+    assert(want.find(_._1 == 13L).get._2 == 0L)
+    assert(want.find(_._1 == 14L).get._2 == 1L)
+    // vec 10 identical across both batches: frozen index
+    assert(got.filter(_._1 == 10L).map(t => (t._2, t._3)).distinct.length == 1)
+
+    // per-trigger deltas: two committed batch dirs partitioning the row
+    // count, and the alarm folds them onto a base census
+    val deltas = spark.read.parquet(s"$dir/deltas/b0", s"$dir/deltas/b1")
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+    assert(deltas.map(_._3).sum == got.length.toLong,
+      s"deltas must partition the assigned rows: $deltas")
+    val base = Seq((0L, 5L), (1L, 5L), (2L, 5L)).toDF("cell", "szo")
+    val alarm = StreamOps.ivfImbalanceAfterIngest(spark, s"$dir/deltas", base, 3L)
+      .collect().head
+    assert(alarm.getLong(1) == 15L && alarm.getLong(2) == got.length.toLong)
+    val maxAfter = alarm.getLong(3)
+    assert(alarm.getDouble(4) ==
+      BigDecimal(maxAfter.toDouble * 3.0 / (15 + got.length))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
