@@ -2002,6 +2002,57 @@ object Similarity {
           SELECT 64 AS bits, nl.nlist, v.n_queries, v.sl_rows, h.hits,
             ROUND(CAST(h.hits AS DOUBLE) / (v.n_queries * 5), 6) AS recall_at_5
           FROM b16_vol v CROSS JOIN nl CROSS JOIN b16_hits h
-        ) ORDER BY bits"""))
+        ) ORDER BY bits""")),
+
+    // ---- semantic benchmark decontamination (q192, new r9) ------------
+    // The embedding-space sibling of q71's n-gram decontamination:
+    // paraphrased benchmark leakage shares no 8-gram but sits next to
+    // the benchmark in embedding space. Benchmark = the established
+    // 50-vector probe set (vec_id < 50); every corpus vector with
+    // rounded cosine >= 0.35 to ANY benchmark vector is flagged,
+    // published with its nearest benchmark id (max cosine, min-id
+    // tiebreak via the encoded-BIGINT argmin — hash-aggregable, the
+    // q168 discipline) and its total hit count, so the curator sees
+    // both WHAT leaked and HOW MANY prompts it covers.
+    //
+    // Scale: q34's class — the benchmark set broadcasts (it is
+    // fixed-size by definition, never corpus-scale), the scan is
+    // map-only, and the per-vector argmin is one partial-combined
+    // HashAggregate exchange. For corpus-scale benchmark sets, block
+    // through q55's hyperplane-LSH buckets instead.
+    Q("q192_semantic_decontam",
+      (s, dir) => {
+        import s.implicits._
+        val e = prepared(s, dir)
+        val bench = e.filter($"vec_id" < 50)
+          .select($"vec_id".as("bench_id"), $"v".as("bv"), $"nrm".as("nb"))
+        val corpus = e.filter($"vec_id" >= 50)
+          .select($"vec_id", $"v".as("av"), $"nrm".as("na"))
+        corpus.crossJoin(broadcast(bench))
+          .withColumn("cos", round(expr(dotExpr) / ($"na" * $"nb"), 6))
+          .filter($"cos" >= 0.35)
+          .withColumn("enc", encodedArgminKey(-$"cos", $"bench_id"))
+          .groupBy($"vec_id")
+          .agg(min($"enc").as("m"), max($"cos").as("cosine"),
+            count(lit(1)).as("n_hits"))
+          .select($"vec_id",
+            $"m".bitwiseAND(lit((1L << 32) - 1)).as("bench_id"),
+            $"cosine", $"n_hits")
+          .orderBy($"vec_id")
+      },
+      Some(s"""$prepCte,
+        bench AS (SELECT vec_id AS bench_id, v AS bv, nrm AS nb FROM n WHERE vec_id < 50),
+        corpus AS (SELECT vec_id, v AS av, nrm AS na FROM n WHERE vec_id >= 50),
+        sc AS (SELECT c.vec_id, b.bench_id,
+                 ROUND(list_sum([c.av[i] * b.bv[i] for i in range(1, len(c.av) + 1)]) / (c.na * b.nb), 6) AS cos
+               FROM corpus c CROSS JOIN bench b),
+        hits AS (SELECT * FROM sc WHERE cos >= 0.35),
+        agg AS (SELECT vec_id, MAX(cos) AS cosine,
+                  CAST(COUNT(*) AS BIGINT) AS n_hits FROM hits GROUP BY vec_id),
+        best AS (SELECT vec_id, bench_id FROM (SELECT vec_id, bench_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, bench_id) AS rk
+                 FROM hits) t WHERE rk = 1)
+        SELECT a.vec_id, b.bench_id, a.cosine, a.n_hits
+        FROM agg a JOIN best b USING (vec_id) ORDER BY a.vec_id"""))
   )
 }

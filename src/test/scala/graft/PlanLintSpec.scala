@@ -52,6 +52,7 @@ class PlanLintSpec extends SparkSuite {
     "q121_ols_trend",         // same grid via denseGrid
     "q104_mixture_rebalance", // 1-row min-count scalar
     "q34_ann_topk",           // fixed 50-vector probe set (declared brute-force baseline)
+    "q192_semantic_decontam", // q34's class: the fixed benchmark set broadcasts by definition
     "q158_triplet_mining",    // same fixed probe set as q34 (scale path: q55 buckets)
     "q160_kcore",             // six 1-row census scalars (nodes x edges counts)
     "q163_join_estimator",    // 1-row side-count scalars per audited join

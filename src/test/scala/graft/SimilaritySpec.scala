@@ -446,4 +446,36 @@ class SimilaritySpec extends SparkSuite {
     assert(b32._5 == q186np3._2 && b32._6 == q186np3._3,
       s"q190@32bits (${b32._5}, ${b32._6}) must replay q186@np=3 (${q186np3._2}, ${q186np3._3})")
   }
+
+  test("q192 semantic decontamination: flagged ids are corpus-side, best match agrees with a brute-force replay") {
+    import spark.implicits._
+    val got = run("q192_semantic_decontam").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.nonEmpty, "the sf0.001 corpus must flag at least one vector")
+    got.foreach { case (vid, bid, cos, n) =>
+      assert(vid >= 50 && bid < 50, s"($vid,$bid): benchmark side must stay the probe set")
+      assert(cos >= 0.35 && cos <= 1.0 && n >= 1)
+    }
+    // brute-force replay of the argmax contract on the raw table
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", org.apache.spark.sql.functions
+        .expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map(t => t._1 * t._2).sum
+      val n = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(d / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val bench = e.filter(_._1 < 50)
+    val want = e.filter(_._1 >= 50).toSeq.flatMap { case (vid, v) =>
+      val hits = bench.toSeq.map { case (bid, bv) => (bid, cos(v, bv)) }
+        .filter(_._2 >= 0.35)
+      if (hits.isEmpty) None
+      else {
+        val best = hits.minBy { case (bid, c) => (-c, bid) }
+        Some((vid, best._1, best._2, hits.size.toLong))
+      }
+    }.sortBy(_._1)
+    assert(got.sortBy(_._1).toSeq == want, s"got ${got.toSeq}\nwant $want")
+  }
 }

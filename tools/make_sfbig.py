@@ -93,7 +93,7 @@ def main():
                        CASE WHEN r.rep = 0 THEN a.embedding
                             ELSE list_transform(range(1, array_length(a.embedding) + 1),
                                    i -> CAST(a.embedding[i]
-                                        + ((500 + CAST(hash(a.vec_id || '|' || r.rep || '|t') % 3501 AS BIGINT)) / 10000.0)
+                                        + ((500 + CAST(hash(a.vec_id || '|' || r.rep || '|t') % 9001 AS BIGINT)) / 10000.0)
                                           * (b.embedding[i] - a.embedding[i]) AS FLOAT))
                        END AS embedding,
                        a.label
