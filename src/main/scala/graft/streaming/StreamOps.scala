@@ -694,6 +694,48 @@ object StreamOps {
       .select(col("purchase_id"), col("error_id"))
   }
 
+  final case class LineObs(doc_id: Long, h: String)
+  final case class LineDfState(docs: Set[Long], promoted: Boolean)
+  final case class BoilerplatePromotion(h: String, df: Long)
+
+  /** Streaming boilerplate-promotion — the incremental twin of q191's
+    * line-DF census: line observations (doc_id, line-hash) accumulate
+    * per-hash distinct-doc state, and a hash is EMITTED exactly once,
+    * the moment its document frequency crosses `minDf` — the signal an
+    * ingest pipeline uses to start stripping a newly-viral banner
+    * without re-scanning the corpus. Emission is once-per-hash by
+    * construction (the `promoted` latch), so downstream can blindly
+    * append to its boilerplate set.
+    *
+    * Scale contract: state per hash is the distinct-doc set CAPPED at
+    * minDf (once promoted the set is dropped and only the latch
+    * remains — state for a banner seen a billion times is ONE boolean);
+    * below the cap it is < minDf longs. The shuffle key is the line
+    * hash — the same partitioning the batch census uses. */
+  def boilerplatePromotions(
+      lines: Dataset[LineObs],
+      minDf: Int = 3): Dataset[BoilerplatePromotion] = {
+    import lines.sparkSession.implicits._
+    lines
+      .groupByKey(_.h)
+      .flatMapGroupsWithState[LineDfState, BoilerplatePromotion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (h: String, rows: Iterator[LineObs], state: GroupState[LineDfState]) =>
+          val prev = state.getOption.getOrElse(LineDfState(Set.empty, promoted = false))
+          if (prev.promoted) { Iterator.empty } // latched: nothing to track
+          else {
+            val docs = rows.foldLeft(prev.docs)(_ + _.doc_id)
+            if (docs.size >= minDf) {
+              state.update(LineDfState(Set.empty, promoted = true))
+              Iterator.single(BoilerplatePromotion(h, docs.size.toLong))
+            } else {
+              state.update(LineDfState(docs, promoted = false))
+              Iterator.empty
+            }
+          }
+      }
+  }
+
   /** Streaming IVF serve leg — the streaming twin of q189's
     * frozen-centroid assignment: arriving vectors are assigned to
     * their nearest trained cell MAP-ONLY (no shuffle, no state), the

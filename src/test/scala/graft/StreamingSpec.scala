@@ -636,6 +636,38 @@ class StreamingSpec extends SparkSuite {
     rep.values.foreach { case (n, di, db, k) => assert(n == di + db + k) }
   }
 
+  test("boilerplatePromotions: a hash fires exactly once when distinct-doc df crosses the threshold, within-doc repeats don't count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps.LineObs
+    val input = MemoryStream[LineObs]
+    val q = StreamOps.boilerplatePromotions(input.toDS(), minDf = 3)
+      .writeStream.format("memory").queryName("boiler")
+      .outputMode("append").start()
+
+    // batch 1: banner in docs 1,2 (df=2, below), spam in doc 9 twice
+    // (within-doc repeat: df=1)
+    input.addData(LineObs(1L, "banner"), LineObs(2L, "banner"),
+      LineObs(9L, "spam"), LineObs(9L, "spam"))
+    q.processAllAvailable()
+    assert(spark.table("boiler").count() == 0, "nothing crosses df=3 yet")
+    // batch 2: banner reaches doc 3 -> promotes at df=3; doc 2 again
+    // changes nothing
+    input.addData(LineObs(3L, "banner"), LineObs(2L, "banner"))
+    q.processAllAvailable()
+    // batch 3: banner seen again -> must NOT re-emit (latched);
+    // spam reaches docs 10, 11 -> promotes
+    input.addData(LineObs(4L, "banner"),
+      LineObs(10L, "spam"), LineObs(11L, "spam"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("boiler").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq(("banner", 3L), ("spam", 3L)),
+      s"each hash must fire exactly once at df=3: $got")
+  }
+
   test("streaming IVF serve: assignments match the batch argmin contract, centroids frozen across batches, deltas feed the imbalance alarm") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
