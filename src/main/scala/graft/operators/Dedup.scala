@@ -574,6 +574,15 @@ object Dedup {
         val bp = lines.groupBy($"h")
           .agg(countDistinct($"doc_id").as("df"))
           .filter($"df" >= minDf).select($"h")
+        // The flag-back semi join stays UN-hinted by measurement, not
+        // default: a shuffle_hash pin (the q27 discipline) was tried
+        // and is 4x SLOWER at 100x, twice reproduced interleaved
+        // (30.3/23.5 s hinted vs 6.7/7.4 s AQE-SMJ mins,
+        // docs/PLANS_r9.md) — the md5-key sort is cheap on the
+        // already-shuffled line frame and the semi-merge
+        // short-circuits, while the hash build pays per-partition
+        // setup across 256 partitions for a probe that is mostly hits
+        // on this dup-heavy corpus.
         val removed = lines.join(bp, Seq("h"), "left_semi")
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("removed_lines"), sum($"ltoks").as("removed_toks"))
