@@ -211,7 +211,110 @@ object TextAnalysis {
       Some(s"""
         SELECT doc_id,
           md5(array_to_string(list_filter(string_split_regex(lower(text), '\\W+'), t -> len(t) > 0), ' ')) AS fp
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- code-switching / per-line language consistency (q193, r9) ---
+    // The CCNet-style paragraph-level lang-id check: a doc whose LINES
+    // disagree with its doc-level language is code-switched, mislabeled
+    // or concatenation-contaminated — a standard pre-training filter
+    // signal the doc-level q29 cannot see. "Line" is q191's aligned
+    // 10-token block; each line is scored with q29's stoplist kernel
+    // (codegen count_in_set, same en>de>es>fr>zh tie priority) and
+    // lines with ZERO stopword signal abstain (NULL) rather than fall
+    // to the tie default — a 10-token block without one stopword has
+    // no vote, unlike a whole document.
+    //
+    // Published per doc: line censuses, how many scored lines match
+    // the doc label, the dominant line language (same priority on
+    // ties, 'none' when no line has signal), and switch_frac =
+    // disagreeing/scored — the filter threshold input.
+    //
+    // Scale: one Generate per doc (n_toks/10 rows), five codegen
+    // hash-set probes per line, ONE partial-combined exchange on
+    // doc_id. Nothing joins; nothing is quadratic.
+    Q("q193_code_switching",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val L = 10
+        val langs = stoplists.map(_._1)
+        // q191's aligned blocks, as token ARRAYS (the same
+        // transform(array(toks), __tk -> …)[0] let-binding: one split
+        // per row, never per block)
+        val blockToksSql = s"""transform(array(toks), __tk ->
+            CASE WHEN size(__tk) > 0
+            THEN transform(sequence(0, CAST(ceil(size(__tk) / ${L}.0) AS INT) - 1),
+                   p -> slice(__tk, p * $L + 1, $L))
+            ELSE CAST(array() AS ARRAY<ARRAY<STRING>>) END)[0]"""
+        var lines = Dedup.withToks(documents(s, dir))
+          .select($"doc_id", $"lang", posexplode(expr(blockToksSql)).as(Seq("pos", "lt")))
+        for ((lang, words) <- stoplists)
+          lines = lines.withColumn(s"s_$lang", expr(countInSetSql("lt", words)))
+        val predicted = langs.init.zipWithIndex.foldRight(lit(langs.last): org.apache.spark.sql.Column) {
+          case ((lang, i), elseCol) =>
+            val later = langs.drop(i + 1)
+            val cond = later.map(o => col(s"s_$lang") >= col(s"s_$o")).reduce(_ && _)
+            when(cond, lit(lang)).otherwise(elseCol)
+        }
+        val total = langs.map(l => col(s"s_$l")).reduce(_ + _)
+        val scored = lines.withColumn("pl",
+          when(total === 0, lit(null)).otherwise(predicted))
+        val aggCols = Seq(
+          count(lit(1)).as("n_lines"),
+          sum(when($"pl".isNotNull, 1L).otherwise(0L)).as("lines_scored"),
+          sum(when($"pl" === $"lang", 1L).otherwise(0L)).as("lines_matching")) ++
+          langs.map(l => sum(when($"pl" === l, 1L).otherwise(0L)).as(s"c_$l"))
+        val agg = scored.groupBy($"doc_id", $"lang")
+          .agg(aggCols.head, aggCols.tail: _*)
+        val dominant = langs.init.zipWithIndex.foldRight(lit(langs.last): org.apache.spark.sql.Column) {
+          case ((lang, i), elseCol) =>
+            val later = langs.drop(i + 1)
+            val cond = later.map(o => col(s"c_$lang") >= col(s"c_$o")).reduce(_ && _)
+            when(cond, lit(lang)).otherwise(elseCol)
+        }
+        agg.select($"doc_id", $"lang", $"n_lines", $"lines_scored", $"lines_matching",
+            when($"lines_scored" === 0, lit("none")).otherwise(dominant).as("dominant_lang"),
+            round(($"lines_scored" - $"lines_matching").cast(DoubleType)
+              / greatest($"lines_scored", lit(1L)), 6).as("switch_frac"))
+          .orderBy($"doc_id")
+      },
+      Some {
+        val langs = stoplists.map(_._1)
+        val scoreCols = stoplists.map { case (lang, words) =>
+          s"len(list_filter(lt, t -> list_contains(${arrList(words)}, t))) AS s_$lang"
+        }.mkString(", ")
+        val caseExpr = langs.init.zipWithIndex.map { case (lang, i) =>
+          val later = langs.drop(i + 1)
+          s"WHEN ${later.map(o => s"s_$lang >= s_$o").mkString(" AND ")} THEN '$lang'"
+        }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+        val domExpr = langs.init.zipWithIndex.map { case (lang, i) =>
+          val later = langs.drop(i + 1)
+          s"WHEN ${later.map(o => s"c_$lang >= c_$o").mkString(" AND ")} THEN '$lang'"
+        }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+        val cCols = langs.map(l =>
+          s"CAST(SUM(CASE WHEN pl = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS c_$l").mkString(", ")
+        s"""
+        WITH toksl AS (SELECT doc_id, lang,
+            string_split_regex(lower(text), '\\W+') AS w FROM documents),
+        lines AS (SELECT doc_id, lang, list_slice(w, p * 10 + 1, p * 10 + 10) AS lt
+          FROM toksl, UNNEST(range(0, CAST(CEIL(len(w) / 10.0) AS BIGINT))) AS t(p)),
+        scored AS (SELECT doc_id, lang, $scoreCols FROM lines),
+        pl AS (SELECT doc_id, lang,
+            CASE WHEN ${langs.map(l => s"s_$l").mkString(" + ")} = 0 THEN NULL
+                 ELSE $caseExpr END AS pl
+          FROM scored),
+        agg AS (SELECT doc_id, lang,
+            CAST(COUNT(*) AS BIGINT) AS n_lines,
+            CAST(COUNT(pl) AS BIGINT) AS lines_scored,
+            CAST(SUM(CASE WHEN pl = lang THEN 1 ELSE 0 END) AS BIGINT) AS lines_matching,
+            $cCols
+          FROM pl GROUP BY doc_id, lang)
+        SELECT doc_id, lang, n_lines, lines_scored, lines_matching,
+          CASE WHEN lines_scored = 0 THEN 'none' ELSE $domExpr END AS dominant_lang,
+          ROUND(CAST(lines_scored - lines_matching AS DOUBLE)
+            / GREATEST(lines_scored, 1), 6) AS switch_frac
+        FROM agg ORDER BY doc_id"""
+      })
   )
 
   /** documents + `toks_ne`: lowercased non-empty word tokens.
