@@ -155,6 +155,49 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("q191 randomized sweep: seeded corpora with planted banners at random alignments match the by-value reference") {
+    import spark.implicits._
+    // banners land at random token offsets, so only the copies that
+    // happen to fall block-ALIGNED are removable — the reference
+    // applies the same aligned-block contract by value, catching any
+    // drift in segmentation, df counting or token accounting
+    for (seed <- Seq(3, 11, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val banners = Vector.tabulate(3)(b => Seq.tabulate(10)(j => s"b${b}w$j"))
+      var uid = 0
+      val docs = (0 until 15).map { i =>
+        // half the docs LEAD with a banner (block-aligned, the real
+        // header shape); mid-doc copies land at random offsets and
+        // are only removable when they happen to align
+        val head = if (rnd.nextBoolean()) banners(rnd.nextInt(3)) else Seq.empty
+        val segs = (0 to rnd.nextInt(3)).map { _ =>
+          val noise = Seq.fill(rnd.nextInt(15)) { uid += 1; s"u$uid" }
+          noise ++ (if (rnd.nextInt(3) > 0) banners(rnd.nextInt(3)) else Seq.empty)
+        }
+        (i.toLong, (head ++ segs.flatten).mkString(" "))
+      }
+      val d = Files.createTempDirectory(s"boiler$seed").toString
+      docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+      // by-value reference of the aligned-block contract
+      val blocks = docs.map { case (id, t) =>
+        id -> t.split("\\W+").toSeq.grouped(10).map(_.mkString(" ")).toSeq
+      }
+      val boiler = blocks.flatMap { case (id, bs) => bs.distinct.map(_ -> id) }
+        .groupBy(_._1).collect { case (b, xs) if xs.map(_._2).distinct.size >= 3 => b }.toSet
+      val want = blocks.map { case (id, bs) =>
+        val rem = bs.filter(boiler)
+        id -> ((bs.size.toLong, rem.size.toLong, rem.map(_.split(" ").length.toLong).sum))
+      }.toMap
+      val got = SparkEntry.queries("q191_boilerplate_lines")(spark, d).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5))))
+        .toMap
+      assert(got == want, s"seed $seed:\ngot $got\nwant $want")
+      assert(want.values.exists(_._2 > 0), s"seed $seed removed nothing — sweep not meaningful")
+    }
+  }
+
   test("q191 boilerplate lines: >=3-distinct-doc blocks removed everywhere, within-doc repeats and 2-doc blocks kept, straddles survive") {
     import spark.implicits._
     val d = Files.createTempDirectory("boiler").toString
