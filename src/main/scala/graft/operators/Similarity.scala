@@ -445,8 +445,25 @@ object Similarity {
   /** [[residualAdcPairs]] at an explicit subspace count m — q190's
     * bits dial. The m = [[pqM]] call keeps the shared
     * `pq-residual-book` memo key so q186/q187/q190's 32-bit legs all
-    * encode against the SAME trained book. */
-  private def residualAdcPairsM(s: SparkSession, dir: String, m: Int): (DataFrame, DataFrame, Long) = {
+    * encode against the SAME trained book.
+    *
+    * The whole result — including the ADC PAIRS frame, which is
+    * queries×candidates-bounded (≈67k rows at 100×) — is memoized
+    * per (session, dir, m) and the pairs frame eagerly checkpointed:
+    * q186, q187 and q190's 32-bit leg all consume the SAME ADC
+    * scoring, so within one bench/Verify/production session the
+    * n-scale encode→join→sum runs once and every consumer serves
+    * from the O(queries·candidates) result (the SessionMemo
+    * discipline; serving the cached frame is semantically
+    * transparent because the chain is a deterministic function of
+    * (session, dir, m)). */
+  private def residualAdcPairsM(s: SparkSession, dir: String, m: Int): (DataFrame, DataFrame, Long) =
+    SessionMemo.get(s, s"residual-adc:m$m:$dir") {
+      val r = residualAdcPairsMBody(s, dir, m)
+      (r._1.localCheckpoint(true), r._2, r._3)
+    }
+
+  private def residualAdcPairsMBody(s: SparkSession, dir: String, m: Int): (DataFrame, DataFrame, Long) = {
     import s.implicits._
     val dsub = 64 / m
     val (e, c1, nlist) = sqrtnIndex(s, dir)
