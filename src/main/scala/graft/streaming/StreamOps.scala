@@ -786,6 +786,53 @@ object StreamOps {
         round(shiftright(col("__enc"), 32).cast("double") / 1e6, 6).as("d2"))
   }
 
+  /** Streaming semantic decontamination — the streaming twin of q192:
+    * arriving embedding rows are flagged MAP-ONLY against the fixed
+    * benchmark set (collected once at plan time, guarded — a
+    * benchmark is metadata-sized by definition), emitting
+    * (vec_id, bench_id, cosine, n_hits) for every vector with
+    * rounded cosine ≥ `tau` to ANY benchmark vector. The per-row
+    * argmax uses the batch contract verbatim (1e-6-rounded cosine,
+    * max-cosine / min-id tiebreak via the encoded-BIGINT key), so a
+    * row flagged here is flagged identically by the batch audit.
+    * Stateless append — no watermark, no shuffle; the n-gram twin is
+    * [[decontaminate]]. */
+  def semanticDecontamStream(
+      stream: DataFrame,      // (vec_id bigint, v array<double>, ...)
+      benchmark: DataFrame,   // (bench_id bigint, v array<double>)
+      tau: Double = 0.35,
+      maxBenchmark: Int = 1 << 16): DataFrame = {
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    val rows = benchmark.select(col("bench_id"), col("v"))
+      .limit(maxBenchmark + 1).collect()
+    require(rows.length <= maxBenchmark,
+      s"benchmark frame exceeds $maxBenchmark rows — not a benchmark; " +
+        "block through LSH buckets (q55's path) for corpus-scale sets")
+    require(rows.nonEmpty, "empty benchmark frame")
+    val bench: Seq[(Long, Seq[Double], Double)] = rows.toSeq.map { r =>
+      val v = r.getSeq[Double](1)
+      (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
+    }
+    stream
+      .withColumn("__bench", typedLit(bench))
+      .withColumn("__na", sqrt(expr("dot_product(v, v)")))
+      .withColumn("__acc", expr(
+        s"""aggregate(
+           |  transform(__bench, b -> named_struct(
+           |    'c', round(dot_product(v, b._2) / (__na * b._3), 6), 'id', b._1)),
+           |  named_struct('enc', 9223372036854775807L, 'n', CAST(0 AS BIGINT)),
+           |  (acc, x) -> CASE WHEN x.c >= $tau
+           |    THEN named_struct(
+           |      'enc', least(acc.enc, CAST(round(-x.c * 1e6) AS BIGINT) * 4294967296 + x.id),
+           |      'n', acc.n + 1L)
+           |    ELSE acc END)""".stripMargin))
+      .filter(col("__acc.n") > 0)
+      .select(col("vec_id"),
+        col("__acc.enc").bitwiseAND(lit((1L << 32) - 1)).as("bench_id"),
+        round(-shiftright(col("__acc.enc"), 32).cast("double") / 1e6, 6).as("cosine"),
+        col("__acc.n").as("n_hits"))
+  }
+
   /** Per-trigger cell-count deltas for the ingest-imbalance alarm —
     * the streaming feed for q178/q189's retrain signal. Each
     * micro-batch's assignments collapse to (cell, delta) and commit

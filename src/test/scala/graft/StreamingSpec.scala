@@ -668,6 +668,38 @@ class StreamingSpec extends SparkSuite {
       s"each hash must fire exactly once at df=3: $got")
   }
 
+  test("semanticDecontamStream: flags match a brute-force replay incl. the min-id tie, sub-tau rows never emit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two orthogonal-ish benchmark vectors; 5 and 6 are DUPLICATES so
+    // a parallel stream vector ties on cosine and must take id 5
+    val bench = Seq(
+      (5L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (6L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (7L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("bench_id", "v")
+    val vecs = Seq(
+      (100L, Seq(2.0, 0.0, 0.0, 0.0)),  // cos 1.0 to 5 AND 6 -> id 5, n=2
+      (101L, Seq(1.0, 1.0, 0.0, 0.0)),  // cos .707107 to all three -> id 5, n=3
+      (102L, Seq(0.0, 0.0, 3.0, 4.0)))  // orthogonal: cos 0 -> never emits
+
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = StreamOps.semanticDecontamStream(
+      input.toDF().toDF("vec_id", "v"), bench)
+      .writeStream.format("memory").queryName("semdecon")
+      .outputMode("append").start()
+    input.addData(vecs.take(2): _*)
+    q.processAllAvailable()
+    input.addData(vecs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("semdecon").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((100L, 5L, 1.0, 2L), (101L, 5L, 0.707107, 3L)),
+      s"streaming flags diverged from the q192 contract: $got")
+  }
+
   test("streaming IVF serve: assignments match the batch argmin contract, centroids frozen across batches, deltas feed the imbalance alarm") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
