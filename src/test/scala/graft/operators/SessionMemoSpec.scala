@@ -24,6 +24,31 @@ class SessionMemoSpec extends graft.SparkSuite {
     assert(n == 2, "sessions must not share memo entries")
   }
 
+  test("racing callers converge on ONE instance (putIfAbsent, the pinning contract)") {
+    // under a true race two computes may run, but every caller must
+    // receive the single winning instance — a loser instance held by
+    // its caller would miss pinnedRddIds and die under Bench's
+    // unpersist sweep
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val computes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val callers = (1 to 8).map { i =>
+      Future {
+        gate.await()
+        SessionMemo.get(spark, "memo-spec:race") {
+          computes.incrementAndGet()
+          new Object()
+        }
+      }
+    }
+    gate.countDown()
+    val got = Await.result(Future.sequence(callers), 60.seconds)
+    assert(got.forall(_ eq got.head),
+      s"callers diverged onto ${got.distinct.size} instances (computes=${computes.get})")
+  }
+
   test("pinnedRddIds surfaces the checkpoint RDDs of memoized frames (incl. tuples) so Bench's unpersist sweep spares them") {
     import spark.implicits._
     val df = SessionMemo.get(spark, "memo-spec:pinned") {
