@@ -484,6 +484,65 @@ object TrainingOps {
         WHERE decile > 1
         GROUP BY lang ORDER BY lang""")),
 
+    // ---- per-source quality-yield curve (q194, r9) --------------------
+    // q77 answers "drop the bottom decile"; this prices EVERY cut: for
+    // each source and each decile threshold d, how many documents and
+    // tokens survive keeping deciles >= d — the capacity-planning
+    // table a mixture designer reads to pick per-source quality bars
+    // under a token budget (cut source A at d=4 and source B at d=2
+    // to hit N tokens). Deciles are per SOURCE over the total order
+    // (quality, doc_id) — q77's determinism contract — so the curve
+    // is stable as the corpus shifts where fixed thresholds go stale.
+    // Token-less docs are out of scope (the qualityScored guard).
+    //
+    // Scale: the decile window partitions by source (the per-source
+    // stratum must be ordered anyway — rank semantics); everything
+    // after is the |sources|×10 metadata frame. One corpus-scale
+    // exchange total.
+    Q("q194_quality_yield",
+      (s, dir) => {
+        import s.implicits._
+        val src = documents(s, dir).select($"doc_id", $"source")
+        val scored = TextAnalysis.qualityScored(s, dir).join(src, "doc_id")
+        val w = Window.partitionBy($"source").orderBy($"quality", $"doc_id")
+        val perDec = scored.withColumn("decile", ntile(10).over(w))
+          .groupBy($"source", $"decile")
+          .agg(count(lit(1)).as("docs_in_decile"),
+            sum($"n_tokens").cast(LongType).as("tokens_in_decile"))
+        val cw = Window.partitionBy($"source").orderBy($"decile".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy($"source")
+        perDec
+          .withColumn("docs_kept", sum($"docs_in_decile").over(cw))
+          .withColumn("tokens_kept", sum($"tokens_in_decile").over(cw))
+          .withColumn("tokens_total", sum($"tokens_in_decile").over(tot))
+          .select($"source", $"decile".as("cut_keep_from"),
+            $"docs_in_decile", $"tokens_in_decile", $"docs_kept", $"tokens_kept",
+            round($"tokens_kept".cast(DoubleType) / $"tokens_total", 6).as("token_yield"))
+          .orderBy($"source", $"cut_keep_from")
+      },
+      Some(s"""
+        ${TextAnalysis.qualityCte},
+        dsrc AS (SELECT q.doc_id, q.quality, q.n_tokens, d.source
+                 FROM qscore q JOIN documents d USING (doc_id)),
+        dec AS (SELECT source, n_tokens,
+                  NTILE(10) OVER (PARTITION BY source ORDER BY quality, doc_id) AS decile
+                FROM dsrc),
+        per_dec AS (SELECT source, decile,
+                      CAST(COUNT(*) AS BIGINT) AS docs_in_decile,
+                      CAST(SUM(n_tokens) AS BIGINT) AS tokens_in_decile
+                    FROM dec GROUP BY source, decile)
+        SELECT source, CAST(decile AS INT) AS cut_keep_from,
+          docs_in_decile, tokens_in_decile,
+          CAST(SUM(docs_in_decile) OVER cum AS BIGINT) AS docs_kept,
+          CAST(SUM(tokens_in_decile) OVER cum AS BIGINT) AS tokens_kept,
+          ROUND(CAST(SUM(tokens_in_decile) OVER cum AS DOUBLE)
+            / SUM(tokens_in_decile) OVER (PARTITION BY source), 6) AS token_yield
+        FROM per_dec
+        WINDOW cum AS (PARTITION BY source ORDER BY decile DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY source, cut_keep_from""")),
+
     // ---- corpus stats (dataset card) ---------------------------------
     // The one-row summary a pipeline publishes with a training set.
     // Each distinct-count runs as its OWN single-column aggregation

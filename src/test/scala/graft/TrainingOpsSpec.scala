@@ -397,4 +397,29 @@ class TrainingOpsSpec extends SparkSuite {
     // adjacency mass bound: at most N-1 adjacent pairs exist at all
     assert(got.map(_._3).sum <= n - 1)
   }
+
+  test("q194 quality yield: suffix-sum identities, yield 1.0 at the full-keep cut, monotone in the cut") {
+    val rows = SparkEntry.queries("q194_quality_yield")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val byCut = rs.sortBy(_._2)
+      // keeping from decile 1 keeps everything
+      val full = byCut.head
+      assert(full._2 == 1 && full._7 == 1.0, s"$src: full-keep row must yield 1.0: $full")
+      assert(full._5 == rs.map(_._3).sum && full._6 == rs.map(_._4).sum,
+        s"$src: full-keep row must equal the per-decile sums")
+      // kept columns are exact suffix sums and non-increasing in the cut
+      byCut.foreach { r =>
+        val suffixDocs = rs.filter(_._2 >= r._2).map(_._3).sum
+        val suffixToks = rs.filter(_._2 >= r._2).map(_._4).sum
+        assert(r._5 == suffixDocs && r._6 == suffixToks,
+          s"$src cut=${r._2}: kept must be the suffix sum: $r")
+      }
+      assert(byCut.map(_._7).reverse.toSeq == byCut.map(_._7).reverse.sorted.toSeq,
+        s"$src: token_yield must be non-decreasing toward lower cuts")
+    }
+  }
 }
