@@ -22,7 +22,7 @@ measure result materialization, not the engine.
 verbatim replication saturated every 10x/100x ANN recall cell at 1.0 —
 the scaled corpus measured tie-breaking, not indexing). Each replica is
 a deterministic convex interpolation toward a hash-chosen SAME-LABEL
-partner: v' = a + t*(b - a), t in [0.05, 0.45]. Same-label keeps the
+partner: v' = a + t*(b - a), t in [0.05, 0.95]. Same-label keeps the
 cluster geometry (and `label` as a valid blocking key) while every
 replica is a genuinely new point — new points span many sqrt(n)-IVF
 cells (nlist grows with n, labels don't), so scaled recall is a real
@@ -81,7 +81,11 @@ def main():
             # convex interpolation toward a same-label partner (see
             # module doc): b is the (1 + hash) -th next row in a's
             # label group (mod group size, never a itself), t is a
-            # per-(vec_id, rep) hash in [0.05, 0.45].
+            # per-(vec_id, rep) hash in [0.05, 0.95]. A singleton
+            # label group (cnt = 1) has no partner: offset 0 makes b
+            # = a (self-copy, replica verbatim) instead of a modulo-
+            # by-zero NULL that would drop the row from EVERY replica
+            # including rep 0.
             con.sql(f"""
               COPY (
                 WITH s AS (SELECT *,
@@ -99,7 +103,9 @@ def main():
                        a.label
                 FROM s a, reps r
                 JOIN s b ON b.label = a.label
-                  AND b.rn = (a.rn + 1 + CAST(hash(a.vec_id || '|' || r.rep || '|p') % (a.cnt - 1) AS BIGINT)) % a.cnt
+                  AND b.rn = (a.rn + CASE WHEN a.cnt > 1
+                                THEN 1 + CAST(hash(a.vec_id || '|' || r.rep || '|p') % (a.cnt - 1) AS BIGINT)
+                                ELSE 0 END) % a.cnt
                 ORDER BY 1
               ) TO '{dst}' (FORMAT parquet{rg})""")
             dup = con.sql(
