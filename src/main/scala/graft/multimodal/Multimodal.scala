@@ -412,6 +412,124 @@ object Multimodal {
       }).toDF("media_id", "media")
   }
 
+  /** g×g cell grid -> real PNG: each cell is a solid gray painted at
+    * cellPx×cellPx pixels, encoded by ImageIO's lossless PNG writer —
+    * the image-side fixture encoder (q152 discipline: genuine
+    * container bytes from closed-form params, so the decode side is
+    * exercised for real while an oracle recomputes downstream numbers
+    * from the params alone). PNG is lossless and the cells are
+    * axis-aligned with [[JvmImageCodec.luminanceGrid]]'s g×g cells,
+    * so each decoded grid value is EXACTLY gray/255. */
+  def encodeGridPng(grays: Array[Int], g: Int, cellPx: Int): Array[Byte] = {
+    require(grays.length == g * g, s"${grays.length} grays for ${g}x$g")
+    val side = g * cellPx
+    val img = new java.awt.image.BufferedImage(side, side,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < side) {
+      var x = 0
+      while (x < side) {
+        val v = grays((y / cellPx) * g + (x / cellPx)) & 0xff
+        img.setRGB(x, y, v * 0x010101)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Closed-form image synthesis: (media_id, grays ARRAY<INT>) rows ->
+    * (media_id, media) with a real g×g-cell PNG per row. Map-only,
+    * pipelined — the image twin of [[synthSquareWav]]; the grays
+    * column is computed by the CALLER as a deterministic SQL
+    * expression so a DuckDB oracle can reproduce it verbatim. */
+  def synthGridPng(params: DataFrame, g: Int = 8, cellPx: Int = 4): DataFrame = {
+    val spark = params.sparkSession
+    import spark.implicits._
+    params.select(col("media_id"), col("grays")).as[(Long, Array[Int])]
+      .mapPartitions(_.map { case (id, grays) =>
+        (id, encodeGridPng(grays, g, cellPx)) })
+      .toDF("media_id", "media")
+  }
+
+  /** 64-bit difference hash (dHash) per image — the classic perceptual
+    * fingerprint: decode (REAL codec), g×g mean-luminance grid, one
+    * bit per cell set iff the cell outshines its right neighbor
+    * (row-wraparound so g=8 fills all 64 bits). Bits depend only on
+    * luminance ORDER, so lossless re-encodes hash identically and
+    * mild lossy re-encodes (JPEG quality shifts) land within a
+    * hamming bit or two — which is exactly what the half-band join
+    * ([[phashDupPairs]]) recovers. Map-only, 8 bytes out per blob;
+    * undecodable payloads hash the zero grid (all-false comparisons
+    * -> 0L) and are routed by [[imageMeta]] when they must be kept. */
+  def dHash64(media: DataFrame, grid: Int = 8): Dataset[(Long, Long)] = {
+    require(grid * grid <= 64, s"grid $grid overflows 64 bits")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val gv = JvmImageCodec.luminanceGrid(bytes, grid)
+        var h = 0L
+        var i = 0
+        while (i < grid * grid) {
+          val row = i - i % grid
+          if (gv(i) > gv(row + (i % grid + 1) % grid)) h |= (1L << i)
+          i += 1
+        }
+        (id, h)
+      })
+  }
+
+  /** Perceptual-hash media dedup pairing — the dedup × multimodal
+    * composition: hamming-band LSH over 64-bit perceptual hashes,
+    * reusing the q61 SimHash plumbing verbatim ([[graft.operators
+    * .Dedup.halfBandsSql]]: 2 unsigned 32-bit half-bands; pigeonhole
+    * makes the (band, half) equi-join EXACT for hamming <= 1, popcount
+    * verifies). Input: (media_id, phash); output: (ida, idb, hamming)
+    * pairs. Never all-pairs — collision work is bounded by band-bucket
+    * size, and the only shuffled payload is 8 bytes per image, so the
+    * shape is the same one the text near-dup family runs at 100 TB. */
+  def phashDupPairs(hashes: DataFrame): DataFrame = {
+    val bands = hashes.selectExpr("media_id", "phash",
+      graft.operators.Dedup.halfBandsSql("phash"))
+    bands.as("pa").join(bands.as("pb"),
+        col("pa.band") === col("pb.band") && col("pa.half") === col("pb.half") &&
+        col("pa.media_id") < col("pb.media_id"))
+      .select(col("pa.media_id").as("ida"), col("pb.media_id").as("idb"),
+        col("pa.phash").as("ha"), col("pb.phash").as("hb"))
+      .distinct()
+      .select(col("ida"), col("idb"),
+        expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
+      .filter(col("hamming") <= 1)
+  }
+
+  /** Decode -> JPEG re-encode at an explicit quality — the
+    * "quality-shifted copy" a crawled media lake is full of, used to
+    * exercise [[dHash64]]'s robustness (MultimodalSpec). Undecodable
+    * payloads return None. */
+  def reencodeJpeg(media: Array[Byte], quality: Float): Option[Array[Byte]] = {
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))).map { src =>
+      // JPEG writer rejects ARGB; normalize to RGB first
+      val rgb = new java.awt.image.BufferedImage(src.getWidth, src.getHeight,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gfx = rgb.createGraphics()
+      try gfx.drawImage(src, 0, 0, null) finally gfx.dispose()
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        w.setOutput(ios)
+        w.write(null, new javax.imageio.IIOImage(rgb, null, null), p)
+      } finally { ios.close(); w.dispose() }
+      bos.toByteArray
+    } catch { case _: Exception => None }
+  }
+
   /** Closed-form video synthesis: per id, a real MJPEG-AVI with
     * nf = 1 + id % 4 solid-gray 8x8 frames (gray = id % 256). Frame
     * COUNTS and container dimensions round-trip bit-exactly (JPEG

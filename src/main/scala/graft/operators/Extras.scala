@@ -920,6 +920,85 @@ object Extras {
           CAST(8 AS INT) AS w, CAST(8 AS INT) AS h
         FROM sel GROUP BY lang ORDER BY lang""")),
 
+    // ---- perceptual-hash media dedup (q195) ---------------------------
+    // The dedup x multimodal composition: every selected doc becomes a
+    // REAL 32x32 PNG (8x8 solid-gray cells from closed-form params —
+    // the q152 fixture discipline), the REAL image codec decodes it
+    // back to the 8x8 luminance grid, a 64-bit dHash fingerprints it
+    // (bit = cell outshines its right neighbor, row-wraparound), and
+    // the q61 half-band LSH join + popcount pairs near-dups — never
+    // all-pairs, 8 shuffled bytes per image. The corpus is engineered
+    // with ground truth: ids pair up as (original, re-encode-alike) —
+    // the variant copy shifts ONE cell by +3 gray levels, and cells 0
+    // and 1 are forced equal so exactly the one engineered comparison
+    // flips: every (2j, 2j+1) family is a TRUE hamming-1 pair, which
+    // the pigeonhole band join must recover at EXACT recall. The
+    // DuckDB oracle recomputes the dHash from the closed-form grays
+    // alone (cell luminance of gray v is exactly v/255 — lossless PNG,
+    // integer cell math, axis-aligned cells — and x -> x/255 is order-
+    // preserving, so the float comparison equals the integer one):
+    // hash equality proves encode -> PNG -> decode -> grid -> hash end
+    // to end, and pair equality proves the banding. Scale shape:
+    // synthesis + decode + hash are ONE map-only pass (blob bytes
+    // never enter an exchange); the band join shuffles 8 bytes/image.
+    Q("q195_phash_media_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val m = graft.multimodal.Multimodal
+        // closed-form params: base image b, variant bit; the grays
+        // expression is the single source of truth the oracle mirrors
+        val params = documents(s, dir).filter($"doc_id" % 5 === 0)
+          .selectExpr("doc_id AS media_id",
+            "(doc_id div 5) div 2 AS b", "(doc_id div 5) % 2 AS variant")
+          .withColumn("grays", expr("""
+            transform(sequence(0, 63), i -> CAST(
+              8 * ((b * 37
+                    + (CASE WHEN i = 1 THEN 0 ELSE i END) * 11
+                    + ((CASE WHEN i = 1 THEN 0 ELSE i END)
+                       * (CASE WHEN i = 1 THEN 0 ELSE i END)) % 7) % 32)
+              + CASE WHEN variant = 1 AND i = 0 THEN 3 ELSE 0 END AS INT))"""))
+        val hashes = m.dHash64(m.synthGridPng(params, g = 8, cellPx = 4), grid = 8)
+          .toDF("media_id", "phash")
+        m.phashDupPairs(hashes).orderBy($"ida", $"idb")
+      },
+      Some("""
+        WITH params AS (
+          SELECT doc_id AS media_id, (doc_id // 5) // 2 AS b, (doc_id // 5) % 2 AS variant
+          FROM documents WHERE doc_id % 5 = 0),
+        cells AS (
+          SELECT media_id, i,
+            8 * ((b * 37
+                  + (CASE WHEN i = 1 THEN 0 ELSE i END) * 11
+                  + ((CASE WHEN i = 1 THEN 0 ELSE i END)
+                     * (CASE WHEN i = 1 THEN 0 ELSE i END)) % 7) % 32)
+            + CASE WHEN variant = 1 AND i = 0 THEN 3 ELSE 0 END AS v
+          FROM params, UNNEST(range(64)) AS t(i)),
+        bits AS (
+          SELECT a.media_id, a.i, CASE WHEN a.v > n.v THEN 1 ELSE 0 END AS bit
+          FROM cells a JOIN cells n ON n.media_id = a.media_id
+            AND n.i = (a.i - a.i % 8) + (a.i % 8 + 1) % 8),
+        uh AS (
+          SELECT media_id,
+            CAST(SUM(CASE WHEN i < 32 THEN bit * (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS HUGEINT) AS lo,
+            CAST(SUM(CASE WHEN i >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE 0 END) AS HUGEINT) AS hi
+          FROM bits GROUP BY media_id),
+        hashes AS (
+          SELECT media_id, hi * 4294967296 + lo AS u,
+            CAST(CASE WHEN hi * 4294967296 + lo >= CAST(9223372036854775808 AS HUGEINT)
+                 THEN hi * 4294967296 + lo - CAST(18446744073709551616 AS HUGEINT)
+                 ELSE hi * 4294967296 + lo END AS BIGINT) AS phash
+          FROM uh),
+        bands AS (
+          SELECT media_id, phash, 0 AS band, CAST(u % 4294967296 AS BIGINT) AS half FROM hashes
+          UNION ALL
+          SELECT media_id, phash, 1 AS band, CAST(u // 4294967296 AS BIGINT) AS half FROM hashes),
+        cand AS (
+          SELECT DISTINCT a.media_id AS ida, b.media_id AS idb, a.phash AS ha, b.phash AS hb
+          FROM bands a JOIN bands b ON a.band = b.band AND a.half = b.half AND a.media_id < b.media_id)
+        SELECT ida, idb, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 1
+        ORDER BY ida, idb""")),
+
     // ---- join-key skew advisor (q157) --------------------------------
     // The pre-flight a 100 TB pipeline runs BEFORE committing to a big
     // join or aggregation on a key: the key-frequency distribution of

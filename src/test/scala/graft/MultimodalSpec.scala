@@ -391,4 +391,31 @@ class MultimodalSpec extends SparkSuite {
     assert(!Multimodal.videoFeatures(df, 2, 1).queryExecution.executedPlan
       .toString.contains("Exchange"))
   }
+
+  test("q195 family: dHash pairs a JPEG quality-shifted re-encode with its original; distinct images don't") {
+    // 6 distinct images: 8x8 cells at cellPx=8 (cells align with JPEG
+    // blocks, so each cell is a DC-only solid) and adjacent-cell gray
+    // gaps of >= 45 levels — a lossy re-encode may perturb each cell's
+    // luminance slightly but can never reorder neighbors, which is the
+    // only thing dHash reads.
+    val originals = (0L until 6L).map { b =>
+      val grays = Array.tabulate(64)(i => ((b.toInt * 7 + i * 3) % 16) * 15)
+      b -> Multimodal.encodeGridPng(grays, g = 8, cellPx = 8)
+    }
+    // the quality-shifted copy a crawled media lake is full of
+    val shifted = Multimodal.reencodeJpeg(originals.head._2, quality = 0.8f).get
+    val df = imageDf(originals :+ (100L -> shifted))
+    val hashes = Multimodal.dHash64(df).toDF("media_id", "phash")
+    val hmap = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // distinct images stay apart: outside the hamming<=1 dup band
+    for (a <- 0L until 6L; b <- (a + 1) until 6L)
+      assert(java.lang.Long.bitCount(hmap(a) ^ hmap(b)) >= 2, s"img $a vs $b too close")
+    // the re-encode lands within one bit of its original
+    assert(java.lang.Long.bitCount(hmap(0L) ^ hmap(100L)) <= 1,
+      f"re-encode drifted: ${hmap(0L)}%016x vs ${hmap(100L)}%016x")
+    // and the half-band LSH join recovers EXACTLY the engineered pair
+    val pairs = Multimodal.phashDupPairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 100L)), pairs)
+  }
 }
