@@ -202,17 +202,20 @@ object Bench {
     // flagged set once more, each re-check preceded by two sentinel
     // runs so the flagged query re-measures under the same
     // steady-state cache/GC conditions as the sweep, and DEMOTE a
-    // flag to suspect_transient when the best min seen (sweep or
-    // re-run) lands within 15% of the drift-adjusted baseline. A real
-    // plan regression reproduces in-process; a load transient does
-    // not. Both verdicts ship in the JSON.
+    // flag when the best min seen (sweep or re-run) no longer
+    // satisfies the ORIGINAL flag predicate — the same >1.3x-AND-
+    // >0.3 s bar the sweep used, so a recheck landing in a band the
+    // sweep would never have flagged can't ship as a confirmed
+    // regression. A real plan regression reproduces in-process; a
+    // load transient does not. Both verdicts ship in the JSON.
     val washers = Seq("q01_pricing_summary", "q20_range_join")
     val recheck = flagged.map { name =>
       washers.foreach(once)
       val (_, mn2) = measure(name)
       val sweepMin = results.collectFirst { case (`name`, (_, m)) => m }.get
       val best = if (mn2 >= 0) math.min(mn2, sweepMin) else sweepMin
-      val transient = baseline.get(name).exists(b => best <= b * drift * 1.15)
+      val transient = baseline.get(name).exists(b =>
+        best <= b * 1.3 * drift || best - b * drift <= 0.3)
       System.err.println(f"[bench] recheck $name: rerun min $mn2%.3f, best $best%.3f -> ${if (transient) "suspect_transient" else "regression"}")
       name -> transient
     }
