@@ -2070,6 +2070,72 @@ object Similarity {
                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, bench_id) AS rk
                  FROM hits) t WHERE rk = 1)
         SELECT a.vec_id, b.bench_id, a.cosine, a.n_hits
-        FROM agg a JOIN best b USING (vec_id) ORDER BY a.vec_id"""))
+        FROM agg a JOIN best b USING (vec_id) ORDER BY a.vec_id""")),
+
+    // ---- ANN index deletions / live-fraction audit (q196, new r10) ----
+    // The deletion third of the maintenance leg (build q168 → ingest
+    // q189 → DELETE this): production indexes absorb deletes as
+    // TOMBSTONES — physically removing a vector from packed postings
+    // on every delete would rewrite the index continuously — and serve
+    // quality silently degrades as cells fill with dead entries (a
+    // probe still scans them, the shortlist still ranks them, the
+    // effective candidate budget shrinks). The audit: the tombstone
+    // set (every vector of labels ≡ 0 mod 5 — deletes CLUSTER in
+    // embedding space, exactly the skew that craters SOME cells while
+    // others stay healthy) is anti-joined into the cell census; each
+    // cell publishes total size, live size, live fraction, and the
+    // compaction trigger live·2 < total (τ = 0.5, integer-exact so
+    // both engines decide identically — no float-threshold ambiguity),
+    // plus the global live-census imbalance (q189's retrain alarm over
+    // LIVE rows only) and the corpus dead fraction. The streaming twin
+    // is ivfTombstoneDeltas: the same censuses as replay-idempotent
+    // negative per-trigger deltas (StreamOps.scala).
+    //
+    // Scale: the trained index + assignment is the memoized q168/q178
+    // frame (paid once per session); the tombstone anti-join is
+    // hash-keyed on vec_id — the shuffled payload is ONE LONG per
+    // deleted vector, never the vectors; the census is one
+    // partial-combined count per O(√n) cells; the global row is a
+    // 1-row broadcast onto √n rows.
+    Q("q196_ivf_tombstones",
+      (s, dir) => {
+        import s.implicits._
+        val (e, c1, nlist) = sqrtnIndex(s, dir)
+        val asg = sqrtnAssign(e, c1)
+        val tomb = e.filter($"label" % 5 === 0).select($"vec_id")
+        val total = asg.groupBy($"cell").agg(count(lit(1)).as("sz_total"))
+        val live = asg.join(tomb, Seq("vec_id"), "left_anti")
+          .groupBy($"cell").agg(count(lit(1)).as("sz_live"))
+        val census = total.join(live, Seq("cell"), "left")
+          .na.fill(0L, Seq("sz_live"))
+        val g = census.agg(sum($"sz_total").as("n_total"),
+          sum($"sz_live").as("n_live"), max($"sz_live").as("max_live"))
+        census.crossJoin(broadcast(g))
+          .select($"cell", $"sz_total", $"sz_live",
+            round($"sz_live".cast(DoubleType) / $"sz_total", 6).as("live_frac"),
+            ($"sz_live" * 2 < $"sz_total").as("compact"),
+            round($"max_live".cast(DoubleType) * lit(nlist.toDouble) / $"n_live", 6)
+              .as("imbalance_live"),
+            round(lit(1.0) - $"n_live".cast(DoubleType) / $"n_total", 6).as("dead_frac"))
+          .orderBy($"cell")
+      },
+      Some(s"""$prepCte,
+        $sqrtnAsgCteSql,
+        tomb AS (SELECT vec_id FROM n WHERE label % 5 = 0),
+        total AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS sz_total FROM asg GROUP BY cell),
+        live AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS sz_live FROM asg
+                 WHERE vec_id NOT IN (SELECT vec_id FROM tomb) GROUP BY cell),
+        census AS (SELECT t.cell, t.sz_total,
+                     COALESCE(l.sz_live, CAST(0 AS BIGINT)) AS sz_live
+                   FROM total t LEFT JOIN live l ON l.cell = t.cell),
+        g AS (SELECT SUM(sz_total) AS n_total, SUM(sz_live) AS n_live,
+                MAX(sz_live) AS max_live FROM census)
+        SELECT c.cell, c.sz_total, c.sz_live,
+          ROUND(CAST(c.sz_live AS DOUBLE) / c.sz_total, 6) AS live_frac,
+          (c.sz_live * 2 < c.sz_total) AS compact,
+          ROUND(CAST(g.max_live AS DOUBLE) * nl.nlist / g.n_live, 6) AS imbalance_live,
+          ROUND(1.0 - CAST(g.n_live AS DOUBLE) / g.n_total, 6) AS dead_frac
+        FROM census c CROSS JOIN g CROSS JOIN nl
+        ORDER BY c.cell"""))
   )
 }

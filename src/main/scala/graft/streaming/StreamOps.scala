@@ -711,26 +711,64 @@ object StreamOps {
     * minDf (once promoted the set is dropped and only the latch
     * remains — state for a banner seen a billion times is ONE boolean);
     * below the cap it is < minDf longs. The shuffle key is the line
-    * hash — the same partitioning the batch census uses. */
+    * hash — the same partitioning the batch census uses. Per-hash
+    * state is bounded but the KEY POPULATION grows with unique-line
+    * cardinality — on a long-running ingest that is the unbounded
+    * term, so `stateTtl` (processing-time) expires sub-threshold
+    * censuses that have gone quiet: a line not re-seen within the TTL
+    * forgets its partial count and restarts on return (approximate DF
+    * for very slow-accumulating banners — the CCNet trade). Promoted
+    * latches are NEVER expired — they are the (naturally small) true-
+    * boilerplate set, and keeping them preserves the once-per-hash
+    * emission contract verbatim. Default None = exact DF, NoTimeout:
+    * correct for bounded replays (tests, backfills); production
+    * streams should set a TTL of several ingest cycles. Operational
+    * note: with a TTL set, pair the query with an explicit trigger
+    * interval — under ProcessingTimeTimeout the engine always plans a
+    * follow-up micro-batch (the real clock keeps advancing), so the
+    * default as-fast-as-possible trigger busy-loops empty batches and
+    * `processAllAvailable` never observes quiescence (poll the sink
+    * instead in tests). */
   def boilerplatePromotions(
       lines: Dataset[LineObs],
-      minDf: Int = 3): Dataset[BoilerplatePromotion] = {
+      minDf: Int = 3,
+      stateTtl: Option[String] = None): Dataset[BoilerplatePromotion] = {
     import lines.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     lines
       .groupByKey(_.h)
       .flatMapGroupsWithState[LineDfState, BoilerplatePromotion](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (h: String, rows: Iterator[LineObs], state: GroupState[LineDfState]) =>
-          val prev = state.getOption.getOrElse(LineDfState(Set.empty, promoted = false))
-          if (prev.promoted) { Iterator.empty } // latched: nothing to track
-          else {
-            val docs = rows.foldLeft(prev.docs)(_ + _.doc_id)
-            if (docs.size >= minDf) {
-              state.update(LineDfState(Set.empty, promoted = true))
-              Iterator.single(BoilerplatePromotion(h, docs.size.toLong))
-            } else {
-              state.update(LineDfState(docs, promoted = false))
-              Iterator.empty
+          if (state.hasTimedOut) {
+            // TTL expiry: drop a quiet sub-threshold census (its count
+            // restarts if the line returns). A promoted latch is KEPT —
+            // it can never re-emit — and its timeout re-armed: the
+            // store would otherwise hold the fired (past-due) timestamp
+            // and re-invoke this branch on every micro-batch. Cost: one
+            // wake per TTL per promoted hash, a naturally tiny set.
+            state.getOption match {
+              case Some(st) if st.promoted =>
+                state.update(st)
+                stateTtl.foreach(state.setTimeoutDuration)
+              case _ => state.remove()
+            }
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(LineDfState(Set.empty, promoted = false))
+            if (prev.promoted) { Iterator.empty } // latched: nothing to track
+            else {
+              val docs = rows.foldLeft(prev.docs)(_ + _.doc_id)
+              if (docs.size >= minDf) {
+                state.update(LineDfState(Set.empty, promoted = true))
+                Iterator.single(BoilerplatePromotion(h, docs.size.toLong))
+              } else {
+                state.update(LineDfState(docs, promoted = false))
+                stateTtl.foreach(state.setTimeoutDuration)
+                Iterator.empty
+              }
             }
           }
       }
@@ -834,31 +872,59 @@ object StreamOps {
   }
 
   /** Per-trigger cell-count deltas for the ingest-imbalance alarm —
-    * the streaming feed for q178/q189's retrain signal. Each
-    * micro-batch's assignments collapse to (cell, delta) and commit
-    * under `deltaPath/b<batchId>` — overwrite per batch id, so a
-    * checkpoint replay after a crash rewrites the same directory
-    * instead of double-counting (the [[streamingUpsert]] idempotence
-    * rule); readers take only _SUCCESS-committed dirs. */
+    * the streaming feed for q178/q189/q196's retrain signal. Each
+    * micro-batch's assignments collapse to (cell, delta = sign·count)
+    * and commit under `deltaPath/<dirPrefix><batchId>` — overwrite per
+    * batch id, so a checkpoint replay after a crash rewrites the same
+    * directory instead of double-counting (the [[streamingUpsert]]
+    * idempotence rule); readers take only _SUCCESS-committed dirs.
+    * `sign = +1, dirPrefix = "b"` is the ingest leg; the tombstone
+    * leg ([[ivfTombstoneDeltas]]) writes `sign = -1` under "d" dirs —
+    * two independent queries with independent batch-id sequences, so
+    * the prefixes keep their overwrite namespaces disjoint. */
   def ivfIngestDeltas(
       assignments: DataFrame, // from [[assignAgainstFrozenCentroids]]
       deltaPath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      sign: Int = 1,
+      dirPrefix: String = "b"): org.apache.spark.sql.streaming.StreamingQuery =
     assignments.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        batch.groupBy(col("cell")).agg(count(lit(1)).as("delta"))
+        batch.groupBy(col("cell")).agg((count(lit(1)) * sign).as("delta"))
           .withColumn("batch_id", lit(id))
-          .write.mode("overwrite").parquet(s"$deltaPath/b$id")
+          .write.mode("overwrite").parquet(s"$deltaPath/$dirPrefix$id")
         ()
       }
       .start()
 
+  /** Streaming ANN index DELETIONS — the missing third of the ingest
+    * leg (build → ingest → delete): a tombstone stream of full vector
+    * rows (vec_id, v) is assigned to its cell against the SAME frozen
+    * centroid literal the ingest leg uses (assignment is deterministic,
+    * so the tombstone lands in exactly the cell its add landed in) and
+    * folded into the [[ivfIngestDeltas]] table as NEGATIVE per-trigger
+    * counts under `d<batchId>` dirs. Replay-idempotent under the same
+    * overwrite-by-batch-id rule: a crash-replayed delete batch rewrites
+    * its own dir, never double-counts. [[ivfImbalanceAfterIngest]]
+    * reads b- and d-dirs together, so the alarm sees NET cell sizes
+    * and publishes the deletion census a compaction trigger reads. */
+  def ivfTombstoneDeltas(
+      tombstones: DataFrame,   // (vec_id bigint, v array<double>, ...)
+      centroids: DataFrame,    // the SAME trained frame the ingest leg froze
+      deltaPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    ivfIngestDeltas(assignAgainstFrozenCentroids(tombstones, centroids),
+      deltaPath, checkpoint, sign = -1, dirPrefix = "d")
+
   /** The q189 imbalance-after-ingest alarm over a [[ivfIngestDeltas]]
-    * table: folds every committed per-trigger delta onto the batch
-    * census `base(cell, szo)` and publishes the same row shape as
-    * q189's tail (max cell × nlist / n) — the number a deployment
-    * compares against its retrain threshold. */
+    * table: folds every committed per-trigger delta — ingest b-dirs
+    * AND tombstone d-dirs — onto the batch census `base(cell, szo)`
+    * and publishes the q189 row shape (max cell × nlist / n over NET
+    * sizes) plus the deletion census: `n_deleted` (total tombstoned)
+    * and `max_dead_frac` (the worst per-cell deleted fraction) — the
+    * number a compaction trigger compares against its τ, the streaming
+    * read of q196's batch live-fraction audit. */
   def ivfImbalanceAfterIngest(
       spark: org.apache.spark.sql.SparkSession,
       deltaPath: String,
@@ -869,22 +935,27 @@ object StreamOps {
     val committed =
       if (!fs.exists(root)) Seq.empty[String]
       else fs.listStatus(root).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.matches("b\\d+"))
+        .filter(s => s.isDirectory && s.getPath.getName.matches("[bd]\\d+"))
         .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
         .map(_.getPath.toString)
     val deltas = committed match {
-      case Nil => base.select(col("cell"), lit(0L).as("szn")).limit(0)
+      case Nil => base.select(col("cell"), lit(0L).as("szn"), lit(0L).as("dead")).limit(0)
       case ps => spark.read.parquet(ps: _*)
-        .groupBy(col("cell")).agg(sum(col("delta")).as("szn"))
+        .groupBy(col("cell")).agg(sum(col("delta")).as("szn"),
+          sum(when(col("delta") < 0, -col("delta")).otherwise(0L)).as("dead"))
     }
     base.join(deltas, Seq("cell"), "full")
-      .na.fill(0L, Seq("szo", "szn"))
+      .na.fill(0L, Seq("szo", "szn", "dead"))
       .agg(
         sum(col("szo")).as("n_old"), sum(col("szn")).as("n_new"),
-        max(col("szo") + col("szn")).as("max_cell_after"))
+        max(col("szo") + col("szn")).as("max_cell_after"),
+        sum(col("dead")).as("n_deleted"),
+        max(round(col("dead").cast("double")
+          / greatest(col("szo") + col("szn") + col("dead"), lit(1L)), 6)).as("max_dead_frac"))
       .select(lit(nlist).as("nlist"), col("n_old"), col("n_new"),
         col("max_cell_after"),
         round(col("max_cell_after").cast("double") * lit(nlist.toDouble)
-          / (col("n_old") + col("n_new")), 6).as("imbalance_after"))
+          / (col("n_old") + col("n_new")), 6).as("imbalance_after"),
+        col("n_deleted"), col("max_dead_frac"))
   }
 }

@@ -76,6 +76,7 @@ class PlanLintSpec extends SparkSuite {
     "q176_cluster_size_histogram", // 1-row (nd x nc) scalar crossJoin for the singleton row (q104's class)
     "q178_ivf_cell_balance",  // the same O(sqrt(n) x dims) centroid-assignment broadcast as q168
     "q189_ivf_incremental_ingest", // q168's centroid-assignment class: old/new slices each assign against the O(sqrt(n) x dims) frozen-centroid broadcast
+    "q196_ivf_tombstones",    // q178's centroid-assignment class + the 1-row live-census scalar broadcast onto O(sqrt(n)) cell rows
     "q179_pq_adc_recall",     // fixed 50-vector probe set broadcast for the exact-L2 ground truth (q34's declared brute-force class); the PQ side itself is equi-joined
     // q185_ivfpq_recall is NOT whitelisted: its two BNLJ constructions
     // (q168's centroid broadcast, q179's exact-truth probe broadcast)

@@ -478,4 +478,38 @@ class SimilaritySpec extends SparkSuite {
     }.sortBy(_._1)
     assert(got.sortBy(_._1).toSeq == want, s"got ${got.toSeq}\nwant $want")
   }
+
+  test("q196 tombstones: a fully-deleted cluster's cells cross the compaction trigger, masses conserve") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // cluster A (label 0 — tombstoned by the label ≡ 0 mod 5 rule):
+    // 9 tight vectors around (10,10,10,10); cluster B (label 1, kept):
+    // 12 around (-10,...). Far-apart clusters so every trained cell is
+    // label-pure: A's cells go 100% dead (compact MUST fire), B's stay
+    // fully live.
+    val vecs: Seq[(Long, Long, Seq[Float])] =
+      (0L until 9L).map(i => (i, 0L, Seq(10f + 0.1f * i, 10f, 10f, 10f))) ++
+      (9L until 21L).map(i => (i, 1L, Seq(-10f, -10f - 0.1f * i, -10f, -10f)))
+    val d = Files.createTempDirectory("tombfix").toString
+    vecs.toDF("vec_id", "label", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val rows = SparkEntry.queries("q196_ivf_tombstones")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    // mass conservation: every vector lands in exactly one cell
+    assert(rows.map(_._2).sum == 21L, rows.mkString(", "))
+    assert(rows.map(_._2).sum - rows.map(_._3).sum == 9L, "9 tombstoned vectors")
+    // the internal identities the row publishes
+    rows.foreach { case (_, tot, live, frac, compact) =>
+      assert(frac == BigDecimal(live.toDouble / tot)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(compact == (live * 2 < tot))
+    }
+    // label-pure geometry: A's cells are 100% dead and FIRE the
+    // trigger; B's cells are untouched
+    assert(rows.exists(r => r._5 && r._3 == 0L),
+      s"a fully-tombstoned cell must fire compaction: ${rows.mkString(", ")}")
+    assert(rows.filter(!_._5).forall(_._4 == 1.0),
+      s"kept cluster's cells must be fully live: ${rows.mkString(", ")}")
+  }
 }

@@ -668,6 +668,55 @@ class StreamingSpec extends SparkSuite {
       s"each hash must fire exactly once at df=3: $got")
   }
 
+  test("boilerplatePromotions stateTtl: quiet sub-threshold censuses expire and restart; promoted latches survive the TTL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps.LineObs
+    // ProcessingTimeTimeout makes the engine plan follow-up batches
+    // continuously (real clock), so processAllAvailable never observes
+    // quiescence — poll the sink instead (the scaladoc's operational
+    // note, learned the hard way)
+    def awaitCount(n: Long, timeoutMs: Long = 30000): Unit = {
+      val deadline = System.currentTimeMillis + timeoutMs
+      while (spark.table("boilerttl").count() < n
+             && System.currentTimeMillis < deadline) Thread.sleep(50)
+      assert(spark.table("boilerttl").count() >= n, s"timed out waiting for $n emissions")
+    }
+    val input = MemoryStream[LineObs]
+    val q = StreamOps.boilerplatePromotions(input.toDS(), minDf = 2,
+      stateTtl = Some("4 seconds"))
+      .writeStream.format("memory").queryName("boilerttl")
+      .outputMode("append").start()
+
+    // banner promotes immediately (df=2); slow and ban2 at df=1 get a
+    // TTL armed
+    input.addData(LineObs(1L, "banner"), LineObs(2L, "banner"),
+      LineObs(1L, "slow"), LineObs(1L, "ban2"))
+    awaitCount(1)
+    // ban2 promotes (df=2) while still carrying its earlier timeout —
+    // the latch must survive that stale timeout firing later
+    input.addData(LineObs(2L, "ban2"))
+    awaitCount(2)
+
+    // let the TTL lapse: the engine fires the timeouts on its own —
+    // slow's census is dropped; ban2's latch is kept
+    Thread.sleep(7000)
+    // slow returns with a SECOND distinct doc: without expiry this
+    // would be df=2 and emit — expiry restarted the census at df=1.
+    // ban2 re-seen: must not re-emit (latched across the TTL).
+    input.addData(LineObs(2L, "slow"), LineObs(7L, "ban2"))
+    Thread.sleep(2000)
+    assert(spark.table("boilerttl").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("ban2", "banner"), "slow must NOT emit (census restarted); ban2 must not re-emit")
+    // and a fresh second doc within the TTL window does promote
+    input.addData(LineObs(3L, "slow"))
+    awaitCount(3)
+    q.stop()
+    val got = spark.table("boilerttl").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq(("ban2", 2L), ("banner", 2L), ("slow", 2L)), got)
+  }
+
   test("semanticDecontamStream: flags match a brute-force replay incl. the min-id tie, sub-tau rows never emit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -773,5 +822,54 @@ class StreamingSpec extends SparkSuite {
     assert(alarm.getDouble(4) ==
       BigDecimal(maxAfter.toDouble * 3.0 / (15 + got.length))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("ivfTombstoneDeltas: negative deltas fold into the alarm; a crash-replay double-delete does NOT double-count") {
+    import spark.implicits._
+    val base0 = java.nio.file.Files.createTempDirectory("ivftomb")
+    val srcDir = base0.resolve("src").toString
+    val deltaDir = base0.resolve("deltas").toString
+
+    // the same tiny trained index as the serve test: 3 cells in 4 dims
+    val cents = Seq(
+      (0L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(1.0, 1.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 1.0, 1.0)))
+      .map { case (cid, cv) => (cid, cv, cv.map(x => x * x).sum) }
+      .toDF("cid", "cv", "cc")
+
+    // tombstones via a FILE source so a lost-checkpoint replay re-runs
+    // batch 0 verbatim (the incrementalIndexedDedup replay discipline):
+    // three deletes -> cells 0, 1, 1
+    Seq(
+      (10L, Seq(0.1, 0.0, 0.0, 0.0)),  // -> cell 0
+      (11L, Seq(0.9, 1.1, 0.0, 0.0)),  // -> cell 1
+      (14L, Seq(1.0, 1.0, 1.0, 1.0)))  // tie 1,2 -> cid tiebreak: cell 1
+      .toDF("vec_id", "v").coalesce(1).write.parquet(srcDir)
+    def start(ckpt: String) = StreamOps.ivfTombstoneDeltas(
+      spark.readStream.schema("vec_id BIGINT, v ARRAY<DOUBLE>").parquet(srcDir),
+      cents, deltaDir, base0.resolve(ckpt).toString)
+    val q1 = start("ckpt1")
+    q1.processAllAvailable(); q1.stop()
+
+    val d0 = spark.read.parquet(s"$deltaDir/d0")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d0 == Map(0L -> -1L, 1L -> -2L), s"negative per-cell deltas: $d0")
+
+    val base = Seq((0L, 5L), (1L, 5L), (2L, 5L)).toDF("cell", "szo")
+    def alarm() = StreamOps.ivfImbalanceAfterIngest(spark, deltaDir, base, 3L)
+      .collect().head
+    val a1 = alarm()
+    // net sizes 4/3/5; deleted 3; worst dead fraction = 2/5 in cell 1
+    assert((a1.getLong(1), a1.getLong(2), a1.getLong(3)) == ((15L, -3L, 5L)), a1.toString)
+    assert(a1.getLong(5) == 3L, s"n_deleted: $a1")
+    assert(a1.getDouble(6) == 0.4, s"max_dead_frac: $a1")
+
+    // crash replay: fresh checkpoint, same source file -> batch 0
+    // re-runs bit-identical and OVERWRITES d0 instead of double-counting
+    val q2 = start("ckpt2")
+    q2.processAllAvailable(); q2.stop()
+    val a2 = alarm()
+    assert(a2.toSeq == a1.toSeq, s"replayed delete double-counted: $a2 vs $a1")
   }
 }
