@@ -104,7 +104,41 @@ object Bench {
 
     // Optional comma-separated subset for local profiling runs.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').map(_.trim).toSet)
-    val names = SparkEntry.registry.map(_.name).filter(n => only.forall(_.contains(n)))
+    // SPARK_GRAFT_BENCH_TIER=smoke — the mid-round iteration tier: the
+    // registry is ~200 queries and the full sf0.1 sweep is minutes, so
+    // iterating on one operator should not pay the whole gate every
+    // time. Smoke = the historically heaviest queries (the ones whose
+    // regressions matter) + one sentinel per operator family (so a
+    // shared-helper regression still shows somewhere) ∪ any
+    // SPARK_GRAFT_BENCH_ONLY names (pull in the queries touched this
+    // round). The FULL run (no tier) remains the artifact of record —
+    // smoke runs stamp "tier":"smoke" into the JSON so they can never
+    // be mistaken for it.
+    val smokeSet = Set(
+      // heavy set (driver top-10 medians, r9)
+      "q160_kcore", "q142_triangles", "q150_longest_repeat",
+      "q164_lsh_recall", "q58_training_prep", "q140_pagerank",
+      "q166_entity_resolution", "q167_golden_record",
+      "q146_fuzzy_pairs", "q66_dup_components",
+      // one sentinel per family
+      "q01_pricing_summary",         // relational
+      "q65_sessionize",              // events
+      "q27_minhash_dup_pairs",       // dedup
+      "q29_lang_id",                 // text analysis
+      "q186_ivfpq_residual_recall",  // ANN / IVF-PQ chain
+      "q153_sequence_pack",          // training ops
+      "q88_curation_funnel",         // curation
+      "q102_equidepth_hist",         // analytics
+      "q145_bm25_topk",              // retrieval
+      "q152_media_pipeline",         // multimodal
+      "q36_schema_infer")            // schema inference
+    val tier = sys.env.get("SPARK_GRAFT_BENCH_TIER")
+    val names = SparkEntry.registry.map(_.name).filter { n =>
+      tier match {
+        case Some("smoke") => smokeSet(n) || only.exists(_.contains(n))
+        case _             => only.forall(_.contains(n))
+      }
+    }
     val results = names.map { n =>
       val r = measure(n)
       // stderr progress (stdout stays a single JSON line): makes a
@@ -235,12 +269,13 @@ object Bench {
     //  2. a compact summary line LAST — total, reps, drift, regression
     //     list, failures and the top-10 slowest medians — so ANY tail
     //     capture retains the verdict-grade numbers.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries_min":$qsMin,"queries":$qs,"sf":"$sfDir","regressions_vs":$vsJson,"drift":$driftStr,"flagged":$flaggedJson,"suspect_transient":$transientJson,"regressions":$regJson}""")
+    val tierJson = tier.map(t => s""","tier":"$t"""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps$tierJson,"queries_min":$qsMin,"queries":$qs,"sf":"$sfDir","regressions_vs":$vsJson,"drift":$driftStr,"flagged":$flaggedJson,"suspect_transient":$transientJson,"regressions":$regJson}""")
     val failed = results.collect { case (n, (m, _)) if m < 0 => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val top10 = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(10)
       .map { case (k, (m, _)) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","reps":$reps,"sf":"$sfDir","n_queries":${results.size},"failed":$failed,"drift":$driftStr,"regressions_vs":$vsJson,"flagged":$flaggedJson,"suspect_transient":$transientJson,"regressions":$regJson,"top10_median":$top10}""")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","reps":$reps$tierJson,"sf":"$sfDir","n_queries":${results.size},"failed":$failed,"drift":$driftStr,"regressions_vs":$vsJson,"flagged":$flaggedJson,"suspect_transient":$transientJson,"regressions":$regJson,"top10_median":$top10}""")
     spark.stop()
   }
 }

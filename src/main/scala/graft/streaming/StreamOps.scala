@@ -774,6 +774,99 @@ object StreamOps {
       }
   }
 
+  final case class QYObs(source: String, quality: Double, n_tokens: Long)
+  final case class QYState(census: Map[Int, (Long, Long)])
+  final case class QualityYieldRow(source: String, n_scored: Long,
+    cut_keep_from: Int, threshold: Double, docs_kept: Long,
+    tokens_kept: Long, token_yield: Double)
+
+  /** Grid census → per-cut yield table, the single source of truth
+    * shared by [[qualityYieldStream]] and its batch twin
+    * [[qualityYieldBatch]] (so the streaming spec can assert EXACT
+    * equality). For each cut d ∈ 1..10, drop whole grid buckets from
+    * the bottom while the dropped doc count stays ≤ ⌊(d−1)·n/10⌋ —
+    * never split a bucket (the published granularity is the 1e-2
+    * grid), publish the kept doc/token mass and the grid threshold. */
+  private def yieldTable(source: String, census: Map[Int, (Long, Long)]): Seq[QualityYieldRow] = {
+    val n = census.valuesIterator.map(_._1).sum
+    val totTok = census.valuesIterator.map(_._2).sum
+    if (n == 0L) return Seq.empty
+    val asc = census.toSeq.sortBy(_._1)
+    (1 to 10).map { d =>
+      val target = (d - 1).toLong * n / 10
+      var dropped = 0L
+      var i = 0
+      while (i < asc.length && dropped + asc(i)._2._1 <= target) {
+        dropped += asc(i)._2._1; i += 1
+      }
+      val keptTok = asc.iterator.drop(i).map(_._2._2).sum
+      val thr = if (i < asc.length) asc(i)._1 / 100.0 else 1.01
+      QualityYieldRow(source, n, d, thr, n - dropped, keptTok,
+        BigDecimal(keptTok.toDouble / math.max(totTok, 1L))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  /** Streaming per-source quality-yield curve — the incremental twin
+    * of q194: pre-scored docs (source, quality, n_tokens) accumulate a
+    * per-source census and every trigger re-emits the source's current
+    * 10-row yield table (each cut priced: docs/tokens surviving it),
+    * tagged with the running `n_scored` so readers keep the latest.
+    *
+    * State design — adjudicated AGAINST the quantile-sketch Aggregator
+    * (functions/QuantileSketch.scala) the batch family uses: the
+    * sketch's retained values are legitimately merge-order-dependent
+    * (its own contract — only the error BOUND is order-free), so a
+    * replayed stream could emit a different table than the batch pass,
+    * which is exactly the equality this twin must guarantee. The
+    * quality score is BOUNDED in [0, 1] (q30's composite), so an exact
+    * 1e-2 GRID census — ≤ 101 (docs, tokens) cells per source — is
+    * simultaneously smaller than sketch state, exactly mergeable,
+    * order-free and replay-deterministic; thresholds are read off the
+    * census CDF at grid resolution instead of sketch quantiles. Cuts
+    * therefore differ from batch q194's exact per-doc NTILE only
+    * within a grid cell — the documented granularity trade.
+    *
+    * Scale: state ≤ 101 cells × 16 B per source; the shuffle key is
+    * `source` (the same partitioning batch q194's window uses); output
+    * is 10 rows per source per trigger. */
+  def qualityYieldStream(scored: Dataset[QYObs]): Dataset[QualityYieldRow] = {
+    import scored.sparkSession.implicits._
+    scored
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[QYState, QualityYieldRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[QYObs], state: GroupState[QYState]) =>
+          val prev = state.getOption.map(_.census).getOrElse(Map.empty[Int, (Long, Long)])
+          val census = rows.foldLeft(prev) { (m, r) =>
+            val b = math.min(100, math.max(0, math.round(r.quality * 100).toInt))
+            val (d0, t0) = m.getOrElse(b, (0L, 0L))
+            m.updated(b, (d0 + 1L, t0 + r.n_tokens))
+          }
+          state.update(QYState(census))
+          yieldTable(src, census).iterator
+      }
+  }
+
+  /** Batch twin of [[qualityYieldStream]] over the same input shape —
+    * one partial-combined census per (source, grid bucket), then the
+    * shared [[yieldTable]] over each ≤ 101-row census. Exists so the
+    * streaming spec asserts exact stream-vs-batch equality. */
+  def qualityYieldBatch(scored: Dataset[QYObs]): Dataset[QualityYieldRow] = {
+    import scored.sparkSession.implicits._
+    scored
+      .map(r => (r.source,
+        math.min(100, math.max(0, math.round(r.quality * 100).toInt)), r.n_tokens))
+      .toDF("source", "bucket", "n_tokens")
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"))
+      .as[(String, Int, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (src, cells) =>
+        yieldTable(src, cells.map(c => c._2 -> (c._3, c._4)).toMap).iterator
+      }
+  }
+
   /** Streaming IVF serve leg — the streaming twin of q189's
     * frozen-centroid assignment: arriving vectors are assigned to
     * their nearest trained cell MAP-ONLY (no shuffle, no state), the

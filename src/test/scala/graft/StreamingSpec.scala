@@ -872,4 +872,48 @@ class StreamingSpec extends SparkSuite {
     val a2 = alarm()
     assert(a2.toSeq == a1.toSeq, s"replayed delete double-counted: $a2 vs $a1")
   }
+
+  test("qualityYieldStream: final per-source yield tables equal the batch twin exactly, across triggers and on a full replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps.{QYObs, QualityYieldRow}
+    // two sources, qualities spread over the grid, token masses skewed
+    // so the yield column actually discriminates cuts
+    val obs = Seq(
+      QYObs("web", 0.12, 10L), QYObs("web", 0.37, 200L), QYObs("web", 0.37, 50L),
+      QYObs("web", 0.55, 400L), QYObs("web", 0.81, 800L), QYObs("web", 0.93, 100L),
+      QYObs("books", 0.44, 5000L), QYObs("books", 0.62, 3000L),
+      QYObs("books", 0.70, 2000L), QYObs("books", 0.99, 1000L))
+
+    def lastTables(rows: Array[QualityYieldRow]): Map[(String, Int), QualityYieldRow] = {
+      val maxN = rows.groupBy(_.source).map { case (s, rs) => s -> rs.map(_.n_scored).max }
+      rows.filter(r => r.n_scored == maxN(r.source))
+        .map(r => (r.source, r.cut_keep_from) -> r).toMap
+    }
+    def run(name: String, batches: Seq[Seq[QYObs]]): Map[(String, Int), QualityYieldRow] = {
+      val input = MemoryStream[QYObs]
+      val q = StreamOps.qualityYieldStream(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      lastTables(spark.table(name).as[QualityYieldRow].collect())
+    }
+
+    val want = StreamOps.qualityYieldBatch(obs.toDS()).collect()
+      .map(r => (r.source, r.cut_keep_from) -> r).toMap
+    // split across two triggers: final tables must equal the batch pass
+    val got = run("qy1", Seq(obs.take(4), obs.drop(4)))
+    assert(got == want, s"stream diverged from batch:\n$got\nvs $want")
+    // full replay with a different batch boundary: identical again
+    // (the census is order-free and exactly mergeable)
+    val got2 = run("qy2", Seq(obs.take(7), obs.drop(7)))
+    assert(got2 == want, s"replayed stream diverged:\n$got2\nvs $want")
+    // sanity on the published semantics: cut 1 keeps everything
+    assert(got(("books", 1)).docs_kept == 4L && got(("books", 1)).token_yield == 1.0)
+    // and the web cut curve is non-increasing in docs and tokens
+    val webCurve = (1 to 10).map(d => got(("web", d)))
+    assert(webCurve.sliding(2).forall(p => p(0).docs_kept >= p(1).docs_kept))
+    assert(webCurve.sliding(2).forall(p => p(0).tokens_kept >= p(1).tokens_kept))
+  }
 }
