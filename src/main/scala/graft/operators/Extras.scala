@@ -14,6 +14,58 @@ import graft.functions.GraftFunctions
 object Extras {
   import Tables._
 
+  /** The q195/q197 shared hashing pipeline: closed-form grid params
+    * for every doc_id ≡ 0 (mod 5) → real 32×32 PNG → REAL decode →
+    * 64-bit dHash. The grays expression is the single source of truth
+    * the DuckDB oracle mirrors ([[phashOracleCte]]); base image `b`
+    * and variant bit engineer the ground truth (see q195's comment). */
+  private def phashHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val params = documents(s, dir).filter($"doc_id" % 5 === 0)
+      .selectExpr("doc_id AS media_id",
+        "(doc_id div 5) div 2 AS b", "(doc_id div 5) % 2 AS variant")
+      .withColumn("grays", expr("""
+        transform(sequence(0, 63), i -> CAST(
+          8 * ((b * 37
+                + (CASE WHEN i = 1 THEN 0 ELSE i END) * 11
+                + ((CASE WHEN i = 1 THEN 0 ELSE i END)
+                   * (CASE WHEN i = 1 THEN 0 ELSE i END)) % 7) % 32)
+          + CASE WHEN variant = 1 AND i = 0 THEN 3 ELSE 0 END AS INT))"""))
+    m.dHash64(m.synthGridPng(params, g = 8, cellPx = 4), grid = 8)
+      .toDF("media_id", "phash")
+  }
+
+  /** Oracle twin of [[phashHashes]], ending in
+    * `hashes(media_id, u, phash)` (u = the unsigned 64-bit value, for
+    * half-band extraction). Shared by the q195 and q197 oracles. */
+  private val phashOracleCte: String = """params AS (
+          SELECT doc_id AS media_id, (doc_id // 5) // 2 AS b, (doc_id // 5) % 2 AS variant
+          FROM documents WHERE doc_id % 5 = 0),
+        cells AS (
+          SELECT media_id, i,
+            8 * ((b * 37
+                  + (CASE WHEN i = 1 THEN 0 ELSE i END) * 11
+                  + ((CASE WHEN i = 1 THEN 0 ELSE i END)
+                     * (CASE WHEN i = 1 THEN 0 ELSE i END)) % 7) % 32)
+            + CASE WHEN variant = 1 AND i = 0 THEN 3 ELSE 0 END AS v
+          FROM params, UNNEST(range(64)) AS t(i)),
+        bits AS (
+          SELECT a.media_id, a.i, CASE WHEN a.v > n.v THEN 1 ELSE 0 END AS bit
+          FROM cells a JOIN cells n ON n.media_id = a.media_id
+            AND n.i = (a.i - a.i % 8) + (a.i % 8 + 1) % 8),
+        uh AS (
+          SELECT media_id,
+            CAST(SUM(CASE WHEN i < 32 THEN bit * (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS HUGEINT) AS lo,
+            CAST(SUM(CASE WHEN i >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE 0 END) AS HUGEINT) AS hi
+          FROM bits GROUP BY media_id),
+        hashes AS (
+          SELECT media_id, hi * 4294967296 + lo AS u,
+            CAST(CASE WHEN hi * 4294967296 + lo >= CAST(9223372036854775808 AS HUGEINT)
+                 THEN hi * 4294967296 + lo - CAST(18446744073709551616 AS HUGEINT)
+                 ELSE hi * 4294967296 + lo END AS BIGINT) AS phash
+          FROM uh)"""
+
   def queries: Vector[Q] = Vector(
     // ---- A5: distinct partition values ------------------------------
     // (the reference runs a $group server-side to fan out per-partition
@@ -944,50 +996,11 @@ object Extras {
     Q("q195_phash_media_dedup",
       (s, dir) => {
         import s.implicits._
-        val m = graft.multimodal.Multimodal
-        // closed-form params: base image b, variant bit; the grays
-        // expression is the single source of truth the oracle mirrors
-        val params = documents(s, dir).filter($"doc_id" % 5 === 0)
-          .selectExpr("doc_id AS media_id",
-            "(doc_id div 5) div 2 AS b", "(doc_id div 5) % 2 AS variant")
-          .withColumn("grays", expr("""
-            transform(sequence(0, 63), i -> CAST(
-              8 * ((b * 37
-                    + (CASE WHEN i = 1 THEN 0 ELSE i END) * 11
-                    + ((CASE WHEN i = 1 THEN 0 ELSE i END)
-                       * (CASE WHEN i = 1 THEN 0 ELSE i END)) % 7) % 32)
-              + CASE WHEN variant = 1 AND i = 0 THEN 3 ELSE 0 END AS INT))"""))
-        val hashes = m.dHash64(m.synthGridPng(params, g = 8, cellPx = 4), grid = 8)
-          .toDF("media_id", "phash")
-        m.phashDupPairs(hashes).orderBy($"ida", $"idb")
+        graft.multimodal.Multimodal.phashDupPairs(phashHashes(s, dir))
+          .orderBy($"ida", $"idb")
       },
-      Some("""
-        WITH params AS (
-          SELECT doc_id AS media_id, (doc_id // 5) // 2 AS b, (doc_id // 5) % 2 AS variant
-          FROM documents WHERE doc_id % 5 = 0),
-        cells AS (
-          SELECT media_id, i,
-            8 * ((b * 37
-                  + (CASE WHEN i = 1 THEN 0 ELSE i END) * 11
-                  + ((CASE WHEN i = 1 THEN 0 ELSE i END)
-                     * (CASE WHEN i = 1 THEN 0 ELSE i END)) % 7) % 32)
-            + CASE WHEN variant = 1 AND i = 0 THEN 3 ELSE 0 END AS v
-          FROM params, UNNEST(range(64)) AS t(i)),
-        bits AS (
-          SELECT a.media_id, a.i, CASE WHEN a.v > n.v THEN 1 ELSE 0 END AS bit
-          FROM cells a JOIN cells n ON n.media_id = a.media_id
-            AND n.i = (a.i - a.i % 8) + (a.i % 8 + 1) % 8),
-        uh AS (
-          SELECT media_id,
-            CAST(SUM(CASE WHEN i < 32 THEN bit * (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS HUGEINT) AS lo,
-            CAST(SUM(CASE WHEN i >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE 0 END) AS HUGEINT) AS hi
-          FROM bits GROUP BY media_id),
-        hashes AS (
-          SELECT media_id, hi * 4294967296 + lo AS u,
-            CAST(CASE WHEN hi * 4294967296 + lo >= CAST(9223372036854775808 AS HUGEINT)
-                 THEN hi * 4294967296 + lo - CAST(18446744073709551616 AS HUGEINT)
-                 ELSE hi * 4294967296 + lo END AS BIGINT) AS phash
-          FROM uh),
+      Some(s"""
+        WITH $phashOracleCte,
         bands AS (
           SELECT media_id, phash, 0 AS band, CAST(u % 4294967296 AS BIGINT) AS half FROM hashes
           UNION ALL
@@ -996,6 +1009,59 @@ object Extras {
           SELECT DISTINCT a.media_id AS ida, b.media_id AS idb, a.phash AS ha, b.phash AS hb
           FROM bands a JOIN bands b ON a.band = b.band AND a.half = b.half AND a.media_id < b.media_id)
         SELECT ida, idb, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 1
+        ORDER BY ida, idb""")),
+
+    // ---- layered media dedup: exact collapse, then near-dup (q197) ----
+    // q195's media-id pair output is inherently quadratic on a
+    // dup-heavy lake (every pair of identical re-posts is a true
+    // hamming-0 pair — measured: 122 s at the 100× corpus, where 100k
+    // media rows share 64 distinct images and the output is ~C(1562,2)
+    // per family). The production path is the TEXT family's layering
+    // (exact dedup q25 BEFORE near-dup q26): collapse identical
+    // hashes to (representative = min media_id, copy count) — one
+    // 8-byte-key exchange — then band-join only the DISTINCT hashes.
+    // Output: near-dup REPRESENTATIVE pairs with both multiplicities,
+    // so downstream still knows the full dup mass without ever
+    // materializing the quadratic pair set. Scale shape: the exact
+    // layer is a partial-combined count per distinct hash; the band
+    // join's collision buckets hold distinct hashes only, so its work
+    // no longer grows with re-post counts — the 100× cell collapses
+    // from output-volume-bound to hash-cardinality-bound.
+    Q("q197_phash_dedup_layered",
+      (s, dir) => {
+        import s.implicits._
+        val reps = phashHashes(s, dir).groupBy($"phash")
+          .agg(min($"media_id").as("rep_id"), count(lit(1)).as("n_copies"))
+        val bands = reps.selectExpr("rep_id", "phash", "n_copies",
+          Dedup.halfBandsSql("phash"))
+        bands.as("pa").join(bands.as("pb"),
+            col("pa.band") === col("pb.band") && col("pa.half") === col("pb.half") &&
+            col("pa.rep_id") < col("pb.rep_id"))
+          .select(col("pa.rep_id").as("ida"), col("pb.rep_id").as("idb"),
+            col("pa.phash").as("ha"), col("pb.phash").as("hb"),
+            col("pa.n_copies").as("copies_a"), col("pb.n_copies").as("copies_b"))
+          .distinct()
+          .select($"ida", $"idb",
+            expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"),
+            $"copies_a", $"copies_b")
+          .filter($"hamming" <= 1)
+          .orderBy($"ida", $"idb")
+      },
+      Some(s"""
+        WITH $phashOracleCte,
+        reps AS (SELECT phash, MIN(media_id) AS rep_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies, MIN(u) AS u
+                 FROM hashes GROUP BY phash),
+        bands AS (
+          SELECT rep_id, phash, n_copies, 0 AS band, CAST(u % 4294967296 AS BIGINT) AS half FROM reps
+          UNION ALL
+          SELECT rep_id, phash, n_copies, 1 AS band, CAST(u // 4294967296 AS BIGINT) AS half FROM reps),
+        cand AS (
+          SELECT DISTINCT a.rep_id AS ida, b.rep_id AS idb, a.phash AS ha, b.phash AS hb,
+            a.n_copies AS copies_a, b.n_copies AS copies_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.half = b.half AND a.rep_id < b.rep_id)
+        SELECT ida, idb, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming, copies_a, copies_b
         FROM cand WHERE bit_count(xor(ha, hb)) <= 1
         ORDER BY ida, idb""")),
 
