@@ -412,6 +412,60 @@ object Multimodal {
       }).toDF("media_id", "media")
   }
 
+  /** Closed-form envelope synthesis: (media_id, amps ARRAY<INT>) rows
+    * → a real WAV of len(amps) segments, each `segSamples` samples of
+    * a ±amp square wave — the audio twin of [[synthGridPng]]. Every
+    * aligned window of a ±a square wave has RMS EXACTLY a (integer
+    * sum of squares, sqrt of a perfect square), so the decoded
+    * envelope is oracle-predictable from the amps alone. Map-only. */
+  def synthEnvelopeWav(params: DataFrame, segSamples: Int = 128): DataFrame = {
+    val spark = params.sparkSession
+    import spark.implicits._
+    params.select(col("media_id"), col("amps")).as[(Long, Array[Int])]
+      .mapPartitions(_.map { case (id, amps) =>
+        val samples = new Array[Int](amps.length * segSamples)
+        var k = 0
+        while (k < amps.length) {
+          var i = 0
+          while (i < segSamples) {
+            samples(k * segSamples + i) = if (i % 2 == 0) amps(k) else -amps(k)
+            i += 1
+          }
+          k += 1
+        }
+        (id, encodeWavPcm16(samples))
+      }).toDF("media_id", "media")
+  }
+
+  /** 64-bit temporal envelope hash — the audio member of the
+    * perceptual-fingerprint family ([[dHash64]] is the image one):
+    * decode (REAL codec), per-window RMS over `windowSamples`-sample
+    * windows, one bit per window set iff it outshines its circular
+    * successor (window (k+1) mod 64). Bits depend only on the
+    * LOUDNESS ORDER of the envelope, so gain-preserving re-encodes
+    * hash identically and the hamming-band pairing
+    * ([[phashDupPairs]]) applies unchanged. Map-only, 8 bytes out per
+    * blob; undecodable or short payloads hash toward the zero grid
+    * (missing windows read as silence). */
+  def envelopeHash64(media: DataFrame, windowSamples: Int = 128): Dataset[(Long, Long)] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val rms = new Array[Double](64)
+        JvmAudioCodec.windowEnergy(bytes, windowSamples).foreach {
+          case (idx, _, r, _) => if (idx < 64) rms(idx) = r
+        }
+        var h = 0L
+        var k = 0
+        while (k < 64) {
+          if (rms(k) > rms((k + 1) % 64)) h |= (1L << k)
+          k += 1
+        }
+        (id, h)
+      })
+  }
+
   /** g×g cell grid -> real PNG: each cell is a solid gray painted at
     * cellPx×cellPx pixels, encoded by ImageIO's lossless PNG writer —
     * the image-side fixture encoder (q152 discipline: genuine

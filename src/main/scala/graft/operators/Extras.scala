@@ -36,6 +36,83 @@ object Extras {
       .toDF("media_id", "phash")
   }
 
+  /** The q198 twin of [[phashHashes]] for AUDIO: closed-form 64-segment
+    * amplitude envelopes for every doc_id ≡ 1 (mod 5) → real WAV →
+    * REAL decode → 64-bit temporal envelope hash. Same engineered
+    * ground truth as q195 (segments 0 and 1 forced equal; the variant
+    * shifts segment 0 by +3, flipping exactly the (0, 1) comparison —
+    * the (63, 0) wraparound cannot flip because all amps are congruent
+    * mod 8), so every (original, variant) family is a TRUE hamming-1
+    * pair. */
+  private def envelopeHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val params = documents(s, dir).filter($"doc_id" % 5 === 1)
+      .selectExpr("doc_id AS media_id",
+        "(doc_id div 5) div 2 AS b", "(doc_id div 5) % 2 AS variant")
+      .withColumn("amps", expr("""
+        transform(sequence(0, 63), i -> CAST(
+          100 + 8 * ((b * 37
+                + (CASE WHEN i = 1 THEN 0 ELSE i END) * 11
+                + ((CASE WHEN i = 1 THEN 0 ELSE i END)
+                   * (CASE WHEN i = 1 THEN 0 ELSE i END)) % 7) % 32)
+          + CASE WHEN variant = 1 AND i = 0 THEN 3 ELSE 0 END AS INT))"""))
+    m.envelopeHash64(m.synthEnvelopeWav(params, segSamples = 128),
+      windowSamples = 128).toDF("media_id", "phash")
+  }
+
+  /** Oracle tail packing `bits(media_id, i, bit)` into
+    * `hashes(media_id, u, phash)` (u = unsigned 64-bit, for half-band
+    * extraction) — shared by the image (q195/q197) and audio (q198)
+    * fingerprint oracles. */
+  private val packHash64CteSql: String = """uh AS (
+          SELECT media_id,
+            CAST(SUM(CASE WHEN i < 32 THEN bit * (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS HUGEINT) AS lo,
+            CAST(SUM(CASE WHEN i >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE 0 END) AS HUGEINT) AS hi
+          FROM bits GROUP BY media_id),
+        hashes AS (
+          SELECT media_id, hi * 4294967296 + lo AS u,
+            CAST(CASE WHEN hi * 4294967296 + lo >= CAST(9223372036854775808 AS HUGEINT)
+                 THEN hi * 4294967296 + lo - CAST(18446744073709551616 AS HUGEINT)
+                 ELSE hi * 4294967296 + lo END AS BIGINT) AS phash
+          FROM uh)"""
+
+  /** Oracle tail: half-band join + popcount verify over `hashes`,
+    * emitting the (ida, idb, hamming ≤ 1) pair rows — shared by the
+    * q195 and q198 oracles. */
+  private val hamming1PairsTailSql: String = """bands AS (
+          SELECT media_id, phash, 0 AS band, CAST(u % 4294967296 AS BIGINT) AS half FROM hashes
+          UNION ALL
+          SELECT media_id, phash, 1 AS band, CAST(u // 4294967296 AS BIGINT) AS half FROM hashes),
+        cand AS (
+          SELECT DISTINCT a.media_id AS ida, b.media_id AS idb, a.phash AS ha, b.phash AS hb
+          FROM bands a JOIN bands b ON a.band = b.band AND a.half = b.half AND a.media_id < b.media_id)
+        SELECT ida, idb, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 1
+        ORDER BY ida, idb"""
+
+  /** Oracle twin of [[envelopeHashes]] — segment RMS of a ±a square
+    * wave is EXACTLY a and x ↦ x is order-preserving, so the bit
+    * construction runs on the closed-form amps directly; the neighbor
+    * is the CIRCULAR successor (i+1) mod 64 (the envelope has no row
+    * structure). */
+  private val envelopeOracleCte: String = s"""params AS (
+          SELECT doc_id AS media_id, (doc_id // 5) // 2 AS b, (doc_id // 5) % 2 AS variant
+          FROM documents WHERE doc_id % 5 = 1),
+        cells AS (
+          SELECT media_id, i,
+            100 + 8 * ((b * 37
+                  + (CASE WHEN i = 1 THEN 0 ELSE i END) * 11
+                  + ((CASE WHEN i = 1 THEN 0 ELSE i END)
+                     * (CASE WHEN i = 1 THEN 0 ELSE i END)) % 7) % 32)
+            + CASE WHEN variant = 1 AND i = 0 THEN 3 ELSE 0 END AS v
+          FROM params, UNNEST(range(64)) AS t(i)),
+        bits AS (
+          SELECT a.media_id, a.i, CASE WHEN a.v > n.v THEN 1 ELSE 0 END AS bit
+          FROM cells a JOIN cells n ON n.media_id = a.media_id
+            AND n.i = (a.i + 1) % 64),
+        $packHash64CteSql"""
+
   /** Oracle twin of [[phashHashes]], ending in
     * `hashes(media_id, u, phash)` (u = the unsigned 64-bit value, for
     * half-band extraction). Shared by the q195 and q197 oracles. */
@@ -1064,6 +1141,33 @@ object Extras {
         SELECT ida, idb, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming, copies_a, copies_b
         FROM cand WHERE bit_count(xor(ha, hb)) <= 1
         ORDER BY ida, idb""")),
+
+    // ---- audio envelope-hash dedup (q198) -----------------------------
+    // The AUDIO leg of the dedup × multimodal composition (q195 is the
+    // image leg): every selected doc becomes a REAL WAV of 64 aligned
+    // square-wave segments from closed-form amplitudes, the REAL audio
+    // codec decodes it back to per-window RMS (exactly the amplitude —
+    // integer sum of squares, sqrt of a perfect square), a 64-bit
+    // temporal envelope hash fingerprints the LOUDNESS ORDER (bit =
+    // window outshines its circular successor), and the same q61
+    // half-band join + popcount pairs near-dups. Ground truth mirrors
+    // q195: the variant copy shifts ONE segment by +3 so exactly one
+    // comparison flips — every (original, variant) family is a TRUE
+    // hamming-1 pair at exact pigeonhole recall, and the DuckDB oracle
+    // recomputes the hash from the amps alone, proving encode → WAV →
+    // decode → envelope → hash end to end. Scale shape identical to
+    // q195's: one map-only synthesis+decode+hash pass (audio bytes
+    // never exchange), 8 shuffled bytes per clip; a dup-heavy audio
+    // lake takes q197's exact-collapse layer first, unchanged.
+    Q("q198_audio_envelope_dedup",
+      (s, dir) => {
+        import s.implicits._
+        graft.multimodal.Multimodal.phashDupPairs(envelopeHashes(s, dir))
+          .orderBy($"ida", $"idb")
+      },
+      Some(s"""
+        WITH $envelopeOracleCte,
+        $hamming1PairsTailSql""")),
 
     // ---- join-key skew advisor (q157) --------------------------------
     // The pre-flight a 100 TB pipeline runs BEFORE committing to a big

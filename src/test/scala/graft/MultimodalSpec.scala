@@ -418,4 +418,29 @@ class MultimodalSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 100L)), pairs)
   }
+
+  test("q198 family: envelope hash is gain-invariant (real WAV round-trip); distinct envelopes stay apart") {
+    import spark.implicits._
+    // 4 distinct 64-segment envelopes; adjacent-amp gaps >= 45 so the
+    // comparisons are never razor-thin
+    val envs = (0 until 4).map { b =>
+      b.toLong -> Array.tabulate(64)(i => 100 + ((b * 7 + i * 3) % 16) * 15)
+    }
+    // the gain-shifted copy a normalizing pipeline produces: x3 on
+    // every sample — RMS scales exactly, loudness ORDER (the only
+    // thing the hash reads) is untouched
+    val all = envs :+ (100L -> envs.head._2.map(_ * 3))
+    val media = Multimodal.synthEnvelopeWav(
+      all.toDF("media_id", "amps"), segSamples = 128)
+    val hmap = Multimodal.envelopeHash64(media, windowSamples = 128)
+      .collect().toMap
+    for (a <- 0L until 4L; b <- (a + 1) until 4L)
+      assert(java.lang.Long.bitCount(hmap(a) ^ hmap(b)) >= 2, s"env $a vs $b too close")
+    assert(hmap(0L) == hmap(100L),
+      f"gain shift changed the hash: ${hmap(0L)}%016x vs ${hmap(100L)}%016x")
+    val pairs = Multimodal.phashDupPairs(
+      Multimodal.envelopeHash64(media, 128).toDF("media_id", "phash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 100L)), pairs)
+  }
 }
