@@ -466,6 +466,68 @@ object Multimodal {
       })
   }
 
+  /** Closed-form video synthesis from a gray sequence: (media_id,
+    * grays ARRAY<INT>) rows → a real MJPEG-AVI with one solid-gray
+    * w×h frame per gray — the video twin of [[synthGridPng]] /
+    * [[synthEnvelopeWav]]. JPEG is lossy, but identical grays encode
+    * to identical frame bytes (deterministic encoder) and a solid
+    * frame's decoded mean luminance sits within ±1 gray level of the
+    * source (MultimodalSpec-measured), so any ORDER over grays spaced
+    * ≥ 3 levels survives the round-trip exactly — the contract
+    * [[videoTemporalHash64]] and its oracle rest on. Map-only. */
+  def synthGrayVideo(params: DataFrame, w: Int = 8, h: Int = 8): DataFrame = {
+    val spark = params.sparkSession
+    import spark.implicits._
+    params.select(col("media_id"), col("grays")).as[(Long, Array[Int])]
+      .mapPartitions(_.map { case (id, grays) =>
+        (id, JvmVideoCodec.encodeMjpegAvi(
+          grays.toSeq.map(g => solidJpegCached(w, h, g)), w, h))
+      }).toDF("media_id", "media")
+  }
+
+  /** Per-executor cache for [[encodeSolidJpeg]]: a solid w×h frame has
+    * at most 256 distinct gray values, and ImageIO writer spin-up is
+    * ~ms per call — synthesizing a 64-frame clip per row would spend
+    * most of its map time re-encoding identical frames. Synthesis-side
+    * only (the DECODE path is never cached: it is the engine cost
+    * under measurement). */
+  private val solidJpegCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Byte]]()
+  private def solidJpegCached(w: Int, h: Int, gray: Int): Array[Byte] =
+    solidJpegCache.computeIfAbsent((w, h, gray & 0xff),
+      k => encodeSolidJpeg(k._1, k._2, k._3))
+
+  /** 64-bit temporal luminance hash — the VIDEO member of the
+    * perceptual-fingerprint family ([[dHash64]] spatial,
+    * [[envelopeHash64]] loudness): demux the REAL container, decode
+    * each frame's mean luminance (1×1 luminance grid), one bit per
+    * frame set iff it outshines its circular successor. Bits read the
+    * BRIGHTNESS ORDER of the frame sequence, so re-encodes that
+    * preserve frame order and approximate levels hash identically;
+    * the hamming-band pairing ([[phashDupPairs]]) applies unchanged.
+    * Map-only, 8 bytes out per clip; clips beyond 64 frames hash
+    * their first 64 (fingerprint the opening — trailer-length
+    * differences shouldn't break identity), shorter clips read
+    * missing frames as black. */
+  def videoTemporalHash64(media: DataFrame): Dataset[(Long, Long)] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val lum = new Array[Float](64)
+        JvmVideoCodec.demuxFrames(bytes, 1).foreach { case (idx, jpeg) =>
+          if (idx < 64) lum(idx) = JvmImageCodec.luminanceGrid(jpeg, 1)(0)
+        }
+        var h = 0L
+        var k = 0
+        while (k < 64) {
+          if (lum(k) > lum((k + 1) % 64)) h |= (1L << k)
+          k += 1
+        }
+        (id, h)
+      })
+  }
+
   /** g×g cell grid -> real PNG: each cell is a solid gray painted at
     * cellPx×cellPx pixels, encoded by ImageIO's lossless PNG writer —
     * the image-side fixture encoder (q152 discipline: genuine

@@ -1169,6 +1169,62 @@ object Extras {
         WITH $envelopeOracleCte,
         $hamming1PairsTailSql""")),
 
+    // ---- video temporal-hash dedup (q199) -----------------------------
+    // The VIDEO leg completing the dedup × multimodal triple (q195
+    // image, q198 audio): every selected doc becomes a REAL MJPEG-AVI
+    // of 64 solid-gray frames from closed-form params, the REAL
+    // container demux + JPEG decode recover each frame's mean
+    // luminance, a 64-bit temporal hash fingerprints the BRIGHTNESS
+    // ORDER (bit = frame outshines its circular successor), and the
+    // shared half-band join pairs near-dups. JPEG is lossy, so the
+    // oracle's exactness rests on a documented ORDER contract instead
+    // of value equality: distinct grays are spaced ≥ 8 levels and the
+    // measured solid-frame decode error is ≤ 1 level, so every
+    // comparison's outcome is provably identical on params and on
+    // decoded frames (equal grays → identical frame BYTES → exactly
+    // equal decodes; the +3 variant shift clears the 2-level error
+    // band). Ground truth mirrors q195/q198: one engineered
+    // comparison flips per (original, variant) family — true
+    // hamming-1 pairs at exact pigeonhole recall. Scale shape: one
+    // map-only synth+demux+decode+hash pass, 8 shuffled bytes per
+    // clip; dup-heavy lakes layer q197's exact collapse first.
+    Q("q199_video_temporal_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val m = graft.multimodal.Multimodal
+        val params = documents(s, dir).filter($"doc_id" % 5 === 2)
+          .selectExpr("doc_id AS media_id",
+            "(doc_id div 5) div 2 AS b", "(doc_id div 5) % 2 AS variant")
+          .withColumn("grays", expr("""
+            transform(sequence(0, 63), i -> CAST(
+              16 + 8 * ((b * 37
+                    + (CASE WHEN i = 1 THEN 0 ELSE i END) * 11
+                    + ((CASE WHEN i = 1 THEN 0 ELSE i END)
+                       * (CASE WHEN i = 1 THEN 0 ELSE i END)) % 7) % 28)
+              + CASE WHEN variant = 1 AND i = 0 THEN 3 ELSE 0 END AS INT))"""))
+        val hashes = m.videoTemporalHash64(m.synthGrayVideo(params, w = 8, h = 8))
+          .toDF("media_id", "phash")
+        m.phashDupPairs(hashes).orderBy($"ida", $"idb")
+      },
+      Some(s"""
+        WITH params AS (
+          SELECT doc_id AS media_id, (doc_id // 5) // 2 AS b, (doc_id // 5) % 2 AS variant
+          FROM documents WHERE doc_id % 5 = 2),
+        cells AS (
+          SELECT media_id, i,
+            16 + 8 * ((b * 37
+                  + (CASE WHEN i = 1 THEN 0 ELSE i END) * 11
+                  + ((CASE WHEN i = 1 THEN 0 ELSE i END)
+                     * (CASE WHEN i = 1 THEN 0 ELSE i END)) % 7) % 28)
+            + CASE WHEN variant = 1 AND i = 0 THEN 3 ELSE 0 END AS v
+          FROM params, UNNEST(range(64)) AS t(i)),
+        bits AS (
+          SELECT a.media_id, a.i, CASE WHEN a.v > n.v THEN 1 ELSE 0 END AS bit
+          FROM cells a JOIN cells n ON n.media_id = a.media_id
+            AND n.i = (a.i + 1) % 64),
+        $packHash64CteSql,
+        $hamming1PairsTailSql""")),
+
     // ---- join-key skew advisor (q157) --------------------------------
     // The pre-flight a 100 TB pipeline runs BEFORE committing to a big
     // join or aggregation on a key: the key-frequency distribution of

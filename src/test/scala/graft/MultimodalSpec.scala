@@ -443,4 +443,31 @@ class MultimodalSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 100L)), pairs)
   }
+
+  test("q199 family: temporal hash survives per-frame JPEG re-encode + re-mux; distinct sequences stay apart") {
+    import spark.implicits._
+    // 4 distinct 64-frame gray sequences, gaps >= 12 levels so the
+    // brightness ORDER survives lossy re-encoding noise
+    val seqs = (0 until 4).map { b =>
+      b.toLong -> Array.tabulate(64)(i => 16 + ((b * 7 + i * 3) % 16) * 12)
+    }
+    val base = Multimodal.synthGrayVideo(seqs.toDF("media_id", "grays"), w = 8, h = 8)
+    // the re-posted copy: demux clip 0, re-encode every frame at JPEG
+    // quality 0.8, re-mux into a fresh container
+    val bytes0 = base.filter($"media_id" === 0L)
+      .select("media").collect().head.getAs[Array[Byte]](0)
+    val reenc = JvmVideoCodec.encodeMjpegAvi(
+      JvmVideoCodec.demuxFrames(bytes0, 1)
+        .map { case (_, jpeg) => Multimodal.reencodeJpeg(jpeg, 0.8f).get }, 8, 8)
+    val media = base.union(Seq((100L, reenc)).toDF("media_id", "media"))
+    val hmap = Multimodal.videoTemporalHash64(media).collect().toMap
+    for (a <- 0L until 4L; b <- (a + 1) until 4L)
+      assert(java.lang.Long.bitCount(hmap(a) ^ hmap(b)) >= 2, s"clip $a vs $b too close")
+    assert(java.lang.Long.bitCount(hmap(0L) ^ hmap(100L)) <= 1,
+      f"re-encode drifted: ${hmap(0L)}%016x vs ${hmap(100L)}%016x")
+    val pairs = Multimodal.phashDupPairs(
+      Multimodal.videoTemporalHash64(media).toDF("media_id", "phash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 100L)), pairs)
+  }
 }
