@@ -528,6 +528,26 @@ object Multimodal {
       })
   }
 
+  /** Distinct frame-sequence shingles per clip — the video twin of the
+    * text family's 3-gram shingles: demux the REAL container, decode
+    * each frame's mean luminance, and emit every distinct window of
+    * `n` consecutive frame fingerprints as one string. Identical
+    * source frames encode to identical bytes and decode to EXACTLY
+    * equal floats, so a clip cut from a longer video shares its
+    * interior shingles verbatim — the signal containment detection
+    * ([[graft.operators.Extras]] q200) joins on. Map-only fan-out. */
+  def videoShingles(media: DataFrame, n: Int = 3): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val lums = JvmVideoCodec.demuxFrames(bytes, 1).sortBy(_._1)
+          .map { case (_, jpeg) => JvmImageCodec.luminanceGrid(jpeg, 1)(0).toString }
+        lums.sliding(n).filter(_.length == n).map(_.mkString("|"))
+          .toSet[String].iterator.map(s => (id, s))
+      }).toDF("media_id", "sh")
+  }
+
   /** g×g cell grid -> real PNG: each cell is a solid gray painted at
     * cellPx×cellPx pixels, encoded by ImageIO's lossless PNG writer —
     * the image-side fixture encoder (q152 discipline: genuine

@@ -1225,6 +1225,92 @@ object Extras {
         $packHash64CteSql,
         $hamming1PairsTailSql""")),
 
+    // ---- video clip containment (q200) --------------------------------
+    // Excerpt detection for media — q128's asymmetric-containment
+    // discipline applied to video: a 12-frame clip cut from a 24-frame
+    // original shares ~all its frame-sequence shingles with it but
+    // only ~half the other way, so Jaccard under-reports while
+    // containment = shared / min(|A|, |B|) reads 1.0. Frames are
+    // fingerprinted by REAL demux + decode (identical source frames →
+    // identical bytes → exactly equal decoded luminance, so the clip's
+    // interior 3-frame shingles match the original's verbatim);
+    // candidates come from a df ≤ 8 rare-shingle join (q128's cap: a
+    // shingle shared by many clips carries no containment evidence);
+    // the verify counts shared shingles over the FULL sets. The corpus
+    // engineers ground truth: variant media are frames [8, 19] of
+    // their base (a true clip — containment exactly 1.0 over its 10
+    // shingles); the oracle recomputes shingles from the closed-form
+    // grays alone (the gray → decoded-luminance map is injective on
+    // grays spaced ≥ 8 levels, so the SHINGLE EQUALITY STRUCTURE — the
+    // only thing the counts read — is identical on params and frames).
+    // Scale: one map-only demux+decode+shingle pass; the candidate
+    // join is rare-shingle-bounded; the verify joins pair × shingle on
+    // candidate pairs only (q128's class, never all-pairs).
+    Q("q200_video_clip_containment",
+      (s, dir) => {
+        import s.implicits._
+        val m = graft.multimodal.Multimodal
+        val params = documents(s, dir).filter($"doc_id" % 5 === 3)
+          .selectExpr("doc_id AS media_id",
+            "(doc_id div 5) div 2 AS b", "(doc_id div 5) % 2 AS variant")
+          .withColumn("grays", expr("""
+            transform(sequence(CASE WHEN variant = 1 THEN 8 ELSE 0 END,
+                               CASE WHEN variant = 1 THEN 19 ELSE 23 END),
+              i -> CAST(16 + 8 * ((b * 37 + i * 11 + (i * i) % 7) % 28) AS INT))"""))
+        val dsh = m.videoShingles(m.synthGrayVideo(params, w = 8, h = 8), n = 3)
+          .localCheckpoint(false)   // feeds card, candidates AND verify — compute once
+        val card = dsh.groupBy($"media_id").agg(count(lit(1)).as("n"))
+        val rare = dsh.groupBy($"sh").agg(count(lit(1)).as("dfm"))
+          .filter($"dfm" <= 8).select($"sh")
+        val rdsh = dsh.join(rare, "sh")
+        val cand = rdsh.as("a").join(rdsh.as("b"),
+            $"a.sh" === $"b.sh" && $"a.media_id" < $"b.media_id")
+          .select($"a.media_id".as("ida"), $"b.media_id".as("idb")).distinct()
+        val shared = cand
+          .join(dsh.as("x"), $"x.media_id" === $"ida")
+          .join(dsh.as("y"), $"y.media_id" === $"idb" && $"y.sh" === $"x.sh")
+          .groupBy($"ida", $"idb").agg(count(lit(1)).as("shared"))
+        shared
+          .join(card.select($"media_id".as("ida"), $"n".as("na")), "ida")
+          .join(card.select($"media_id".as("idb"), $"n".as("nb")), "idb")
+          .select($"ida", $"idb", $"shared",
+            round($"shared".cast(DoubleType) / least($"na", $"nb"), 6).as("containment"))
+          .filter($"containment" >= 0.5)
+          .orderBy($"ida", $"idb")
+      },
+      Some("""
+        WITH params AS (
+          SELECT doc_id AS media_id, (doc_id // 5) // 2 AS b, (doc_id // 5) % 2 AS variant
+          FROM documents WHERE doc_id % 5 = 3),
+        frames AS (
+          SELECT media_id, i, 16 + 8 * ((b * 37 + i * 11 + (i * i) % 7) % 28) AS g
+          FROM params, UNNEST(range(64)) AS t(i)
+          WHERE i BETWEEN CASE WHEN variant = 1 THEN 8 ELSE 0 END
+                      AND CASE WHEN variant = 1 THEN 19 ELSE 23 END),
+        sh AS (
+          SELECT f0.media_id,
+            CAST(f0.g AS VARCHAR) || '|' || CAST(f1.g AS VARCHAR) || '|' || CAST(f2.g AS VARCHAR) AS s
+          FROM frames f0
+          JOIN frames f1 ON f1.media_id = f0.media_id AND f1.i = f0.i + 1
+          JOIN frames f2 ON f2.media_id = f0.media_id AND f2.i = f0.i + 2),
+        dsh AS (SELECT DISTINCT media_id, s FROM sh),
+        card AS (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n FROM dsh GROUP BY media_id),
+        rare AS (SELECT s FROM dsh GROUP BY s HAVING COUNT(*) <= 8),
+        rdsh AS (SELECT dsh.* FROM dsh JOIN rare USING (s)),
+        cand AS (SELECT DISTINCT a.media_id AS ida, b.media_id AS idb
+                 FROM rdsh a JOIN rdsh b ON b.s = a.s AND a.media_id < b.media_id),
+        shr AS (SELECT c.ida, c.idb, CAST(COUNT(*) AS BIGINT) AS shared
+                FROM cand c
+                JOIN dsh x ON x.media_id = c.ida
+                JOIN dsh y ON y.media_id = c.idb AND y.s = x.s
+                GROUP BY c.ida, c.idb)
+        SELECT s2.ida, s2.idb, s2.shared,
+          ROUND(CAST(s2.shared AS DOUBLE) / LEAST(ca.n, cb.n), 6) AS containment
+        FROM shr s2 JOIN card ca ON ca.media_id = s2.ida
+        JOIN card cb ON cb.media_id = s2.idb
+        WHERE ROUND(CAST(s2.shared AS DOUBLE) / LEAST(ca.n, cb.n), 6) >= 0.5
+        ORDER BY s2.ida, s2.idb""")),
+
     // ---- join-key skew advisor (q157) --------------------------------
     // The pre-flight a 100 TB pipeline runs BEFORE committing to a big
     // join or aggregation on a key: the key-frequency distribution of

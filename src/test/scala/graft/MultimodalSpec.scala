@@ -470,4 +470,22 @@ class MultimodalSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 100L)), pairs)
   }
+
+  test("q200 family: a cut clip's frame shingles are a strict subset of its original's (containment 1.0), via real demux") {
+    import spark.implicits._
+    // 24 non-repeating frame grays; the clip is frames [8, 19]
+    val grays = Array.tabulate(24)(i => 16 + ((i * 11 + (i * i) % 7) % 28) * 8)
+    val other = Array.tabulate(24)(i => 16 + ((i * 13 + 5) % 28) * 8)
+    val media = Multimodal.synthGrayVideo(Seq(
+      (0L, grays), (1L, grays.slice(8, 20)), (2L, other))
+      .toDF("media_id", "grays"), w = 8, h = 8)
+    val dsh = Multimodal.videoShingles(media, n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byId = dsh.groupBy(_._1).map { case (id, rows) => id -> rows.map(_._2).toSet }
+    assert(byId(0L).size == 22 && byId(1L).size == 10, byId.view.mapValues(_.size).toMap)
+    // the clip's shingles sit INSIDE the original's — containment 1.0
+    assert(byId(1L).subsetOf(byId(0L)), "clip shingles must match the original's verbatim")
+    // an unrelated clip shares nothing
+    assert(byId(2L).intersect(byId(0L)).isEmpty)
+  }
 }
