@@ -1250,13 +1250,21 @@ object Extras {
       (s, dir) => {
         import s.implicits._
         val m = graft.multimodal.Multimodal
+        // md5-based grays (the q96 cross-engine hash idiom): a
+        // POLYNOMIAL gray formula collapses to b mod 28 family classes
+        // (only 28 residues fit the 8-level-spaced gray range), so at
+        // sf0.1's 1000 media every shingle's df blows past the rare
+        // cap and the output degenerates to empty; hashed grays keep
+        // families distinct at ANY corpus scale (a collision needs 24
+        // simultaneous md5 matches)
         val params = documents(s, dir).filter($"doc_id" % 5 === 3)
           .selectExpr("doc_id AS media_id",
             "(doc_id div 5) div 2 AS b", "(doc_id div 5) % 2 AS variant")
           .withColumn("grays", expr("""
             transform(sequence(CASE WHEN variant = 1 THEN 8 ELSE 0 END,
                                CASE WHEN variant = 1 THEN 19 ELSE 23 END),
-              i -> CAST(16 + 8 * ((b * 37 + i * 11 + (i * i) % 7) % 28) AS INT))"""))
+              i -> CAST(16 + 8 * (CAST(conv(substring(md5(concat(
+                     CAST(b AS STRING), '|', CAST(i AS STRING))), 1, 6), 16, 10) AS BIGINT) % 28) AS INT))"""))
         val dsh = m.videoShingles(m.synthGrayVideo(params, w = 8, h = 8), n = 3)
           .localCheckpoint(false)   // feeds card, candidates AND verify — compute once
         val card = dsh.groupBy($"media_id").agg(count(lit(1)).as("n"))
@@ -1283,7 +1291,8 @@ object Extras {
           SELECT doc_id AS media_id, (doc_id // 5) // 2 AS b, (doc_id // 5) % 2 AS variant
           FROM documents WHERE doc_id % 5 = 3),
         frames AS (
-          SELECT media_id, i, 16 + 8 * ((b * 37 + i * 11 + (i * i) % 7) % 28) AS g
+          SELECT media_id, i,
+            16 + 8 * (('0x' || substr(md5(CAST(b AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 6))::BIGINT % 28) AS g
           FROM params, UNNEST(range(64)) AS t(i)
           WHERE i BETWEEN CASE WHEN variant = 1 THEN 8 ELSE 0 END
                       AND CASE WHEN variant = 1 THEN 19 ELSE 23 END),
