@@ -161,6 +161,70 @@ object RetrievalOps {
   private val K1 = 1.2
   private val B = 0.75
 
+  /** The q145 bag-of-words query — shared verbatim by q201's sparse
+    * leg so the fusion audits the SAME retrieval the standalone query
+    * publishes. */
+  private val QueryTerms = Seq("window", "spark", "merge")
+
+  /** `(doc_id, dl, tok, tf)` — ONE map-only corpus pass through the
+    * `token_tf` codegen kernel (doc length rides along row-locally; no
+    * occurrence-level explode). The single tf construction behind
+    * q145's sparse scoring and q201's hashed-feature doc vectors. */
+  private def docTf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    Dedup.withToks(documents(s, dir))
+      .select($"doc_id", size($"toks").as("dl"),
+        explode(expr("token_tf(toks)")).as("kv"))
+      .select($"doc_id", $"dl", $"kv.tok".as("tok"), $"kv.tf".as("tf"))
+  }
+
+  /** 1-row corpus-constant frame (n_docs, tot) — BIGINT sums, order
+    * free; avgdl is derived downstream in ONE double division. */
+  private def bm25Consts(s: SparkSession, dir: String): DataFrame =
+    Dedup.withToks(documents(s, dir))
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("tot"))
+
+  /** BM25 per doc over a TERMS-FILTERED tf frame: df = COUNT OVER
+    * (PARTITION BY tok) on the filtered frame (the only exchange
+    * carries |terms| x |matching docs| rows), rational log-free idf,
+    * per-term partials summed through DECIMAL(28,6) — order
+    * insensitive, so map-side combine can't reorder float error.
+    * Returns `(doc_id, n_terms, bm25)`. */
+  private def bm25PerDoc(tfq: DataFrame, consts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    val scored = tfq
+      .withColumn("dfc", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .crossJoin(bc(consts))
+      .withColumn("avgdl", col("tot").cast(DoubleType) / col("n_docs"))
+      .withColumn("part", round(
+        ((col("n_docs") - col("dfc") + 0.5) / (col("dfc") + 0.5)) *
+          (col("tf") * (K1 + 1.0)) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl") / col("avgdl")))), 6))
+    scored.groupBy(col("doc_id"))
+      .agg(sum(col("part").cast(DecimalType(28, 6))).cast(DoubleType).as("bm25"),
+        count(lit(1)).as("n_terms"))
+  }
+
+  /** Oracle twin of [[docTf]]+[[bm25Consts]]+[[bm25PerDoc]]: CTE chain
+    * ending in `bm(doc_id, n_terms, bm25)` over a term predicate.
+    * Must follow `$toksCte,`. */
+  private def bm25CteSql(termPred: String): String = s"""
+        consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                          CAST(SUM(len(w)) AS BIGINT) AS tot FROM toksc),
+        tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM
+                 (SELECT doc_id, len(w) AS dl, UNNEST(w) AS tok FROM toksc) u
+               WHERE $termPred GROUP BY 1, 2, 3),
+        scored AS (SELECT doc_id,
+            ROUND(((n_docs - dfc + 0.5) / (dfc + 0.5)) * (tf * ${K1 + 1.0}) /
+              (tf + $K1 * ((1.0 - $B) + $B * (dl / (CAST(tot AS DOUBLE) / n_docs)))), 6) AS part
+          FROM (SELECT doc_id, dl, tf,
+                  CAST(COUNT(*) OVER (PARTITION BY tok) AS BIGINT) AS dfc
+                FROM tf) f CROSS JOIN consts),
+        bm AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                 CAST(SUM(CAST(part AS DECIMAL(28,6))) AS DOUBLE) AS bm25
+               FROM scored GROUP BY doc_id)"""
+
   /** Hard cap on the string length the FastSS neighborhood expands.
     * The D<=2 fan-out is 1 + L + C(L,2) = O(L^2) — fine for the 7-12
     * char names it was built for (~79 variants), but a stray 1 KB
@@ -227,50 +291,17 @@ object RetrievalOps {
     Q("q145_bm25_topk",
       (s, dir) => {
         import s.implicits._
-        graft.functions.GraftFunctions.register(s)
-        val terms = Seq("window", "spark", "merge")
-        val docs = documents(s, dir)
-        // corpus constants: n_docs + exact total token count (BIGINT
-        // sums — order-free), avgdl derived in ONE double division
-        val consts = Dedup.withToks(docs)
-          .agg(count(lit(1)).as("n_docs"), sum(size($"toks")).as("tot"))
-        val tf = Dedup.withToks(docs)
-          .select($"doc_id", size($"toks").as("dl"),
-            explode(expr("token_tf(toks)")).as("kv"))
-          .select($"doc_id", $"dl", $"kv.tok".as("tok"), $"kv.tf".as("tf"))
-          .where($"tok".isin(terms: _*))
-        val scored = tf
-          .withColumn("dfc", count(lit(1)).over(Window.partitionBy($"tok")))
-          .crossJoin(broadcast(consts))
-          .withColumn("avgdl", $"tot".cast(DoubleType) / $"n_docs")
-          .withColumn("part", round(
-            (($"n_docs" - $"dfc" + 0.5) / ($"dfc" + 0.5)) *
-              ($"tf" * (K1 + 1.0)) /
-              ($"tf" + lit(K1) * (lit(1.0 - B) + lit(B) * ($"dl" / $"avgdl"))), 6))
-        scored.groupBy($"doc_id")
-          .agg(sum($"part".cast(DecimalType(28, 6))).cast(DoubleType).as("bm25"),
-            count(lit(1)).as("n_terms"))
+        val tfq = docTf(s, dir).where($"tok".isin(QueryTerms: _*))
+        bm25PerDoc(tfq, bm25Consts(s, dir))
           .orderBy($"bm25".desc, $"doc_id")
           .limit(10)
           .select($"doc_id", $"n_terms", $"bm25")
       },
       Some(s"""
         WITH $toksCte,
-        consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-                          CAST(SUM(len(w)) AS BIGINT) AS tot FROM toksc),
-        tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM
-                 (SELECT doc_id, len(w) AS dl, UNNEST(w) AS tok FROM toksc) u
-               WHERE tok IN ('window', 'spark', 'merge') GROUP BY 1, 2, 3),
-        scored AS (SELECT doc_id,
-            ROUND(((n_docs - dfc + 0.5) / (dfc + 0.5)) * (tf * ${K1 + 1.0}) /
-              (tf + $K1 * ((1.0 - $B) + $B * (dl / (CAST(tot AS DOUBLE) / n_docs)))), 6) AS part
-          FROM (SELECT doc_id, dl, tf,
-                  CAST(COUNT(*) OVER (PARTITION BY tok) AS BIGINT) AS dfc
-                FROM tf) f CROSS JOIN consts)
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
-          CAST(SUM(CAST(part AS DECIMAL(28,6))) AS DOUBLE) AS bm25
-        FROM scored GROUP BY doc_id
-        ORDER BY bm25 DESC, doc_id LIMIT 10""")),
+        ${bm25CteSql(s"tok IN (${QueryTerms.map(t => s"'$t'").mkString(", ")})")}
+        SELECT doc_id, n_terms, bm25
+        FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10""")),
 
     // ---- FastSS fuzzy join (q146) ------------------------------------
     // All distinct part-name pairs within edit distance <= 2 — entity
@@ -776,6 +807,122 @@ object RetrievalOps {
           ROUND(CAST(SUM(cnt * nsym) AS DOUBLE) / SUM(cnt), 6) AS fertility,
           ROUND(CAST(SUM(CASE WHEN nsym = 1 THEN cnt ELSE 0 END) AS DOUBLE)
             / SUM(cnt), 6) AS single_token_frac
-        FROM enc GROUP BY lang ORDER BY lang"""))
+        FROM enc GROUP BY lang ORDER BY lang""")),
+
+    // ---- hybrid dense+sparse retrieval with RRF fusion (q201) --------
+    // The RAG-serving primitive the registry still lacked: fuse a
+    // lexical BM25 leg with a vector-similarity leg by Reciprocal Rank
+    // Fusion (Cormack et al., SIGIR 2009: score = Σ 1/(60 + rank) over
+    // the lists a doc appears in — rank-only, so the two legs'
+    // incomparable score scales never meet). The sparse leg is q145's
+    // scoring VERBATIM (shared [[bm25PerDoc]] construction — the fusion
+    // retrieves exactly what the standalone query publishes, top-50).
+    // The dense leg embeds every doc with the hashing trick (Weinberger
+    // et al., ICML 2009): 16 dims, dim = md5(tok) hex-digit 1, sign =
+    // parity of hex-digit 9, weight = Σ sign·tf — and ranks by cosine
+    // against the SAME featurization of the query bag. All dot/norm
+    // arithmetic is INTEGER until one final sqrt+divide (exact-input
+    // doubles < 2^53 — bit-identical across engines, the q103/q135
+    // integer-scaling discipline); docs whose hashed vector has zero
+    // dot with the query subspace exit the dense leg by contract.
+    //
+    // Scale: each leg is one map-only corpus pass (shared [[docTf]]
+    // kernel) into a partial-combined aggregate — the dense doc-vector
+    // frame is ≤ 16 rows per doc BY CONSTRUCTION, the query vector and
+    // corpus constants are broadcast scalars (whitelisted 1-row/16-row
+    // BNLJ class), and each leg's top-50 is orderBy.limit →
+    // TakeOrderedAndProject (distributed heap), never a global rank
+    // window over the corpus. Ranks are then derived on the ≤ 50-row
+    // frames by a k² theta self-join (q134's whitelisted class) — no
+    // single-partition window anywhere. The fusion join is two 50-row
+    // frames. At 100 TB: two corpus scans, two bounded exchanges, one
+    // O(k) result.
+    Q("q201_hybrid_retrieval",
+      (s, dir) => {
+        import s.implicits._
+        val tf = docTf(s, dir)
+        // deterministic rank over a ≤50-row frame WITHOUT a global
+        // window (the lint forbids empty-PARTITION-BY WindowExec even
+        // on bounded input): rank = 1 + |better rows|, a k² = 2500
+        // theta self-join — q134's whitelisted cumulative-theta class
+        def rankBounded(top: DataFrame, score: String, as: String): DataFrame = {
+          val b = top.select(col(score).as("s2"), col("doc_id").as("id2"))
+          top.join(broadcast(b),
+              col("s2") > col(score) ||
+                (col("s2") === col(score) && col("id2") < col("doc_id")), "left")
+            .groupBy(col("doc_id"))
+            .agg((count(col("id2")) + 1).cast(IntegerType).as(as))
+        }
+        // ---- sparse leg: q145's BM25, top-50 with ranks -------------
+        val sparseTop = bm25PerDoc(tf.where($"tok".isin(QueryTerms: _*)),
+            bm25Consts(s, dir))
+          .orderBy($"bm25".desc, $"doc_id").limit(50)
+        val sp = rankBounded(sparseTop, "bm25", "r_sparse")
+        // ---- dense leg: hashed-feature cosine, top-50 with ranks ----
+        def hdim(c: org.apache.spark.sql.Column) =
+          conv(substring(md5(c), 1, 1), 16, 10).cast(IntegerType)
+        def hsign(c: org.apache.spark.sql.Column) =
+          when(conv(substring(md5(c), 9, 1), 16, 10).cast(IntegerType) % 2 === 0,
+            lit(1L)).otherwise(lit(-1L))
+        val dvec = tf.groupBy($"doc_id", hdim($"tok").as("dim"))
+          .agg(sum(hsign($"tok") * $"tf").as("wt"))
+        val qvec = QueryTerms.toDF("tok")
+          .select(hdim($"tok").as("dim"), hsign($"tok").as("sgn"))
+          .groupBy($"dim").agg(sum($"sgn").as("qwt"))
+        val qn = qvec.agg(sum($"qwt" * $"qwt").as("qn2"))
+        val dagg = dvec.join(broadcast(qvec), Seq("dim"), "left")
+          .groupBy($"doc_id")
+          .agg(sum($"wt" * coalesce($"qwt", lit(0L))).as("dot"),
+            sum($"wt" * $"wt").as("dn2"))
+        val denseTop = dagg.where($"dot" =!= 0L)
+          .crossJoin(broadcast(qn))
+          .withColumn("cos", round($"dot".cast(DoubleType) /
+            sqrt($"dn2".cast(DoubleType) * $"qn2"), 6))
+          .orderBy($"cos".desc, $"doc_id").limit(50)
+        val dn = rankBounded(denseTop, "cos", "r_dense")
+        // ---- RRF fusion over the two bounded candidate lists --------
+        sp.join(dn, Seq("doc_id"), "full_outer")
+          .withColumn("rrf", round(
+            coalesce(lit(1.0) / (lit(60) + $"r_sparse"), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + $"r_dense"), lit(0.0)), 6))
+          .orderBy($"rrf".desc, $"doc_id").limit(10)
+          .select($"doc_id", $"r_sparse", $"r_dense", $"rrf")
+      },
+      Some(s"""
+        WITH $toksCte,
+        ${bm25CteSql(s"tok IN (${QueryTerms.map(t => s"'$t'").mkString(", ")})")},
+        sp AS (SELECT doc_id, CAST(rs AS INT) AS r_sparse FROM
+                 (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rs
+                  FROM bm) r WHERE rs <= 50),
+        tfall AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+                  FROM (SELECT doc_id, UNNEST(w) AS tok FROM toksc) u
+                  WHERE len(tok) > 0 GROUP BY 1, 2),
+        dvec AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 1))::INT AS dim,
+                   CAST(SUM(CASE WHEN ('0x' || substr(md5(tok), 9, 1))::INT % 2 = 0
+                                 THEN tf ELSE -tf END) AS BIGINT) AS wt
+                 FROM tfall GROUP BY 1, 2),
+        qterms AS (SELECT tok FROM (VALUES ('window'), ('spark'), ('merge')) t(tok)),
+        qvec AS (SELECT ('0x' || substr(md5(tok), 1, 1))::INT AS dim,
+                   CAST(SUM(CASE WHEN ('0x' || substr(md5(tok), 9, 1))::INT % 2 = 0
+                                 THEN 1 ELSE -1 END) AS BIGINT) AS qwt
+                 FROM qterms GROUP BY 1),
+        qn AS (SELECT CAST(SUM(qwt * qwt) AS BIGINT) AS qn2 FROM qvec),
+        dagg AS (SELECT d.doc_id,
+                   CAST(SUM(d.wt * COALESCE(q.qwt, 0)) AS BIGINT) AS dot,
+                   CAST(SUM(d.wt * d.wt) AS BIGINT) AS dn2
+                 FROM dvec d LEFT JOIN qvec q USING (dim) GROUP BY 1),
+        dsc AS (SELECT doc_id, ROUND(CAST(dot AS DOUBLE) /
+                   sqrt(CAST(dn2 AS DOUBLE) * qn2), 6) AS cos
+                FROM dagg CROSS JOIN qn WHERE dot <> 0),
+        dn AS (SELECT doc_id, CAST(rd AS INT) AS r_dense FROM
+                 (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rd
+                  FROM dsc) r WHERE rd <= 50),
+        fused AS (SELECT COALESCE(sp.doc_id, dn.doc_id) AS doc_id,
+                    sp.r_sparse, dn.r_dense,
+                    ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + sp.r_sparse), 0) +
+                          COALESCE(CAST(1 AS DOUBLE) / (60 + dn.r_dense), 0), 6) AS rrf
+                  FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id)
+        SELECT doc_id, r_sparse, r_dense, rrf FROM fused
+        ORDER BY rrf DESC, doc_id LIMIT 10"""))
   )
 }

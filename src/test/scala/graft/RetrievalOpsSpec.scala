@@ -352,4 +352,72 @@ class RetrievalOpsSpec extends SparkSuite {
     assert(got.map(_._2).sum == q159.map(_.getLong(1)).sum)
     assert(got.map(_._3).sum == q159.map(_.getLong(3)).sum)
   }
+
+  test("q201 hybrid RRF equals an independent in-memory replay of both legs and the fusion") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString
+    }
+    val terms = Seq("window", "spark", "merge")
+    val docs = graft.operators.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // tokenization twin of Dedup.withToks: split keeps trailing empties
+    val toks = docs.map { case (id, t) => id -> t.toLowerCase.split("\\W+", -1).toSeq }
+    // ---- sparse leg: BM25 replay --------------------------------------
+    val nDocs = toks.size.toLong
+    val tot = toks.map(_._2.size.toLong).sum
+    val avgdl = tot.toDouble / nDocs
+    val tfq = toks.flatMap { case (id, w) =>
+      w.filter(terms.contains).groupBy(identity)
+        .map { case (tok, os) => (id, w.size.toLong, tok, os.size.toLong) } }
+    val dfc = tfq.groupBy(_._3).map { case (tok, rs) => tok -> rs.size.toLong }
+    val bm = tfq.groupBy(_._1).map { case (id, rs) =>
+      val parts = rs.map { case (_, dl, tok, tf) =>
+        val d = dfc(tok)
+        r6(((nDocs - d + 0.5) / (d + 0.5)) * (tf * 2.2) /
+          (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+      }
+      id -> parts.map(BigDecimal(_)).sum.toDouble
+    }
+    val spTop = bm.toSeq.sortBy { case (id, s) => (-s, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    // ---- dense leg: hashing-trick cosine replay -----------------------
+    def dim(tok: String) = Integer.parseInt(md5hex(tok).substring(0, 1), 16)
+    def sgn(tok: String) = if (Integer.parseInt(md5hex(tok).substring(8, 9), 16) % 2 == 0) 1L else -1L
+    def vec(ws: Seq[String]): Map[Int, Long] = ws.filter(_.nonEmpty)
+      .groupBy(identity).toSeq
+      .map { case (tok, os) => dim(tok) -> sgn(tok) * os.size }
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+      .filter(_._2 != 0L) // zero-weight dims don't alter dot or norm
+    val qv = terms.map(t => dim(t) -> sgn(t))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+    val qn2 = qv.values.map(w => w * w).sum
+    val dsc = toks.flatMap { case (id, ws) =>
+      val dv = vec(ws)
+      val dot = dv.map { case (d, w) => w * qv.getOrElse(d, 0L) }.sum
+      val dn2 = dv.values.map(w => w * w).sum
+      if (dot != 0L) Some(id -> r6(dot.toDouble / math.sqrt(dn2.toDouble * qn2)))
+      else None
+    }
+    val dnTop = dsc.sortBy { case (id, c) => (-c, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    // ---- RRF fusion ---------------------------------------------------
+    val expect = (spTop.keySet ++ dnTop.keySet).toSeq.map { id =>
+      val rrf = r6(spTop.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        dnTop.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0))
+      (id, spTop.get(id), dnTop.get(id), rrf)
+    }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(10)
+    val got = run("q201_hybrid_retrieval").collect().map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        r.getDouble(3))
+    }.toSeq
+    assert(got == expect, s"\ngot    $got\nexpect $expect")
+    // fixture health: both legs contribute to the fused top-10
+    assert(got.exists(_._2.isDefined) && got.exists(_._3.isDefined))
+  }
 }
