@@ -207,23 +207,24 @@ object RetrievalOps {
   }
 
   /** Oracle twin of [[docTf]]+[[bm25Consts]]+[[bm25PerDoc]]: CTE chain
-    * ending in `bm(doc_id, n_terms, bm25)` over a term predicate.
-    * Must follow `$toksCte,`. */
-  private def bm25CteSql(termPred: String): String = s"""
-        consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+    * ending in `${p}bm(doc_id, n_terms, bm25)` over a term predicate.
+    * Must follow `$toksCte,`. The `p` prefix namespaces the internal
+    * CTEs so two scoring passes can share one WITH chain (q202). */
+  private def bm25CteSql(termPred: String, p: String = ""): String = s"""
+        ${p}consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                           CAST(SUM(len(w)) AS BIGINT) AS tot FROM toksc),
-        tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM
+        ${p}tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM
                  (SELECT doc_id, len(w) AS dl, UNNEST(w) AS tok FROM toksc) u
                WHERE $termPred GROUP BY 1, 2, 3),
-        scored AS (SELECT doc_id,
+        ${p}scored AS (SELECT doc_id,
             ROUND(((n_docs - dfc + 0.5) / (dfc + 0.5)) * (tf * ${K1 + 1.0}) /
               (tf + $K1 * ((1.0 - $B) + $B * (dl / (CAST(tot AS DOUBLE) / n_docs)))), 6) AS part
           FROM (SELECT doc_id, dl, tf,
                   CAST(COUNT(*) OVER (PARTITION BY tok) AS BIGINT) AS dfc
-                FROM tf) f CROSS JOIN consts),
-        bm AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                FROM ${p}tf) f CROSS JOIN ${p}consts),
+        ${p}bm AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
                  CAST(SUM(CAST(part AS DECIMAL(28,6))) AS DOUBLE) AS bm25
-               FROM scored GROUP BY doc_id)"""
+               FROM ${p}scored GROUP BY doc_id)"""
 
   /** Hard cap on the string length the FastSS neighborhood expands.
     * The D<=2 fan-out is 1 + L + C(L,2) = O(L^2) — fine for the 7-12
@@ -923,6 +924,86 @@ object RetrievalOps {
                           COALESCE(CAST(1 AS DOUBLE) / (60 + dn.r_dense), 0), 6) AS rrf
                   FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id)
         SELECT doc_id, r_sparse, r_dense, rrf FROM fused
-        ORDER BY rrf DESC, doc_id LIMIT 10"""))
+        ORDER BY rrf DESC, doc_id LIMIT 10""")),
+
+    // ---- pseudo-relevance-feedback query expansion (q202) ------------
+    // The RM3 pattern (Lavrenko & Croft 2001, as shipped in Anserini/
+    // Lucene): retrieve once with the raw query, mine the top-10 docs
+    // for expansion terms, retrieve again with the widened bag —
+    // recall repair for vocabulary mismatch, entirely in-plan (the
+    // expansion terms are a data-dependent FRAME, never a driver
+    // collect). Expansion scoring is tf-in-feedback-docs × the same
+    // rational log-free idf as BM25 itself — top-3 terms, score-desc
+    // with lexicographic tie-break, original terms excluded. Both
+    // passes run the SHARED [[bm25PerDoc]] construction; the published
+    // frame left-joins pass-1 scores so a consumer sees which top
+    // docs were pulled in purely by expansion (bm25_orig NULL).
+    //
+    // Scale: pass 1 is q145's plan verbatim. The feedback-doc frame is
+    // 10 rows BY CONSTRUCTION (broadcast); candidate vocabulary is
+    // bounded by 10 docs' token sets (doc-bounded, not corpus-bounded
+    // — the df exchange for candidates carries ≤ |cand| × df rows);
+    // the expanded term set is ≤ 6 rows (broadcast). Each consumer
+    // re-derives the token stream from the map-only token_tf kernel
+    // (pass 1, candidate tf, candidate df, pass 2 — four corpus
+    // scans + the consts scan) rather than materializing the exploded
+    // corpus-sized tf frame: at 100 TB a pushdown-friendly re-scan
+    // beats checkpointing the token stream. All exchanges are term-
+    // or doc-bounded.
+    Q("q202_prf_expansion",
+      (s, dir) => {
+        import s.implicits._
+        val tf = docTf(s, dir)
+        val consts = bm25Consts(s, dir)
+        // pass 1: q145's scoring, feedback set = top-10 docs
+        val bm1 = bm25PerDoc(tf.where($"tok".isin(QueryTerms: _*)), consts)
+        val fb = bm1.orderBy($"bm25".desc, $"doc_id").limit(10)
+          .select($"doc_id")
+        // expansion candidates: Σtf over feedback docs × rational idf
+        val candTf = tf.join(broadcast(fb), "doc_id")
+          .where(!$"tok".isin(QueryTerms: _*))
+          .groupBy($"tok").agg(sum($"tf").as("tfsum"))
+        val dfc = tf.join(candTf.select($"tok"), "tok")
+          .groupBy($"tok").agg(count(lit(1)).as("dfc"))
+        val expTerms = candTf.join(dfc, "tok")
+          .crossJoin(broadcast(consts))
+          .withColumn("escore", round($"tfsum" *
+            (($"n_docs" - $"dfc" + 0.5) / ($"dfc" + 0.5)), 6))
+          .orderBy($"escore".desc, $"tok").limit(3)
+          .select($"tok")
+        val allTerms = expTerms.unionByName(QueryTerms.toDF("tok"))
+        // pass 2: same scoring over the widened bag; publish both scores
+        val bm2 = bm25PerDoc(tf.join(broadcast(allTerms), "tok"), consts)
+        bm2.join(bm1.select($"doc_id", $"bm25".as("bm25_orig")),
+            Seq("doc_id"), "left")
+          .orderBy($"bm25".desc, $"doc_id").limit(10)
+          .select($"doc_id", $"n_terms", $"bm25_orig",
+            $"bm25".as("bm25_prf"))
+      },
+      Some {
+        val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+        s"""
+        WITH $toksCte,
+        ${bm25CteSql(s"tok IN ($termList)", "a_")},
+        fb AS (SELECT doc_id FROM a_bm ORDER BY bm25 DESC, doc_id LIMIT 10),
+        tfall AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+                  FROM (SELECT doc_id, UNNEST(w) AS tok FROM toksc) u
+                  WHERE len(tok) > 0 GROUP BY 1, 2),
+        candtf AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS tfsum
+                   FROM tfall JOIN fb USING (doc_id)
+                   WHERE tok NOT IN ($termList) GROUP BY tok),
+        dfc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS dfc FROM tfall
+                WHERE tok IN (SELECT tok FROM candtf) GROUP BY tok),
+        expt AS (SELECT c.tok FROM candtf c JOIN dfc d USING (tok)
+                 CROSS JOIN a_consts
+                 ORDER BY ROUND(c.tfsum * ((n_docs - d.dfc + 0.5) / (d.dfc + 0.5)), 6)
+                   DESC, c.tok LIMIT 3),
+        allterms AS (SELECT tok FROM expt
+                     UNION ALL SELECT * FROM (VALUES ${QueryTerms.map(t => s"('$t')").mkString(", ")}) v(tok)),
+        ${bm25CteSql("tok IN (SELECT tok FROM allterms)", "b_")}
+        SELECT b.doc_id, b.n_terms, a.bm25 AS bm25_orig, b.bm25 AS bm25_prf
+        FROM b_bm b LEFT JOIN a_bm a ON a.doc_id = b.doc_id
+        ORDER BY b.bm25 DESC, b.doc_id LIMIT 10"""
+      })
   )
 }

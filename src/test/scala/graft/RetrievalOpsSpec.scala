@@ -420,4 +420,57 @@ class RetrievalOpsSpec extends SparkSuite {
     // fixture health: both legs contribute to the fused top-10
     assert(got.exists(_._2.isDefined) && got.exists(_._3.isDefined))
   }
+
+  test("q202 PRF expansion equals an independent in-memory replay (both passes + term mining)") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val orig = Seq("window", "spark", "merge")
+    val docs = graft.operators.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val toks = docs.map { case (id, t) => id -> t.toLowerCase.split("\\W+", -1).toSeq }
+    val nDocs = toks.size.toLong
+    val tot = toks.map(_._2.size.toLong).sum
+    val avgdl = tot.toDouble / nDocs
+    // (doc -> (tok -> tf)) over nonempty tokens, with dl kept aside
+    val docTf = toks.map { case (id, w) =>
+      (id, w.size.toLong, w.filter(_.nonEmpty).groupBy(identity)
+        .map { case (t, os) => t -> os.size.toLong }) }
+    def bmPass(terms: Set[String]): Map[Long, (Long, Double)] = {
+      val tfq = docTf.flatMap { case (id, dl, m) =>
+        m.collect { case (t, tf) if terms(t) => (id, dl, t, tf) } }
+      val dfc = tfq.groupBy(_._3).map { case (t, rs) => t -> rs.size.toLong }
+      tfq.groupBy(_._1).map { case (id, rs) =>
+        val parts = rs.map { case (_, dl, t, tf) =>
+          val d = dfc(t)
+          r6(((nDocs - d + 0.5) / (d + 0.5)) * (tf * 2.2) /
+            (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+        }
+        id -> (rs.size.toLong, parts.map(BigDecimal(_)).sum.toDouble)
+      }
+    }
+    val bm1 = bmPass(orig.toSet)
+    val fb = bm1.toSeq.sortBy { case (id, (_, s)) => (-s, id) }.take(10).map(_._1).toSet
+    // expansion term mining: Σtf over feedback docs × rational idf
+    val candTf = docTf.filter(d => fb(d._1))
+      .flatMap(_._3).filterNot { case (t, _) => orig.contains(t) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+    val corpusDf = docTf.flatMap(_._3.keys).groupBy(identity)
+      .map { case (t, os) => t -> os.size.toLong }
+    val expTerms = candTf.toSeq.map { case (t, tfsum) =>
+      val d = corpusDf(t)
+      (t, r6(tfsum * ((nDocs - d + 0.5) / (d + 0.5))))
+    }.sortBy { case (t, sc) => (-sc, t) }.take(3).map(_._1)
+    val bm2 = bmPass((orig ++ expTerms).toSet)
+    val expect = bm2.toSeq.sortBy { case (id, (_, s)) => (-s, id) }.take(10)
+      .map { case (id, (nt, s)) => (id, nt, bm1.get(id).map(_._2), s) }
+    val got = run("q202_prf_expansion").collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getDouble(3))
+    }.toSeq
+    assert(got == expect, s"\ngot    $got\nexpect $expect")
+    // additivity identity: the widened bag can only add non-negative
+    // term partials, so every published doc's PRF score >= its pass-1
+    // score (df is per-term, independent of the bag)
+    got.foreach { case (_, _, o, p) => o.foreach(v => assert(p >= v)) }
+  }
 }
