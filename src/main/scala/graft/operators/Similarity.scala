@@ -2136,6 +2136,105 @@ object Similarity {
           ROUND(CAST(g.max_live AS DOUBLE) * nl.nlist / g.n_live, 6) AS imbalance_live,
           ROUND(1.0 - CAST(g.n_live AS DOUBLE) / g.n_total, 6) AS dead_frac
         FROM census c CROSS JOIN g CROSS JOIN nl
-        ORDER BY c.cell"""))
+        ORDER BY c.cell""")),
+
+    // ---- MMR diversified re-ranking (q203) ---------------------------
+    // Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998):
+    // greedily pick k = 5 results from the top-20 cosine candidates of
+    // query vec_id 0, each round maximizing λ·rel − (1−λ)·max-sim-to-
+    // already-selected (λ = 0.5) — the serving-side diversity pass
+    // every RAG stack runs after retrieval, so near-duplicate hits
+    // don't crowd the context window. All similarities are rounded to
+    // 1e-6 BEFORE any selection decision (the q34 discipline); argmax
+    // ties break to the smaller vec_id.
+    //
+    // Scale: candidate generation is the distributed part — a 1-row
+    // query broadcast against the corpus, top-20 via orderBy.limit
+    // (TakeOrderedAndProject); pairwise sims among candidates ride the
+    // dot_product kernel on the 20-row frame (≤380 rows, q134's
+    // bounded theta class). The greedy selection itself is O(k·|cand|)
+    // SERIAL BY DEFINITION (each pick conditions on the previous), so
+    // it runs on the driver over the two limit-bounded collected
+    // frames — guarded by require; the scale-safe alternative for a
+    // larger candidate budget is the same loop as 5 rule-2 1-row
+    // argmax jobs (the q148 shape), trading 5 job launches for the
+    // collect. MMR at 100 TB always re-ranks a bounded shortlist; the
+    // corpus-side work stays in the candidate generator.
+    Q("q203_mmr_diversify",
+      (s, dir) => {
+        import s.implicits._
+        val e = prepared(s, dir)
+        val q0 = e.filter($"vec_id" === 0)
+          .select($"v".as("av"), $"nrm".as("na"))
+        val cand = broadcast(q0)
+          .join(e.filter($"vec_id" =!= 0)
+            .select($"vec_id".as("cid"), $"v".as("bv"), $"nrm".as("nb")))
+          .withColumn("rel", round(expr(dotExpr) / ($"na" * $"nb"), 6))
+          .orderBy($"rel".desc, $"cid").limit(20)
+          .select($"cid", $"bv", $"nb", $"rel")
+          .localCheckpoint(true)
+        val simsDf = cand.select($"cid".as("ca"), $"bv".as("av"), $"nb".as("na"), $"rel")
+          .join(cand.select($"cid".as("cb"), $"bv", $"nb"), $"ca" =!= $"cb")
+          .select($"ca", $"cb", round(expr("dot_product(av, bv)") / ($"na" * $"nb"), 6).as("sim"))
+        val candRows = cand.select($"cid", $"rel").collect()
+        require(candRows.length <= 20, s"candidate frame exceeded its limit: ${candRows.length}")
+        val simRows = simsDf.collect()
+        require(simRows.length <= 380, s"sim frame exceeded its bound: ${simRows.length}")
+        val rel = candRows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val sim = simRows.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+        def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        var selected = Vector.empty[(Int, Long, Double, Double)]
+        var remaining = rel.keySet
+        for (k <- 1 to 5 if remaining.nonEmpty) {
+          val scored = remaining.toSeq.map { c =>
+            val ms = if (selected.isEmpty) 0.0
+                     else selected.map(sl => sim((c, sl._2))).max
+            (c, r6(0.5 * rel(c) - 0.5 * ms))
+          }
+          val (bc, bm) = scored.minBy { case (c, m) => (-m, c) }
+          selected :+= ((k, bc, rel(bc), bm))
+          remaining -= bc
+        }
+        s.createDataFrame(selected)
+          .toDF("sel_rank", "vec_id", "rel", "mmr")
+          .orderBy($"sel_rank")
+      },
+      Some {
+        val qdot = "list_sum([q.v[i] * b.v[i] for i in range(1, len(q.v) + 1)])"
+        // the five greedy rounds, unrolled as MATERIALIZED CTEs (the
+        // q148/q160 fixed-round oracle pattern): each round is one
+        // 1-row argmax over the remaining candidates with a correlated
+        // max-sim over the selected set so far
+        val rounds = (2 to 5).map { r =>
+          val prev = s"sel${r - 1}"
+          s"""
+        s$r AS MATERIALIZED (
+          SELECT c.cid, c.rel,
+            ROUND(0.5 * c.rel - 0.5 * (SELECT MAX(s.sim) FROM sims s
+              JOIN $prev t ON s.cb = t.cid WHERE s.ca = c.cid), 6) AS mmr
+          FROM cand c WHERE c.cid NOT IN (SELECT cid FROM $prev)
+          ORDER BY mmr DESC, cid LIMIT 1),
+        sel$r AS (SELECT cid FROM $prev UNION ALL SELECT cid FROM s$r)"""
+        }.mkString(",")
+        val publish = (1 to 5)
+          .map(r => s"SELECT $r AS sel_rank, cid AS vec_id, rel, mmr FROM s$r")
+          .mkString("\n        UNION ALL ")
+        s"""$prepCte,
+        q0 AS (SELECT v, nrm FROM n WHERE vec_id = 0),
+        scored AS (SELECT b.vec_id AS cid, ROUND($qdot / (q.nrm * b.nrm), 6) AS rel
+                   FROM n b CROSS JOIN q0 q WHERE b.vec_id <> 0),
+        cand AS MATERIALIZED (SELECT cid, rel FROM scored
+                              ORDER BY rel DESC, cid LIMIT 20),
+        cv AS (SELECT c.cid, n.v, n.nrm FROM cand c JOIN n ON n.vec_id = c.cid),
+        sims AS MATERIALIZED (SELECT a.cid AS ca, b.cid AS cb,
+                   ROUND($oracleDot / (a.nrm * b.nrm), 6) AS sim
+                 FROM cv a JOIN cv b ON a.cid <> b.cid),
+        s1 AS MATERIALIZED (SELECT cid, rel, ROUND(0.5 * rel, 6) AS mmr
+                            FROM cand ORDER BY rel DESC, cid LIMIT 1),
+        sel1 AS (SELECT cid FROM s1),$rounds
+        SELECT CAST(sel_rank AS INT) AS sel_rank, vec_id, rel, mmr FROM (
+        $publish) u
+        ORDER BY sel_rank"""
+      })
   )
 }

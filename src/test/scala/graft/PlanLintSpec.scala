@@ -93,6 +93,7 @@ class PlanLintSpec extends SparkSuite {
     "q149_importance_weights", // 1-row (tot_c, tot_t) corpus scalar
     "q201_hybrid_retrieval",   // q145's 1-row corpus scalar, the 1-row query-norm scalar, and two ≤50-row rank theta self-joins (q134's class)
     "q202_prf_expansion",      // q145's 1-row corpus scalar broadcast in each BM25 pass + the expansion-term scoring
+    "q203_mmr_diversify",      // 1-row query-vector broadcast (q34's class) + the ≤20-row candidate theta self-join (q134's class)
     "q151_column_stats")       // 1-row stats frames stitched into per-column rows (q144's class)
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {

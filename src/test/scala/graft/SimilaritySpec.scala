@@ -512,4 +512,45 @@ class SimilaritySpec extends SparkSuite {
     assert(rows.filter(!_._5).forall(_._4 == 1.0),
       s"kept cluster's cells must be fully live: ${rows.mkString(", ")}")
   }
+
+  test("q203 MMR equals an independent Scala greedy replay, and diversity genuinely binds") {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val q0 = raw.find(_._1 == 0L).get._2
+    val nq = math.sqrt(dot(q0, q0))
+    def cos(a: Array[Double], b: Array[Double]) =
+      r6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    val cand = raw.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v, r6(dot(q0, v) / (nq * math.sqrt(dot(v, v))))) }
+      .sortBy { case (id, _, rel) => (-rel, id) }.take(20)
+    val rel = cand.map(c => c._1 -> c._3).toMap
+    val vecs = cand.map(c => c._1 -> c._2).toMap
+    var selected = Vector.empty[(Int, Long, Double, Double)]
+    var remaining = rel.keySet
+    for (k <- 1 to 5) {
+      val scored = remaining.toSeq.map { c =>
+        val ms = if (selected.isEmpty) 0.0
+                 else selected.map(s => cos(vecs(c), vecs(s._2))).max
+        (c, r6(0.5 * rel(c) - 0.5 * ms))
+      }
+      val (bc, bm) = scored.minBy { case (c, m) => (-m, c) }
+      selected :+= ((k, bc, rel(bc), bm))
+      remaining -= bc
+    }
+    val got = run("q203_mmr_diversify").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toVector
+    assert(got == selected, s"\ngot    $got\nexpect $selected")
+    // diversity must BIND on this corpus: the MMR selection differs
+    // from plain top-5 relevance (otherwise the fixture is degenerate)
+    val top5 = cand.take(5).map(_._1).toVector
+    assert(got.map(_._2) != top5,
+      s"MMR selected exactly the top-5 by relevance — penalty never bound: $top5")
+  }
 }
