@@ -465,9 +465,18 @@ object Similarity {
 
   private def residualAdcPairsMBody(s: SparkSession, dir: String, m: Int): (DataFrame, DataFrame, Long) = {
     import s.implicits._
-    val dsub = 64 / m
     val (e, c1, nlist) = sqrtnIndex(s, dir)
     val asg = sqrtnAssign(e, c1)
+    val (rbook, rcodes) = residualBookCodes(s, dir, m, e, c1, asg)
+    (residualServeAdc(e, c1, asg, rbook, rcodes, m), e, nlist)
+  }
+
+  /** The trained residual codebook + encoded corpus for an explicit
+    * (e, c1, asg) index — the two PERSISTABLE PQ artifacts. Memoized
+    * per (session, dir, m) so q186/q187/q190/q204 train once. */
+  private def residualBookCodes(s: SparkSession, dir: String, m: Int,
+      e: DataFrame, c1: DataFrame, asg: DataFrame): (DataFrame, DataFrame) = {
+    import s.implicits._
     val memoKey =
       if (m == pqM) s"pq-residual-book:$dir" else s"pq-residual-book:m$m:$dir"
     val (rsub, rbook) = SessionMemo.get(s, memoKey) {
@@ -477,7 +486,20 @@ object Similarity {
       val sub = pqSubOfM(r, m).localCheckpoint(false)
       (sub, pqCodebook(sub))
     }
-    val rcodes = pqAssign(rsub, rbook)
+    (rbook, pqAssign(rsub, rbook))
+  }
+
+  /** The residual-ADC serve over EXPLICIT index artifacts — the part
+    * of the IVFADC chain a serving fleet runs against a FROZEN index
+    * {centroids c1, inverted lists asg, codebook rbook, codes rcodes}.
+    * Factored out of [[residualAdcPairsMBody]] so q204 can run the
+    * IDENTICAL serve against artifacts round-tripped through parquet:
+    * any divergence between the in-memory and reloaded chains is a
+    * persistence bug and fails the q204 gate. */
+  private def residualServeAdc(e: DataFrame, c1: DataFrame, asg: DataFrame,
+      rbook: DataFrame, rcodes: DataFrame, m: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    val dsub = 64 / m
     val probes = ivfProbes(e, c1)
     val cand = broadcast(probes)
       .join(asg.select($"vec_id".as("cid"), $"cell"), Seq("cell"))
@@ -499,13 +521,12 @@ object Similarity {
         round(round($"ss" - lit(2.0) * expr("dot_product(sv, cv)") + $"cc", 6) * 1e6)
           .cast(LongType))
       .select($"qid", $"cell", $"s", $"cid".as("code"), $"si")
-    val adc = rcodes.withColumnRenamed("vec_id", "cid")
+    rcodes.withColumnRenamed("vec_id", "cid")
       .withColumnRenamed("code", "kc")
       .join(broadcast(cand), Seq("cid"))
       .join(broadcast(dtab.withColumnRenamed("code", "kc")),
         Seq("qid", "cell", "s", "kc"))
       .groupBy($"qid", $"cid", $"probe_rank").agg(sum($"si").as("adc"))
-    (adc, e, nlist)
   }
 
   /** Oracle twin of [[residualAdcPairs]]: must follow `$prepCte,` and
@@ -2235,6 +2256,57 @@ object Similarity {
         SELECT CAST(sel_rank AS INT) AS sel_rank, vec_id, rel, mmr FROM (
         $publish) u
         ORDER BY sel_rank"""
-      })
+      }),
+
+    // ---- IVF-PQ index persistence round-trip (q204) ------------------
+    // The missing lifecycle leg between build (q168/q186) and
+    // incremental maintenance (q189/q196): an index is trained ONCE,
+    // WRITTEN to storage, and served by a separate fleet that never
+    // sees the training pipeline. This query persists all four frozen
+    // artifacts — centroids, inverted lists, residual codebook,
+    // encoded corpus — to parquet, RELOADS them, and runs the exact
+    // q186 serve ([[residualServeAdc]], the shared construction)
+    // against the reloaded frames. Published output = q186's row
+    // shape; the oracle IS q186's oracle, so any bit lost in
+    // serialization (a double truncated, a row dropped, a schema
+    // coerced) diverges the serve and fails the hash gate. Parquet
+    // round-trips IEEE doubles exactly — that exactness is the
+    // contract being tested. nlist is read back from the reloaded
+    // centroid frame (the index is self-describing, not trusted from
+    // the training session).
+    //
+    // Scale: the artifacts are the SMALL side of the system by
+    // design — O(√n·dims) centroids + O(m·k·dsub) codebook broadcast
+    // to the serving fleet; the O(n) lists/codes frames are the
+    // compressed corpus (4 bytes + 32 bits per vector here vs 512
+    // bytes raw) and partition like any other table. Write once, read
+    // per serving session; the serve plan is q186's, measured here
+    // WITH the reload cost.
+    Q("q204_ivf_index_persist",
+      (s, dir) => {
+        import s.implicits._
+        val (e, c1, nlist) = sqrtnIndex(s, dir)
+        val asg = sqrtnAssign(e, c1)
+        val (rbook, rcodes) = residualBookCodes(s, dir, pqM, e, c1, asg)
+        val ix = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-index-" +
+          Integer.toHexString(dir.hashCode)
+        c1.write.mode("overwrite").parquet(s"$ix/centroids")
+        asg.write.mode("overwrite").parquet(s"$ix/lists")
+        rbook.write.mode("overwrite").parquet(s"$ix/codebook")
+        rcodes.write.mode("overwrite").parquet(s"$ix/codes")
+        val lc1 = s.read.parquet(s"$ix/centroids")
+        val lasg = s.read.parquet(s"$ix/lists")
+        val lbook = s.read.parquet(s"$ix/codebook")
+        val lcodes = s.read.parquet(s"$ix/codes")
+        val nlistLoaded = lc1.count()
+        require(nlistLoaded == nlist,
+          s"reloaded index lost centroids: $nlistLoaded != $nlist")
+        val adc = residualServeAdc(e, lc1, lasg, lbook, lcodes, pqM)
+        ivfpqTail(adc, e, nlistLoaded, dir)
+      },
+      Some(s"""$prepCte,
+        $sqrtnAsgCteSql,
+        $residualAdcCteSql,
+        $ivfpqTailSql"""))
   )
 }

@@ -77,6 +77,11 @@ class PlanLintSpec extends SparkSuite {
     "q178_ivf_cell_balance",  // the same O(sqrt(n) x dims) centroid-assignment broadcast as q168
     "q189_ivf_incremental_ingest", // q168's centroid-assignment class: old/new slices each assign against the O(sqrt(n) x dims) frozen-centroid broadcast
     "q196_ivf_tombstones",    // q178's centroid-assignment class + the 1-row live-census scalar broadcast onto O(sqrt(n)) cell rows
+    // q204_ivf_index_persist is NOT whitelisted: like q185, its probe
+    // BNLJ (q168's centroid class, on the RELOADED O(sqrt(n) x dims)
+    // centroid frame) sits upstream of ivfpqTail's localCheckpoint —
+    // the visible plan is the post-checkpoint tail only; the hidden
+    // half is the same construction already whitelisted at q168/q178.
     "q179_pq_adc_recall",     // fixed 50-vector probe set broadcast for the exact-L2 ground truth (q34's declared brute-force class); the PQ side itself is equi-joined
     // q185_ivfpq_recall is NOT whitelisted: its two BNLJ constructions
     // (q168's centroid broadcast, q179's exact-truth probe broadcast)

@@ -553,4 +553,10 @@ class SimilaritySpec extends SparkSuite {
     assert(got.map(_._2) != top5,
       s"MMR selected exactly the top-5 by relevance — penalty never bound: $top5")
   }
+
+  test("q204 serve from the parquet-round-tripped index equals q186's in-memory serve row-for-row") {
+    val mem = run("q186_ivfpq_residual_recall").collect().map(_.toSeq).toVector
+    val disk = run("q204_ivf_index_persist").collect().map(_.toSeq).toVector
+    assert(disk == mem, s"\ndisk  $disk\nmem   $mem")
+  }
 }
