@@ -2307,6 +2307,100 @@ object Similarity {
       Some(s"""$prepCte,
         $sqrtnAsgCteSql,
         $residualAdcCteSql,
-        $ivfpqTailSql"""))
+        $ivfpqTailSql""")),
+
+    // ---- IVF compaction execution (q205) -----------------------------
+    // The EXECUTION half of q196's audit: q196 publishes which cells
+    // trip the compaction trigger (live·2 < total); this query
+    // actually compacts — tombstoned vectors are dropped everywhere,
+    // the triggered cells are DISSOLVED, and their surviving vectors
+    // are reassigned to the nearest SURVIVING centroid (the cheap
+    // cell-merge maintenance step production IVF indexes run between
+    // full retrains; a full retrain is q168's Lloyd pass and is the
+    // escalation, not the routine). Published per surviving cell:
+    // stayers, absorbed movers, post-compaction size, and the new
+    // imbalance over the shrunken cell set — directly comparable with
+    // q196's imbalance_live to see whether compaction restored
+    // balance. Reassignment reuses the q64/q168 argmin contract
+    // (round-6 d2, cid tiebreak) via the shared [[sqrtnAssign]].
+    // The deletion wave here is label % 2 (a 50%-of-labels purge) —
+    // DELIBERATELY heavier than q196's label % 5 audit rate: labels
+    // are spatially clustered, so the even-label-dominated cells
+    // genuinely trip the trigger on all three gate corpora (q196's
+    // 20% wave trips none — measured live_frac 0.58–0.95 at sf0.01);
+    // fixture health (>=1 dissolved, >=1 surviving, >=1 absorbed) is
+    // asserted in SimilaritySpec.
+    //
+    // Scale: the census chain is q196's (one corpus-keyed exchange);
+    // movers are the live fraction of dissolved cells ONLY (dead-heavy
+    // by the trigger's definition, so the reassignment pass is a small
+    // slice of the corpus × the O(√n·dims) surviving-centroid
+    // broadcast — q178's assignment class); the publish aggregates
+    // are cell-keyed. Nothing corpus-sized shuffles twice.
+    Q("q205_ivf_compaction",
+      (s, dir) => {
+        import s.implicits._
+        val (e, c1, nlist) = sqrtnIndex(s, dir)
+        val asg = sqrtnAssign(e, c1)
+        val tomb = e.filter($"label" % 2 === 0).select($"vec_id")
+        val liveAsg = asg.join(tomb, Seq("vec_id"), "left_anti")
+        val total = asg.groupBy($"cell").agg(count(lit(1)).as("sz_total"))
+        val live = liveAsg.groupBy($"cell").agg(count(lit(1)).as("sz_live"))
+        val census = total.join(live, Seq("cell"), "left")
+          .na.fill(0L, Seq("sz_live"))
+        val compacted = census.filter($"sz_live" * 2 < $"sz_total")
+          .select($"cell")
+        val survivors = c1.join(
+          compacted.withColumnRenamed("cell", "cid"), Seq("cid"), "left_anti")
+        val movers = e.join(
+          liveAsg.join(compacted, Seq("cell")).select($"vec_id"), Seq("vec_id"))
+        val moved = sqrtnAssign(movers, survivors)
+        val stay = liveAsg.join(compacted, Seq("cell"), "left_anti")
+          .select($"vec_id", $"cell")
+        val before = stay.groupBy($"cell").agg(count(lit(1)).as("sz_before"))
+        val absorbed = moved.groupBy($"cell").agg(count(lit(1)).as("n_absorbed"))
+        val after = before.join(absorbed, Seq("cell"), "left")
+          .na.fill(0L, Seq("n_absorbed"))
+          .withColumn("sz_after", $"sz_before" + $"n_absorbed")
+        val g = after.agg(sum($"sz_after").as("n_live"),
+          max($"sz_after").as("max_after"), count(lit(1)).as("n_cells"))
+        after.crossJoin(broadcast(g))
+          .select($"cell", $"sz_before", $"n_absorbed", $"sz_after",
+            round($"max_after".cast(DoubleType) * $"n_cells" / $"n_live", 6)
+              .as("imbalance_after"))
+          .orderBy($"cell")
+      },
+      Some(s"""$prepCte,
+        $sqrtnAsgCteSql,
+        tomb AS (SELECT vec_id FROM n WHERE label % 2 = 0),
+        total AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS sz_total FROM asg GROUP BY cell),
+        live AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS sz_live FROM asg
+                 WHERE vec_id NOT IN (SELECT vec_id FROM tomb) GROUP BY cell),
+        census AS (SELECT t.cell, t.sz_total,
+                     COALESCE(l.sz_live, CAST(0 AS BIGINT)) AS sz_live
+                   FROM total t LEFT JOIN live l ON l.cell = t.cell),
+        comp AS (SELECT cell FROM census WHERE sz_live * 2 < sz_total),
+        surv AS (SELECT * FROM c1n WHERE cid NOT IN (SELECT cell FROM comp)),
+        lasg AS (SELECT * FROM asg
+                 WHERE vec_id NOT IN (SELECT vec_id FROM tomb)),
+        movers AS (SELECT e2.* FROM e2 JOIN lasg l ON l.vec_id = e2.vec_id
+                   WHERE l.cell IN (SELECT cell FROM comp)),
+        moved AS (${ivfArgminSql("movers", "surv")}),
+        stay AS (SELECT vec_id, cell FROM lasg
+                 WHERE cell NOT IN (SELECT cell FROM comp)),
+        bfr AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS sz_before
+                FROM stay GROUP BY cell),
+        abs_ AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_absorbed
+                 FROM moved GROUP BY cell),
+        aft AS (SELECT b.cell, b.sz_before,
+                  COALESCE(a.n_absorbed, CAST(0 AS BIGINT)) AS n_absorbed,
+                  b.sz_before + COALESCE(a.n_absorbed, CAST(0 AS BIGINT)) AS sz_after
+                FROM bfr b LEFT JOIN abs_ a ON a.cell = b.cell),
+        g AS (SELECT SUM(sz_after) AS n_live, MAX(sz_after) AS max_after,
+                CAST(COUNT(*) AS BIGINT) AS n_cells FROM aft)
+        SELECT f.cell, f.sz_before, f.n_absorbed, f.sz_after,
+          ROUND(CAST(g.max_after AS DOUBLE) * g.n_cells / g.n_live, 6)
+            AS imbalance_after
+        FROM aft f CROSS JOIN g ORDER BY f.cell"""))
   )
 }

@@ -77,6 +77,7 @@ class PlanLintSpec extends SparkSuite {
     "q178_ivf_cell_balance",  // the same O(sqrt(n) x dims) centroid-assignment broadcast as q168
     "q189_ivf_incremental_ingest", // q168's centroid-assignment class: old/new slices each assign against the O(sqrt(n) x dims) frozen-centroid broadcast
     "q196_ivf_tombstones",    // q178's centroid-assignment class + the 1-row live-census scalar broadcast onto O(sqrt(n)) cell rows
+    "q205_ivf_compaction",    // q178's assignment class twice (full census + movers vs surviving centroids) + the 1-row post-compaction scalar
     // q204_ivf_index_persist is NOT whitelisted: like q185, its probe
     // BNLJ (q168's centroid class, on the RELOADED O(sqrt(n) x dims)
     // centroid frame) sits upstream of ivfpqTail's localCheckpoint —

@@ -554,6 +554,23 @@ class SimilaritySpec extends SparkSuite {
       s"MMR selected exactly the top-5 by relevance — penalty never bound: $top5")
   }
 
+  test("q205 compaction: trigger fires on the gate corpus, movers conserve, dissolved cells vanish") {
+    import spark.implicits._
+    val rows = run("q205_ivf_compaction").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toVector
+    // fixture health: >=1 cell dissolved, >=1 surviving, >=1 absorbed
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nlist = math.ceil(math.sqrt(e.count().toDouble)).toLong
+    assert(rows.size < nlist, s"no cell was dissolved (surviving=${rows.size}, nlist=$nlist)")
+    assert(rows.nonEmpty && rows.map(_._3).sum > 0, "no vector was absorbed")
+    // conservation: stayers + absorbed = all live (non-tombstoned) vectors
+    val nLive = e.filter($"label" % 2 =!= 0).count()
+    assert(rows.map(_._4).sum == nLive,
+      s"post-compaction index does not hold exactly the live corpus: ${rows.map(_._4).sum} != $nLive")
+    // every published row is internally consistent
+    rows.foreach { case (_, b, a, t) => assert(b + a == t) }
+  }
+
   test("q204 serve from the parquet-round-tripped index equals q186's in-memory serve row-for-row") {
     val mem = run("q186_ivfpq_residual_recall").collect().map(_.toSeq).toVector
     val disk = run("q204_ivf_index_persist").collect().map(_.toSeq).toVector
