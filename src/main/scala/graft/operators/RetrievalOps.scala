@@ -1004,6 +1004,108 @@ object RetrievalOps {
         SELECT b.doc_id, b.n_terms, a.bm25 AS bm25_orig, b.bm25 AS bm25_prf
         FROM b_bm b LEFT JOIN a_bm a ON a.doc_id = b.doc_id
         ORDER BY b.bm25 DESC, b.doc_id LIMIT 10"""
+      }),
+
+    // ---- lexical index staleness audit (q206) ------------------------
+    // q189's frozen-index pattern applied to the LEXICAL leg: a BM25
+    // index ships its background statistics (df per term, n_docs,
+    // avgdl) at build time, and a corpus that keeps growing serves
+    // queries against the STALE statistics until the next stats
+    // refresh — cheap per-doc fields (tf, dl) are known at indexing
+    // time per document, but df/avgdl drift with the corpus. Split:
+    // the stats froze when the corpus was the src0–src4 slice (the
+    // "first crawl"); the serving corpus is all 20 sources. A
+    // SOURCE-based freeze, not a uniform doc_id holdout, because
+    // staleness in production comes from DISTRIBUTION drift — new
+    // sources with different vocabularies — and a uniform 10% holdout
+    // of this synthetic corpus measurably preserves every rank
+    // (overlap 10/10 at all three SFs, checked before this fixture
+    // was chosen; the source freeze yields genuine inversions:
+    // 9/9/8). Every doc is scored twice — under the frozen stats
+    // (what the stale index actually returns) and under fresh
+    // full-corpus stats (the truth after a refresh) — and the stale
+    // top-10 is published with both scores plus membership in the
+    // fresh top-10: the overlap IS the staleness alarm, the lexical
+    // twin of q189's imbalance drift.
+    //
+    // Determinism: both score chains are the q145 contract (round-6
+    // parts, DECIMAL sums); the frozen df rides the SAME tok-window
+    // exchange as the fresh df (a conditional sum — no second
+    // shuffle). Scale: q145's plan plus one broadcast 10-row
+    // membership probe.
+    Q("q206_bm25_staleness",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val frozenSrcs = (0 to 4).map(i => s"src$i")
+        val docs = documents(s, dir)
+        val constsO = Dedup.withToks(docs.filter($"source".isin(frozenSrcs: _*)))
+          .agg(count(lit(1)).as("n_docs_o"), sum(size($"toks")).as("tot_o"))
+        val constsF = bm25Consts(s, dir)
+        val wTok = Window.partitionBy($"tok")
+        def part(tfc: org.apache.spark.sql.Column, dfc: org.apache.spark.sql.Column,
+                 nd: org.apache.spark.sql.Column, avgdl: org.apache.spark.sql.Column) =
+          round(((nd - dfc + 0.5) / (dfc + 0.5)) * (tfc * (K1 + 1.0)) /
+            (tfc + lit(K1) * (lit(1.0 - B) + lit(B) * ($"dl" / avgdl))), 6)
+        val tfq = Dedup.withToks(docs)
+          .select($"doc_id", $"source", size($"toks").as("dl"),
+            explode(expr("token_tf(toks)")).as("kv"))
+          .select($"doc_id", $"source", $"dl",
+            $"kv.tok".as("tok"), $"kv.tf".as("tf"))
+          .where($"tok".isin(QueryTerms: _*))
+        val scored = tfq
+          .withColumn("dfc_f", count(lit(1)).over(wTok))
+          .withColumn("dfc_o",
+            sum(when($"source".isin(frozenSrcs: _*), 1L).otherwise(0L)).over(wTok))
+          .crossJoin(broadcast(constsO)).crossJoin(broadcast(constsF))
+          .withColumn("avgdl_o", $"tot_o".cast(DoubleType) / $"n_docs_o")
+          .withColumn("avgdl_f", $"tot".cast(DoubleType) / $"n_docs")
+          .withColumn("pf", part($"tf", $"dfc_o", $"n_docs_o", $"avgdl_o"))
+          .withColumn("pt", part($"tf", $"dfc_f", $"n_docs", $"avgdl_f"))
+        val bm = scored.groupBy($"doc_id")
+          .agg(sum($"pf".cast(DecimalType(28, 6))).cast(DoubleType).as("bm25_frozen"),
+            sum($"pt".cast(DecimalType(28, 6))).cast(DoubleType).as("bm25_fresh"))
+        val freshTop = bm.orderBy($"bm25_fresh".desc, $"doc_id").limit(10)
+          .select($"doc_id", lit(true).as("in_fresh_top10"))
+        bm.orderBy($"bm25_frozen".desc, $"doc_id").limit(10)
+          .join(broadcast(freshTop), Seq("doc_id"), "left")
+          .na.fill(false, Seq("in_fresh_top10"))
+          .orderBy($"bm25_frozen".desc, $"doc_id")
+          .select($"doc_id", $"bm25_frozen", $"bm25_fresh", $"in_fresh_top10")
+      },
+      Some {
+        val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+        val srcList = (0 to 4).map(i => s"'src$i'").mkString(", ")
+        s"""
+        WITH $toksCte,
+        co AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_o,
+                      CAST(SUM(len(w)) AS BIGINT) AS tot_o
+               FROM toksc WHERE source IN ($srcList)),
+        cf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(len(w)) AS BIGINT) AS tot FROM toksc),
+        tf AS (SELECT doc_id, source, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM
+                 (SELECT doc_id, source, len(w) AS dl, UNNEST(w) AS tok FROM toksc) u
+               WHERE tok IN ($termList) GROUP BY 1, 2, 3, 4),
+        wdf AS (SELECT tf.*,
+                  CAST(COUNT(*) OVER (PARTITION BY tok) AS BIGINT) AS dfc_f,
+                  CAST(SUM(CASE WHEN source IN ($srcList) THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY tok) AS BIGINT) AS dfc_o
+                FROM tf),
+        scored AS (SELECT doc_id,
+            ROUND(((n_docs_o - dfc_o + 0.5) / (dfc_o + 0.5)) * (tf * ${K1 + 1.0}) /
+              (tf + $K1 * ((1.0 - $B) + $B * (dl / (CAST(tot_o AS DOUBLE) / n_docs_o)))), 6) AS pf,
+            ROUND(((n_docs - dfc_f + 0.5) / (dfc_f + 0.5)) * (tf * ${K1 + 1.0}) /
+              (tf + $K1 * ((1.0 - $B) + $B * (dl / (CAST(tot AS DOUBLE) / n_docs)))), 6) AS pt
+          FROM wdf CROSS JOIN co CROSS JOIN cf),
+        bm AS (SELECT doc_id,
+                 CAST(SUM(CAST(pf AS DECIMAL(28,6))) AS DOUBLE) AS bm25_frozen,
+                 CAST(SUM(CAST(pt AS DECIMAL(28,6))) AS DOUBLE) AS bm25_fresh
+               FROM scored GROUP BY doc_id),
+        ft AS (SELECT doc_id FROM bm ORDER BY bm25_fresh DESC, doc_id LIMIT 10)
+        SELECT b.doc_id, b.bm25_frozen, b.bm25_fresh,
+          (b.doc_id IN (SELECT doc_id FROM ft)) AS in_fresh_top10
+        FROM bm b
+        ORDER BY b.bm25_frozen DESC, b.doc_id LIMIT 10"""
       })
   )
 }

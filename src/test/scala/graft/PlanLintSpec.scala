@@ -99,6 +99,7 @@ class PlanLintSpec extends SparkSuite {
     "q149_importance_weights", // 1-row (tot_c, tot_t) corpus scalar
     "q201_hybrid_retrieval",   // q145's 1-row corpus scalar, the 1-row query-norm scalar, and two ≤50-row rank theta self-joins (q134's class)
     "q202_prf_expansion",      // q145's 1-row corpus scalar broadcast in each BM25 pass + the expansion-term scoring
+    "q206_bm25_staleness",     // two 1-row corpus-stats scalars (frozen + fresh) on q145's chain
     // q203_mmr_diversify is NOT whitelisted: its 1-row query broadcast
     // (q34's class) and ≤20-row candidate theta self-join (q134's
     // class) run EAGERLY at build time — the final plan this lint sees

@@ -473,4 +473,46 @@ class RetrievalOpsSpec extends SparkSuite {
     // score (df is per-term, independent of the bag)
     got.foreach { case (_, _, o, p) => o.foreach(v => assert(p >= v)) }
   }
+
+  test("q206 staleness audit equals an in-memory dual-stats replay, and drift genuinely inverts a rank") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val terms = Seq("window", "spark", "merge")
+    val frozenSrcs = (0 to 4).map(i => s"src$i").toSet
+    val docs = graft.operators.Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = docs.map { case (id, src, t) =>
+      (id, src, t.toLowerCase.split("\\W+", -1).toSeq) }
+    val old = toks.filter(t => frozenSrcs(t._2))
+    val (ndO, totO) = (old.size.toLong, old.map(_._3.size.toLong).sum)
+    val (ndF, totF) = (toks.size.toLong, toks.map(_._3.size.toLong).sum)
+    val tfq = toks.flatMap { case (id, src, w) =>
+      w.filter(terms.contains).groupBy(identity)
+        .map { case (tok, os) => (id, src, w.size.toLong, tok, os.size.toLong) } }
+    val dfF = tfq.groupBy(_._4).map { case (t, rs) => t -> rs.size.toLong }
+    val dfO = tfq.groupBy(_._4).map { case (t, rs) =>
+      t -> rs.count(r => frozenSrcs(r._2)).toLong }
+    def score(nd: Long, tot: Long, df: Map[String, Long]) = {
+      val avgdl = tot.toDouble / nd
+      tfq.groupBy(_._1).map { case (id, rs) =>
+        id -> rs.map { case (_, _, dl, tok, tf) =>
+          val d = df(tok)
+          BigDecimal(r6(((nd - d + 0.5) / (d + 0.5)) * (tf * 2.2) /
+            (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))))
+        }.sum.toDouble
+      }
+    }
+    val bf = score(ndO, totO, dfO)
+    val bt = score(ndF, totF, dfF)
+    val freshTop = bt.toSeq.sortBy { case (id, s2) => (-s2, id) }.take(10)
+      .map(_._1).toSet
+    val expect = bf.toSeq.sortBy { case (id, s2) => (-s2, id) }.take(10)
+      .map { case (id, s2) => (id, s2, bt(id), freshTop(id)) }
+    val got = run("q206_bm25_staleness").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    assert(got == expect, s"\ngot    $got\nexpect $expect")
+    // fixture health: the drift must genuinely invert at least one
+    // rank (an always-10/10 overlap audits nothing — the q200 lesson)
+    assert(got.exists(!_._4), "overlap 10/10 — the staleness audit never fired")
+  }
 }
