@@ -31,8 +31,9 @@ object Dedup {
   import Tables._
 
   /** tokens: split on non-word chars, lowercased — identical to the
-    * oracle's `string_split_regex(lower(text), '\W+')`. */
-  private[operators] def withToks(df: DataFrame): DataFrame =
+    * oracle's `string_split_regex(lower(text), '\W+')`. private[graft]
+    * so the streaming BM25 serve shares the ONE tokenizer. */
+  private[graft] def withToks(df: DataFrame): DataFrame =
     df.withColumn("toks", split(lower(col("text")), "\\W+"))
 
   /** SQL for the word n-gram array over a token-array column; docs

@@ -158,8 +158,10 @@ object RetrievalOps {
   }
 
   // ---- BM25 constants (Robertson/Spärck Jones defaults) ------------
-  private val K1 = 1.2
-  private val B = 0.75
+  // private[graft]: the streaming serve (StreamOps.bm25ServeStream)
+  // scores with the SAME constants, single-sourced here.
+  private[graft] val K1 = 1.2
+  private[graft] val B = 0.75
 
   /** The q145 bag-of-words query — shared verbatim by q201's sparse
     * leg so the fusion audits the SAME retrieval the standalone query

@@ -1051,4 +1051,85 @@ object StreamOps {
           / (col("n_old") + col("n_new")), 6).as("imbalance_after"),
         col("n_deleted"), col("max_dead_frac"))
   }
+
+  // ---- streaming BM25 serve ----------------------------------------
+
+  final case class BmQuery(qid: Long, terms: Seq[String])
+  final case class BmHit(qid: Long, doc_id: Long, n_terms: Long, bm25: Double)
+
+  /** The frozen lexical index a serving fleet loads: per-(tok, doc)
+    * postings carrying doc length, tf, and the BUILD-TIME df per
+    * token, plus the corpus constants (n_docs, total tokens). One
+    * batch construction — the q145 tf/df chain verbatim (shared
+    * [[graft.operators.Dedup.withToks]] tokenizer + `token_tf`
+    * kernel) — typically written to parquet and re-read by the
+    * serving session (the q204 discipline; parquet round-trips the
+    * BIGINT stats exactly). */
+  def buildBm25Postings(docs: DataFrame): (DataFrame, Long, Long) = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = graft.operators.Dedup.withToks(docs)
+    val c = toks.agg(count(lit(1)), sum(size(col("toks")))).collect()(0)
+    val postings = toks
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(expr("token_tf(toks)")).as("kv"))
+      .select(col("doc_id"), col("dl"), col("kv.tok").as("tok"), col("kv.tf").as("tf"))
+      .withColumn("dfc", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
+    (postings, c.getLong(0), c.getLong(1))
+  }
+
+  /** Streaming BM25 serve — the LEXICAL twin of
+    * [[assignAgainstFrozenCentroids]]: a stream of query bags
+    * `(qid, terms)` is served against the frozen postings index from
+    * [[buildBm25Postings]]. The scoring is q145's contract verbatim
+    * (rational log-free idf from the FROZEN build-time df, round-6
+    * per-term partials, exact-decimal per-doc sums — the per-group
+    * BigDecimal fold is the same order-insensitive sum as the batch
+    * DECIMAL(28,6) route because each partial is already on the 1e-6
+    * grid), so a query served here returns exactly the batch top-k —
+    * spec-asserted against q145's published frame. Frozen-stats
+    * drift over a growing corpus is q206's batch audit.
+    *
+    * Plan shape: explode the (small) term bag, ONE stream-static
+    * equi-join on `tok` — the static side prunes to the posting lists
+    * of the batch's terms; nothing corpus-sized enters the stream
+    * side — then a per-qid group fold that keeps ONLY the per-doc
+    * accumulator map and emits top-k. A query's candidates are
+    * posting-list-bounded (Σ df over its terms); production engines
+    * bound the worst case with WAND-style pruning, which would slot
+    * in as a df cap on the static side. State: none retained
+    * (NoTimeout, state never set) — each query is served in the
+    * micro-batch it arrives in; a qid re-sent in a later batch is
+    * served again (at-least-once serving, idempotent output). */
+  def bm25ServeStream(queries: Dataset[BmQuery], postings: DataFrame,
+                      nDocs: Long, totTokens: Long, k: Int = 10): Dataset[BmHit] = {
+    import graft.operators.RetrievalOps.{K1, B}
+    val s = queries.sparkSession
+    import s.implicits._
+    val avgdl = totTokens.toDouble / nDocs
+    val scored = queries.toDF()
+      .select(col("qid"), explode(col("terms")).as("tok"))
+      .join(postings, Seq("tok"))
+      .withColumn("part", round(
+        ((lit(nDocs) - col("dfc") + 0.5) / (col("dfc") + 0.5)) *
+          (col("tf") * (K1 + 1.0)) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl") / lit(avgdl)))), 6))
+      .select(col("qid"), col("doc_id"), col("part"))
+      .as[(Long, Long, Double)]
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (qid: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[Boolean]) => {
+          val byDoc = scala.collection.mutable.Map.empty[Long, (Long, BigDecimal)]
+          rows.foreach { case (_, d, p) =>
+            val (n, acc) = byDoc.getOrElse(d, (0L, BigDecimal(0)))
+            byDoc(d) = (n + 1, acc + BigDecimal(p))
+          }
+          byDoc.toSeq
+            .map { case (d, (n, acc)) => (d, n, acc.toDouble) }
+            .sortBy { case (d, _, sc) => (-sc, d) }
+            .take(k)
+            .map { case (d, n, sc) => BmHit(qid, d, n, sc) }
+            .iterator
+        })
+  }
 }

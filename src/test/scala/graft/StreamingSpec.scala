@@ -916,4 +916,51 @@ class StreamingSpec extends SparkSuite {
     assert(webCurve.sliding(2).forall(p => p(0).docs_kept >= p(1).docs_kept))
     assert(webCurve.sliding(2).forall(p => p(0).tokens_kept >= p(1).tokens_kept))
   }
+
+  test("bm25ServeStream: a streamed query returns exactly q145's batch top-10; queries stay isolated per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.operators.Tables.documents(spark, dir)
+    val (postings, nDocs, tot) = StreamOps.buildBm25Postings(docs)
+    val frozen = postings.localCheckpoint(true) // the serving fleet's loaded index
+
+    val input = MemoryStream[StreamOps.BmQuery]
+    val q = StreamOps.bm25ServeStream(input.toDS(), frozen, nDocs, tot)
+      .writeStream.format("memory").queryName("bmserve")
+      .outputMode("append").start()
+    // batch 1: the q145 query bag; batch 2: a different bag
+    input.addData(StreamOps.BmQuery(1L, Seq("window", "spark", "merge")))
+    q.processAllAvailable()
+    input.addData(StreamOps.BmQuery(2L, Seq("data", "join")))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("bmserve").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // serve contract: qid 1's rows ARE q145's published frame
+    val batch = SparkEntry.queries("q145_bm25_topk")(spark, dir).collect()
+      .map(r => (1L, r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val got1 = got.filter(_._1 == 1L).sortBy(t => (-t._4, t._2)).toSeq
+    assert(got1 == batch, s"\nstream $got1\nbatch  $batch")
+    // the second query produced its own bounded, positive-scored result
+    val got2 = got.filter(_._1 == 2L)
+    assert(got2.nonEmpty && got2.length <= 10 && got2.forall(_._4 > 0.0))
+    // at-least-once serving: the same query re-sent later re-serves
+    // identically against the frozen index
+    val input2 = MemoryStream[StreamOps.BmQuery]
+    val q2 = StreamOps.bm25ServeStream(input2.toDS(), frozen, nDocs, tot)
+      .writeStream.format("memory").queryName("bmserve2")
+      .outputMode("append").start()
+    input2.addData(StreamOps.BmQuery(1L, Seq("window", "spark", "merge")))
+    q2.processAllAvailable()
+    input2.addData(StreamOps.BmQuery(1L, Seq("window", "spark", "merge")))
+    q2.processAllAvailable()
+    q2.stop()
+    val replays = spark.table("bmserve2").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .grouped(10).map(_.sortBy(t => (-t._3, t._1)).toSeq).toSeq
+    assert(replays.length == 2 && replays(0) == replays(1),
+      "re-sent query did not re-serve identically")
+  }
 }
