@@ -923,7 +923,78 @@ object Dedup {
           ROUND(pe.qmax - pe.qmin, 6) AS margin
         FROM pe JOIN ch ON ch.component = pe.component
         JOIN rj ON rj.component = pe.component
-        ORDER BY cluster"""))
+        ORDER BY cluster""")),
+
+    // ---- dedup-threshold dial (q208) ---------------------------------
+    // "How much do we delete at τ?" — the curation dial every near-dup
+    // pass gets tuned by: from the SAME verified pair frame q27
+    // publishes (LSH candidates + exact-Jaccard verification, shared
+    // [[nearDupPairs]] so the dial prices exactly the operator it
+    // tunes), the pair count and the flagged-doc count at every
+    // threshold τ ∈ {0.5, 0.9, 0.95, 0.98, 1.0}. The grid sits where
+    // this corpus's dup mass actually lies — MEASURED first (the q200
+    // lesson): the verified-Jaccard distribution is bimodal (clones
+    // at J ≥ 0.9, background < 0.5; a naive 0.5–0.9 grid is flat at
+    // every SF and audits nothing), so the dial resolves the clone
+    // regime, and its production read is explicit: lowering τ below
+    // 0.9 here buys zero extra dup mass, only background risk. A doc
+    // is flagged at τ iff its MAX
+    // verified Jaccard ≥ τ (one pair suffices), so the doc leg is a
+    // per-doc max then five conditional counts — both curves are
+    // non-increasing in τ by construction (spec-pinned), and the gap
+    // between them is the dup-cluster-size signal (pairs fall faster
+    // than docs when clusters are large).
+    //
+    // Scale: the pair frame is dup-density-bounded (never all-pairs —
+    // the LSH path's contract) and checkpointed once; both legs are
+    // single aggregates over it; the publish is a 1-row × 1-row
+    // scalar stack (whitelisted class). τ comparisons happen on the
+    // 1e-6-rounded Jaccard BOTH engines already agree on.
+    Q("q208_dedup_threshold_curve",
+      (s, dir) => {
+        import s.implicits._
+        val taus = Seq(0.5, 0.9, 0.95, 0.98, 1.0)
+        val pairs = nearDupPairs(s, dir)
+          .withColumn("jacc", round($"jraw", 6))
+          .filter($"jacc" >= 0.5)
+          .select($"ida", $"idb", $"jacc")
+          .localCheckpoint(true)
+        def tag(t: Double) = t.toString.replace(".", "_")
+        val pa = pairs.agg(
+          sum(when($"jacc" >= taus.head, 1L).otherwise(0L)).as(s"p${tag(taus.head)}"),
+          taus.tail.map(t =>
+            sum(when($"jacc" >= t, 1L).otherwise(0L)).as(s"p${tag(t)}")): _*)
+        val perDoc = pairs
+          .select(explode(array($"ida", $"idb")).as("doc"), $"jacc")
+          .groupBy($"doc").agg(max($"jacc").as("mj"))
+        val da = perDoc.agg(
+          sum(when($"mj" >= taus.head, 1L).otherwise(0L)).as(s"d${tag(taus.head)}"),
+          taus.tail.map(t =>
+            sum(when($"mj" >= t, 1L).otherwise(0L)).as(s"d${tag(t)}")): _*)
+        val stackExpr = taus.map(t =>
+          s"CAST($t AS DOUBLE), p${tag(t)}, d${tag(t)}").mkString(
+          s"stack(${taus.size}, ", ", ", ") AS (tau, n_pairs, n_docs_flagged)")
+        pa.crossJoin(broadcast(da))
+          .selectExpr(stackExpr)
+          .orderBy(col("tau"))
+      },
+      Some {
+        val taus = Seq(0.5, 0.9, 0.95, 0.98, 1.0)
+        val legs = taus.map(t => s"""
+        SELECT CAST($t AS DOUBLE) AS tau,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM lshp WHERE jacc >= $t) AS n_pairs,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM pd WHERE mj >= $t) AS n_docs_flagged""")
+        s"""$shingleCte, $signatureSql,
+        $bandsCteSql,
+        $dshCardCteSql,
+        $lshPairsCteSql,
+        pd AS (SELECT doc, MAX(jacc) AS mj FROM
+                 (SELECT ida AS doc, jacc FROM lshp
+                  UNION ALL SELECT idb, jacc FROM lshp) u GROUP BY doc)
+        SELECT tau, n_pairs, n_docs_flagged FROM (
+        ${legs.mkString("\n        UNION ALL ")}) c
+        ORDER BY tau"""
+      })
   )
 
   /** Min-label propagation over the verified near-dup pair graph:

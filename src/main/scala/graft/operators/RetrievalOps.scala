@@ -102,8 +102,13 @@ object RetrievalOps {
     * in its own spaces, two-space gaps) is what the canonical-encode
     * proof rests on: a delimiter edit on one engine must be a compile
     * change on both. */
-  private def bpeChain(seed: String): String =
-    bpeMerges.foldLeft(seed) {
+  private def bpeChain(seed: String): String = bpeChainK(seed, bpeMerges.size)
+
+  /** The chain truncated to the first `k` merges — q207's vocab-budget
+    * dial (a BPE merge table's prefixes are themselves valid trained
+    * tables, so the dial needs no retraining). */
+  private def bpeChainK(seed: String, k: Int): String =
+    bpeMerges.take(k).foldLeft(seed) {
       case (acc, (x, y)) => s"replace($acc, ' $x  $y ', ' $x$y ')"
     }
 
@@ -1108,6 +1113,66 @@ object RetrievalOps {
           (b.doc_id IN (SELECT doc_id FROM ft)) AS in_fresh_top10
         FROM bm b
         ORDER BY b.bm25_frozen DESC, b.doc_id LIMIT 10"""
+      }),
+
+    // ---- BPE merge-budget curve (q207) -------------------------------
+    // The vocab-size ablation every tokenizer design pays for ONCE and
+    // ships forever: chars-per-token as a function of the merge budget
+    // k ∈ {0, 2, 4, 8}. A BPE merge table's PREFIXES are themselves
+    // valid trained tables (training is greedy-incremental), so the
+    // whole curve prices from the ONE trained table — no retraining
+    // per point; k = 0 is the character baseline (chars_per_token = 1
+    // by construction for nonempty tokens), k = 8 replays q159's
+    // compression exactly (spec-pinned partition identity). Encoding
+    // is the q159 replace-chain ([[bpeChainK]] — the SAME chain
+    // builder, truncated), so the dial cannot diverge from the
+    // encoder it prices.
+    //
+    // Scale: the q159 word-cache shape — ONE corpus-collapsing
+    // (tok → cnt) aggregate, then all four chains run at vocab scale
+    // on the same frame (stack → 4 rows per distinct word), one ≤4-key
+    // publish aggregate. The corpus is touched once.
+    Q("q207_bpe_budget_curve",
+      (s, dir) => {
+        import s.implicits._
+        val seed =
+          "concat(' ', array_join(filter(split(tok, ''), c -> c <> ''), '  '), ' ')"
+        val ks = Seq(0, 2, 4, 8)
+        val wc = Dedup.withToks(documents(s, dir))
+          .select(explode($"toks").as("tok"))
+          .filter(length($"tok") > 0)
+          .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+        val enc = ks.foldLeft(wc) { (df, k) =>
+          df.withColumn(s"n$k",
+            size(split(trim(expr(bpeChainK(seed, k))), "  ")).cast(LongType))
+        }
+        enc.selectExpr("cnt", "length(tok) AS ln",
+            s"stack(${ks.size}, ${ks.map(k => s"$k, n$k").mkString(", ")}) AS (n_merges, nsym)")
+          .groupBy($"n_merges")
+          .agg(sum($"cnt").as("n_words"),
+            sum($"cnt" * $"nsym").as("bpe_tokens"),
+            round(sum($"cnt" * $"ln").cast(DoubleType) /
+              sum($"cnt" * $"nsym"), 6).as("chars_per_token"))
+          .orderBy($"n_merges")
+      },
+      Some {
+        val duckSeed =
+          "concat(' ', array_to_string(list_filter(string_split_regex(tok, ''), c -> c <> ''), '  '), ' ')"
+        def leg(k: Int) = s"""
+        SELECT $k AS n_merges,
+          CAST(SUM(cnt) AS BIGINT) AS n_words,
+          CAST(SUM(cnt * len(string_split(trim(${bpeChainK(duckSeed, k)}), '  '))) AS BIGINT) AS bpe_tokens,
+          ROUND(CAST(SUM(cnt * len(tok)) AS DOUBLE) /
+            SUM(cnt * len(string_split(trim(${bpeChainK(duckSeed, k)}), '  '))), 6) AS chars_per_token
+        FROM wc"""
+        s"""
+        WITH $toksCte,
+        wc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM
+                 (SELECT UNNEST(w) AS tok FROM toksc) u
+               WHERE len(tok) > 0 GROUP BY 1)
+        SELECT CAST(n_merges AS INT) AS n_merges, n_words, bpe_tokens, chars_per_token FROM (
+        ${Seq(0, 2, 4, 8).map(leg).mkString("\n        UNION ALL ")}) c
+        ORDER BY n_merges"""
       })
   )
 }

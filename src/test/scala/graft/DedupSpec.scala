@@ -368,4 +368,22 @@ class DedupSpec extends SparkSuite {
       assert(m >= 0.0 && qc >= qr)
     }
   }
+
+  test("q208 threshold curve: non-increasing in tau, anchored to q27's pair frame, and genuinely discriminating") {
+    val got = SparkEntry.queries("q208_dedup_threshold_curve")(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toVector
+    assert(got.map(_._1) == Vector(0.5, 0.9, 0.95, 0.98, 1.0))
+    // both curves are suffix counts over the same frame: non-increasing
+    assert(got.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+    assert(got.map(_._3).sliding(2).forall(p => p(0) >= p(1)))
+    // tau = 0.5 is exactly q27's published pair frame
+    val q27 = SparkEntry.queries("q27_minhash_dup_pairs")(spark, dir).collect()
+    assert(got.head._2 == q27.length.toLong,
+      s"curve base ${got.head._2} != q27 pairs ${q27.length}")
+    // each pair flags at most 2 docs; a flagged doc has >= 1 pair
+    got.foreach { case (_, p, d) => assert(d <= 2 * p); assert((p > 0) == (d > 0)) }
+    // fixture health (the q200 lesson): the dial must DISCRIMINATE —
+    // at least two distinct pair counts across the grid
+    assert(got.map(_._2).distinct.size >= 2, s"flat curve: $got")
+  }
 }

@@ -515,4 +515,22 @@ class RetrievalOpsSpec extends SparkSuite {
     // rank (an always-10/10 overlap audits nothing — the q200 lesson)
     assert(got.exists(!_._4), "overlap 10/10 — the staleness audit never fired")
   }
+
+  test("q207 budget curve: word mass constant, compression monotone in k, k=0 is the char baseline, k=8 replays q159") {
+    val got = run("q207_bpe_budget_curve").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toVector
+    assert(got.map(_._1) == Vector(0, 2, 4, 8))
+    // the word census is k-independent
+    assert(got.map(_._2).distinct.size == 1)
+    // more merges can only shrink the token stream (each replace is a
+    // strict contraction where it fires, identity elsewhere)
+    assert(got.map(_._3).sliding(2).forall(p => p(0) >= p(1)))
+    assert(got.map(_._4).sliding(2).forall(p => p(0) <= p(1)))
+    // k = 0: every nonempty token encodes to its characters exactly
+    assert(got.head._4 == 1.0)
+    // k = 8 IS q159's trained table: totals must partition identically
+    val q159 = run("q159_bpe_encode").collect()
+    assert(got.last._2 == q159.map(_.getLong(1)).sum)
+    assert(got.last._3 == q159.map(_.getLong(3)).sum)
+  }
 }
