@@ -994,7 +994,86 @@ object Dedup {
         SELECT tau, n_pairs, n_docs_flagged FROM (
         ${legs.mkString("\n        UNION ALL ")}) c
         ORDER BY tau"""
-      })
+      }),
+
+    // ---- diversity-preserving dedup survivorship (q209) --------------
+    // Near-dup removal with a smarter keep rule: q79's canonical
+    // corpus keeps the LOWEST ID per dup cluster — blind to where the
+    // survivor comes from, so a rare domain's only copies can lose to
+    // a mega-source clone and the corpus quietly loses diversity
+    // exactly where dedup bites hardest. The diversity rule keeps the
+    // member from the SMALLEST source (corpus mass, tie → source name,
+    // then doc_id) — the "protect the rare domain" survivorship used
+    // when mixture balance matters as much as dup removal. Published
+    // per source: total docs, docs caught in dup clusters, and the
+    // DROP count under BOTH rules side by side — the delta is the
+    // diversity the naive rule was silently destroying. NOTE on the
+    // gate corpora: source masses are UNIFORM by construction, so the
+    // election there exercises the tie chain (source name, then id);
+    // the rare-protection property itself is pinned by a DedupSpec
+    // fixture with genuinely skewed masses — a rare source's only
+    // copy survives the diversity rule and dies under lowest-id.
+    //
+    // Scale: clusters are the memoized [[components]] frame (dup-
+    // bounded); source mass is a ≤|sources|-row aggregate (metadata —
+    // broadcast); both elections are one partial-combined struct-min
+    // per cluster (q184's election class); every publish aggregate is
+    // source-keyed.
+    Q("q209_diversity_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = documents(s, dir).select($"doc_id", $"source")
+        val smass = docs.groupBy($"source").agg(count(lit(1)).as("mass"))
+        val mem = components(s, dir).join(docs, "doc_id")
+          .join(broadcast(smass), "source")
+        val keepRare = mem.groupBy($"component")
+          .agg(min(struct($"mass", $"source", $"doc_id")).as("k"))
+          .select($"component", $"k.doc_id".as("keep_rare"))
+        val keepLow = mem.groupBy($"component")
+          .agg(min($"doc_id").as("keep_low"))
+        val dropped = mem
+          .join(keepRare, "component").join(keepLow, "component")
+          .groupBy($"source").agg(
+            count(lit(1)).as("n_clustered"),
+            sum(when($"doc_id" =!= $"keep_rare", 1L).otherwise(0L))
+              .as("dropped_diversity"),
+            sum(when($"doc_id" =!= $"keep_low", 1L).otherwise(0L))
+              .as("dropped_lowid"))
+        smass.join(dropped, Seq("source"), "left")
+          .na.fill(0L, Seq("n_clustered", "dropped_diversity", "dropped_lowid"))
+          .select($"source", $"mass".as("n_docs"), $"n_clustered",
+            $"dropped_diversity", $"dropped_lowid")
+          .orderBy($"source")
+      },
+      Some(s"""$componentsCte,
+        docs2 AS (SELECT doc_id, source FROM documents),
+        smass AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS mass
+                  FROM docs2 GROUP BY source),
+        mem AS (SELECT c.component, c.doc_id, d.source, m.mass
+                FROM comp c JOIN docs2 d ON d.doc_id = c.doc_id
+                JOIN smass m ON m.source = d.source),
+        kr AS (SELECT component, doc_id AS keep_rare FROM (
+                 SELECT component, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY component
+                     ORDER BY mass, source, doc_id) AS rk
+                 FROM mem) t WHERE rk = 1),
+        kl AS (SELECT component, MIN(doc_id) AS keep_low FROM mem
+               GROUP BY component),
+        dr AS (SELECT m.source,
+                 CAST(COUNT(*) AS BIGINT) AS n_clustered,
+                 CAST(SUM(CASE WHEN m.doc_id <> kr.keep_rare THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dropped_diversity,
+                 CAST(SUM(CASE WHEN m.doc_id <> kl.keep_low THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dropped_lowid
+               FROM mem m JOIN kr ON kr.component = m.component
+               JOIN kl ON kl.component = m.component
+               GROUP BY m.source)
+        SELECT s.source, s.mass AS n_docs,
+          COALESCE(dr.n_clustered, CAST(0 AS BIGINT)) AS n_clustered,
+          COALESCE(dr.dropped_diversity, CAST(0 AS BIGINT)) AS dropped_diversity,
+          COALESCE(dr.dropped_lowid, CAST(0 AS BIGINT)) AS dropped_lowid
+        FROM smass s LEFT JOIN dr ON dr.source = s.source
+        ORDER BY s.source"""))
   )
 
   /** Min-label propagation over the verified near-dup pair graph:

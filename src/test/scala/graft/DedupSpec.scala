@@ -386,4 +386,28 @@ class DedupSpec extends SparkSuite {
     // at least two distinct pair counts across the grid
     assert(got.map(_._2).distinct.size >= 2, s"flat curve: $got")
   }
+
+  test("q209 diversity survivorship: a rare source's only copy survives; lowest-id would have killed it") {
+    import spark.implicits._
+    // skewed fixture: 'rare' has ONE doc (id 10) whose text is cloned
+    // by a 'big'-source doc with a LOWER id (1) — the adversarial case
+    // the rule exists for. big has two more distinct docs.
+    val clone = "alpha beta gamma delta epsilon zeta eta theta"
+    val rows = Seq(
+      (1L, "big", clone, "en", clone.length.toLong),
+      (2L, "big", "one two three four five six seven eight", "en", 40L),
+      (3L, "big", "nine ten eleven twelve thirteen fourteen fifteen", "en", 48L),
+      (10L, "rare", clone, "en", clone.length.toLong))
+    val tmp = java.nio.file.Files.createTempDirectory("divdedup").toString
+    rows.toDF("doc_id", "source", "text", "lang", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("q209_diversity_dedup")(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toVector
+    // (source, n_docs, n_clustered, dropped_diversity, dropped_lowid)
+    assert(got == Vector(
+      ("big", 3L, 1L, 1L, 0L),     // diversity drops big's clone; lowid keeps it
+      ("rare", 1L, 1L, 0L, 1L)),   // lowid kills rare's ONLY document
+      s"unexpected survivorship: $got")
+  }
 }
