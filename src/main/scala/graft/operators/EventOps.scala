@@ -464,7 +464,70 @@ object EventOps {
         SELECT e1 || ' > ' || e2 || ' > ' || e3 AS ctx,
           event_type AS next_event, CAST(COUNT(*) AS BIGINT) AS n
         FROM o WHERE e1 IS NOT NULL
-        GROUP BY 1, 2 ORDER BY n DESC, ctx, next_event LIMIT 20"""))
+        GROUP BY 1, 2 ORDER BY n DESC, ctx, next_event LIMIT 20""")),
+
+    // ---- session-gap dial (q210) -------------------------------------
+    // q65 sessionizes at ONE gap (30 min); this prices the whole dial —
+    // the session count and mean session length at every candidate gap
+    // G ∈ {5 min, 30 min, 2 h, 12 h} — the table a pipeline owner reads
+    // BEFORE freezing the session_window parameter (and the state-size
+    // planning input for the streaming form: open-session state scales
+    // with sessions-per-watermark). The identity that makes it one
+    // pass: n_sessions(G) = n_users + #{intra-user gaps ≥ G} (each
+    // user's first event opens a session; every qualifying gap opens
+    // one more — q65's `>=` boundary contract verbatim), so the whole
+    // curve is ONE lag window over (user, time) and one aggregate with
+    // per-G conditional sums; no per-G re-sessionization. Gaps ride
+    // exact BIGINT microseconds (unix_micros/epoch_us — the engines'
+    // shared timestamp grid).
+    //
+    // Scale: one exchange (user-partitioned window — the q65 shape),
+    // one 1-row aggregate, a 4-row stack publish. The curve is
+    // non-increasing in G by construction (suffix counts) — spec'd.
+    Q("q210_session_gap_curve",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val gapsMin = Seq(5L, 30L, 120L, 720L)
+        val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+        val g = events(s, dir)
+          .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+          .withColumn("gap", $"us" - lag($"us", 1).over(w))
+        val aggCols = Seq(
+          sum(when($"gap".isNull, 1L).otherwise(0L)).as("n_users")) ++
+          gapsMin.map(m => sum(when($"gap" >= m * 60000000L, 1L).otherwise(0L))
+            .as(s"b$m"))
+        val agg = g.agg(count(lit(1)).as("n_events"), aggCols: _*)
+        val stackExpr = gapsMin.map(m =>
+          s"CAST($m AS BIGINT), n_users + b$m").mkString(
+          s"stack(${gapsMin.size}, ", ", ", ") AS (gap_minutes, n_sessions)")
+        agg.selectExpr("n_events", stackExpr)
+          .select($"gap_minutes", $"n_sessions",
+            round($"n_events".cast(org.apache.spark.sql.types.DoubleType)
+              / $"n_sessions", 6).as("avg_events_per_session"))
+          .orderBy($"gap_minutes")
+      },
+      Some {
+        val legs = Seq(5L, 30L, 120L, 720L).map(m => s"""
+        SELECT CAST($m AS BIGINT) AS gap_minutes,
+          n_users + b$m AS n_sessions,
+          ROUND(CAST(n_events AS DOUBLE) / (n_users + b$m), 6)
+            AS avg_events_per_session FROM agg""")
+        s"""
+        WITH e AS (SELECT user_id, event_id,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        g AS (SELECT us - LAG(us) OVER (PARTITION BY user_id
+                ORDER BY us, event_id) AS gap FROM e),
+        agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(SUM(CASE WHEN gap IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
+          ${Seq(5L, 30L, 120L, 720L).map(m =>
+            s"CAST(SUM(CASE WHEN gap >= ${m * 60000000L} THEN 1 ELSE 0 END) AS BIGINT) AS b$m")
+            .mkString(",\n          ")}
+        FROM g)
+        SELECT gap_minutes, n_sessions, avg_events_per_session FROM (
+        ${legs.mkString("\n        UNION ALL ")}) c
+        ORDER BY gap_minutes"""
+      })
   )
 
   /** q155's SCD-2 history build, shared with q161's point-in-time

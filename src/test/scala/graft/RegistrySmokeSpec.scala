@@ -160,4 +160,22 @@ class RegistrySmokeSpec extends SparkSuite {
       .findFirstIn(plan).isDefined, plan.take(2000))
     assert(plan.contains("Bucketed: true"), plan.take(2000))
   }
+
+  test("q210 gap curve: monotone, event mass conserved, and the 30-min row counts exactly q65's sessions") {
+    val got = SparkEntry.queries("q210_session_gap_curve")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toVector
+    assert(got.map(_._1) == Vector(5L, 30L, 120L, 720L))
+    // larger gaps can only merge sessions
+    assert(got.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+    assert(got.map(_._3).sliding(2).forall(p => p(0) <= p(1)))
+    // the dial's 30-min row must count exactly the sessions q65
+    // publishes — same `>=` boundary contract, different plan shape
+    val q65 = SparkEntry.queries("q65_sessionize")(spark, dir).collect()
+    assert(got(1)._2 == q65.length.toLong,
+      s"30-min dial row ${got(1)._2} != q65 session count ${q65.length}")
+    // mass conservation: sessions x avg = total events at every G
+    val n = graft.operators.Tables.events(spark, dir).count()
+    got.foreach { case (_, s2, a) =>
+      assert(math.abs(s2 * a - n) < 0.5 * s2, s"mass drifted at $s2 x $a vs $n") }
+  }
 }
