@@ -892,6 +892,20 @@ object StreamOps {
   def assignAgainstFrozenCentroids(
       stream: DataFrame,       // (vec_id bigint, v array<double>, ...)
       centroids: DataFrame,    // trained (cid bigint, cv array<double>, cc double)
+      maxCentroids: Int = 1 << 17): DataFrame =
+    withFrozenCell(stream, centroids, maxCentroids)
+      .select(col("vec_id"), col("cell"), col("d2"))
+
+  /** The frozen-centroid argmin as an APPEND: adds (cell, d2) to every
+    * stream row, keeping all existing columns — factored out of
+    * [[assignAgainstFrozenCentroids]] so compositions that need the
+    * row payload downstream (the MMR serve joins candidates through
+    * the query vector) run the IDENTICAL batch argmin contract
+    * (1e-6-rounded expanded-form d2, cid tiebreak via the encoded
+    * BIGINT key, loud overflow). */
+  private[graft] def withFrozenCell(
+      stream: DataFrame,
+      centroids: DataFrame,
       maxCentroids: Int = 1 << 17): DataFrame = {
     graft.functions.GraftFunctions.register(stream.sparkSession)
     val rows = centroids.select(col("cid"), col("cv"), col("cc"))
@@ -912,9 +926,10 @@ object StreamOps {
           |    THEN CAST(round(round(__vv - 2.0 * dot_product(v, c._2) + c._3, 6) * 1e6) AS BIGINT) * 4294967296 + c._1
           |    ELSE raise_error('graft IVF argmin: d2 grid overflow (|d2| >= 2147)')
           |  END))""".stripMargin))
-      .select(col("vec_id"),
-        col("__enc").bitwiseAND(lit((1L << 32) - 1)).as("cell"),
-        round(shiftright(col("__enc"), 32).cast("double") / 1e6, 6).as("d2"))
+      .withColumn("cell", col("__enc").bitwiseAND(lit((1L << 32) - 1)))
+      .withColumn("d2",
+        round(shiftright(col("__enc"), 32).cast("double") / 1e6, 6))
+      .drop("__cents", "__vv", "__enc")
   }
 
   /** Streaming semantic decontamination — the streaming twin of q192:
@@ -1130,6 +1145,88 @@ object StreamOps {
             .take(k)
             .map { case (d, n, sc) => BmHit(qid, d, n, sc) }
             .iterator
+        })
+  }
+
+  // ---- streaming ANN + MMR serve -----------------------------------
+
+  final case class MmrHit(qid: Long, sel_rank: Int, vec_id: Long,
+                          rel: Double, mmr: Double)
+
+  /** Streaming vector serve with diversity — the full q203 composition
+    * in stream form: each arriving query vector is (1) assigned to its
+    * nearest FROZEN centroid by the batch argmin contract
+    * ([[withFrozenCell]] — the plan-captured literal, map-only),
+    * (2) joined stream-static on `cell` against the pre-assigned
+    * corpus, so its candidates are exactly its probed inverted list
+    * (nprobe = 1, the latency-serving shape; more probes = union more
+    * cells on the static side), and (3) diversified in-group: cosine
+    * shortlist (top-`shortlist` by 1e-6-rounded rel, id tiebreak),
+    * then q203's greedy λ = 0.5 MMR fold over the bounded shortlist.
+    * Stateless (NoTimeout, state never set): each query is served in
+    * its arrival batch; re-sent queries re-serve identically against
+    * the frozen index.
+    *
+    * Scale: nothing corpus-sized enters the stream side — the static
+    * join prunes to the probed cells of the batch's queries; the
+    * in-group work is O(cell size) to score + O(shortlist²) to
+    * diversify, both index-bounded. The rounding discipline (round-6
+    * before every decision, id tiebreaks) is q203's, so a fixture
+    * replay of the batch algorithm matches bit-for-bit (spec). */
+  def ivfMmrServeStream(
+      queries: DataFrame,   // stream: (qid bigint, v array<double>)
+      centroids: DataFrame, // frozen: (cid, cv, cc)
+      corpus: DataFrame,    // static pre-assigned: (vec_id, v, cell)
+      k: Int = 5, shortlist: Int = 20): Dataset[MmrHit] = {
+    val s = queries.sparkSession
+    import s.implicits._
+    val assigned = withFrozenCell(
+        queries.select(col("qid").as("vec_id"), col("v")), centroids)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
+    val cand = assigned.join(
+        corpus.select(col("vec_id").as("cid2"), col("v").as("cv2"), col("cell")),
+        Seq("cell"))
+      .filter(col("qid") =!= col("cid2"))
+      .select(col("qid"), col("qv"), col("cid2"), col("cv2"))
+      .as[(Long, Seq[Double], Long, Seq[Double])]
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    cand.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (qid: Long, rows: Iterator[(Long, Seq[Double], Long, Seq[Double])],
+         state: GroupState[Boolean]) => {
+          val cs = rows.toVector
+          if (cs.isEmpty) Iterator.empty
+          else {
+            val qv = cs.head._2
+            val nq = math.sqrt(dot(qv, qv))
+            val scored = cs.map { case (_, _, id, cv) =>
+              (id, cv, r6(dot(qv, cv) / (nq * math.sqrt(dot(cv, cv)))))
+            }.sortBy { case (id, _, rel) => (-rel, id) }.take(shortlist)
+            val rel = scored.map(c => c._1 -> c._3).toMap
+            val vecs = scored.map(c => c._1 -> c._2).toMap
+            def cos(a: Seq[Double], b: Seq[Double]) =
+              r6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+            var selected = Vector.empty[MmrHit]
+            var remaining = rel.keySet
+            var rank = 1
+            while (rank <= k && remaining.nonEmpty) {
+              val cand2 = remaining.toSeq.map { c =>
+                val ms = if (selected.isEmpty) 0.0
+                         else selected.map(sl => cos(vecs(c), vecs(sl.vec_id))).max
+                (c, r6(0.5 * rel(c) - 0.5 * ms))
+              }
+              val (bc, bm) = cand2.minBy { case (c, m) => (-m, c) }
+              selected :+= MmrHit(qid, rank, bc, rel(bc), bm)
+              remaining -= bc
+              rank += 1
+            }
+            selected.iterator
+          }
         })
   }
 }

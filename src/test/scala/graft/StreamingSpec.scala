@@ -963,4 +963,75 @@ class StreamingSpec extends SparkSuite {
     assert(replays.length == 2 && replays(0) == replays(1),
       "re-sent query did not re-serve identically")
   }
+
+  test("ivfMmrServeStream: cell-restricted candidates, q203's greedy contract, frozen across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two well-separated cells in 4 dims; corpus pre-assigned
+    val centroids = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0), 1.0),
+      (1L, Seq(0.0, 0.0, 1.0, 0.0), 1.0)).toDF("cid", "cv", "cc")
+    // cell 0: four x-axis-ish vectors (two near-duplicates 10/11 so
+    // diversity must bind); cell 1: two z-axis vectors — one of them
+    // (20) has HIGHER cosine to the query than 13, but sits in the
+    // other cell and must NOT appear at nprobe=1
+    val corpus = Seq(
+      (10L, Seq(1.0, 0.1, 0.0, 0.0), 0L),
+      (11L, Seq(1.0, 0.11, 0.0, 0.0), 0L),
+      (12L, Seq(1.0, -0.9, 0.0, 0.0), 0L),
+      (13L, Seq(0.4, 0.9, 0.0, 0.0), 0L),
+      (20L, Seq(1.0, 0.0, 0.2, 0.0), 1L),
+      (21L, Seq(0.0, 0.0, 1.0, 0.3), 1L)).toDF("vec_id", "v", "cell")
+
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = StreamOps.ivfMmrServeStream(
+      input.toDF().toDF("qid", "v"), centroids, corpus, k = 3)
+      .writeStream.format("memory").queryName("mmrserve")
+      .outputMode("append").start()
+    input.addData((100L, Seq(1.0, 0.0, 0.0, 0.0)))
+    q.processAllAvailable()
+    input.addData((100L, Seq(1.0, 0.0, 0.0, 0.0))) // replay: frozen index
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("mmrserve").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val batches = got.grouped(got.length / 2).map(_.sortBy(_._2).toSeq).toSeq
+    assert(batches.length == 2 && batches(0) == batches(1),
+      s"re-served query diverged: $batches")
+    val sel = batches(0)
+    // cell restriction: vec 20 (other cell) never appears despite its
+    // high cosine — the nprobe=1 contract
+    assert(!sel.exists(_._3 == 20L), s"cross-cell candidate leaked: $sel")
+    // in-test replay of q203's algorithm restricted to cell 0
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Seq[Double], b: Seq[Double]) = a.zip(b).map(t => t._1 * t._2).sum
+    val qv = Seq(1.0, 0.0, 0.0, 0.0)
+    val cell0 = Seq(
+      10L -> Seq(1.0, 0.1, 0.0, 0.0), 11L -> Seq(1.0, 0.11, 0.0, 0.0),
+      12L -> Seq(1.0, -0.9, 0.0, 0.0), 13L -> Seq(0.4, 0.9, 0.0, 0.0))
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      r6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    val scored = cell0.map { case (id, v) => (id, v, cos(qv, v)) }
+      .sortBy { case (id, _, rel) => (-rel, id) }
+    val rel = scored.map(c => c._1 -> c._3).toMap
+    val vecs = scored.map(c => c._1 -> c._2).toMap
+    var selected = Vector.empty[(Int, Long, Double, Double)]
+    var remaining = rel.keySet
+    for (rank <- 1 to 3) {
+      val cands = remaining.toSeq.map { c =>
+        val ms = if (selected.isEmpty) 0.0
+                 else selected.map(s2 => cos(vecs(c), vecs(s2._2))).max
+        (c, r6(0.5 * rel(c) - 0.5 * ms))
+      }
+      val (bc, bm) = cands.minBy { case (c, m) => (-m, c) }
+      selected :+= ((rank, bc, rel(bc), bm))
+      remaining -= bc
+    }
+    assert(sel.map(t => (t._2, t._3, t._4, t._5)) == selected,
+      s"\nstream $sel\nreplay $selected")
+    // diversity must bind: 10 and 11 are near-dups, so after picking
+    // one the other cannot be the second pick
+    assert(!(sel.map(_._3).take(2).toSet == Set(10L, 11L)),
+      s"near-duplicates dominated the diversified head: $sel")
+  }
 }
