@@ -2341,7 +2341,13 @@ object Similarity {
       (s, dir) => {
         import s.implicits._
         val (e, c1, nlist) = sqrtnIndex(s, dir)
-        val asg = sqrtnAssign(e, c1)
+        // materialize the assignment ONCE: three consumers (total
+        // census, live census, mover ids) would otherwise each re-run
+        // the n x sqrt(n) argmin scoring (three 2.84M-row BNLJs in the
+        // 10x dump); the checkpointed frame is the narrow (vec_id,
+        // cell) assignment table — n x 16 B, the index's standing
+        // artifact
+        val asg = sqrtnAssign(e, c1).localCheckpoint(false)
         val tomb = e.filter($"label" % 2 === 0).select($"vec_id")
         val liveAsg = asg.join(tomb, Seq("vec_id"), "left_anti")
         val total = asg.groupBy($"cell").agg(count(lit(1)).as("sz_total"))
@@ -2352,16 +2358,26 @@ object Similarity {
           .select($"cell")
         val survivors = c1.join(
           compacted.withColumnRenamed("cell", "cid"), Seq("cid"), "left_anti")
-        val movers = e.join(
-          liveAsg.join(compacted, Seq("cell")).select($"vec_id"), Seq("vec_id"))
+        // checkpoint the mover-id frame (dead-heavy-cell members only —
+        // dup-wave-bounded): without the lineage break Catalyst
+        // reorders the mover filter AFTER sqrtnAssign's centroid
+        // cross-scoring and scores ALL n vectors against the
+        // survivors (measured 2.84M scored rows vs the ~125k needed
+        // at 10×) — n·√n instead of movers·√n at scale
+        val moverIds = liveAsg.join(compacted, Seq("cell"))
+          .select($"vec_id").localCheckpoint(true)
+        val movers = e.join(broadcast(moverIds), Seq("vec_id"))
         val moved = sqrtnAssign(movers, survivors)
         val stay = liveAsg.join(compacted, Seq("cell"), "left_anti")
           .select($"vec_id", $"cell")
         val before = stay.groupBy($"cell").agg(count(lit(1)).as("sz_before"))
         val absorbed = moved.groupBy($"cell").agg(count(lit(1)).as("n_absorbed"))
+        // O(cells) — eagerly materialized so the publish and the
+        // 1-row imbalance scalar read ONE reassignment pass
         val after = before.join(absorbed, Seq("cell"), "left")
           .na.fill(0L, Seq("n_absorbed"))
           .withColumn("sz_after", $"sz_before" + $"n_absorbed")
+          .localCheckpoint(true)
         val g = after.agg(sum($"sz_after").as("n_live"),
           max($"sz_after").as("max_after"), count(lit(1)).as("n_cells"))
         after.crossJoin(broadcast(g))
