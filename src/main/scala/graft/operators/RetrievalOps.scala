@@ -213,6 +213,72 @@ object RetrievalOps {
         count(lit(1)).as("n_terms"))
   }
 
+  /** Deterministic rank over a ≤k-row frame WITHOUT a global window
+    * (the lint forbids empty-PARTITION-BY WindowExec even on bounded
+    * input): rank = 1 + |better rows|, a k² theta self-join — q134's
+    * whitelisted cumulative-theta class. Shared by q201/q212. */
+  private def rankBounded(top: DataFrame, score: String, as: String): DataFrame = {
+    val b = top.select(col(score).as("s2"), col("doc_id").as("id2"))
+    top.join(broadcast(b),
+        col("s2") > col(score) ||
+          (col("s2") === col(score) && col("id2") < col("doc_id")), "left")
+      .groupBy(col("doc_id"))
+      .agg((count(col("id2")) + 1).cast(IntegerType).as(as))
+  }
+
+  /** The hashing-trick dense leg (q201's contract): every doc with a
+    * nonzero dot against the hashed [[QueryTerms]] vector, scored by
+    * 1e-6-rounded cosine — integer arithmetic until one sqrt+divide.
+    * Returns the FULL scored frame `(doc_id, cos)`; callers take
+    * their own top-k. Shared by q201 (fusion) and q212 (negatives). */
+  private def denseScored(s: SparkSession, tf: DataFrame): DataFrame = {
+    import s.implicits._
+    def hdim(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 1), 16, 10).cast(IntegerType)
+    def hsign(c: org.apache.spark.sql.Column) =
+      when(conv(substring(md5(c), 9, 1), 16, 10).cast(IntegerType) % 2 === 0,
+        lit(1L)).otherwise(lit(-1L))
+    val dvec = tf.groupBy($"doc_id", hdim($"tok").as("dim"))
+      .agg(sum(hsign($"tok") * $"tf").as("wt"))
+    val qvec = QueryTerms.toDF("tok")
+      .select(hdim($"tok").as("dim"), hsign($"tok").as("sgn"))
+      .groupBy($"dim").agg(sum($"sgn").as("qwt"))
+    val qn = qvec.agg(sum($"qwt" * $"qwt").as("qn2"))
+    val dagg = dvec.join(broadcast(qvec), Seq("dim"), "left")
+      .groupBy($"doc_id")
+      .agg(sum($"wt" * coalesce($"qwt", lit(0L))).as("dot"),
+        sum($"wt" * $"wt").as("dn2"))
+    dagg.where($"dot" =!= 0L)
+      .crossJoin(broadcast(qn))
+      .withColumn("cos", round($"dot".cast(DoubleType) /
+        sqrt($"dn2".cast(DoubleType) * $"qn2"), 6))
+      .select($"doc_id", $"cos")
+  }
+
+  /** Oracle CTE chain for [[denseScored]], ending in `dsc(doc_id,
+    * cos)`; needs `toksc` in scope. Shared by the q201/q212 oracles. */
+  private val denseScoredCteSql: String = s"""
+        tfall AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+                  FROM (SELECT doc_id, UNNEST(w) AS tok FROM toksc) u
+                  WHERE len(tok) > 0 GROUP BY 1, 2),
+        dvec AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 1))::INT AS dim,
+                   CAST(SUM(CASE WHEN ('0x' || substr(md5(tok), 9, 1))::INT % 2 = 0
+                                 THEN tf ELSE -tf END) AS BIGINT) AS wt
+                 FROM tfall GROUP BY 1, 2),
+        qterms AS (SELECT tok FROM (VALUES ${QueryTerms.map(t => s"('$t')").mkString(", ")}) t(tok)),
+        qvec AS (SELECT ('0x' || substr(md5(tok), 1, 1))::INT AS dim,
+                   CAST(SUM(CASE WHEN ('0x' || substr(md5(tok), 9, 1))::INT % 2 = 0
+                                 THEN 1 ELSE -1 END) AS BIGINT) AS qwt
+                 FROM qterms GROUP BY 1),
+        qn AS (SELECT CAST(SUM(qwt * qwt) AS BIGINT) AS qn2 FROM qvec),
+        dagg AS (SELECT d.doc_id,
+                   CAST(SUM(d.wt * COALESCE(q.qwt, 0)) AS BIGINT) AS dot,
+                   CAST(SUM(d.wt * d.wt) AS BIGINT) AS dn2
+                 FROM dvec d LEFT JOIN qvec q USING (dim) GROUP BY 1),
+        dsc AS (SELECT doc_id, ROUND(CAST(dot AS DOUBLE) /
+                   sqrt(CAST(dn2 AS DOUBLE) * qn2), 6) AS cos
+                FROM dagg CROSS JOIN qn WHERE dot <> 0)"""
+
   /** Oracle twin of [[docTf]]+[[bm25Consts]]+[[bm25PerDoc]]: CTE chain
     * ending in `${p}bm(doc_id, n_terms, bm25)` over a term predicate.
     * Must follow `$toksCte,`. The `p` prefix namespaces the internal
@@ -849,43 +915,13 @@ object RetrievalOps {
       (s, dir) => {
         import s.implicits._
         val tf = docTf(s, dir)
-        // deterministic rank over a ≤50-row frame WITHOUT a global
-        // window (the lint forbids empty-PARTITION-BY WindowExec even
-        // on bounded input): rank = 1 + |better rows|, a k² = 2500
-        // theta self-join — q134's whitelisted cumulative-theta class
-        def rankBounded(top: DataFrame, score: String, as: String): DataFrame = {
-          val b = top.select(col(score).as("s2"), col("doc_id").as("id2"))
-          top.join(broadcast(b),
-              col("s2") > col(score) ||
-                (col("s2") === col(score) && col("id2") < col("doc_id")), "left")
-            .groupBy(col("doc_id"))
-            .agg((count(col("id2")) + 1).cast(IntegerType).as(as))
-        }
         // ---- sparse leg: q145's BM25, top-50 with ranks -------------
         val sparseTop = bm25PerDoc(tf.where($"tok".isin(QueryTerms: _*)),
             bm25Consts(s, dir))
           .orderBy($"bm25".desc, $"doc_id").limit(50)
         val sp = rankBounded(sparseTop, "bm25", "r_sparse")
         // ---- dense leg: hashed-feature cosine, top-50 with ranks ----
-        def hdim(c: org.apache.spark.sql.Column) =
-          conv(substring(md5(c), 1, 1), 16, 10).cast(IntegerType)
-        def hsign(c: org.apache.spark.sql.Column) =
-          when(conv(substring(md5(c), 9, 1), 16, 10).cast(IntegerType) % 2 === 0,
-            lit(1L)).otherwise(lit(-1L))
-        val dvec = tf.groupBy($"doc_id", hdim($"tok").as("dim"))
-          .agg(sum(hsign($"tok") * $"tf").as("wt"))
-        val qvec = QueryTerms.toDF("tok")
-          .select(hdim($"tok").as("dim"), hsign($"tok").as("sgn"))
-          .groupBy($"dim").agg(sum($"sgn").as("qwt"))
-        val qn = qvec.agg(sum($"qwt" * $"qwt").as("qn2"))
-        val dagg = dvec.join(broadcast(qvec), Seq("dim"), "left")
-          .groupBy($"doc_id")
-          .agg(sum($"wt" * coalesce($"qwt", lit(0L))).as("dot"),
-            sum($"wt" * $"wt").as("dn2"))
-        val denseTop = dagg.where($"dot" =!= 0L)
-          .crossJoin(broadcast(qn))
-          .withColumn("cos", round($"dot".cast(DoubleType) /
-            sqrt($"dn2".cast(DoubleType) * $"qn2"), 6))
+        val denseTop = denseScored(s, tf)
           .orderBy($"cos".desc, $"doc_id").limit(50)
         val dn = rankBounded(denseTop, "cos", "r_dense")
         // ---- RRF fusion over the two bounded candidate lists --------
@@ -902,26 +938,7 @@ object RetrievalOps {
         sp AS (SELECT doc_id, CAST(rs AS INT) AS r_sparse FROM
                  (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rs
                   FROM bm) r WHERE rs <= 50),
-        tfall AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
-                  FROM (SELECT doc_id, UNNEST(w) AS tok FROM toksc) u
-                  WHERE len(tok) > 0 GROUP BY 1, 2),
-        dvec AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 1))::INT AS dim,
-                   CAST(SUM(CASE WHEN ('0x' || substr(md5(tok), 9, 1))::INT % 2 = 0
-                                 THEN tf ELSE -tf END) AS BIGINT) AS wt
-                 FROM tfall GROUP BY 1, 2),
-        qterms AS (SELECT tok FROM (VALUES ('window'), ('spark'), ('merge')) t(tok)),
-        qvec AS (SELECT ('0x' || substr(md5(tok), 1, 1))::INT AS dim,
-                   CAST(SUM(CASE WHEN ('0x' || substr(md5(tok), 9, 1))::INT % 2 = 0
-                                 THEN 1 ELSE -1 END) AS BIGINT) AS qwt
-                 FROM qterms GROUP BY 1),
-        qn AS (SELECT CAST(SUM(qwt * qwt) AS BIGINT) AS qn2 FROM qvec),
-        dagg AS (SELECT d.doc_id,
-                   CAST(SUM(d.wt * COALESCE(q.qwt, 0)) AS BIGINT) AS dot,
-                   CAST(SUM(d.wt * d.wt) AS BIGINT) AS dn2
-                 FROM dvec d LEFT JOIN qvec q USING (dim) GROUP BY 1),
-        dsc AS (SELECT doc_id, ROUND(CAST(dot AS DOUBLE) /
-                   sqrt(CAST(dn2 AS DOUBLE) * qn2), 6) AS cos
-                FROM dagg CROSS JOIN qn WHERE dot <> 0),
+        $denseScoredCteSql,
         dn AS (SELECT doc_id, CAST(rd AS INT) AS r_dense FROM
                  (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rd
                   FROM dsc) r WHERE rd <= 50),
@@ -1253,6 +1270,54 @@ object RetrievalOps {
         SELECT r.rank, r.doc_id, r.bm25, r.n_tokens, w.acc AS cum_tokens
         FROM walk w JOIN rl r ON r.rank = w.rank
         WHERE w.admitted ORDER BY r.rank"""
-      })
+      }),
+
+    // ---- BM25-mined hard negatives (q212) ----------------------------
+    // The DPR recipe (Karpukhin et al., EMNLP 2020): the best training
+    // negatives for a dense retriever are the docs BM25 ranks high but
+    // the dense model does not — lexically query-like, semantically
+    // off. Mining = q201's two legs pointed at each other: sparse
+    // top-50 ANTI-JOINED against dense top-50, published with the
+    // sparse rank, the BM25 score and the doc's dense cosine (NULL
+    // when its hashed vector has no overlap with the query subspace —
+    // the strongest negatives of all), ordered by sparse rank, top 10.
+    // Both legs are the SHARED q201 constructions ([[bm25PerDoc]],
+    // [[denseScored]], [[rankBounded]]) — the miner prices exactly
+    // the retriever it mines for.
+    //
+    // Scale: identical to q201 (two map-only corpus scans, bounded
+    // exchanges, top-50 heaps); the anti-join and the cosine
+    // annotation run on ≤50-row frames.
+    Q("q212_hard_negatives",
+      (s, dir) => {
+        import s.implicits._
+        val tf = docTf(s, dir)
+        val sparseTop = bm25PerDoc(tf.where($"tok".isin(QueryTerms: _*)),
+            bm25Consts(s, dir))
+          .orderBy($"bm25".desc, $"doc_id").limit(50)
+        val sp = rankBounded(sparseTop, "bm25", "r_sparse")
+          .join(sparseTop.select($"doc_id", $"bm25"), "doc_id")
+        val dsc = denseScored(s, tf)
+        val denseTop = dsc.orderBy($"cos".desc, $"doc_id").limit(50)
+        sp.join(denseTop.select($"doc_id"), Seq("doc_id"), "left_anti")
+          .join(dsc.withColumnRenamed("cos", "dense_cos"), Seq("doc_id"), "left")
+          .orderBy($"r_sparse", $"doc_id").limit(10)
+          .select($"doc_id", $"r_sparse", $"bm25", $"dense_cos")
+      },
+      Some(s"""
+        WITH $toksCte,
+        ${bm25CteSql(s"tok IN (${QueryTerms.map(t => s"'$t'").mkString(", ")})")},
+        sp AS (SELECT doc_id, bm25, CAST(rs AS INT) AS r_sparse FROM
+                 (SELECT doc_id, bm25,
+                    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rs
+                  FROM bm) r WHERE rs <= 50),
+        $denseScoredCteSql,
+        dn AS (SELECT doc_id FROM
+                 (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rd
+                  FROM dsc) r WHERE rd <= 50)
+        SELECT s2.doc_id, s2.r_sparse, s2.bm25, d.cos AS dense_cos
+        FROM sp s2 LEFT JOIN dsc d ON d.doc_id = s2.doc_id
+        WHERE s2.doc_id NOT IN (SELECT doc_id FROM dn)
+        ORDER BY s2.r_sparse, s2.doc_id LIMIT 10"""))
   )
 }

@@ -101,6 +101,7 @@ class PlanLintSpec extends SparkSuite {
     "q202_prf_expansion",      // q145's 1-row corpus scalar broadcast in each BM25 pass + the expansion-term scoring
     "q206_bm25_staleness",     // two 1-row corpus-stats scalars (frozen + fresh) on q145's chain
     "q208_dedup_threshold_curve", // 1-row x 1-row scalar crossJoin for the threshold stack (q104's class)
+    "q212_hard_negatives",     // q201's classes: 1-row corpus/query-norm scalars + the ≤50-row rank theta self-join
     // q203_mmr_diversify is NOT whitelisted: its 1-row query broadcast
     // (q34's class) and ≤20-row candidate theta self-join (q134's
     // class) run EAGERLY at build time — the final plan this lint sees

@@ -419,6 +419,22 @@ class RetrievalOpsSpec extends SparkSuite {
     assert(got == expect, s"\ngot    $got\nexpect $expect")
     // fixture health: both legs contribute to the fused top-10
     assert(got.exists(_._2.isDefined) && got.exists(_._3.isDefined))
+    // ---- q212 rides the SAME leg replays: hard negatives are the
+    // sparse-top-50 docs absent from the dense top-50, sparse-rank
+    // order, annotated with their dense cosine (None = no overlap
+    // with the query subspace)
+    val dscMap = dsc.toMap
+    val negExpect = spTop.toSeq.sortBy(_._2)
+      .filterNot { case (id, _) => dnTop.contains(id) }
+      .take(10)
+      .map { case (id, r) => (id, r, bm(id), dscMap.get(id)) }
+    val negGot = run("q212_hard_negatives").collect().map { r =>
+      (r.getLong(0), r.getInt(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    }.toSeq
+    assert(negGot == negExpect, s"\ngot    $negGot\nexpect $negExpect")
+    // the mined set must be non-empty and disjoint from the dense list
+    assert(negGot.nonEmpty && negGot.forall(n => !dnTop.contains(n._1)))
   }
 
   test("q202 PRF expansion equals an independent in-memory replay (both passes + term mining)") {
