@@ -115,8 +115,14 @@ object Similarity {
     * Extracted from [[sqrtnIndex]] so q189 can train on the OLD
     * corpus slice alone (the incremental-ingest shape). */
   private def lloydOnce(e: DataFrame): (DataFrame, Long) = {
-    import e.sparkSession.implicits._
     val nlist = math.ceil(math.sqrt(e.count().toDouble)).toLong
+    (lloydOnceN(e, nlist), nlist)
+  }
+
+  /** [[lloydOnce]] at an EXPLICIT nlist — q213's build-budget dial
+    * (same vec_id<nlist seed, same one exact-decimal refinement). */
+  private def lloydOnceN(e: DataFrame, nlist: Long): DataFrame = {
+    import e.sparkSession.implicits._
     val c0 = e.filter($"vec_id" < nlist)
       .select($"vec_id".as("cid"), $"v".as("cv"), $"vv".as("cc"))
     val means = sqrtnAssign(e, c0).join(e.select($"vec_id", $"v"), "vec_id")
@@ -127,7 +133,7 @@ object Similarity {
       .withColumn("cc", expr("dot_product(cv, cv)"))
       .select($"cell".as("cid"), $"cv", $"cc")
       .localCheckpoint(true)
-    (c1, nlist)
+    c1
   }
 
   /** Nearest trained cell per vector: map-only distance against the
@@ -2417,6 +2423,142 @@ object Similarity {
         SELECT f.cell, f.sz_before, f.n_absorbed, f.sz_after,
           ROUND(CAST(g.max_after AS DOUBLE) * g.n_cells / g.n_live, 6)
             AS imbalance_after
-        FROM aft f CROSS JOIN g ORDER BY f.cell"""))
+        FROM aft f CROSS JOIN g ORDER BY f.cell""")),
+
+    // ---- IVF nlist build-budget dial (q213) --------------------------
+    // The ONE index parameter the dial table still didn't price: the
+    // cell count itself. np (q168/q185/q186), L (q187), bits (q190)
+    // and dims (q188) are all SERVE-time dials on a fixed √n-cell
+    // build; nlist is the BUILD-time dial that trades training cost
+    // and probe fan-out (candidates/probe ≈ n/nlist) against recall.
+    // Three builds at nlist = ⌈f·√n⌉, f ∈ {0.5, 1, 2} — each the same
+    // vec_id<nlist seed + one exact-decimal Lloyd refinement
+    // ([[lloydOnceN]]) — probed at np = 3 with exact cosine scoring,
+    // recall@5 vs the shared exact truth, plus the trained imbalance.
+    // The f = 1 row replays q168@np=3 EXACTLY (spec-pinned identity:
+    // same training, same probes, same scoring). The published story
+    // at gate scale: halving nlist fattens every probe (candidates
+    // ~2×) for little recall; doubling it thins probes but recall
+    // pays when true neighbors cross cell boundaries — with np fixed,
+    // the knee is where n/nlist matches the neighbor radius.
+    //
+    // Scale: training is 3× the q168 Lloyd cost (each one scan ×
+    // O(nlist·dims) broadcast — the standing build cost, memoized per
+    // (session, dir, f)); each serve leg is the q168 probe shape.
+    Q("q213_ivf_nlist_budget",
+      (s, dir) => {
+        import s.implicits._
+        val (e, _, _) = sqrtnIndex(s, dir)
+        val exact = exactTop5(e, dir)
+        val legs = Seq(0.5, 1.0, 2.0).map { f =>
+          val nf = math.max(1L, math.ceil(f * math.sqrt(e.count().toDouble)).toLong)
+          val c1 = SessionMemo.get(s, s"nlist-dial:$f:$dir")(
+            if (f == 1.0) sqrtnIndex(s, dir)._2 else lloydOnceN(e, nf))
+          val asg = sqrtnAssign(e, c1).localCheckpoint(false)
+          val q = e.filter($"vec_id" < 50)
+            .select($"vec_id".as("qid"), $"v".as("av"), $"nrm".as("na"), $"vv")
+          val pw = Window.partitionBy($"qid").orderBy($"d2", $"cell")
+          val probes = q.crossJoin(broadcast(c1.withColumnRenamed("cid", "cell")))
+            .withColumn("d2",
+              round($"vv" - lit(2.0) * expr("dot_product(av, cv)") + $"cc", 6))
+            .withColumn("probe_rank", row_number().over(pw))
+            .filter($"probe_rank" <= 3)
+            .select($"qid", $"av", $"na", $"cell")
+          val corpus = e.select($"vec_id".as("cid"), $"v".as("bv"), $"nrm".as("nb"))
+            .join(asg.select($"vec_id".as("cid"), $"cell"), "cid")
+          val cand = broadcast(probes).join(corpus, Seq("cell"))
+            .filter($"qid" =!= $"cid")
+            .withColumn("cosr", round(expr(dotExpr) / ($"na" * $"nb"), 6))
+          val w = Window.partitionBy($"qid").orderBy($"cosr".desc, $"cid")
+          val top = cand.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+            .select($"qid", $"cid")
+          val hits = top.join(exact,
+              $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
+            .agg(count(lit(1)).as("hits"))
+          val vol = cand.agg(count(lit(1)).as("candidates"),
+            countDistinct($"qid").as("n_queries"))
+          val imb = asg.groupBy($"cell").agg(count(lit(1)).as("cnt"))
+            .agg(round(max($"cnt").cast(DoubleType) * lit(nf.toDouble)
+              / sum($"cnt"), 6).as("imbalance"))
+          vol.crossJoin(broadcast(hits)).crossJoin(broadcast(imb))
+            .select(lit(f).as("factor"), lit(nf).as("nlist"),
+              $"n_queries", $"candidates", $"hits",
+              round($"hits".cast(DoubleType) / ($"n_queries" * 5), 6)
+                .as("recall_at_5"), $"imbalance")
+        }
+        legs.reduce(_ unionByName _).orderBy($"factor")
+      },
+      Some {
+        def leg(f: Double, p: String): String = {
+          val argmin = ivfArgminSql _
+          s"""
+        ${p}nl AS (SELECT GREATEST(CAST(CEIL($f * SQRT(COUNT(*))) AS BIGINT),
+                     CAST(1 AS BIGINT)) AS nlist FROM n),
+        ${p}c0 AS (SELECT vec_id AS cid, v AS cv, vv AS cc
+               FROM e2, ${p}nl WHERE vec_id < ${p}nl.nlist),
+        ${p}s0 AS MATERIALIZED (${argmin("e2", s"${p}c0")}),
+        ${p}dims AS (SELECT s0.cell, i - 1 AS dim, e2.v[i] AS x
+                 FROM ${p}s0 s0 JOIN e2 USING (vec_id),
+                      UNNEST(range(1, len(e2.v) + 1)) AS t(i)),
+        ${p}means AS (SELECT cell, dim, ${davgSql("x", 15)} AS m
+                  FROM ${p}dims GROUP BY cell, dim),
+        ${p}c1 AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv
+               FROM ${p}means GROUP BY cell),
+        ${p}c1n AS MATERIALIZED (SELECT cid, cv,
+                 list_sum(list_transform(cv, x -> x * x)) AS cc FROM ${p}c1),
+        ${p}asg AS MATERIALIZED (${argmin("e2", s"${p}c1n")}),
+        ${p}pr AS (SELECT qid, cell FROM (
+                 SELECT q.qid, c.cid AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                     ROUND(q.vv - 2.0 * list_sum([q.av[i] * c.cv[i] for i in range(1, len(q.av) + 1)]) + c.cc, 6),
+                     c.cid) AS probe_rank
+                 FROM qv q CROSS JOIN ${p}c1n c) t
+               WHERE probe_rank <= 3),
+        ${p}cand AS (SELECT p2.qid, b.vec_id AS cid,
+                   ROUND(list_sum([q.av[i] * b.v[i] for i in range(1, len(q.av) + 1)]) / (q.na * b.nrm), 6) AS cosr
+                 FROM ${p}pr p2
+                 JOIN qv q ON q.qid = p2.qid
+                 JOIN ${p}asg a ON a.cell = p2.cell
+                 JOIN e2 b ON b.vec_id = a.vec_id AND b.vec_id <> p2.qid),
+        ${p}top AS (SELECT qid, cid FROM (SELECT *,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosr DESC, cid) AS rk
+                FROM ${p}cand) t WHERE rk <= 5),
+        ${p}hits AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+                 FROM ${p}top t JOIN et ON et.eqid = t.qid AND et.ecid = t.cid),
+        ${p}vol AS (SELECT CAST(COUNT(*) AS BIGINT) AS candidates,
+                  CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries
+                FROM ${p}cand),
+        ${p}imb AS (SELECT ROUND(CAST(MAX(cnt) AS DOUBLE) * nl2.nlist / SUM(cnt), 6)
+                      AS imbalance
+                    FROM (SELECT cell, COUNT(*) AS cnt FROM ${p}asg GROUP BY cell) c,
+                         ${p}nl nl2 GROUP BY nl2.nlist),
+        ${p}leg AS (SELECT CAST($f AS DOUBLE) AS factor, nl3.nlist,
+                      v.n_queries, v.candidates, h.hits,
+                      ROUND(CAST(h.hits AS DOUBLE) / (v.n_queries * 5), 6)
+                        AS recall_at_5, i.imbalance
+                    FROM ${p}vol v CROSS JOIN ${p}hits h
+                    CROSS JOIN ${p}imb i CROSS JOIN ${p}nl nl3)"""
+        }
+        s"""$prepCte,
+        e2 AS (SELECT vec_id, v, nrm,
+                 list_sum(list_transform(v, x -> x * x)) AS vv FROM n),
+        qv AS (SELECT vec_id AS qid, v AS av, nrm AS na, vv FROM e2
+               WHERE vec_id < 50),
+        et AS (SELECT vec_id AS eqid, bvid AS ecid FROM (
+                 SELECT a2.vec_id, b2.vec_id AS bvid,
+                   ROW_NUMBER() OVER (PARTITION BY a2.vec_id ORDER BY
+                     ROUND(a2.vv - 2.0 * list_sum([a2.v[i] * b2.v[i] for i in range(1, len(a2.v) + 1)]) + b2.vv, 6),
+                     b2.vec_id) AS rk
+                 FROM e2 a2 JOIN e2 b2 ON a2.vec_id <> b2.vec_id
+                 WHERE a2.vec_id < 50) s
+               WHERE rk <= 5),
+        ${leg(0.5, "fa_")},
+        ${leg(1.0, "fb_")},
+        ${leg(2.0, "fc_")}
+        SELECT factor, nlist, n_queries, candidates, hits, recall_at_5, imbalance
+        FROM (SELECT * FROM fa_leg UNION ALL SELECT * FROM fb_leg
+              UNION ALL SELECT * FROM fc_leg) u
+        ORDER BY factor"""
+      })
   )
 }

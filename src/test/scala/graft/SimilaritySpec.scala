@@ -571,6 +571,27 @@ class SimilaritySpec extends SparkSuite {
     rows.foreach { case (_, b, a, t) => assert(b + a == t) }
   }
 
+  test("q213 nlist dial: the f=1 row IS q168@np=3, volumes fall as cells shrink, every leg serves all queries") {
+    val got = run("q213_ivf_nlist_budget").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toVector
+    assert(got.map(_._1) == Vector(0.5, 1.0, 2.0))
+    // finer cells => strictly fewer candidates at fixed np=3
+    assert(got.map(_._3).forall(_ == 50L))
+    assert(got.map(_._4).sliding(2).forall(p => p(0) > p(1)),
+      s"candidate volume did not fall with nlist: $got")
+    // the f=1 row replays q168's np=3 row exactly (same training,
+    // same probes, same exact-cosine scoring)
+    val q168 = run("q168_ivf_sqrtn_recall").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .find(_._1 == 3).get
+    val f1 = got(1)
+    assert((f1._2, f1._3, f1._4, f1._5, f1._6) ==
+      (q168._2, q168._3, q168._4, q168._5, q168._6),
+      s"\nf=1 leg $f1\nq168@3  $q168")
+  }
+
   test("q204 serve from the parquet-round-tripped index equals q186's in-memory serve row-for-row") {
     val mem = run("q186_ivfpq_residual_recall").collect().map(_.toSeq).toVector
     val disk = run("q204_ivf_index_persist").collect().map(_.toSeq).toVector
