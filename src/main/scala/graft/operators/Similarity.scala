@@ -2559,6 +2559,146 @@ object Similarity {
         FROM (SELECT * FROM fa_leg UNION ALL SELECT * FROM fb_leg
               UNION ALL SELECT * FROM fc_leg) u
         ORDER BY factor"""
-      })
+      }),
+
+    // ---- recall after compaction (q214) ------------------------------
+    // The verification leg that closes the deletion lifecycle: q196
+    // AUDITS (which cells trip the trigger), q205 EXECUTES (dissolve +
+    // reassign), and this measures what the cheap cell-merge COST in
+    // serve quality — probed recall@5 over the COMPACTED index
+    // (surviving centroids + the q205-reassigned lists) for the live
+    // query set, against exact truth computed on the LIVE corpus
+    // (tombstones are gone from queries, candidates and truth alike).
+    // Published in q168's row shape so the number is directly
+    // comparable with the pre-deletion curve: a big recall drop means
+    // the dissolved cells' vectors landed in centroids that no longer
+    // describe them and the ESCALATION (full retrain, q168's Lloyd
+    // pass) is due — this query is the trigger for that decision.
+    //
+    // Scale: the compaction chain is q205's (one assignment pass,
+    // movers-only rescore); the serve is q168's probe shape over the
+    // surviving O(√n·dims) centroid broadcast; exact truth is the
+    // declared probe-set brute-force class (q34) on the live corpus.
+    Q("q214_compacted_recall",
+      (s, dir) => {
+        import s.implicits._
+        val (e, c1, _) = sqrtnIndex(s, dir)
+        val asg = sqrtnAssign(e, c1).localCheckpoint(false)
+        val tomb = e.filter($"label" % 2 === 0).select($"vec_id")
+        val liveAsg = asg.join(tomb, Seq("vec_id"), "left_anti")
+        val total = asg.groupBy($"cell").agg(count(lit(1)).as("sz_total"))
+        val liveSz = liveAsg.groupBy($"cell").agg(count(lit(1)).as("sz_live"))
+        val compacted = total.join(liveSz, Seq("cell"), "left")
+          .na.fill(0L, Seq("sz_live"))
+          .filter($"sz_live" * 2 < $"sz_total").select($"cell")
+        val survivors = c1.join(
+          compacted.withColumnRenamed("cell", "cid"), Seq("cid"), "left_anti")
+          .localCheckpoint(true)
+        val moverIds = liveAsg.join(compacted, Seq("cell"))
+          .select($"vec_id").localCheckpoint(true)
+        val moved = sqrtnAssign(e.join(broadcast(moverIds), Seq("vec_id")), survivors)
+        val newAsg = liveAsg.join(compacted, Seq("cell"), "left_anti")
+          .select($"vec_id", $"cell")
+          .unionByName(moved).localCheckpoint(false)
+        val live = e.filter($"label" % 2 =!= 0)
+        val q = live.filter($"vec_id" < 50)
+          .select($"vec_id".as("qid"), $"v".as("av"), $"nrm".as("na"), $"vv")
+        // exact truth on the live corpus (q34's declared brute class)
+        val corpus = live.select($"vec_id".as("cid"), $"v".as("bv"),
+          $"nrm".as("nb"), $"vv".as("bb"))
+        val ew = Window.partitionBy($"qid").orderBy($"d2", $"cid")
+        val etop = broadcast(q).join(corpus, $"qid" =!= $"cid")
+          .withColumn("d2",
+            round($"vv" - lit(2.0) * expr("dot_product(av, bv)") + $"bb", 6))
+          .withColumn("rk", row_number().over(ew)).filter($"rk" <= 5)
+          .select($"qid".as("eqid"), $"cid".as("ecid"))
+          .localCheckpoint(true)
+        // probes over the SURVIVING centroids, q168's contract
+        val pw = Window.partitionBy($"qid").orderBy($"d2", $"cell")
+        val probes = q.crossJoin(broadcast(
+            survivors.withColumnRenamed("cid", "cell")))
+          .withColumn("d2",
+            round($"vv" - lit(2.0) * expr("dot_product(av, cv)") + $"cc", 6))
+          .withColumn("probe_rank", row_number().over(pw))
+          .filter($"probe_rank" <= 3)
+          .select($"qid", $"av", $"na", $"cell", $"probe_rank")
+        val cand = broadcast(probes)
+          .join(corpus.join(newAsg.withColumnRenamed("vec_id", "cid"), "cid"),
+            Seq("cell"))
+          .filter($"qid" =!= $"cid")
+          .withColumn("cosr", round(expr(dotExpr) / ($"na" * $"nb"), 6))
+          .withColumn("np", explode(expr("sequence(probe_rank, 3)")))
+        val w = Window.partitionBy($"np", $"qid").orderBy($"cosr".desc, $"cid")
+        val top = cand.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+          .select($"np", $"qid", $"cid")
+        val hits = top.join(etop,
+            $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
+          .groupBy($"np").agg(count(lit(1)).as("hits"))
+        cand.groupBy($"np")
+          .agg(count(lit(1)).as("candidates"), countDistinct($"qid").as("n_queries"))
+          .join(hits, Seq("np"), "left")
+          .select($"np".cast(IntegerType).as("nprobe"),
+            $"n_queries", $"candidates",
+            coalesce($"hits", lit(0L)).as("hits"),
+            round(coalesce($"hits", lit(0L)).cast(DoubleType) / ($"n_queries" * 5), 6)
+              .as("recall_at_5"))
+          .orderBy($"nprobe")
+      },
+      Some(s"""$prepCte,
+        $sqrtnAsgCteSql,
+        tomb AS (SELECT vec_id FROM n WHERE label % 2 = 0),
+        total AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS sz_total FROM asg GROUP BY cell),
+        live_ AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS sz_live FROM asg
+                 WHERE vec_id NOT IN (SELECT vec_id FROM tomb) GROUP BY cell),
+        comp AS (SELECT t.cell FROM total t LEFT JOIN live_ l ON l.cell = t.cell
+                 WHERE COALESCE(l.sz_live, 0) * 2 < t.sz_total),
+        surv AS (SELECT * FROM c1n WHERE cid NOT IN (SELECT cell FROM comp)),
+        lasg AS (SELECT * FROM asg
+                 WHERE vec_id NOT IN (SELECT vec_id FROM tomb)),
+        movers AS (SELECT e2.* FROM e2 JOIN lasg l ON l.vec_id = e2.vec_id
+                   WHERE l.cell IN (SELECT cell FROM comp)),
+        moved AS (${ivfArgminSql("movers", "surv")}),
+        newasg AS (SELECT vec_id, cell FROM lasg
+                   WHERE cell NOT IN (SELECT cell FROM comp)
+                   UNION ALL SELECT vec_id, cell FROM moved),
+        lv2 AS (SELECT * FROM e2 WHERE vec_id NOT IN (SELECT vec_id FROM tomb)),
+        qv AS (SELECT vec_id AS qid, v AS av, nrm AS na, vv FROM lv2
+               WHERE vec_id < 50),
+        et AS (SELECT vec_id AS eqid, bvid AS ecid FROM (
+                 SELECT q.qid AS vec_id, b.vec_id AS bvid,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                     ROUND(q.vv - 2.0 * list_sum([q.av[i] * b.v[i] for i in range(1, len(q.av) + 1)]) + b.vv, 6),
+                     b.vec_id) AS rk
+                 FROM qv q JOIN lv2 b ON b.vec_id <> q.qid) s
+               WHERE rk <= 5),
+        pr AS (SELECT qid, cell, probe_rank FROM (
+                 SELECT q.qid, c.cid AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                     ROUND(q.vv - 2.0 * list_sum([q.av[i] * c.cv[i] for i in range(1, len(q.av) + 1)]) + c.cc, 6),
+                     c.cid) AS probe_rank
+                 FROM qv q CROSS JOIN surv c) t
+               WHERE probe_rank <= 3),
+        cand AS (SELECT p.qid, p.probe_rank, b.vec_id AS cid,
+                   ROUND(list_sum([q.av[i] * b.v[i] for i in range(1, len(q.av) + 1)]) / (q.na * b.nrm), 6) AS cosr
+                 FROM pr p
+                 JOIN qv q ON q.qid = p.qid
+                 JOIN newasg a ON a.cell = p.cell
+                 JOIN lv2 b ON b.vec_id = a.vec_id AND b.vec_id <> p.qid),
+        lv3 AS (SELECT qid, cid, cosr, np
+               FROM cand, UNNEST(range(probe_rank, 4)) AS t(np)),
+        top AS (SELECT np, qid, cid FROM (SELECT *,
+                  ROW_NUMBER() OVER (PARTITION BY np, qid ORDER BY cosr DESC, cid) AS rk
+                FROM lv3) t WHERE rk <= 5),
+        hits AS (SELECT t.np, CAST(COUNT(*) AS BIGINT) AS hits
+                 FROM top t JOIN et ON et.eqid = t.qid AND et.ecid = t.cid
+                 GROUP BY t.np),
+        vol AS (SELECT np, CAST(COUNT(*) AS BIGINT) AS candidates,
+                  CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries
+                FROM lv3 GROUP BY np)
+        SELECT CAST(v.np AS INT) AS nprobe, v.n_queries, v.candidates,
+          COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
+          ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / (v.n_queries * 5), 6) AS recall_at_5
+        FROM vol v LEFT JOIN hits h ON h.np = v.np
+        ORDER BY nprobe"""))
   )
 }

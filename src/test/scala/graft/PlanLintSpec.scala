@@ -79,6 +79,7 @@ class PlanLintSpec extends SparkSuite {
     "q196_ivf_tombstones",    // q178's centroid-assignment class + the 1-row live-census scalar broadcast onto O(sqrt(n)) cell rows
     "q205_ivf_compaction",    // q178's assignment class twice (full census + movers vs surviving centroids) + the 1-row post-compaction scalar
     "q213_ivf_nlist_budget",  // q168's probe class per leg (queries x the O(nlist x dims) checkpointed trained centroids, 3 legs) + 1-row hits/imbalance scalars
+    "q214_compacted_recall",  // q168's probe class on the surviving-centroid broadcast + q178's assignment class (census + movers) — the compacted-serve chain
     // q204_ivf_index_persist is NOT whitelisted: like q185, its probe
     // BNLJ (q168's centroid class, on the RELOADED O(sqrt(n) x dims)
     // centroid frame) sits upstream of ivfpqTail's localCheckpoint —

@@ -592,6 +592,24 @@ class SimilaritySpec extends SparkSuite {
       s"\nf=1 leg $f1\nq168@3  $q168")
   }
 
+  test("q214 compacted recall: monotone in np, queries are exactly the live probe set, candidates all live") {
+    import spark.implicits._
+    val got = run("q214_compacted_recall").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1).toVector
+    assert(got.map(_._1) == Vector(1, 2, 3))
+    // more probes can only add candidates and hits
+    assert(got.map(_._3).sliding(2).forall(p => p(0) < p(1)))
+    assert(got.map(_._4).sliding(2).forall(p => p(0) <= p(1)))
+    assert(got.map(_._5).sliding(2).forall(p => p(0) <= p(1)))
+    // the query population is exactly the LIVE (odd-label) vectors
+    // among vec_id < 50 — tombstoned queries must not be served
+    val nLiveQ = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter($"vec_id" < 50 && $"label" % 2 =!= 0).count()
+    assert(got.forall(_._2 == nLiveQ),
+      s"query population ${got.map(_._2)} != live probe set $nLiveQ")
+  }
+
   test("q204 serve from the parquet-round-tripped index equals q186's in-memory serve row-for-row") {
     val mem = run("q186_ivfpq_residual_recall").collect().map(_.toSeq).toVector
     val disk = run("q204_ivf_index_persist").collect().map(_.toSeq).toVector
