@@ -2294,8 +2294,12 @@ object Similarity {
         val (e, c1, nlist) = sqrtnIndex(s, dir)
         val asg = sqrtnAssign(e, c1)
         val (rbook, rcodes) = residualBookCodes(s, dir, pqM, e, c1, asg)
+        // process-scoped path: a CONCURRENT session gating the same
+        // corpus (driver Verify + a judge re-run) must not overwrite
+        // this session's artifacts between its write and its reload
         val ix = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-index-" +
-          Integer.toHexString(dir.hashCode)
+          Integer.toHexString(dir.hashCode) + "-" +
+          java.lang.ProcessHandle.current().pid()
         c1.write.mode("overwrite").parquet(s"$ix/centroids")
         asg.write.mode("overwrite").parquet(s"$ix/lists")
         rbook.write.mode("overwrite").parquet(s"$ix/codebook")
