@@ -70,6 +70,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Decode-bound media queries pay a REAL codec decode of their full
+    // media corpus EVERY rep (q199 alone = 640k JPEG frame decodes per
+    // rep at sf0.1) — a linear decode term, not a plan property:
+    // variance there is host IO, never shape. They run at most 2 reps:
+    // the regression gate compares MINS, which 2 reps establish as
+    // well as 3, and the full bench saves one whole decode sweep per
+    // query. Gate semantics unchanged (median-of-2 = mean; min = min).
+    val decodeBound = Set("q198_audio_envelope_dedup",
+      "q199_video_temporal_dedup", "q200_video_clip_containment")
+
     def measure(name: String): (Double, Double) = {
       // several operators eagerly localCheckpoint bounded frames
       // (docShingleSets, components' edge list, the daily-counts grid);
@@ -88,7 +98,8 @@ object Bench {
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) => if (!pinned(id)) rdd.unpersist(false) }
       System.gc()
-      val ts = Seq.fill(reps)(once(name))
+      val nReps = if (decodeBound(name)) math.min(reps, 2) else reps
+      val ts = Seq.fill(nReps)(once(name))
       if (ts.exists(_ < 0)) (-1.0, -1.0)
       else {
         val sorted = ts.sorted

@@ -586,9 +586,23 @@ object Multimodal {
     import spark.implicits._
     params.select(col("media_id"), col("grays")).as[(Long, Array[Int])]
       .mapPartitions(_.map { case (id, grays) =>
-        (id, encodeGridPng(grays, g, cellPx)) })
+        (id, gridPngCached(grays, g, cellPx)) })
       .toDF("media_id", "media")
   }
+
+  /** Per-executor cache for [[encodeGridPng]] — the [[solidJpegCached]]
+    * discipline for the grid family: the q195/q215 fixture corpus has
+    * ≤ 64 distinct gray grids however many media rows replicate them
+    * (re-posted images), and ImageIO writer spin-up is ~ms per call.
+    * Synthesis-side only (the DECODE path is never cached: it is the
+    * engine cost under measurement); bounded so a diverse-grays caller
+    * degrades to plain encoding instead of growing the heap. */
+  private val gridPngCache =
+    new java.util.concurrent.ConcurrentHashMap[(Seq[Int], Int, Int), Array[Byte]]()
+  private def gridPngCached(grays: Array[Int], g: Int, cellPx: Int): Array[Byte] =
+    if (gridPngCache.size >= 4096) encodeGridPng(grays, g, cellPx)
+    else gridPngCache.computeIfAbsent((grays.toSeq, g, cellPx),
+      k => encodeGridPng(grays, k._2, k._3))
 
   /** 64-bit difference hash (dHash) per image — the classic perceptual
     * fingerprint: decode (REAL codec), g×g mean-luminance grid, one

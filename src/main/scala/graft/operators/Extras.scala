@@ -14,15 +14,15 @@ import graft.functions.GraftFunctions
 object Extras {
   import Tables._
 
-  /** The q195/q197 shared hashing pipeline: closed-form grid params
-    * for every doc_id ≡ 0 (mod 5) → real 32×32 PNG → REAL decode →
-    * 64-bit dHash. The grays expression is the single source of truth
-    * the DuckDB oracle mirrors ([[phashOracleCte]]); base image `b`
-    * and variant bit engineer the ground truth (see q195's comment). */
-  private def phashHashes(s: SparkSession, dir: String): DataFrame = {
+  /** The image-family param frame shared by q195/q197 (dedup) and
+    * q215 (retrieval): every doc_id ≡ 0 (mod 5) with its closed-form
+    * 8×8 gray grid. The grays expression is the single source of
+    * truth both DuckDB oracles mirror ([[phashOracleCte]] and q215's
+    * feature CTE); base image `b` and variant bit engineer the
+    * ground truth (see q195's comment). */
+  private[operators] def mediaGridParams(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val m = graft.multimodal.Multimodal
-    val params = documents(s, dir).filter($"doc_id" % 5 === 0)
+    documents(s, dir).filter($"doc_id" % 5 === 0)
       .selectExpr("doc_id AS media_id",
         "(doc_id div 5) div 2 AS b", "(doc_id div 5) % 2 AS variant")
       .withColumn("grays", expr("""
@@ -32,7 +32,13 @@ object Extras {
                 + ((CASE WHEN i = 1 THEN 0 ELSE i END)
                    * (CASE WHEN i = 1 THEN 0 ELSE i END)) % 7) % 32)
           + CASE WHEN variant = 1 AND i = 0 THEN 3 ELSE 0 END AS INT))"""))
-    m.dHash64(m.synthGridPng(params, g = 8, cellPx = 4), grid = 8)
+  }
+
+  /** The q195/q197 shared hashing pipeline: [[mediaGridParams]] →
+    * real 32×32 PNG → REAL decode → 64-bit dHash. */
+  private def phashHashes(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.multimodal.Multimodal
+    m.dHash64(m.synthGridPng(mediaGridParams(s, dir), g = 8, cellPx = 4), grid = 8)
       .toDF("media_id", "phash")
   }
 

@@ -231,15 +231,23 @@ object RetrievalOps {
     * 1e-6-rounded cosine — integer arithmetic until one sqrt+divide.
     * Returns the FULL scored frame `(doc_id, cos)`; callers take
     * their own top-k. Shared by q201 (fusion) and q212 (negatives). */
+  private def hdim(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 1), 16, 10).cast(IntegerType)
+  private def hsign(c: org.apache.spark.sql.Column) =
+    when(conv(substring(md5(c), 9, 1), 16, 10).cast(IntegerType) % 2 === 0,
+      lit(1L)).otherwise(lit(-1L))
+
+  /** The hashed doc-vector frame `(doc_id, dim, wt)` behind
+    * [[denseScored]] — ≤ 16 rows per doc BY CONSTRUCTION. Factored
+    * out so q216 can compute candidate-pairwise cosines from the SAME
+    * featurization that retrieved them. */
+  private def docHashedVecs(tf: DataFrame): DataFrame =
+    tf.groupBy(col("doc_id"), hdim(col("tok")).as("dim"))
+      .agg(sum(hsign(col("tok")) * col("tf")).as("wt"))
+
   private def denseScored(s: SparkSession, tf: DataFrame): DataFrame = {
     import s.implicits._
-    def hdim(c: org.apache.spark.sql.Column) =
-      conv(substring(md5(c), 1, 1), 16, 10).cast(IntegerType)
-    def hsign(c: org.apache.spark.sql.Column) =
-      when(conv(substring(md5(c), 9, 1), 16, 10).cast(IntegerType) % 2 === 0,
-        lit(1L)).otherwise(lit(-1L))
-    val dvec = tf.groupBy($"doc_id", hdim($"tok").as("dim"))
-      .agg(sum(hsign($"tok") * $"tf").as("wt"))
+    val dvec = docHashedVecs(tf)
     val qvec = QueryTerms.toDF("tok")
       .select(hdim($"tok").as("dim"), hsign($"tok").as("sgn"))
       .groupBy($"dim").agg(sum($"sgn").as("qwt"))
@@ -1318,6 +1326,187 @@ object RetrievalOps {
         SELECT s2.doc_id, s2.r_sparse, s2.bm25, d.cos AS dense_cos
         FROM sp s2 LEFT JOIN dsc d ON d.doc_id = s2.doc_id
         WHERE s2.doc_id NOT IN (SELECT doc_id FROM dn)
-        ORDER BY s2.r_sparse, s2.doc_id LIMIT 10"""))
+        ORDER BY s2.r_sparse, s2.doc_id LIMIT 10""")),
+
+    // ---- end-to-end RAG serving pipeline (q216) -----------------------
+    // The three serving stages the registry prices separately,
+    // COMPOSED as one query — the path a production RAG stack runs
+    // per request: (1) RETRIEVE: q201's hybrid fusion verbatim
+    // (shared [[bm25PerDoc]]/[[denseScored]]/[[rankBounded]]
+    // constructions, RRF over the two top-50 legs), top-20 candidates
+    // by (rrf, doc_id); (2) DIVERSIFY: q203's greedy λ = 0.5 MMR over
+    // the bounded candidate frame, k = 5, where rel = the RRF score
+    // and pairwise similarity = cosine of the SAME hashed doc vectors
+    // the dense leg retrieved with ([[docHashedVecs]] — integer
+    // dot/norms, round-6 before every decision, id tiebreaks;
+    // disjoint-support pairs have cosine 0 by definition); (3) PACK:
+    // q211's greedy-by-rank token-budget walk over the MMR selection
+    // order (budget = 100 tokens — sized so it BINDS on the 5-doc
+    // context at every gate SF, exercising skip-on-overflow) — a
+    // later small doc can use slack a big one couldn't. Published:
+    // the ADMITTED
+    // context, one row per packed doc with both stage scores, its
+    // token count and the running total.
+    //
+    // Scale: corpus work is exactly q201's (two map-only scans,
+    // bounded exchanges, two top-50 heaps — the three stages SHARE
+    // the one tf construction [[docTf]]); everything after the fusion
+    // runs on ≤ 20-row limit-guarded frames (collected under
+    // `require` bounds like q203/q211 — MMR is serial by definition;
+    // at 100 TB the corpus side stays in the candidate generator).
+    Q("q216_rag_serve_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val budget = 100L
+        val tf = docTf(s, dir)
+        // stage 1 — retrieve (q201's fusion, top-20)
+        val sparseTop = bm25PerDoc(tf.where($"tok".isin(QueryTerms: _*)),
+            bm25Consts(s, dir))
+          .orderBy($"bm25".desc, $"doc_id").limit(50)
+        val sp = rankBounded(sparseTop, "bm25", "r_sparse")
+        val denseTop = denseScored(s, tf)
+          .orderBy($"cos".desc, $"doc_id").limit(50)
+        val dn = rankBounded(denseTop, "cos", "r_dense")
+        val fused = sp.join(dn, Seq("doc_id"), "full_outer")
+          .withColumn("rel", round(
+            coalesce(lit(1.0) / (lit(60) + $"r_sparse"), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + $"r_dense"), lit(0.0)), 6))
+          .orderBy($"rel".desc, $"doc_id").limit(20)
+          .select($"doc_id", $"rel")
+          .localCheckpoint(true)
+        // stage 2 — diversify: pairwise cosines of the candidates'
+        // hashed vectors (≤ 20 docs × ≤ 16 dims), then the q203 greedy
+        val dvec = docHashedVecs(tf)
+          .join(broadcast(fused.select($"doc_id")), Seq("doc_id"))
+          .localCheckpoint(true)
+        val dn2 = dvec.groupBy($"doc_id").agg(sum($"wt" * $"wt").as("dn2"))
+        val pair = dvec.select($"doc_id".as("ida"), $"dim", $"wt".as("wa"))
+          .join(dvec.select($"doc_id".as("idb"), $"dim", $"wt".as("wb")), Seq("dim"))
+          .filter($"ida" =!= $"idb")
+          .groupBy($"ida", $"idb").agg(sum($"wa" * $"wb").as("ab"))
+        val sims = pair
+          .join(dn2.select($"doc_id".as("ida"), $"dn2".as("na2")), Seq("ida"))
+          .join(dn2.select($"doc_id".as("idb"), $"dn2".as("nb2")), Seq("idb"))
+          .select($"ida", $"idb", round($"ab".cast(DoubleType) /
+            sqrt($"na2".cast(DoubleType) * $"nb2".cast(DoubleType)), 6).as("sim"))
+        val toks = Dedup.withToks(documents(s, dir))
+          .select($"doc_id",
+            size(expr("filter(toks, t -> length(t) > 0)")).cast(LongType).as("n_tokens"))
+          .join(broadcast(fused.select($"doc_id")), Seq("doc_id"))
+        val candRows = fused.collect()
+        require(candRows.length <= 20, s"candidate frame exceeded its limit: ${candRows.length}")
+        val simRows = sims.collect()
+        require(simRows.length <= 380, s"sim frame exceeded its bound: ${simRows.length}")
+        val tokRows = toks.collect()
+        require(tokRows.length <= 20, s"token frame exceeded its bound: ${tokRows.length}")
+        val rel = candRows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val sim = simRows.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+        val ntok = tokRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // the MMR objective at λ = 0.5 is decided and published at 2×
+        // scale (rel − max-sim, NOT 0.5·rel − 0.5·max-sim): rel and
+        // sim are both on the 1e-6 grid, so the halved form lands
+        // EXACTLY on 5e-7 half-steps whenever their difference is an
+        // odd micro-count — where Spark's exact-decimal HALF_UP and
+        // DuckDB's multiply-then-round systematically disagree
+        // (measured: -0.300968 vs -0.300969). The margin itself stays
+        // on the grid — same argmax, unambiguous rounding.
+        def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        var selected = Vector.empty[(Int, Long, Double, Double)]
+        var remaining = rel.keySet
+        for (k <- 1 to 5 if remaining.nonEmpty) {
+          val scored = remaining.toSeq.map { c =>
+            val ms = if (selected.isEmpty) 0.0
+                     else selected.map(sl => sim.getOrElse((c, sl._2), 0.0)).max
+            (c, r6(rel(c) - ms))
+          }
+          val (bc, bm) = scored.minBy { case (c, m) => (-m, c) }
+          selected :+= ((k, bc, rel(bc), bm))
+          remaining -= bc
+        }
+        // stage 3 — pack: greedy skip-on-overflow walk in MMR order
+        var acc = 0L
+        val packed = selected.flatMap { case (k, id, rl, mm) =>
+          val nt = ntok.getOrElse(id, 0L)
+          if (acc + nt <= budget) { acc += nt; Some((k, id, rl, mm, nt, acc)) }
+          else None
+        }
+        s.createDataFrame(packed)
+          .toDF("sel_rank", "doc_id", "rrf", "mmr", "n_tokens", "cum_tokens")
+          .orderBy($"sel_rank")
+      },
+      Some {
+        val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+        // pair CTEs note: `psum` holds only pairs with SHARED hashed
+        // dims; `sims` is made COMPLETE over cand×cand with absent
+        // pairs zero-filled (disjoint support = true cosine 0 —
+        // matching the Scala getOrElse), so the greedy's correlated
+        // max can stay q203's inner-join shape (DuckDB does not
+        // support correlated non-inner joins).
+        val rounds = (2 to 5).map { r =>
+          val prev = s"sel${r - 1}"
+          s"""
+        s$r AS MATERIALIZED (
+          SELECT c.doc_id, c.rel,
+            ROUND(c.rel - (SELECT MAX(s.sim) FROM sims s
+              JOIN $prev t ON s.idb = t.doc_id WHERE s.ida = c.doc_id), 6) AS mmr
+          FROM cand c WHERE c.doc_id NOT IN (SELECT doc_id FROM $prev)
+          ORDER BY mmr DESC, doc_id LIMIT 1),
+        sel$r AS (SELECT doc_id FROM $prev UNION ALL SELECT doc_id FROM s$r)"""
+        }.mkString(",")
+        val selrows = (1 to 5)
+          .map(r => s"SELECT $r AS sel_rank, doc_id, rel, mmr FROM s$r")
+          .mkString("\n          UNION ALL ")
+        s"""
+        WITH RECURSIVE $toksCte,
+        ${bm25CteSql(s"tok IN ($termList)")},
+        sp AS (SELECT doc_id, CAST(rs AS INT) AS r_sparse FROM
+                 (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rs
+                  FROM bm) r WHERE rs <= 50),
+        $denseScoredCteSql,
+        dn AS (SELECT doc_id, CAST(rd AS INT) AS r_dense FROM
+                 (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rd
+                  FROM dsc) r WHERE rd <= 50),
+        fused AS (SELECT COALESCE(sp.doc_id, dn.doc_id) AS doc_id,
+                    ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + sp.r_sparse), 0) +
+                          COALESCE(CAST(1 AS DOUBLE) / (60 + dn.r_dense), 0), 6) AS rel
+                  FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id),
+        cand AS MATERIALIZED (SELECT doc_id, rel FROM fused
+                              ORDER BY rel DESC, doc_id LIMIT 20),
+        cdv AS (SELECT d.doc_id, d.dim, d.wt FROM dvec d JOIN cand USING (doc_id)),
+        cdn AS (SELECT doc_id, CAST(SUM(wt * wt) AS BIGINT) AS dn2
+                FROM cdv GROUP BY doc_id),
+        psum AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+                   CAST(SUM(a.wt * b.wt) AS BIGINT) AS ab
+                 FROM cdv a JOIN cdv b ON a.dim = b.dim AND a.doc_id <> b.doc_id
+                 GROUP BY 1, 2),
+        sims AS MATERIALIZED (SELECT a.doc_id AS ida, b.doc_id AS idb,
+                   ROUND(COALESCE(CAST(p.ab AS DOUBLE) /
+                     sqrt(CAST(na.dn2 AS DOUBLE) * CAST(nb.dn2 AS DOUBLE)), 0.0), 6) AS sim
+                 FROM cand a JOIN cand b ON a.doc_id <> b.doc_id
+                 LEFT JOIN psum p ON p.ida = a.doc_id AND p.idb = b.doc_id
+                 JOIN cdn na ON na.doc_id = a.doc_id
+                 JOIN cdn nb ON nb.doc_id = b.doc_id),
+        s1 AS MATERIALIZED (SELECT doc_id, rel, ROUND(rel, 6) AS mmr
+                            FROM cand ORDER BY mmr DESC, doc_id LIMIT 1),
+        sel1 AS (SELECT doc_id FROM s1),$rounds,
+        lens AS (SELECT doc_id, CAST(len(list_filter(w, t -> len(t) > 0)) AS BIGINT)
+                   AS n_tokens FROM toksc),
+        selrows AS (
+          $selrows),
+        rl AS (SELECT sr.sel_rank, sr.doc_id, sr.rel, sr.mmr, l.n_tokens
+               FROM selrows sr JOIN lens l USING (doc_id)),
+        walk(rank, acc, admitted) AS (
+          SELECT 0, CAST(0 AS BIGINT), false
+          UNION ALL
+          SELECT w.rank + 1,
+            CASE WHEN w.acc + r.n_tokens <= 100
+                 THEN w.acc + r.n_tokens ELSE w.acc END,
+            (w.acc + r.n_tokens <= 100)
+          FROM walk w JOIN rl r ON r.sel_rank = w.rank + 1)
+        SELECT CAST(r.sel_rank AS INT) AS sel_rank, r.doc_id, r.rel AS rrf,
+          r.mmr, r.n_tokens, w.acc AS cum_tokens
+        FROM walk w JOIN rl r ON r.sel_rank = w.rank
+        WHERE w.admitted ORDER BY r.sel_rank"""
+      })
   )
 }

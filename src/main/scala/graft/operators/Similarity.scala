@@ -183,6 +183,76 @@ object Similarity {
         d2.cast(StringType))))
   }
 
+  /** q204 artifact lifecycle: the serve DataFrame reads the reloaded
+    * parquet LAZILY (bench reps re-materialize it long after the query
+    * builds), so the per-process index tree can only be reclaimed at
+    * JVM exit — one shutdown hook over a dedup'd path set. Orphans
+    * from sessions that never ran their hook (crashed / kill -9) are
+    * swept at the next write: any sibling `graft-ivfpq-index-*-<pid>`
+    * tree whose pid is no longer alive is deleted. Trees of LIVE
+    * concurrent sessions are never touched — that isolation is the
+    * point of the per-pid path. */
+  private val indexCleanupPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val indexCleanupHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      indexCleanupPaths.forEach(p => deleteRecursively(new java.io.File(p)))))
+    ()
+  }
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val cs = f.listFiles()
+    if (cs != null) cs.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+  private def registerIndexCleanup(path: String): Unit = {
+    indexCleanupHook
+    indexCleanupPaths.add(path); ()
+  }
+  private[operators] def sweepDeadIndexTrees(tmp: java.io.File,
+                                             prefix: String): Unit = {
+    val cs = tmp.listFiles()
+    if (cs != null) cs.foreach { f =>
+      val n = f.getName
+      if (n.startsWith(prefix)) {
+        val alive = scala.util.Try {
+          val oh = java.lang.ProcessHandle.of(
+            n.substring(n.lastIndexOf('-') + 1).toLong)
+          oh.isPresent && oh.get.isAlive
+        }.getOrElse(true) // unparsable suffix: not ours, leave it alone
+        if (!alive) deleteRecursively(f)
+      }
+    }
+  }
+
+  /** The MEDIA-embedding corpus + trained √n-IVF shared by q215 (the
+    * multimodal × similarity composition): the q195 image family's
+    * closed-form grid params ([[graft.operators.Extras.mediaGridParams]])
+    * → real 32×32 PNGs → REAL codec decode to the 8×8 luminance grid
+    * (64 float features, each EXACTLY gray/255 — lossless PNG,
+    * integer cell math, axis-aligned cells, so the DuckDB oracle
+    * re-derives the decoded features from the params alone) → double
+    * vectors with norm/squared-norm, then the SAME Lloyd build as the
+    * text-embedding family ([[lloydOnce]]). vec_id = doc_id/5 is
+    * dense from 0, so the vec_id < nlist seed works unchanged.
+    * Memoized per (session, dir): decoded once, trained once, served
+    * by every consumer and bench rep — the production shape (feature
+    * extraction and index build are offline; the serve is the query). */
+  private def mediaIvfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) =
+    SessionMemo.get(s, s"media-ivf:$dir") {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val m = graft.multimodal.Multimodal
+      val png = m.synthGridPng(Extras.mediaGridParams(s, dir), g = 8, cellPx = 4)
+      val e = m.imageFeatures(png, grid = 8).toDF()
+        .select(expr("media_id div 5").as("vec_id"),
+          expr("transform(features, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm", sqrt(expr("dot_product(v, v)")))
+        .withColumn("vv", expr("dot_product(v, v)"))
+        .localCheckpoint(false)
+      val (c1, nlist) = lloydOnce(e)
+      (e, c1, nlist)
+    }
+
   /** Oracle twin of [[sqrtnIndex]]+[[sqrtnAssign]], ending in
     * `asg(vec_id, cell)` (plus `nl(nlist)`, `e2`, `c1n` in scope).
     * Must follow `$prepCte,`. Shared by the q168 and q178 oracles. */
@@ -2257,7 +2327,7 @@ object Similarity {
                    ROUND($oracleDot / (a.nrm * b.nrm), 6) AS sim
                  FROM cv a JOIN cv b ON a.cid <> b.cid),
         s1 AS MATERIALIZED (SELECT cid, rel, ROUND(0.5 * rel, 6) AS mmr
-                            FROM cand ORDER BY rel DESC, cid LIMIT 1),
+                            FROM cand ORDER BY mmr DESC, cid LIMIT 1),
         sel1 AS (SELECT cid FROM s1),$rounds
         SELECT CAST(sel_rank AS INT) AS sel_rank, vec_id, rel, mmr FROM (
         $publish) u
@@ -2300,6 +2370,9 @@ object Similarity {
         val ix = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-index-" +
           Integer.toHexString(dir.hashCode) + "-" +
           java.lang.ProcessHandle.current().pid()
+        sweepDeadIndexTrees(new java.io.File(sys.props("java.io.tmpdir")),
+          "graft-ivfpq-index-")
+        registerIndexCleanup(ix)
         c1.write.mode("overwrite").parquet(s"$ix/centroids")
         asg.write.mode("overwrite").parquet(s"$ix/lists")
         rbook.write.mode("overwrite").parquet(s"$ix/codebook")
@@ -2383,9 +2456,14 @@ object Similarity {
         val before = stay.groupBy($"cell").agg(count(lit(1)).as("sz_before"))
         val absorbed = moved.groupBy($"cell").agg(count(lit(1)).as("n_absorbed"))
         // O(cells) — eagerly materialized so the publish and the
-        // 1-row imbalance scalar read ONE reassignment pass
-        val after = before.join(absorbed, Seq("cell"), "left")
-          .na.fill(0L, Seq("n_absorbed"))
+        // 1-row imbalance scalar read ONE reassignment pass. FULL
+        // OUTER: a surviving centroid with zero live stayers (a cell
+        // the Lloyd refinement left empty — in c1 but absent from asg,
+        // so never censused and never dissolved) can still ABSORB
+        // movers; a left join from `before` would silently drop those
+        // rows, undercounting n_live and skewing imbalance_after.
+        val after = before.join(absorbed, Seq("cell"), "full_outer")
+          .na.fill(0L, Seq("sz_before", "n_absorbed"))
           .withColumn("sz_after", $"sz_before" + $"n_absorbed")
           .localCheckpoint(true)
         val g = after.agg(sum($"sz_after").as("n_live"),
@@ -2418,10 +2496,12 @@ object Similarity {
                 FROM stay GROUP BY cell),
         abs_ AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_absorbed
                  FROM moved GROUP BY cell),
-        aft AS (SELECT b.cell, b.sz_before,
+        aft AS (SELECT COALESCE(b.cell, a.cell) AS cell,
+                  COALESCE(b.sz_before, CAST(0 AS BIGINT)) AS sz_before,
                   COALESCE(a.n_absorbed, CAST(0 AS BIGINT)) AS n_absorbed,
-                  b.sz_before + COALESCE(a.n_absorbed, CAST(0 AS BIGINT)) AS sz_after
-                FROM bfr b LEFT JOIN abs_ a ON a.cell = b.cell),
+                  COALESCE(b.sz_before, CAST(0 AS BIGINT))
+                    + COALESCE(a.n_absorbed, CAST(0 AS BIGINT)) AS sz_after
+                FROM bfr b FULL OUTER JOIN abs_ a ON a.cell = b.cell),
         g AS (SELECT SUM(sz_after) AS n_live, MAX(sz_after) AS max_after,
                 CAST(COUNT(*) AS BIGINT) AS n_cells FROM aft)
         SELECT f.cell, f.sz_before, f.n_absorbed, f.sz_after,
@@ -2438,9 +2518,12 @@ object Similarity {
     // Three builds at nlist = ⌈f·√n⌉, f ∈ {0.5, 1, 2} — each the same
     // vec_id<nlist seed + one exact-decimal Lloyd refinement
     // ([[lloydOnceN]]) — probed at np = 3 with exact cosine scoring,
-    // recall@5 vs the shared exact truth, plus the trained imbalance.
-    // The f = 1 row replays q168@np=3 EXACTLY (spec-pinned identity:
-    // same training, same probes, same scoring). The published story
+    // recall@5 vs q168's COSINE truth ([[knnTop5]] — candidates are
+    // cosine-ranked and the vectors unnormalized, so the L2 truth
+    // would measure a different quantity), plus the trained
+    // imbalance. The f = 1 row replays q168@np=3 EXACTLY (spec-pinned
+    // identity, now BY CONSTRUCTION: same training, same probes, same
+    // scoring, same truth frame). The published story
     // at gate scale: halving nlist fattens every probe (candidates
     // ~2×) for little recall; doubling it thins probes but recall
     // pays when true neighbors cross cell boundaries — with np fixed,
@@ -2453,7 +2536,12 @@ object Similarity {
       (s, dir) => {
         import s.implicits._
         val (e, _, _) = sqrtnIndex(s, dir)
-        val exact = exactTop5(e, dir)
+        // recall truth is knnTop5 (COSINE — q168's truth frame), not
+        // the L2 exactTop5: candidates are ranked by cosine, and the
+        // vectors are unnormalized, so the two truths can diverge —
+        // with the cosine truth the f=1 ≡ q168@np=3 identity holds BY
+        // CONSTRUCTION rather than by corpus coincidence
+        val exact = knnTop5(s, dir).select($"qid".as("eqid"), $"cid".as("ecid"))
         val legs = Seq(0.5, 1.0, 2.0).map { f =>
           val nf = math.max(1L, math.ceil(f * math.sqrt(e.count().toDouble)).toLong)
           val c1 = SessionMemo.get(s, s"nlist-dial:$f:$dir")(
@@ -2528,7 +2616,7 @@ object Similarity {
                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosr DESC, cid) AS rk
                 FROM ${p}cand) t WHERE rk <= 5),
         ${p}hits AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
-                 FROM ${p}top t JOIN et ON et.eqid = t.qid AND et.ecid = t.cid),
+                 FROM ${p}top t JOIN nn ON nn.qid = t.qid AND nn.cid = t.cid),
         ${p}vol AS (SELECT CAST(COUNT(*) AS BIGINT) AS candidates,
                   CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries
                 FROM ${p}cand),
@@ -2544,18 +2632,11 @@ object Similarity {
                     CROSS JOIN ${p}imb i CROSS JOIN ${p}nl nl3)"""
         }
         s"""$prepCte,
+        $knnTop5Cte,
         e2 AS (SELECT vec_id, v, nrm,
                  list_sum(list_transform(v, x -> x * x)) AS vv FROM n),
         qv AS (SELECT vec_id AS qid, v AS av, nrm AS na, vv FROM e2
                WHERE vec_id < 50),
-        et AS (SELECT vec_id AS eqid, bvid AS ecid FROM (
-                 SELECT a2.vec_id, b2.vec_id AS bvid,
-                   ROW_NUMBER() OVER (PARTITION BY a2.vec_id ORDER BY
-                     ROUND(a2.vv - 2.0 * list_sum([a2.v[i] * b2.v[i] for i in range(1, len(a2.v) + 1)]) + b2.vv, 6),
-                     b2.vec_id) AS rk
-                 FROM e2 a2 JOIN e2 b2 ON a2.vec_id <> b2.vec_id
-                 WHERE a2.vec_id < 50) s
-               WHERE rk <= 5),
         ${leg(0.5, "fa_")},
         ${leg(1.0, "fb_")},
         ${leg(2.0, "fc_")}
@@ -2607,13 +2688,15 @@ object Similarity {
         val live = e.filter($"label" % 2 =!= 0)
         val q = live.filter($"vec_id" < 50)
           .select($"vec_id".as("qid"), $"v".as("av"), $"nrm".as("na"), $"vv")
-        // exact truth on the live corpus (q34's declared brute class)
+        // exact truth on the live corpus — COSINE-ranked (q34's brute
+        // class and q168's truth metric: candidates are cosine-ranked
+        // and the vectors unnormalized, so an L2 truth would measure a
+        // different quantity and break comparability with q168's curve)
         val corpus = live.select($"vec_id".as("cid"), $"v".as("bv"),
-          $"nrm".as("nb"), $"vv".as("bb"))
-        val ew = Window.partitionBy($"qid").orderBy($"d2", $"cid")
+          $"nrm".as("nb"))
+        val ew = Window.partitionBy($"qid").orderBy($"ecos".desc, $"cid")
         val etop = broadcast(q).join(corpus, $"qid" =!= $"cid")
-          .withColumn("d2",
-            round($"vv" - lit(2.0) * expr("dot_product(av, bv)") + $"bb", 6))
+          .withColumn("ecos", round(expr(dotExpr) / ($"na" * $"nb"), 6))
           .withColumn("rk", row_number().over(ew)).filter($"rk" <= 5)
           .select($"qid".as("eqid"), $"cid".as("ecid"))
           .localCheckpoint(true)
@@ -2671,7 +2754,7 @@ object Similarity {
         et AS (SELECT vec_id AS eqid, bvid AS ecid FROM (
                  SELECT q.qid AS vec_id, b.vec_id AS bvid,
                    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
-                     ROUND(q.vv - 2.0 * list_sum([q.av[i] * b.v[i] for i in range(1, len(q.av) + 1)]) + b.vv, 6),
+                     ROUND(list_sum([q.av[i] * b.v[i] for i in range(1, len(q.av) + 1)]) / (q.na * b.nrm), 6) DESC,
                      b.vec_id) AS rk
                  FROM qv q JOIN lv2 b ON b.vec_id <> q.qid) s
                WHERE rk <= 5),
@@ -2703,6 +2786,146 @@ object Similarity {
           COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
           ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / (v.n_queries * 5), 6) AS recall_at_5
         FROM vol v LEFT JOIN hits h ON h.np = v.np
+        ORDER BY nprobe""")),
+
+    // ---- media-embedding ANN serve (q215) -----------------------------
+    // The multimodal × similarity composition (the CLIP-style
+    // retrieval shape every multimodal training pipeline runs): REAL
+    // codec-decoded image feature vectors ([[mediaIvfIndex]] — the
+    // q195 image family through [[graft.multimodal.Multimodal
+    // .imageFeatures]]) served through the SAME √n-IVF discipline as
+    // the text-embedding family (q168: √n-seeded Lloyd build, q64
+    // argmin assignment, nprobe = 1..3 nearest-cell probes, exact
+    // cosine scoring of probed candidates, recall@5 vs the exact
+    // cosine truth over the media corpus). The oracle re-derives the
+    // DECODED features from the closed-form grays alone (cell
+    // luminance of gray v is exactly v/255 through the real PNG
+    // round-trip — float-cast then double-widened on both sides), so
+    // hash equality proves encode → PNG → decode → feature → index →
+    // serve end to end. The corpus is dup-heavy BY CONSTRUCTION
+    // (grays repeat every 64 family ids — re-posted images), so
+    // clone-ties dominate the truth and the curve reads high: the
+    // gate pins determinism of the full chain (cid tiebreaks at every
+    // decision), not curve shape; SCALING.md carries the scaled cells.
+    //
+    // Scale: synthesis + decode + featurization are ONE map-only pass
+    // (blob bytes never enter an exchange — only 64 doubles/row
+    // leave); the build is q168's Lloyd (one scan × O(√n·dims)
+    // broadcast); probes/candidates are the q168 shapes (broadcast
+    // probe frame, cell equi-join, n/√n candidates per probe).
+    Q("q215_media_ann_serve",
+      (s, dir) => {
+        import s.implicits._
+        val (e, c1, nlist) = mediaIvfIndex(s, dir)
+        val asg = sqrtnAssign(e, c1)
+        val q = e.filter($"vec_id" < 50)
+          .select($"vec_id".as("qid"), $"v".as("av"), $"nrm".as("na"), $"vv")
+        // exact cosine truth over the media corpus (q34's brute class)
+        val corpus0 = e.select($"vec_id".as("cid"), $"v".as("bv"), $"nrm".as("nb"))
+        val ew = Window.partitionBy($"qid").orderBy($"ecos".desc, $"cid")
+        val etop = broadcast(q).join(corpus0, $"qid" =!= $"cid")
+          .withColumn("ecos", round(expr(dotExpr) / ($"na" * $"nb"), 6))
+          .withColumn("rk", row_number().over(ew)).filter($"rk" <= 5)
+          .select($"qid".as("eqid"), $"cid".as("ecid"))
+          .localCheckpoint(true)
+        val pw = Window.partitionBy($"qid").orderBy($"d2", $"cell")
+        val probes = q.crossJoin(broadcast(c1.withColumnRenamed("cid", "cell")))
+          .withColumn("d2",
+            round($"vv" - lit(2.0) * expr("dot_product(av, cv)") + $"cc", 6))
+          .withColumn("probe_rank", row_number().over(pw))
+          .filter($"probe_rank" <= 3)
+          .select($"qid", $"av", $"na", $"cell", $"probe_rank")
+        val corpus = corpus0.join(asg.select($"vec_id".as("cid"), $"cell"), "cid")
+        val cand = broadcast(probes).join(corpus, Seq("cell"))
+          .filter($"qid" =!= $"cid")
+          .withColumn("cosr", round(expr(dotExpr) / ($"na" * $"nb"), 6))
+          .withColumn("np", explode(expr("sequence(probe_rank, 3)")))
+        val w = Window.partitionBy($"np", $"qid").orderBy($"cosr".desc, $"cid")
+        val top = cand.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+          .select($"np", $"qid", $"cid")
+        val hits = top.join(etop,
+            $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
+          .groupBy($"np").agg(count(lit(1)).as("hits"))
+        cand.groupBy($"np")
+          .agg(count(lit(1)).as("candidates"), countDistinct($"qid").as("n_queries"))
+          .join(hits, Seq("np"), "left")
+          .select($"np".cast(IntegerType).as("nprobe"),
+            lit(nlist).as("nlist"), $"n_queries", $"candidates",
+            coalesce($"hits", lit(0L)).as("hits"),
+            round(coalesce($"hits", lit(0L)).cast(DoubleType) / ($"n_queries" * 5), 6)
+              .as("recall_at_5"))
+          .orderBy($"nprobe")
+      },
+      Some(s"""
+        WITH params AS (
+          SELECT doc_id // 5 AS vec_id, (doc_id // 5) // 2 AS b,
+            (doc_id // 5) % 2 AS variant
+          FROM documents WHERE doc_id % 5 = 0),
+        cells AS (
+          SELECT vec_id, i,
+            8 * ((b * 37
+                  + (CASE WHEN i = 1 THEN 0 ELSE i END) * 11
+                  + ((CASE WHEN i = 1 THEN 0 ELSE i END)
+                     * (CASE WHEN i = 1 THEN 0 ELSE i END)) % 7) % 32)
+            + CASE WHEN variant = 1 AND i = 0 THEN 3 ELSE 0 END AS g
+          FROM params, UNNEST(range(64)) AS t(i)),
+        fv AS (SELECT vec_id,
+                 list(CAST(CAST(g / 255.0 AS REAL) AS DOUBLE) ORDER BY i) AS v
+               FROM cells GROUP BY vec_id),
+        e2 AS MATERIALIZED (SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+                 list_sum(list_transform(v, x -> x * x)) AS vv FROM fv),
+        nl AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS nlist FROM e2),
+        c0 AS (SELECT vec_id AS cid, v AS cv, vv AS cc
+               FROM e2, nl WHERE vec_id < nl.nlist),
+        s0 AS MATERIALIZED (${ivfArgminSql("e2", "c0")}),
+        dims AS (SELECT s0.cell, i - 1 AS dim, e2.v[i] AS x
+                 FROM s0 JOIN e2 USING (vec_id),
+                      UNNEST(range(1, len(e2.v) + 1)) AS t(i)),
+        means AS (SELECT cell, dim, ${davgSql("x", 15)} AS m
+                  FROM dims GROUP BY cell, dim),
+        c1 AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv
+               FROM means GROUP BY cell),
+        c1n AS MATERIALIZED (SELECT cid, cv,
+                 list_sum(list_transform(cv, x -> x * x)) AS cc FROM c1),
+        asg AS MATERIALIZED (${ivfArgminSql("e2", "c1n")}),
+        qv AS (SELECT vec_id AS qid, v AS av, nrm AS na, vv FROM e2
+               WHERE vec_id < 50),
+        et AS (SELECT qid AS eqid, bvid AS ecid FROM (
+                 SELECT q.qid, b.vec_id AS bvid,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                     ROUND(list_sum([q.av[i] * b.v[i] for i in range(1, len(q.av) + 1)]) / (q.na * b.nrm), 6) DESC,
+                     b.vec_id) AS rk
+                 FROM qv q JOIN e2 b ON b.vec_id <> q.qid) s
+               WHERE rk <= 5),
+        pr AS (SELECT qid, cell, probe_rank FROM (
+                 SELECT q.qid, c.cid AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                     ROUND(q.vv - 2.0 * list_sum([q.av[i] * c.cv[i] for i in range(1, len(q.av) + 1)]) + c.cc, 6),
+                     c.cid) AS probe_rank
+                 FROM qv q CROSS JOIN c1n c) t
+               WHERE probe_rank <= 3),
+        cand AS (SELECT p.qid, p.probe_rank, b.vec_id AS cid,
+                   ROUND(list_sum([q.av[i] * b.v[i] for i in range(1, len(q.av) + 1)]) / (q.na * b.nrm), 6) AS cosr
+                 FROM pr p
+                 JOIN qv q ON q.qid = p.qid
+                 JOIN asg a ON a.cell = p.cell
+                 JOIN e2 b ON b.vec_id = a.vec_id AND b.vec_id <> p.qid),
+        lv AS (SELECT qid, cid, cosr, np
+               FROM cand, UNNEST(range(probe_rank, 4)) AS t(np)),
+        top AS (SELECT np, qid, cid FROM (SELECT *,
+                  ROW_NUMBER() OVER (PARTITION BY np, qid ORDER BY cosr DESC, cid) AS rk
+                FROM lv) t WHERE rk <= 5),
+        hits AS (SELECT t.np, CAST(COUNT(*) AS BIGINT) AS hits
+                 FROM top t JOIN et ON et.eqid = t.qid AND et.ecid = t.cid
+                 GROUP BY t.np),
+        vol AS (SELECT np, CAST(COUNT(*) AS BIGINT) AS candidates,
+                  CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries
+                FROM lv GROUP BY np)
+        SELECT CAST(v.np AS INT) AS nprobe, nl.nlist, v.n_queries, v.candidates,
+          COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
+          ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / (v.n_queries * 5), 6) AS recall_at_5
+        FROM vol v CROSS JOIN nl LEFT JOIN hits h ON h.np = v.np
         ORDER BY nprobe"""))
   )
 }

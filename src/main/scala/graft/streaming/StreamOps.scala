@@ -1122,8 +1122,12 @@ object StreamOps {
     val s = queries.sparkSession
     import s.implicits._
     val avgdl = totTokens.toDouble / nDocs
+    // array_distinct BEFORE the join: the batch contract (q145) scores
+    // a term SET (isin membership), so a repeated term in the bag must
+    // not join its posting list twice — that would double the term's
+    // partial and inflate n_terms, breaking batch-equality.
     val scored = queries.toDF()
-      .select(col("qid"), explode(col("terms")).as("tok"))
+      .select(col("qid"), explode(array_distinct(col("terms"))).as("tok"))
       .join(postings, Seq("tok"))
       .withColumn("part", round(
         ((lit(nDocs) - col("dfc") + 0.5) / (col("dfc") + 0.5)) *

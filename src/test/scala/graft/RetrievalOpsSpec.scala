@@ -577,4 +577,39 @@ class RetrievalOpsSpec extends SparkSuite {
     val skipped = (1 to ranks.max).filterNot(admitted)
     assert(skipped.nonEmpty)
   }
+
+  test("q216 composed RAG serve: stage-1 head is q201's, packing recurrence holds, budget binds") {
+    val budget = 100L
+    val got = run("q216_rag_serve_pipeline").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5))).toVector
+    assert(got.nonEmpty && got.map(_._1) == got.map(_._1).sorted)
+    // stage-1 consistency: both q201 and q216 pick their #1 by
+    // (rrf desc, doc_id) over the same fused frame — the pipeline's
+    // first selection IS the standalone retrieval's top hit, with the
+    // same fused score (MMR round 1 has no penalty: mmr = rrf)
+    val q201 = run("q201_hybrid_retrieval").collect()
+    assert(got.head._2 == q201.head.getLong(0))
+    assert(got.head._3 == q201.head.getDouble(3))
+    assert(got.head._4 == got.head._3, "round-1 MMR margin must equal rrf")
+    // packing recurrence: running total consistent, within budget,
+    // and the budget genuinely BINDS (fewer than the 5 MMR picks
+    // admitted — the q200 fixture-health discipline)
+    got.foldLeft(0L) { case (acc, (_, _, _, _, nt, cum)) =>
+      assert(cum == acc + nt); cum }
+    assert(got.last._6 <= budget)
+    assert(got.size < 5, s"budget never bound: all ${got.size} picks admitted")
+    // token counts are the raw-text census (q31 contract)
+    val toks = graft.operators.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\W+", -1).count(_.nonEmpty).toLong).toMap
+    got.foreach { case (_, id, _, _, nt, _) => assert(toks(id) == nt) }
+    // diversity is real: the MMR selection is NOT the plain rrf top-k
+    // prefix (the penalty must bind on this corpus) — q216 selected
+    // docs beyond sel_rank 1 must not all equal q201's next hits
+    val q201Ids = q201.map(_.getLong(0)).toVector
+    assert(got.map(_._2) != q201Ids.take(got.size),
+      "MMR selected exactly the rrf prefix — penalty never bound")
+  }
 }

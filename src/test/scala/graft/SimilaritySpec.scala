@@ -615,4 +615,37 @@ class SimilaritySpec extends SparkSuite {
     val disk = run("q204_ivf_index_persist").collect().map(_.toSeq).toVector
     assert(disk == mem, s"\ndisk  $disk\nmem   $mem")
   }
+
+  test("q215 media ANN serve: decoded features are exactly gray/255, curve monotone, nlist pins the sqrt(n) build") {
+    import spark.implicits._
+    // decode contract replayed off-engine: one synthesized grid PNG
+    // decodes to EXACTLY the closed-form grays/255 (the float the
+    // oracle recomputes) — the exactness q215's whole chain rests on
+    val b = 3L; val variant = 1L
+    val grays = Array.tabulate(64) { i0 =>
+      val i = i0.toLong
+      val ii = if (i == 1L) 0L else i
+      (8L * ((b * 37 + ii * 11 + (ii * ii) % 7) % 32) +
+        (if (variant == 1 && i == 0L) 3L else 0L)).toInt
+    }
+    val png = graft.multimodal.Multimodal.encodeGridPng(grays, g = 8, cellPx = 4)
+    val feats = graft.multimodal.JvmImageCodec.luminanceGrid(png, 8)
+    assert(feats.toSeq == grays.toSeq.map(g => (g / 255.0).toFloat),
+      "decoded grid diverged from the closed-form grays/255")
+    // the served curve: 3 probe levels, candidates strictly grow,
+    // hits/recall never fall, every query served
+    val got = run("q215_media_ann_serve").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toVector
+    assert(got.map(_._1) == Vector(1, 2, 3))
+    val fam = spark.read.parquet(s"$dir/documents.parquet")
+      .filter($"doc_id" % 5 === 0).count()
+    assert(got.forall(_._2 == math.ceil(math.sqrt(fam.toDouble)).toLong),
+      s"nlist is not ceil(sqrt(${fam}))")
+    assert(got.forall(_._3 == math.min(50L, fam)))
+    assert(got.map(_._4).sliding(2).forall(p => p(0) < p(1)))
+    assert(got.map(_._5).sliding(2).forall(p => p(0) <= p(1)))
+    assert(got.map(_._6).forall(r => r >= 0.0 && r <= 1.0))
+    assert(got.map(_._6).sliding(2).forall(p => p(0) <= p(1)))
+  }
 }

@@ -934,6 +934,12 @@ class StreamingSpec extends SparkSuite {
     q.processAllAvailable()
     input.addData(StreamOps.BmQuery(2L, Seq("data", "join")))
     q.processAllAvailable()
+    // batch 3: the q145 bag with REPEATED terms — scoring is over the
+    // term SET (array_distinct before the postings join), so repeats
+    // must not double partials or inflate n_terms
+    input.addData(StreamOps.BmQuery(3L,
+      Seq("window", "spark", "merge", "window", "window", "spark")))
+    q.processAllAvailable()
     q.stop()
 
     val got = spark.table("bmserve").collect()
@@ -946,6 +952,11 @@ class StreamingSpec extends SparkSuite {
     // the second query produced its own bounded, positive-scored result
     val got2 = got.filter(_._1 == 2L)
     assert(got2.nonEmpty && got2.length <= 10 && got2.forall(_._4 > 0.0))
+    // the repeated-term bag serves EXACTLY the deduped bag's frame
+    val got3 = got.filter(_._1 == 3L).map(t => (1L, t._2, t._3, t._4))
+      .sortBy(t => (-t._4, t._2)).toSeq
+    assert(got3 == batch,
+      s"repeated terms changed the serve:\nstream $got3\nbatch  $batch")
     // at-least-once serving: the same query re-sent later re-serves
     // identically against the frozen index
     val input2 = MemoryStream[StreamOps.BmQuery]
