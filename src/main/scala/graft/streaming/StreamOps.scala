@@ -1202,35 +1202,107 @@ object StreamOps {
     cand.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (qid: Long, rows: Iterator[(Long, Seq[Double], Long, Seq[Double])],
+         state: GroupState[Boolean]) =>
+          mmrFold(qid, rows.toVector, k, shortlist).iterator)
+  }
+
+  /** The in-group MMR fold shared by [[ivfMmrServeStream]] and
+    * [[ragPackServeStream]] — q203's greedy contract verbatim (cosine
+    * shortlist by 1e-6-rounded rel with id tiebreak, then λ = 0.5
+    * greedy rounds, round-before-decide at every step). One body so
+    * the plain serve and the packing serve cannot drift. */
+  private def mmrFold(qid: Long,
+                      cs: Vector[(Long, Seq[Double], Long, Seq[Double])],
+                      k: Int, shortlist: Int): Vector[MmrHit] = {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    if (cs.isEmpty) Vector.empty
+    else {
+      val qv = cs.head._2
+      val nq = math.sqrt(dot(qv, qv))
+      val scored = cs.map { case (_, _, id, cv) =>
+        (id, cv, r6(dot(qv, cv) / (nq * math.sqrt(dot(cv, cv)))))
+      }.sortBy { case (id, _, rel) => (-rel, id) }.take(shortlist)
+      val rel = scored.map(c => c._1 -> c._3).toMap
+      val vecs = scored.map(c => c._1 -> c._2).toMap
+      def cos(a: Seq[Double], b: Seq[Double]) =
+        r6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+      var selected = Vector.empty[MmrHit]
+      var remaining = rel.keySet
+      var rank = 1
+      while (rank <= k && remaining.nonEmpty) {
+        val cand2 = remaining.toSeq.map { c =>
+          val ms = if (selected.isEmpty) 0.0
+                   else selected.map(sl => cos(vecs(c), vecs(sl.vec_id))).max
+          (c, r6(0.5 * rel(c) - 0.5 * ms))
+        }
+        val (bc, bm) = cand2.minBy { case (c, m) => (-m, c) }
+        selected :+= MmrHit(qid, rank, bc, rel(bc), bm)
+        remaining -= bc
+        rank += 1
+      }
+      selected
+    }
+  }
+
+  final case class PackedHit(qid: Long, sel_rank: Int, vec_id: Long,
+                             rel: Double, mmr: Double, n_tokens: Long,
+                             cum_tokens: Long)
+
+  /** Streaming RAG serve with diversity AND context packing — the
+    * stream twin of q216's tail stages against a frozen vector index:
+    * [[ivfMmrServeStream]]'s per-query flow (frozen-centroid argmin →
+    * cell-restricted stream-static candidates → the SHARED [[mmrFold]]
+    * greedy), then q211/q216's greedy-by-rank token-budget walk over
+    * the selection order (skip-on-overflow: a later small doc can use
+    * slack a big one couldn't), emitting ONLY the admitted context
+    * rows with the running token total. The corpus side carries its
+    * token counts as a static column, so packing adds NO join — the
+    * budget fold runs in-group on the ≤ k selected rows. Stateless
+    * (NoTimeout, state never set): each query is served in its
+    * arrival batch; re-sent queries re-serve identically against the
+    * frozen index.
+    *
+    * Scale: identical to [[ivfMmrServeStream]] (nothing corpus-sized
+    * enters the stream side; the static join prunes to the probed
+    * cells of the batch's queries) plus 8 bytes/row for the token
+    * column. */
+  def ragPackServeStream(
+      queries: DataFrame,   // stream: (qid bigint, v array<double>)
+      centroids: DataFrame, // frozen: (cid, cv, cc)
+      corpus: DataFrame,    // static pre-assigned: (vec_id, v, cell, n_tokens)
+      k: Int = 5, shortlist: Int = 20, budget: Long = 100L): Dataset[PackedHit] = {
+    val s = queries.sparkSession
+    import s.implicits._
+    val assigned = withFrozenCell(
+        queries.select(col("qid").as("vec_id"), col("v")), centroids)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
+    val cand = assigned.join(
+        corpus.select(col("vec_id").as("cid2"), col("v").as("cv2"),
+          col("cell"), col("n_tokens")),
+        Seq("cell"))
+      .filter(col("qid") =!= col("cid2"))
+      .select(col("qid"), col("qv"), col("cid2"), col("cv2"), col("n_tokens"))
+      .as[(Long, Seq[Double], Long, Seq[Double], Long)]
+    cand.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (qid: Long, rows: Iterator[(Long, Seq[Double], Long, Seq[Double], Long)],
          state: GroupState[Boolean]) => {
           val cs = rows.toVector
-          if (cs.isEmpty) Iterator.empty
-          else {
-            val qv = cs.head._2
-            val nq = math.sqrt(dot(qv, qv))
-            val scored = cs.map { case (_, _, id, cv) =>
-              (id, cv, r6(dot(qv, cv) / (nq * math.sqrt(dot(cv, cv)))))
-            }.sortBy { case (id, _, rel) => (-rel, id) }.take(shortlist)
-            val rel = scored.map(c => c._1 -> c._3).toMap
-            val vecs = scored.map(c => c._1 -> c._2).toMap
-            def cos(a: Seq[Double], b: Seq[Double]) =
-              r6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
-            var selected = Vector.empty[MmrHit]
-            var remaining = rel.keySet
-            var rank = 1
-            while (rank <= k && remaining.nonEmpty) {
-              val cand2 = remaining.toSeq.map { c =>
-                val ms = if (selected.isEmpty) 0.0
-                         else selected.map(sl => cos(vecs(c), vecs(sl.vec_id))).max
-                (c, r6(0.5 * rel(c) - 0.5 * ms))
-              }
-              val (bc, bm) = cand2.minBy { case (c, m) => (-m, c) }
-              selected :+= MmrHit(qid, rank, bc, rel(bc), bm)
-              remaining -= bc
-              rank += 1
-            }
-            selected.iterator
-          }
+          val nt = cs.map(t => t._3 -> t._5).toMap
+          val sel = mmrFold(qid, cs.map(t => (t._1, t._2, t._3, t._4)), k, shortlist)
+          var acc = 0L
+          sel.flatMap { h =>
+            val n = nt(h.vec_id)
+            if (acc + n <= budget) {
+              acc += n
+              Some(PackedHit(qid, h.sel_rank, h.vec_id, h.rel, h.mmr, n, acc))
+            } else None
+          }.iterator
         })
   }
 }

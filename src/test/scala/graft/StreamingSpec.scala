@@ -1045,4 +1045,70 @@ class StreamingSpec extends SparkSuite {
     assert(!(sel.map(_._3).take(2).toSet == Set(10L, 11L)),
       s"near-duplicates dominated the diversified head: $sel")
   }
+
+  test("ragPackServeStream: the MMR selection packed under the token budget, skip-on-overflow, admitted-only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the ivfMmrServeStream fixture + a token column engineered so the
+    // budget BINDS mid-selection: the greedy pick order in cell 0 is
+    // (10, 12, 11) — 12 before 11 because 11 is 10's near-dup;
+    // tokens 40/50/30 under budget 75 admit 10 (acc 40), SKIP 12
+    // (90 > 75), admit 11 (70) — the non-contiguous admission
+    // q211/q216 define
+    val centroids = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0), 1.0),
+      (1L, Seq(0.0, 0.0, 1.0, 0.0), 1.0)).toDF("cid", "cv", "cc")
+    val corpus = Seq(
+      (10L, Seq(1.0, 0.1, 0.0, 0.0), 0L, 40L),
+      (11L, Seq(1.0, 0.11, 0.0, 0.0), 0L, 30L),
+      (12L, Seq(1.0, -0.9, 0.0, 0.0), 0L, 50L),
+      (13L, Seq(0.4, 0.9, 0.0, 0.0), 0L, 45L),
+      (20L, Seq(1.0, 0.0, 0.2, 0.0), 1L, 10L),
+      (21L, Seq(0.0, 0.0, 1.0, 0.3), 1L, 10L)).toDF("vec_id", "v", "cell", "n_tokens")
+
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = StreamOps.ragPackServeStream(
+      input.toDF().toDF("qid", "v"), centroids, corpus, k = 3, budget = 75L)
+      .writeStream.format("memory").queryName("ragpack")
+      .outputMode("append").start()
+    input.addData((100L, Seq(1.0, 0.0, 0.0, 0.0)))
+    q.processAllAvailable()
+    input.addData((100L, Seq(1.0, 0.0, 0.0, 0.0))) // replay: frozen + stateless
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ragpack").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6)))
+    val batches = got.grouped(got.length / 2).map(_.sortBy(_._2).toSeq).toSeq
+    assert(batches.length == 2 && batches(0) == batches(1),
+      s"re-served query diverged: $batches")
+    val sel = batches(0)
+    // the packed context: rank 2 (vec 12, 50 tokens) skipped at acc 40,
+    // rank 3 (vec 11, 30 tokens) admitted into its slack
+    assert(sel.map(t => (t._2, t._3, t._6, t._7)) ==
+      Seq((1, 10L, 40L, 40L), (3, 11L, 30L, 70L)),
+      s"packed context diverged: $sel")
+    // recurrence + budget invariants
+    sel.foldLeft(0L) { case (acc, (_, _, _, _, _, nt, cum)) =>
+      assert(cum == acc + nt); cum }
+    assert(sel.last._7 <= 75L)
+    // the packed rows are exactly the MMR stream's selection minus the
+    // budget-skipped ranks — selection itself must not drift between
+    // the two serve shapes (shared mmrFold)
+    val input2 = MemoryStream[(Long, Seq[Double])]
+    val q2 = StreamOps.ivfMmrServeStream(
+      input2.toDF().toDF("qid", "v"), centroids,
+      corpus.select("vec_id", "v", "cell"), k = 3)
+      .writeStream.format("memory").queryName("ragpack_mmr")
+      .outputMode("append").start()
+    input2.addData((100L, Seq(1.0, 0.0, 0.0, 0.0)))
+    q2.processAllAvailable()
+    q2.stop()
+    val mmr = spark.table("ragpack_mmr").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(sel.map(t => (t._2, t._3, t._4, t._5)) ==
+      mmr.filter(m => sel.exists(_._2 == m._1)).toSeq,
+      "packed rows diverged from the MMR selection")
+  }
 }
