@@ -253,6 +253,27 @@ object Similarity {
       (e, c1, nlist)
     }
 
+  /** The LAYERED media index (q217): [[mediaIvfIndex]]'s corpus
+    * collapsed to its distinct feature VECTORS first (rep = min
+    * vec_id, copy count kept — the q197 exact-dedup layer applied to
+    * the serving side), then the same √n Lloyd build over the reps.
+    * Float-exact vector equality is cross-engine safe here because
+    * the features round-trip bit-identically (q215's proven
+    * contract). Memoized per (session, dir). */
+  private def mediaLayeredIndex(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) =
+    SessionMemo.get(s, s"media-ivf-layered:$dir") {
+      import s.implicits._
+      val (e, _, _) = mediaIvfIndex(s, dir)
+      val reps = e.groupBy($"v")
+        .agg(min($"vec_id").as("vec_id"), count(lit(1)).as("copies"))
+        .withColumn("nrm", sqrt(expr("dot_product(v, v)")))
+        .withColumn("vv", expr("dot_product(v, v)"))
+        .select($"vec_id", $"v", $"nrm", $"vv", $"copies")
+        .localCheckpoint(true) // O(distinct patterns) — 64 on this corpus
+      val (c1, nlist) = lloydOnce(reps)
+      (reps, c1, nlist)
+    }
+
   /** Oracle twin of [[sqrtnIndex]]+[[sqrtnAssign]], ending in
     * `asg(vec_id, cell)` (plus `nl(nlist)`, `e2`, `c1n` in scope).
     * Must follow `$prepCte,`. Shared by the q168 and q178 oracles. */
@@ -2923,6 +2944,159 @@ object Similarity {
                   CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries
                 FROM lv GROUP BY np)
         SELECT CAST(v.np AS INT) AS nprobe, nl.nlist, v.n_queries, v.candidates,
+          COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
+          ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / (v.n_queries * 5), 6) AS recall_at_5
+        FROM vol v CROSS JOIN nl LEFT JOIN hits h ON h.np = v.np
+        ORDER BY nprobe""")),
+
+    // ---- layered media ANN serve: dedup THEN index (q217) -------------
+    // The production fix the thirteenth sweep's q215 measurement calls
+    // for, executed: on a clone-heavy media lake the probed cell IS
+    // the clone family (q215's candidate bill goes linear at 10×+), so
+    // the serving index is built over the DISTINCT feature vectors —
+    // the q197 exact-collapse layer applied to serving. Reps carry
+    // their copy counts; the serve publishes BOTH the rep-candidate
+    // bill (what the engine scans — restored to reps/nlist ≈
+    // √-of-distinct) and the effective candidates (the corpus mass
+    // those reps represent — what a fan-out join would return to the
+    // caller). Queries are the q215 probe set served with their own
+    // ORIGINAL vectors; a query's own pattern (its exact-dup rep) is
+    // excluded, mirroring q215's self-exclusion at the rep level.
+    // Truth = exact cosine top-5 over the reps (same exclusion).
+    //
+    // Scale: the collapse is one partial-combined count per distinct
+    // vector (the q197 shape — the only corpus-sized exchange);
+    // everything after runs at REP scale: Lloyd over O(distinct)
+    // rows, probes against the O(√distinct·dims) broadcast, candidate
+    // join on rep cells. The fan-out stays virtual (a count), never a
+    // row explosion.
+    Q("q217_media_layered_serve",
+      (s, dir) => {
+        import s.implicits._
+        val (reps, c1, nlist) = mediaLayeredIndex(s, dir)
+        val (e, _, _) = mediaIvfIndex(s, dir)
+        val asg = sqrtnAssign(reps, c1)
+        // queries: original vectors, each mapped to its own-pattern rep
+        val q0 = e.filter($"vec_id" < 50)
+          .select($"vec_id".as("qid"), $"v".as("av"), $"nrm".as("na"), $"vv")
+        val q = q0.join(broadcast(reps.select($"v".as("av"), $"vec_id".as("qrid"))),
+          Seq("av"))
+        val corpus = reps.select($"vec_id".as("cid"), $"v".as("bv"),
+          $"nrm".as("nb"), $"copies")
+        val ew = Window.partitionBy($"qid").orderBy($"ecos".desc, $"cid")
+        val etop = broadcast(q).join(corpus, $"qrid" =!= $"cid")
+          .withColumn("ecos", round(expr(dotExpr) / ($"na" * $"nb"), 6))
+          .withColumn("rk", row_number().over(ew)).filter($"rk" <= 5)
+          .select($"qid".as("eqid"), $"cid".as("ecid"))
+          .localCheckpoint(true)
+        val pw = Window.partitionBy($"qid").orderBy($"d2", $"cell")
+        val probes = q.crossJoin(broadcast(c1.withColumnRenamed("cid", "cell")))
+          .withColumn("d2",
+            round($"vv" - lit(2.0) * expr("dot_product(av, cv)") + $"cc", 6))
+          .withColumn("probe_rank", row_number().over(pw))
+          .filter($"probe_rank" <= 3)
+          .select($"qid", $"qrid", $"av", $"na", $"cell", $"probe_rank")
+        val cand = broadcast(probes)
+          .join(corpus.join(asg.select($"vec_id".as("cid"), $"cell"), "cid"),
+            Seq("cell"))
+          .filter($"qrid" =!= $"cid")
+          .withColumn("cosr", round(expr(dotExpr) / ($"na" * $"nb"), 6))
+          .withColumn("np", explode(expr("sequence(probe_rank, 3)")))
+        val w = Window.partitionBy($"np", $"qid").orderBy($"cosr".desc, $"cid")
+        val top = cand.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+          .select($"np", $"qid", $"cid")
+        val hits = top.join(etop,
+            $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
+          .groupBy($"np").agg(count(lit(1)).as("hits"))
+        cand.groupBy($"np")
+          .agg(count(lit(1)).as("rep_candidates"),
+            sum($"copies").as("eff_candidates"),
+            countDistinct($"qid").as("n_queries"))
+          .join(hits, Seq("np"), "left")
+          .select($"np".cast(IntegerType).as("nprobe"),
+            lit(nlist).as("nlist"), $"n_queries",
+            $"rep_candidates", $"eff_candidates",
+            coalesce($"hits", lit(0L)).as("hits"),
+            round(coalesce($"hits", lit(0L)).cast(DoubleType) / ($"n_queries" * 5), 6)
+              .as("recall_at_5"))
+          .orderBy($"nprobe")
+      },
+      Some(s"""
+        WITH params AS (
+          SELECT doc_id // 5 AS vec_id, (doc_id // 5) // 2 AS b,
+            (doc_id // 5) % 2 AS variant
+          FROM documents WHERE doc_id % 5 = 0),
+        cells AS (
+          SELECT vec_id, i,
+            8 * ((b * 37
+                  + (CASE WHEN i = 1 THEN 0 ELSE i END) * 11
+                  + ((CASE WHEN i = 1 THEN 0 ELSE i END)
+                     * (CASE WHEN i = 1 THEN 0 ELSE i END)) % 7) % 32)
+            + CASE WHEN variant = 1 AND i = 0 THEN 3 ELSE 0 END AS g
+          FROM params, UNNEST(range(64)) AS t(i)),
+        fv AS (SELECT vec_id,
+                 list(CAST(CAST(g / 255.0 AS REAL) AS DOUBLE) ORDER BY i) AS v
+               FROM cells GROUP BY vec_id),
+        reps AS (SELECT MIN(vec_id) AS vec_id, v,
+                   CAST(COUNT(*) AS BIGINT) AS copies
+                 FROM fv GROUP BY v),
+        e2 AS MATERIALIZED (SELECT vec_id, v, copies,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+                 list_sum(list_transform(v, x -> x * x)) AS vv FROM reps),
+        nl AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS nlist FROM e2),
+        c0 AS (SELECT vec_id AS cid, v AS cv, vv AS cc
+               FROM e2, nl WHERE vec_id < nl.nlist),
+        s0 AS MATERIALIZED (${ivfArgminSql("e2", "c0")}),
+        dims AS (SELECT s0.cell, i - 1 AS dim, e2.v[i] AS x
+                 FROM s0 JOIN e2 USING (vec_id),
+                      UNNEST(range(1, len(e2.v) + 1)) AS t(i)),
+        means AS (SELECT cell, dim, ${davgSql("x", 15)} AS m
+                  FROM dims GROUP BY cell, dim),
+        c1 AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv
+               FROM means GROUP BY cell),
+        c1n AS MATERIALIZED (SELECT cid, cv,
+                 list_sum(list_transform(cv, x -> x * x)) AS cc FROM c1),
+        asg AS MATERIALIZED (${ivfArgminSql("e2", "c1n")}),
+        qv AS (SELECT f.vec_id AS qid, f.v AS av,
+                 sqrt(list_sum(list_transform(f.v, x -> x * x))) AS na,
+                 list_sum(list_transform(f.v, x -> x * x)) AS vv,
+                 r.vec_id AS qrid
+               FROM fv f JOIN reps r ON r.v = f.v
+               WHERE f.vec_id < 50),
+        et AS (SELECT qid AS eqid, bvid AS ecid FROM (
+                 SELECT q.qid, b.vec_id AS bvid,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                     ROUND(list_sum([q.av[i] * b.v[i] for i in range(1, len(q.av) + 1)]) / (q.na * b.nrm), 6) DESC,
+                     b.vec_id) AS rk
+                 FROM qv q JOIN e2 b ON b.vec_id <> q.qrid) s
+               WHERE rk <= 5),
+        pr AS (SELECT qid, qrid, cell, probe_rank FROM (
+                 SELECT q.qid, q.qrid, c.cid AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                     ROUND(q.vv - 2.0 * list_sum([q.av[i] * c.cv[i] for i in range(1, len(q.av) + 1)]) + c.cc, 6),
+                     c.cid) AS probe_rank
+                 FROM qv q CROSS JOIN c1n c) t
+               WHERE probe_rank <= 3),
+        cand AS (SELECT p.qid, p.probe_rank, b.vec_id AS cid, b.copies,
+                   ROUND(list_sum([q.av[i] * b.v[i] for i in range(1, len(q.av) + 1)]) / (q.na * b.nrm), 6) AS cosr
+                 FROM pr p
+                 JOIN qv q ON q.qid = p.qid
+                 JOIN asg a ON a.cell = p.cell
+                 JOIN e2 b ON b.vec_id = a.vec_id AND b.vec_id <> p.qrid),
+        lv AS (SELECT qid, cid, copies, cosr, np
+               FROM cand, UNNEST(range(probe_rank, 4)) AS t(np)),
+        top AS (SELECT np, qid, cid FROM (SELECT *,
+                  ROW_NUMBER() OVER (PARTITION BY np, qid ORDER BY cosr DESC, cid) AS rk
+                FROM lv) t WHERE rk <= 5),
+        hits AS (SELECT t.np, CAST(COUNT(*) AS BIGINT) AS hits
+                 FROM top t JOIN et ON et.eqid = t.qid AND et.ecid = t.cid
+                 GROUP BY t.np),
+        vol AS (SELECT np, CAST(COUNT(*) AS BIGINT) AS rep_candidates,
+                  CAST(SUM(copies) AS BIGINT) AS eff_candidates,
+                  CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries
+                FROM lv GROUP BY np)
+        SELECT CAST(v.np AS INT) AS nprobe, nl.nlist, v.n_queries,
+          v.rep_candidates, v.eff_candidates,
           COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
           ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / (v.n_queries * 5), 6) AS recall_at_5
         FROM vol v CROSS JOIN nl LEFT JOIN hits h ON h.np = v.np

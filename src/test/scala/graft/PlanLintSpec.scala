@@ -81,6 +81,7 @@ class PlanLintSpec extends SparkSuite {
     "q213_ivf_nlist_budget",  // q168's probe class per leg (queries x the O(nlist x dims) checkpointed trained centroids, 3 legs) + 1-row hits/imbalance scalars
     "q214_compacted_recall",  // q168's probe class on the surviving-centroid broadcast + q178's assignment class (census + movers) — the compacted-serve chain
     "q215_media_ann_serve",   // q168's classes over the MEDIA corpus: O(sqrt(n) x dims) trained-centroid assignment/probe broadcast + the q34-class exact-truth probe broadcast
+    "q217_media_layered_serve", // the same q168/q34 classes at REP scale (O(distinct-vectors) frames: centroid broadcast, rep-truth probe broadcast)
     // q204_ivf_index_persist is NOT whitelisted: like q185, its probe
     // BNLJ (q168's centroid class, on the RELOADED O(sqrt(n) x dims)
     // centroid frame) sits upstream of ivfpqTail's localCheckpoint —

@@ -648,4 +648,33 @@ class SimilaritySpec extends SparkSuite {
     assert(got.map(_._6).forall(r => r >= 0.0 && r <= 1.0))
     assert(got.map(_._6).sliding(2).forall(p => p(0) <= p(1)))
   }
+
+  test("q217 layered media serve: the rep bill collapses the clone bill, fan-out conserves corpus mass") {
+    import spark.implicits._
+    val layered = run("q217_media_layered_serve").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toVector
+    val flat = run("q215_media_ann_serve").collect()
+      .map(r => (r.getInt(0), r.getLong(3))).toMap // np -> candidates
+    assert(layered.map(_._1) == Vector(1, 2, 3))
+    // the layering claim, measured in-gate: the engine's candidate
+    // bill over reps is strictly below the clone-heavy flat bill at
+    // every probe level, while the EFFECTIVE candidates (corpus mass
+    // represented) at least match it
+    layered.foreach { case (np, _, _, repC, effC, _, _) =>
+      assert(repC < flat(np),
+        s"np=$np: rep bill $repC did not beat the flat bill ${flat(np)}")
+      assert(effC >= repC)
+    }
+    // the index is sized by the DISTINCT corpus: nlist = ceil(sqrt(#reps)),
+    // and all 50 probe queries are served
+    val fam = spark.read.parquet(s"$dir/documents.parquet")
+      .filter($"doc_id" % 5 === 0).count()
+    assert(layered.forall(_._3 == math.min(50L, fam)))
+    // 64 distinct patterns by construction (b mod 32 x variant)
+    assert(layered.forall(_._2 == math.ceil(math.sqrt(64.0)).toLong))
+    // curve sanity: candidates strictly grow with np, recall never falls
+    assert(layered.map(_._4).sliding(2).forall(p => p(0) < p(1)))
+    assert(layered.map(_._7).sliding(2).forall(p => p(0) <= p(1)))
+  }
 }
