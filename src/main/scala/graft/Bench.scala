@@ -225,6 +225,26 @@ object Bench {
     val ratios =
       if (sentinelRatios.size >= 5) sentinelRatios
       else medianRatio(_ => true)
+    // ADVISORY ONLY (never gates): the drift sentinels are
+    // deliberately LIGHT relational/events queries, so they are blind
+    // to the measured per-class host effect where sustained all-core
+    // CPU-bound work runs 1.4-2.2x slower in a bad hour while the
+    // light fleet reads 1.0 (q27 measured 1.03 -> 2.24 -> 1.65 mins
+    // intraday on identical code, round 11). cpu_drift is the median
+    // min-ratio over a CPU-heavy pinned set; a flag whose ratio sits
+    // at or under cpu_drift is host-hour, not code — evidence for the
+    // human adjudicator, NOT an automatic demotion (the cpu set
+    // shares helpers with the families it would normalize, so gating
+    // on it could mask a real shared-helper regression).
+    val cpuSentinels = Set(
+      "q27_minhash_dup_pairs", "q88_curation_funnel", "q142_triangles",
+      "q150_longest_repeat", "q160_kcore")
+    val cpuRatios = medianRatio { case (n, _) => cpuSentinels(n) }
+    val cpuDrift =
+      if (cpuRatios.isEmpty) 1.0
+      else math.max(1.0,
+        if (cpuRatios.size % 2 == 1) cpuRatios(cpuRatios.size / 2)
+        else (cpuRatios(cpuRatios.size / 2 - 1) + cpuRatios(cpuRatios.size / 2)) / 2.0)
     val drift =
       if (ratios.isEmpty) 1.0
       else math.max(1.0,
@@ -272,6 +292,7 @@ object Bench {
     val vsJson = prevFile.map("\"" + _ + "\"").getOrElse("null")
     // Double.toString is locale-independent ('.'), unlike f"%.3f"
     val driftStr = (math.round(drift * 1000) / 1000.0).toString
+    val cpuDriftStr = (math.round(cpuDrift * 1000) / 1000.0).toString
     // Truncation-proof emission (the r6 lesson: the driver keeps only
     // an output TAIL, and r6's single giant line lost its header and
     // the first ~110 per-query entries). Two lines, both valid JSON:
@@ -281,12 +302,12 @@ object Bench {
     //     list, failures and the top-10 slowest medians — so ANY tail
     //     capture retains the verdict-grade numbers.
     val tierJson = tier.map(t => s""","tier":"$t"""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps$tierJson,"queries_min":$qsMin,"queries":$qs,"sf":"$sfDir","regressions_vs":$vsJson,"drift":$driftStr,"flagged":$flaggedJson,"suspect_transient":$transientJson,"regressions":$regJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps$tierJson,"queries_min":$qsMin,"queries":$qs,"sf":"$sfDir","regressions_vs":$vsJson,"drift":$driftStr,"cpu_drift":$cpuDriftStr,"flagged":$flaggedJson,"suspect_transient":$transientJson,"regressions":$regJson}""")
     val failed = results.collect { case (n, (m, _)) if m < 0 => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val top10 = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(10)
       .map { case (k, (m, _)) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","reps":$reps$tierJson,"sf":"$sfDir","n_queries":${results.size},"failed":$failed,"drift":$driftStr,"regressions_vs":$vsJson,"flagged":$flaggedJson,"suspect_transient":$transientJson,"regressions":$regJson,"top10_median":$top10}""")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","reps":$reps$tierJson,"sf":"$sfDir","n_queries":${results.size},"failed":$failed,"drift":$driftStr,"cpu_drift":$cpuDriftStr,"regressions_vs":$vsJson,"flagged":$flaggedJson,"suspect_transient":$transientJson,"regressions":$regJson,"top10_median":$top10}""")
     spark.stop()
   }
 }
