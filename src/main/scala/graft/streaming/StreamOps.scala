@@ -1249,6 +1249,70 @@ object StreamOps {
     }
   }
 
+  final case class MediaDupStatus(media_id: Long, phash: Long,
+                                  status: String, matched_id: Long)
+
+  /** Streaming media-dedup ingest — the MULTIMODAL twin of the
+    * incremental text dedup (q171 / the ingest deltas family): new
+    * media blobs arrive as a stream, are fingerprinted IN-STREAM by
+    * the REAL codec ([[graft.multimodal.Multimodal.dHash64]]'s
+    * partition-batch map runs unchanged on a streaming Dataset), and
+    * classified against a FROZEN perceptual-hash index by the
+    * q61/q195 half-band discipline (pigeonhole-exact for hamming ≤ 1,
+    * popcount verify). Per arrival:
+    *  - `dup_corpus_exact` — hamming 0 against a frozen rep,
+    *  - `dup_corpus_near`  — hamming 1 (the re-encode-alike class),
+    *  - `dup_batch`        — exact within-batch dup of a smaller-id
+    *                         arrival (q171's batch-first contract),
+    *  - `kept`             — novel fingerprint.
+    * ONE stateful op: rows are grouped by PHASH after the
+    * stream-static band join, so the within-batch exact layer and the
+    * corpus verdict ride the same group fold. Within-batch NEAR pairs
+    * are deliberately out of contract (they need cross-group work;
+    * the q197 compaction layer owns them offline). Stateless
+    * (NoTimeout): replays classify identically against the frozen
+    * index.
+    *
+    * Scale: the static side is the COLLAPSED index (2 band rows per
+    * distinct corpus hash — q197's layering applied to serving);
+    * the stream side shuffles 8 bytes + 2 band rows per arrival;
+    * blob bytes never leave the fingerprint map. */
+  def mediaDupIngestStream(media: DataFrame,
+                           corpusHashes: DataFrame): Dataset[MediaDupStatus] = {
+    val s = media.sparkSession
+    import s.implicits._
+    val reps = corpusHashes.groupBy(col("phash"))
+      .agg(min(col("media_id")).as("rep_id"))
+    val repBands = reps.selectExpr("rep_id", "phash AS rep_phash",
+        graft.operators.Dedup.halfBandsSql("phash"))
+      .localCheckpoint(true) // frozen: O(distinct hashes) × 2 rows
+    val hashed = graft.multimodal.Multimodal.dHash64(media)
+      .toDF("media_id", "phash")
+    val banded = hashed.selectExpr("media_id", "phash",
+      graft.operators.Dedup.halfBandsSql("phash"))
+    val joined = banded.join(repBands, Seq("band", "half"), "left")
+      .select(col("phash"), col("media_id"), col("rep_id"),
+        expr("CAST(bit_count(phash ^ rep_phash) AS INT)").as("hamming"))
+      .as[(Long, Long, Option[Long], Option[Int])]
+    joined.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (ph: Long, rows: Iterator[(Long, Long, Option[Long], Option[Int])],
+         state: GroupState[Boolean]) => {
+          val rs = rows.toVector
+          val items = rs.map(_._2).distinct.sorted
+          val best = rs.collect { case (_, _, Some(rid), Some(h)) if h <= 1 => (h, rid) }
+            .sorted.headOption
+          val keeper = items.head
+          val keeperRow = best match {
+            case Some((0, rid)) => MediaDupStatus(keeper, ph, "dup_corpus_exact", rid)
+            case Some((_, rid)) => MediaDupStatus(keeper, ph, "dup_corpus_near", rid)
+            case None           => MediaDupStatus(keeper, ph, "kept", -1L)
+          }
+          (keeperRow +: items.tail.map(id =>
+            MediaDupStatus(id, ph, "dup_batch", keeper))).iterator
+        })
+  }
+
   final case class PackedHit(qid: Long, sel_rank: Int, vec_id: Long,
                              rel: Double, mmr: Double, n_tokens: Long,
                              cum_tokens: Long)

@@ -1046,6 +1046,53 @@ class StreamingSpec extends SparkSuite {
       s"near-duplicates dominated the diversified head: $sel")
   }
 
+  test("mediaDupIngestStream: in-stream real-codec fingerprinting, all four classifications, frozen replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val m = graft.multimodal.Multimodal
+    // the q195 closed-form grays: base pattern b, optional variant bit
+    // (+3 on cell 0 flips exactly one dHash comparison -> hamming 1)
+    def grays(b: Long, variant: Long): Array[Int] = Array.tabulate(64) { i0 =>
+      val i = i0.toLong
+      val ii = if (i == 1L) 0L else i
+      (8L * ((b * 37 + ii * 11 + (ii * ii) % 7) % 32) +
+        (if (variant == 1 && i == 0L) 3L else 0L)).toInt
+    }
+    def png(b: Long, v: Long) = m.encodeGridPng(grays(b, v), g = 8, cellPx = 4)
+    // frozen corpus index: patterns b = 0..3, variant 0 (media ids 0..3)
+    val corpusMedia = (0L to 3L).map(b => (b, png(b, 0))).toDF("media_id", "media")
+    val corpusHashes = m.dHash64(corpusMedia).toDF("media_id", "phash")
+      .localCheckpoint(true)
+
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = StreamOps.mediaDupIngestStream(
+      input.toDF().toDF("media_id", "media"), corpusHashes)
+      .writeStream.format("memory").queryName("mediaingest")
+      .outputMode("append").start()
+    // one batch carrying all four cases: 100 = exact re-post of corpus
+    // b0; 101 = b0's variant (hamming-1 re-encode-alike); 102 = novel
+    // pattern; 103/104 = identical novel arrivals (batch dup)
+    val batch = Seq(
+      (100L, png(0, 0)), (101L, png(0, 1)), (102L, png(9, 0)),
+      (103L, png(10, 0)), (104L, png(10, 0)))
+    input.addData(batch)
+    q.processAllAvailable()
+    input.addData(batch) // replay: frozen index, stateless -> identical
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("mediaingest").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    val batches = got.grouped(got.length / 2).map(_.sortBy(_._1).toSeq).toSeq
+    assert(batches.length == 2 && batches(0) == batches(1),
+      s"replay diverged: $batches")
+    val byId = batches(0).map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(100L) == (("dup_corpus_exact", 0L)), s"100: ${byId(100L)}")
+    assert(byId(101L) == (("dup_corpus_near", 0L)), s"101: ${byId(101L)}")
+    assert(byId(102L) == (("kept", -1L)), s"102: ${byId(102L)}")
+    assert(byId(103L) == (("kept", -1L)), s"103: ${byId(103L)}")
+    assert(byId(104L) == (("dup_batch", 103L)), s"104: ${byId(104L)}")
+  }
+
   test("ragPackServeStream: the MMR selection packed under the token budget, skip-on-overflow, admitted-only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
