@@ -3100,6 +3100,86 @@ object Similarity {
           COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
           ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / (v.n_queries * 5), 6) AS recall_at_5
         FROM vol v CROSS JOIN nl LEFT JOIN hits h ON h.np = v.np
-        ORDER BY nprobe"""))
+        ORDER BY nprobe""")),
+
+    // ---- contrastive-pair mining with false-negative exclusion (q218)
+    // The CLIP-style training-DATA builder (training × multimodal ×
+    // dedup): per anchor document of the image family, the positive is
+    // its own image, and the HARD NEGATIVES are the corpus images most
+    // similar to that positive — mined over the DEDUPED rep space
+    // ([[mediaLayeredIndex]]), which is the false-negative fix every
+    // production contrastive pipeline needs: the anchor image's exact
+    // re-posts (its clone family) are the SAME image, and naive
+    // in-batch mining would push them apart as negatives, corrupting
+    // the objective. Exclusion here is BY CONSTRUCTION (negatives are
+    // reps ≠ the anchor's own pattern); the count of re-posts thereby
+    // excluded is published per anchor. Top-3 negatives by
+    // 1e-6-rounded cosine with rep-id tiebreak — on this corpus the
+    // engineered hamming-1 variant pattern must rank first
+    // (spec-pinned), exactly the "hardest true negative" the mining
+    // exists to find.
+    //
+    // Scale: anchors broadcast against the O(distinct-vectors) rep
+    // frame (the q217 class — map-only, never corpus × corpus); the
+    // clone-family size rides the rep frame as a count. The corpus-
+    // sized work (decode + collapse) is the shared memoized build.
+    Q("q218_contrastive_mining",
+      (s, dir) => {
+        import s.implicits._
+        val (reps, _, _) = mediaLayeredIndex(s, dir)
+        val (e, _, _) = mediaIvfIndex(s, dir)
+        val anchors = e.filter($"vec_id" < 50)
+          .select($"vec_id".as("anchor_id"), $"v".as("av"), $"nrm".as("na"))
+        val arep = anchors.join(
+          broadcast(reps.select($"v".as("av"), $"vec_id".as("pos_rep"), $"copies")),
+          Seq("av"))
+        val cand = broadcast(arep)
+          .join(reps.select($"vec_id".as("nid"), $"v".as("bv"), $"nrm".as("nb")),
+            $"pos_rep" =!= $"nid")
+          .withColumn("ncos", round(expr(dotExpr) / ($"na" * $"nb"), 6))
+        val w = Window.partitionBy($"anchor_id").orderBy($"ncos".desc, $"nid")
+        cand.withColumn("neg_rank", row_number().over(w)).filter($"neg_rank" <= 3)
+          .select($"anchor_id", $"pos_rep",
+            ($"copies" - 1).as("false_negs_excluded"),
+            $"neg_rank", $"nid".as("neg_rep"), $"ncos".as("neg_cos"))
+          .orderBy($"anchor_id", $"neg_rank")
+      },
+      Some(s"""
+        WITH params AS (
+          SELECT doc_id // 5 AS vec_id, (doc_id // 5) // 2 AS b,
+            (doc_id // 5) % 2 AS variant
+          FROM documents WHERE doc_id % 5 = 0),
+        cells AS (
+          SELECT vec_id, i,
+            8 * ((b * 37
+                  + (CASE WHEN i = 1 THEN 0 ELSE i END) * 11
+                  + ((CASE WHEN i = 1 THEN 0 ELSE i END)
+                     * (CASE WHEN i = 1 THEN 0 ELSE i END)) % 7) % 32)
+            + CASE WHEN variant = 1 AND i = 0 THEN 3 ELSE 0 END AS g
+          FROM params, UNNEST(range(64)) AS t(i)),
+        fv AS (SELECT vec_id,
+                 list(CAST(CAST(g / 255.0 AS REAL) AS DOUBLE) ORDER BY i) AS v
+               FROM cells GROUP BY vec_id),
+        reps AS (SELECT MIN(vec_id) AS vec_id, v,
+                   CAST(COUNT(*) AS BIGINT) AS copies
+                 FROM fv GROUP BY v),
+        rn AS (SELECT vec_id, v, copies,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+               FROM reps),
+        anch AS (SELECT f.vec_id AS anchor_id, f.v AS av,
+                   sqrt(list_sum(list_transform(f.v, x -> x * x))) AS na,
+                   r.vec_id AS pos_rep, r.copies
+                 FROM fv f JOIN reps r ON r.v = f.v
+                 WHERE f.vec_id < 50),
+        cand AS (SELECT a.anchor_id, a.pos_rep, a.copies, b.vec_id AS nid,
+                   ROUND(list_sum([a.av[i] * b.v[i] for i in range(1, len(a.av) + 1)]) / (a.na * b.nrm), 6) AS ncos
+                 FROM anch a JOIN rn b ON b.vec_id <> a.pos_rep)
+        SELECT anchor_id, pos_rep, copies - 1 AS false_negs_excluded,
+          CAST(neg_rank AS INT) AS neg_rank, nid AS neg_rep, ncos AS neg_cos
+        FROM (SELECT *,
+                ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY ncos DESC, nid) AS neg_rank
+              FROM cand) t
+        WHERE neg_rank <= 3
+        ORDER BY anchor_id, neg_rank"""))
   )
 }

@@ -82,6 +82,7 @@ class PlanLintSpec extends SparkSuite {
     "q214_compacted_recall",  // q168's probe class on the surviving-centroid broadcast + q178's assignment class (census + movers) — the compacted-serve chain
     "q215_media_ann_serve",   // q168's classes over the MEDIA corpus: O(sqrt(n) x dims) trained-centroid assignment/probe broadcast + the q34-class exact-truth probe broadcast
     "q217_media_layered_serve", // the same q168/q34 classes at REP scale (O(distinct-vectors) frames: centroid broadcast, rep-truth probe broadcast)
+    "q218_contrastive_mining",  // the q217 rep class: 50-anchor frame broadcast against the O(distinct-vectors) rep frame (pos_rep <> nid theta pair grid, metadata-sized)
     // q204_ivf_index_persist is NOT whitelisted: like q185, its probe
     // BNLJ (q168's centroid class, on the RELOADED O(sqrt(n) x dims)
     // centroid frame) sits upstream of ivfpqTail's localCheckpoint —

@@ -677,4 +677,38 @@ class SimilaritySpec extends SparkSuite {
     assert(layered.map(_._4).sliding(2).forall(p => p(0) < p(1)))
     assert(layered.map(_._7).sliding(2).forall(p => p(0) <= p(1)))
   }
+
+  test("q218 contrastive mining: variant is the hardest negative, own pattern never leaks, exclusion counts clones") {
+    import spark.implicits._
+    val got = run("q218_contrastive_mining").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getDouble(5))).toVector
+    // 50 anchors x top-3 negatives
+    assert(got.map(_._1).distinct.size == 50 && got.size == 150)
+    // the positive's pattern never appears in its own negative pool
+    assert(got.forall(t => t._5 != t._2), "own rep leaked into negatives")
+    // rep of pattern (B, v) is vec_id 2B + v, so the anchor's
+    // engineered hamming-1 variant rep is pos_rep with the low bit
+    // flipped — it must be the #1 hard negative for EVERY anchor
+    // (cosine within ~1e-4 of 1, far above any other pattern)
+    got.filter(_._4 == 1).foreach { case (aid, pos, _, _, neg, cos) =>
+      assert(neg == (pos ^ 1L), s"anchor $aid: hardest negative $neg != variant ${pos ^ 1L}")
+      assert(cos > 0.99, s"anchor $aid: variant cosine $cos unexpectedly low")
+    }
+    // false-negative exclusion counts the anchor's clone family
+    // (copies - 1), recomputed independently from the params
+    val fam = spark.read.parquet(s"$dir/documents.parquet")
+      .filter($"doc_id" % 5 === 0)
+      .selectExpr("(doc_id div 5) AS vid").collect().map(_.getLong(0))
+    val copies = fam.groupBy(v => ((v / 2) % 32, v % 2)).map { case (k, vs) => k -> vs.size }
+    got.filter(_._4 == 1).foreach { case (aid, _, excl, _, _, _) =>
+      val k = ((aid / 2) % 32, aid % 2)
+      assert(excl == copies(k) - 1, s"anchor $aid: excluded $excl != ${copies(k) - 1}")
+    }
+    // negatives are ranked: cosine non-increasing within each anchor
+    got.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.sortBy(_._4).map(_._6)
+      assert(byRank.sliding(2).forall(p => p(0) >= p(1)))
+    }
+  }
 }
