@@ -80,7 +80,32 @@ object Bench {
     val decodeBound = Set("q198_audio_envelope_dedup",
       "q199_video_temporal_dedup", "q200_video_clip_containment")
 
-    def measure(name: String): (Double, Double) = {
+    // SessionMemo-backed families (components, the √n-IVF index, the
+    // PQ/residual codebooks, the media-IVF corpora) pay their shared
+    // build/train/decode ONCE per session — the production shape:
+    // index build is offline, the serve is the query. Their rep-1
+    // timing is therefore a different quantity (first-touch) from
+    // reps 2+ (steady-state serve). The published median for these
+    // names is computed over reps 2+ and rep 1 ships separately under
+    // "first_touch" so round-over-round median diffs compare like
+    // with like. The regression gate is UNAFFECTED: it compares MINS,
+    // and the min is taken over ALL reps.
+    val memoFamilies = Set(
+      "q66_dup_components", "q124_semdedup", "q137_ann_recall",
+      "q168_ivf_sqrtn_recall", "q178_ivf_cell_balance",
+      "q179_pq_adc_recall", "q185_ivfpq_recall",
+      "q186_ivfpq_residual_recall", "q187_ivfpq_shortlist_budget",
+      "q189_ivf_incremental_ingest", "q190_ivfpq_bits_budget",
+      "q196_ivf_tombstones", "q204_ivf_index_persist",
+      "q205_ivf_compaction", "q213_ivf_nlist_budget",
+      "q214_compacted_recall", "q215_media_ann_serve",
+      "q217_media_layered_serve", "q218_contrastive_mining")
+
+    /** (median, min, firstTouch, effectiveReps): median over the
+      * steady-state reps (all reps, except memo families drop rep 1
+      * when reps >= 2), min over ALL reps (the gate's input),
+      * firstTouch = rep 1 for memo families else NaN. */
+    def measure(name: String): (Double, Double, Double, Int) = {
       // several operators eagerly localCheckpoint bounded frames
       // (docShingleSets, components' edge list, the daily-counts grid);
       // their blocks are reclaimed by ContextCleaner only after a GC,
@@ -100,13 +125,15 @@ object Bench {
       System.gc()
       val nReps = if (decodeBound(name)) math.min(reps, 2) else reps
       val ts = Seq.fill(nReps)(once(name))
-      if (ts.exists(_ < 0)) (-1.0, -1.0)
+      if (ts.exists(_ < 0)) (-1.0, -1.0, Double.NaN, nReps)
       else {
-        val sorted = ts.sorted
+        val splitFirst = memoFamilies(name) && nReps >= 2
+        val steady = if (splitFirst) ts.tail else ts
+        val sorted = steady.sorted
         val median =
           if (sorted.size % 2 == 1) sorted(sorted.size / 2)
           else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
-        (median, sorted.head)
+        (median, ts.min, if (splitFirst) ts.head else Double.NaN, nReps)
       }
     }
 
@@ -157,10 +184,19 @@ object Bench {
       System.err.println(f"[bench] $n ${r._1}%.3f s (min ${r._2}%.3f)")
       n -> r
     }
-    def jsonMap(f: ((Double, Double)) => Double): String =
+    def jsonMap(f: ((Double, Double, Double, Int)) => Double): String =
       results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val qs = jsonMap(_._1)
     val qsMin = jsonMap(_._2)
+    // first-touch (memo-family rep 1) and effective-rep overrides
+    // (decode-bound tier) — so median consumers can tell when the
+    // estimator differs from plain median-of-reps.
+    val firstTouchJson = results.collect {
+      case (k, (_, _, ft, _)) if !ft.isNaN => "\"" + k + "\":" + ft
+    }.mkString("{", ",", "}")
+    val repsEffJson = results.collect {
+      case (k, (_, _, _, nr)) if nr != reps => "\"" + k + "\":" + nr
+    }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
 
     // Round-over-round regression gate: compare this run's per-query
@@ -216,9 +252,9 @@ object Bench {
       "q09_window_lag", "q10_running_sum", "q17_orders_per_month",
       "q20_range_join", "q42_math_fns", "q45_window_analytics",
       "q65_sessionize", "q93_event_funnel", "q94_retention_cohorts")
-    def medianRatio(names: ((String, (Double, Double))) => Boolean): Seq[Double] =
+    def medianRatio(names: ((String, (Double, Double, Double, Int))) => Boolean): Seq[Double] =
       results.collect {
-        case r @ (name, (_, mn)) if names(r) && mn >= 0 && baseline.contains(name) =>
+        case r @ (name, (_, mn, _, _)) if names(r) && mn >= 0 && baseline.contains(name) =>
           mn / baseline(name)
       }.sorted
     val sentinelRatios = medianRatio { case (n, _) => sentinels(n) }
@@ -257,7 +293,7 @@ object Bench {
     // 0.07-0.28 s deltas); a plan regression that matters at scale
     // either hits a heavy query or adds real seconds.
     val flagged = results.collect {
-      case (name, (_, mn))
+      case (name, (_, mn, _, _))
         if mn >= 0 && baseline.get(name).exists(b =>
           mn > b * 1.3 * drift && mn - b * drift > 0.3) => name
     }
@@ -276,8 +312,8 @@ object Bench {
     val washers = Seq("q01_pricing_summary", "q20_range_join")
     val recheck = flagged.map { name =>
       washers.foreach(once)
-      val (_, mn2) = measure(name)
-      val sweepMin = results.collectFirst { case (`name`, (_, m)) => m }.get
+      val (_, mn2, _, _) = measure(name)
+      val sweepMin = results.collectFirst { case (`name`, (_, m, _, _)) => m }.get
       val best = if (mn2 >= 0) math.min(mn2, sweepMin) else sweepMin
       val transient = baseline.get(name).exists(b =>
         best <= b * 1.3 * drift || best - b * drift <= 0.3)
@@ -302,11 +338,11 @@ object Bench {
     //     list, failures and the top-10 slowest medians — so ANY tail
     //     capture retains the verdict-grade numbers.
     val tierJson = tier.map(t => s""","tier":"$t"""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps$tierJson,"queries_min":$qsMin,"queries":$qs,"sf":"$sfDir","regressions_vs":$vsJson,"drift":$driftStr,"cpu_drift":$cpuDriftStr,"flagged":$flaggedJson,"suspect_transient":$transientJson,"regressions":$regJson}""")
-    val failed = results.collect { case (n, (m, _)) if m < 0 => "\"" + n + "\"" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps$tierJson,"queries_min":$qsMin,"queries":$qs,"first_touch":$firstTouchJson,"reps_effective":$repsEffJson,"sf":"$sfDir","regressions_vs":$vsJson,"drift":$driftStr,"cpu_drift":$cpuDriftStr,"flagged":$flaggedJson,"suspect_transient":$transientJson,"regressions":$regJson}""")
+    val failed = results.collect { case (n, (m, _, _, _)) if m < 0 => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val top10 = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(10)
-      .map { case (k, (m, _)) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
+      .map { case (k, (m, _, _, _)) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
     println(s"""{"metric":"summary","value":$total,"unit":"sec","reps":$reps$tierJson,"sf":"$sfDir","n_queries":${results.size},"failed":$failed,"drift":$driftStr,"cpu_drift":$cpuDriftStr,"regressions_vs":$vsJson,"flagged":$flaggedJson,"suspect_transient":$transientJson,"regressions":$regJson,"top10_median":$top10}""")
     spark.stop()
   }

@@ -597,12 +597,23 @@ object Multimodal {
     * Synthesis-side only (the DECODE path is never cached: it is the
     * engine cost under measurement); bounded so a diverse-grays caller
     * degrades to plain encoding instead of growing the heap. */
+  private val GridPngCacheCap = 4096
   private val gridPngCache =
     new java.util.concurrent.ConcurrentHashMap[(Seq[Int], Int, Int), Array[Byte]]()
-  private def gridPngCached(grays: Array[Int], g: Int, cellPx: Int): Array[Byte] =
-    if (gridPngCache.size >= 4096) encodeGridPng(grays, g, cellPx)
-    else gridPngCache.computeIfAbsent((grays.toSeq, g, cellPx),
+  private def gridPngCached(grays: Array[Int], g: Int, cellPx: Int): Array[Byte] = {
+    val v = gridPngCache.computeIfAbsent((grays.toSeq, g, cellPx),
       k => encodeGridPng(grays, k._2, k._3))
+    // HARD bound (a check-then-act guard alone is racy across executor
+    // threads and never evicts): evict arbitrary entries after insert
+    // until back under the cap. Eviction order doesn't matter — the
+    // cache exists for the ≤64-distinct-grid fixture corpora; a
+    // diverse-grays caller just degrades toward plain encoding.
+    while (gridPngCache.size > GridPngCacheCap) {
+      val it = gridPngCache.keySet.iterator()
+      if (it.hasNext) gridPngCache.remove(it.next())
+    }
+    v
+  }
 
   /** 64-bit difference hash (dHash) per image — the classic perceptual
     * fingerprint: decode (REAL codec), g×g mean-luminance grid, one

@@ -189,9 +189,21 @@ object Similarity {
     * JVM exit — one shutdown hook over a dedup'd path set. Orphans
     * from sessions that never ran their hook (crashed / kill -9) are
     * swept at the next write: any sibling `graft-ivfpq-index-*-<pid>`
-    * tree whose pid is no longer alive is deleted. Trees of LIVE
-    * concurrent sessions are never touched — that isolation is the
-    * point of the per-pid path. */
+    * tree that (a) carries the framework's marker file, (b) has a
+    * dead pid suffix AND (c) has gone unmodified past the staleness
+    * window is deleted. Trees of LIVE concurrent sessions are never
+    * touched — that isolation is the point of the per-pid path.
+    *
+    * Deletion is SYMLINK-SAFE: java.io.tmpdir is world-writable, so a
+    * planted symlink named like an orphan (or nested inside one) must
+    * never cause its TARGET's contents to be removed. The walk uses
+    * Files.walkFileTree WITHOUT FOLLOW_LINKS — a symlink is unlinked
+    * as a plain entry, never descended — and a top-level symlink is
+    * skipped entirely (it cannot carry our marker check truthfully).
+    * The marker + mtime guards also cover shared-tmp containers where
+    * pid namespaces differ (ProcessHandle.of can misreport a live
+    * peer's pid as absent) and pid-reuse races. */
+  private[operators] val IndexMarker = ".graft-index-tree"
   private val indexCleanupPaths =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private lazy val indexCleanupHook: Unit = {
@@ -199,27 +211,60 @@ object Similarity {
       indexCleanupPaths.forEach(p => deleteRecursively(new java.io.File(p)))))
     ()
   }
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val cs = f.listFiles()
-    if (cs != null) cs.foreach(deleteRecursively)
-    f.delete(); ()
+  private[operators] def deleteRecursively(f: java.io.File): Unit = {
+    import java.nio.file._
+    import java.nio.file.attribute.BasicFileAttributes
+    val root = f.toPath
+    if (Files.isSymbolicLink(root)) { Files.deleteIfExists(root); () }
+    else if (Files.exists(root, LinkOption.NOFOLLOW_LINKS)) {
+      Files.walkFileTree(root, new SimpleFileVisitor[Path] {
+        override def preVisitDirectory(d: Path, a: BasicFileAttributes): FileVisitResult = {
+          // belt-and-braces: walkFileTree without FOLLOW_LINKS already
+          // reports symlinks to visitFile, never here
+          if (Files.isSymbolicLink(d)) { Files.deleteIfExists(d); FileVisitResult.SKIP_SUBTREE }
+          else FileVisitResult.CONTINUE
+        }
+        override def visitFile(p: Path, a: BasicFileAttributes): FileVisitResult = {
+          Files.deleteIfExists(p); FileVisitResult.CONTINUE
+        }
+        override def visitFileFailed(p: Path, e: java.io.IOException): FileVisitResult =
+          FileVisitResult.CONTINUE
+        override def postVisitDirectory(d: Path, e: java.io.IOException): FileVisitResult = {
+          Files.deleteIfExists(d); FileVisitResult.CONTINUE
+        }
+      })
+      ()
+    }
+  }
+  /** Creates the tree root and stamps the marker file the sweep
+    * requires — only trees this framework created are ever eligible
+    * for orphan deletion. */
+  private[operators] def markIndexTree(path: String): Unit = {
+    val d = new java.io.File(path)
+    d.mkdirs()
+    new java.io.FileOutputStream(new java.io.File(d, IndexMarker)).close()
   }
   private def registerIndexCleanup(path: String): Unit = {
     indexCleanupHook
     indexCleanupPaths.add(path); ()
   }
   private[operators] def sweepDeadIndexTrees(tmp: java.io.File,
-                                             prefix: String): Unit = {
+                                             prefix: String,
+                                             minAgeMs: Long = 15L * 60 * 1000): Unit = {
+    val now = System.currentTimeMillis()
     val cs = tmp.listFiles()
     if (cs != null) cs.foreach { f =>
       val n = f.getName
-      if (n.startsWith(prefix)) {
+      if (n.startsWith(prefix) &&
+          !java.nio.file.Files.isSymbolicLink(f.toPath) &&
+          new java.io.File(f, IndexMarker).exists()) {
         val alive = scala.util.Try {
           val oh = java.lang.ProcessHandle.of(
             n.substring(n.lastIndexOf('-') + 1).toLong)
           oh.isPresent && oh.get.isAlive
         }.getOrElse(true) // unparsable suffix: not ours, leave it alone
-        if (!alive) deleteRecursively(f)
+        val stale = now - f.lastModified() > minAgeMs
+        if (!alive && stale) deleteRecursively(f)
       }
     }
   }
@@ -2394,6 +2439,7 @@ object Similarity {
         sweepDeadIndexTrees(new java.io.File(sys.props("java.io.tmpdir")),
           "graft-ivfpq-index-")
         registerIndexCleanup(ix)
+        markIndexTree(ix)
         c1.write.mode("overwrite").parquet(s"$ix/centroids")
         asg.write.mode("overwrite").parquet(s"$ix/lists")
         rbook.write.mode("overwrite").parquet(s"$ix/codebook")
