@@ -678,6 +678,76 @@ class SimilaritySpec extends SparkSuite {
     assert(layered.map(_._7).sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("q219 graph-ANN beam search: monotone convergence, bounded per-round bill, recall floor") {
+    val rows = run("q219_nsw_graph_recall").orderBy("round").collect()
+    assert(rows.length == 6, s"expected 6 beam rounds, got ${rows.length}")
+    assert(rows.map(_.getAs[Int]("round")).toSeq == (1 to 6))
+    val nq = rows.head.getAs[Long]("n_queries")
+    val beam = rows.head.getAs[Int]("beam")
+    val deg = rows.head.getAs[Int]("degree")
+    val scored = rows.map(_.getAs[Long]("scored")).toSeq
+    val hits = rows.map(_.getAs[Long]("hits")).toSeq
+    // the visited set only grows, and hits with it (cumulative top-5
+    // over a growing set can only gain exact-truth members: a true
+    // neighbor once visited is never evicted by a lower cosine)
+    assert(scored.sliding(2).forall(p => p(0) < p(1)),
+      s"visited must grow every round: $scored")
+    assert(hits.sliding(2).forall(p => p(0) <= p(1)), s"hits regressed: $hits")
+    // the serve bill is bounded BY CONSTRUCTION: the entry seed is
+    // ≤ 2 cells × 4 anchors = 8 nodes per query, and every round
+    // (including round 1) expands ≤ beam nodes of adjacency ≤ 2·deg
+    assert(scored.head <= nq * (8 + beam * 2L * deg),
+      s"round-1 bill ${scored.head} exceeds the entry+beam bound")
+    scored.sliding(2).foreach { p =>
+      assert(p(1) - p(0) <= nq * beam * 2L * deg,
+        s"round growth ${p(1) - p(0)} exceeds the beam×degree bound") }
+    val recall = rows.last.getAs[Double]("recall_at_5")
+    assert(recall >= 0.8, s"round-6 recall $recall below the 0.8 floor")
+  }
+
+  test("q220 epoch pipeline: index-mined negatives match brute mining, shards follow the md5 contract") {
+    val rows = run("q220_media_epoch_pipeline").collect()
+    assert(rows.length == 150, s"expected 50 anchors x 3 negatives, got ${rows.length}")
+    val byAnchor = rows.groupBy(_.getAs[Long]("anchor_id"))
+    assert(byAnchor.size == 50)
+    byAnchor.foreach { case (aid, rs) =>
+      assert(rs.map(_.getAs[Int]("neg_rank")).sorted.toSeq == Seq(1, 2, 3))
+      // the engineered hamming-1 variant must surface as the hardest
+      // negative THROUGH the index (np=3 probes) exactly as q218's
+      // brute rep scan finds it
+      val pos = rs.head.getAs[Long]("pos_rep")
+      val r1 = rs.find(_.getAs[Int]("neg_rank") == 1).get.getAs[Long]("neg_rep")
+      assert(r1 == (pos ^ 1L), s"anchor $aid: rank-1 negative $r1 != variant ${pos ^ 1L}")
+      assert(rs.forall(_.getAs[Long]("excluded_copies") >= 0))
+    }
+    // index mining at np=3 loses nothing vs q218's brute mining on
+    // this corpus: identical (anchor, rank) -> negative assignments
+    val brute = run("q218_contrastive_mining").collect()
+      .map(r => (r.getAs[Long]("anchor_id"), r.getAs[Int]("neg_rank")) ->
+        r.getAs[Long]("neg_rep")).toMap
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("anchor_id"), r.getAs[Int]("neg_rank"))
+      assert(brute(k) == r.getAs[Long]("neg_rep"),
+        s"index-mined negative diverges from brute at $k")
+    }
+    // shard + order contract, recomputed independently: shard = first
+    // 2 md5 hex digits of the anchor id (as a string) mod 4; positions
+    // are dense 1..n within a shard, ordered by (mix key, anchor, rank)
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes)
+        .map("%02x".format(_)).mkString
+    rows.foreach { r =>
+      val h = md5hex(r.getAs[Long]("anchor_id").toString)
+      assert(r.getAs[Int]("shard") == Integer.parseInt(h.take(2), 16) % 4)
+    }
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (sh, rs) =>
+      val sorted = rs.sortBy(r => (md5hex(r.getAs[Long]("anchor_id").toString).slice(2, 10),
+        r.getAs[Long]("anchor_id"), r.getAs[Int]("neg_rank")))
+      assert(sorted.map(_.getAs[Int]("pos_in_shard")).toSeq == (1 to rs.length),
+        s"shard $sh positions not dense in mix order")
+    }
+  }
+
   test("q218 contrastive mining: variant is the hardest negative, own pattern never leaks, exclusion counts clones") {
     import spark.implicits._
     val got = run("q218_contrastive_mining").collect()
