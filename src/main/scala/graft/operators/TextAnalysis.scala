@@ -314,6 +314,155 @@ object TextAnalysis {
           ROUND(CAST(lines_scored - lines_matching AS DOUBLE)
             / GREATEST(lines_scored, 1), 6) AS switch_frac
         FROM agg ORDER BY doc_id"""
+      }),
+
+    // ---- model-based quality filter (q221) -----------------------------
+    // The CCNet/fastText-class curation stage: TRAIN a linear lexical
+    // quality classifier in-engine and audit it on a held split — no
+    // external model, no driver loop, integer/decimal-exact sufficient
+    // statistics throughout. Naive-Bayes-style fit over HASHED
+    // unigrams (md5 → 256 buckets — the hashing trick: the model is a
+    // 256-row broadcastable artifact at ANY corpus size, never a
+    // vocab-sized frame): per class c, per bucket b, the Laplace-
+    // smoothed rate r_c(b) = (count_c(b)+α)/(N_c+256α). Scoring is
+    // deliberately LOG-FREE (the q149/BM25 discipline — no
+    // transcendental whose last ulp differs across engines): each
+    // bucket votes (r_g−r_b)/(r_g+r_b) ∈ [−1,1] rounded 1e-6, a doc's
+    // score is the tf-weighted DECIMAL-exact mean of its bucket
+    // votes, and the decision threshold is FIT on the train split as
+    // the midpoint of the two class-mean scores (the bias term an NB
+    // log-posterior carries implicitly; an unfit 0 threshold measured
+    // majority-class collapse). Labels = q30's LEXICAL gate
+    // (stop_ratio ≥ 0.10 — the vocabulary-visible component of its
+    // quality composite; the length/punct gates are structural
+    // features a bag-of-words model cannot see, exactly why CCNet
+    // pairs its LM filter with separate length heuristics). Split:
+    // train = doc_id % 5 ≠ 0, test = the rest. Published per
+    // smoothing α ∈ {1, 5, 25}: the fitted threshold and the held-out
+    // confusion matrix + accuracy/precision/recall — the smoothing
+    // dial's damage is the audit (α=1 reads 0.92 accuracy at sf0.01;
+    // α=25 over-smooths the 256-bucket signal away).
+    //
+    // Scale: one map-only tokenize+hash pass (the q82/q149 kernel);
+    // the model/consts/threshold frames are 256/1/3 rows (broadcast);
+    // scoring is an equi-join of the token stream against the
+    // 256-row model — no vocab exchange, no second corpus pass; the
+    // confusion is one partial-combined aggregate per α.
+    Q("q221_nb_quality_filter",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val stopEn = stoplists.head._2
+        val lab = withToksNe(documents(s, dir))
+          .filter(length($"text") > 0 && size($"toks_ne") > 0)
+          .withColumn("good",
+            round(expr(countInSetSql("toks_ne", stopEn)).cast(DoubleType) /
+              size($"toks_ne"), 6) >= 0.10)
+          .withColumn("is_train", $"doc_id" % 5 =!= 0)
+        val tf = lab
+          .select($"doc_id", $"good", $"is_train",
+            explode(expr("token_tf(toks_ne)")).as("kv"))
+          .select($"doc_id", $"good", $"is_train",
+            conv(substring(md5($"kv.tok"), 1, 2), 16, 10)
+              .cast(IntegerType).as("b"),
+            $"kv.tf".as("tf"))
+        val model = tf.filter($"is_train").groupBy($"b")
+          .agg(sum(when($"good", $"tf").otherwise(0L)).as("cg"),
+            sum(when(!$"good", $"tf").otherwise(0L)).as("cb"))
+        val consts = tf.filter($"is_train")
+          .agg(sum(when($"good", $"tf").otherwise(0L)).as("ng"),
+            sum(when(!$"good", $"tf").otherwise(0L)).as("nb"))
+        val alphas = Seq(1, 5, 25).toDF("alpha")
+        val rg = (coalesce($"cg", lit(0L)) + $"alpha").cast(DoubleType) /
+          ($"ng" + lit(256) * $"alpha")
+        val rb = (coalesce($"cb", lit(0L)) + $"alpha").cast(DoubleType) /
+          ($"nb" + lit(256) * $"alpha")
+        val wts = tf.join(broadcast(model), Seq("b"), "left")
+          .crossJoin(broadcast(consts))
+          .crossJoin(broadcast(alphas))
+          .withColumn("w", round((rg - rb) / (rg + rb), 6))
+        val ds = wts.groupBy($"alpha", $"doc_id", $"good", $"is_train")
+          .agg(round(
+            sum(($"w" * $"tf").cast(DecimalType(28, 6))).cast(DoubleType) /
+              sum($"tf"), 6).as("score"))
+        val thr = ds.filter($"is_train").groupBy($"alpha")
+          .agg(round((
+            sum(when($"good", $"score").cast(DecimalType(28, 6))).cast(DoubleType) /
+              sum(when($"good", 1)) +
+            sum(when(!$"good", $"score").cast(DecimalType(28, 6))).cast(DoubleType) /
+              sum(when(!$"good", 1))) / 2, 6).as("threshold"))
+        ds.filter(!$"is_train").join(broadcast(thr), "alpha")
+          .groupBy($"alpha", $"threshold")
+          .agg(count(lit(1)).as("n_test"),
+            sum(when($"score" > $"threshold" && $"good", 1L).otherwise(0L)).as("tp"),
+            sum(when($"score" > $"threshold" && !$"good", 1L).otherwise(0L)).as("fp"),
+            sum(when($"score" <= $"threshold" && $"good", 1L).otherwise(0L)).as("fn"),
+            sum(when($"score" <= $"threshold" && !$"good", 1L).otherwise(0L)).as("tn"))
+          .select($"alpha", $"threshold", $"n_test", $"tp", $"fp", $"fn", $"tn",
+            round(($"tp" + $"tn").cast(DoubleType) / $"n_test", 6).as("accuracy"),
+            when($"tp" + $"fp" === 0, lit(0.0))
+              .otherwise(round($"tp".cast(DoubleType) / ($"tp" + $"fp"), 6))
+              .as("precision_good"),
+            when($"tp" + $"fn" === 0, lit(0.0))
+              .otherwise(round($"tp".cast(DoubleType) / ($"tp" + $"fn"), 6))
+              .as("recall_good"))
+          .orderBy($"alpha")
+      },
+      Some {
+        val stopEn = arrList(stoplists.head._2)
+        s"""
+        WITH toksc AS (SELECT doc_id, text,
+            list_filter(string_split_regex(lower(text), '\\W+'), t -> len(t) > 0) AS wne
+          FROM documents
+          WHERE len(text) > 0 AND len(list_filter(string_split_regex(lower(text), '\\W+'), t -> len(t) > 0)) > 0),
+        lab AS (SELECT doc_id, wne,
+            ROUND(CAST(len(list_filter(wne, t -> list_contains($stopEn, t))) AS DOUBLE) / len(wne), 6) >= 0.10 AS good,
+            doc_id % 5 <> 0 AS is_train
+          FROM toksc),
+        tf AS (SELECT doc_id, good, is_train,
+                 ('0x' || substr(md5(tok), 1, 2))::INT AS b,
+                 CAST(COUNT(*) AS BIGINT) AS tf
+               FROM (SELECT doc_id, good, is_train, UNNEST(wne) AS tok FROM lab) u
+               GROUP BY 1, 2, 3, 4),
+        model AS (SELECT b,
+                    CAST(SUM(CASE WHEN good THEN tf ELSE 0 END) AS BIGINT) AS cg,
+                    CAST(SUM(CASE WHEN NOT good THEN tf ELSE 0 END) AS BIGINT) AS cb
+                  FROM tf WHERE is_train GROUP BY b),
+        consts AS (SELECT CAST(SUM(CASE WHEN good THEN tf ELSE 0 END) AS BIGINT) AS ng,
+                     CAST(SUM(CASE WHEN NOT good THEN tf ELSE 0 END) AS BIGINT) AS nb
+                   FROM tf WHERE is_train),
+        alphas AS (SELECT * FROM (VALUES (1), (5), (25)) a(alpha)),
+        wts AS (SELECT t.doc_id, t.good, t.is_train, a.alpha, t.tf,
+                  ROUND((CAST(COALESCE(m.cg, 0) + a.alpha AS DOUBLE) / (c.ng + 256 * a.alpha) -
+                         CAST(COALESCE(m.cb, 0) + a.alpha AS DOUBLE) / (c.nb + 256 * a.alpha)) /
+                        (CAST(COALESCE(m.cg, 0) + a.alpha AS DOUBLE) / (c.ng + 256 * a.alpha) +
+                         CAST(COALESCE(m.cb, 0) + a.alpha AS DOUBLE) / (c.nb + 256 * a.alpha)), 6) AS w
+                FROM tf t LEFT JOIN model m USING (b)
+                CROSS JOIN consts c CROSS JOIN alphas a),
+        ds AS (SELECT alpha, doc_id, good, is_train,
+                 ROUND(CAST(SUM(CAST(w * tf AS DECIMAL(28,6))) AS DOUBLE) / SUM(tf), 6) AS score
+               FROM wts GROUP BY 1, 2, 3, 4),
+        thr AS (SELECT alpha, ROUND((
+                  CAST(SUM(CAST(CASE WHEN good THEN score END AS DECIMAL(28,6))) AS DOUBLE)
+                    / SUM(CASE WHEN good THEN 1 END) +
+                  CAST(SUM(CAST(CASE WHEN NOT good THEN score END AS DECIMAL(28,6))) AS DOUBLE)
+                    / SUM(CASE WHEN NOT good THEN 1 END)) / 2, 6) AS threshold
+                FROM ds WHERE is_train GROUP BY alpha),
+        conf AS (SELECT d.alpha, t.threshold,
+                   CAST(COUNT(*) AS BIGINT) AS n_test,
+                   CAST(SUM(CASE WHEN d.score > t.threshold AND d.good THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(SUM(CASE WHEN d.score > t.threshold AND NOT d.good THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(SUM(CASE WHEN d.score <= t.threshold AND d.good THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                   CAST(SUM(CASE WHEN d.score <= t.threshold AND NOT d.good THEN 1 ELSE 0 END) AS BIGINT) AS tn
+                 FROM ds d JOIN thr t USING (alpha)
+                 WHERE NOT d.is_train GROUP BY 1, 2)
+        SELECT alpha, threshold, n_test, tp, fp, fn, tn,
+          ROUND(CAST(tp + tn AS DOUBLE) / n_test, 6) AS accuracy,
+          CASE WHEN tp + fp = 0 THEN 0.0
+               ELSE ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision_good,
+          CASE WHEN tp + fn = 0 THEN 0.0
+               ELSE ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall_good
+        FROM conf ORDER BY alpha"""
       })
   )
 

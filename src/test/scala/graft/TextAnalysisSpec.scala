@@ -36,4 +36,66 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got(3L) == ((2L, 0L, 0L, "none", 0.0)), got(3L).toString)
     assert(got(4L) == ((2L, 1L, 1L, "de", 0.0)), got(4L).toString)
   }
+
+  test("q221 NB quality filter equals an independent in-memory train/score/threshold/confusion") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val stopEn = Set("the", "a", "of", "and", "to", "in", "is", "it")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def bucket(tok: String): Int = Integer.parseInt(
+      java.security.MessageDigest.getInstance("MD5").digest(tok.getBytes)
+        .take(1).map("%02x".format(_)).mkString, 16)
+    // independent pipeline: tokenize -> label -> split -> train counts
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.nonEmpty)
+      .map { case (id, text) =>
+        (id, text.toLowerCase.split("\\W+").filter(_.nonEmpty)) }
+      .filter(_._2.nonEmpty)
+      .map { case (id, toks) =>
+        val good = r6(toks.count(stopEn).toDouble / toks.length) >= 0.10
+        (id, toks, good, id % 5 != 0) }
+    val train = docs.filter(_._4)
+    val cg = new scala.collection.mutable.HashMap[Int, Long].withDefaultValue(0L)
+    val cb = new scala.collection.mutable.HashMap[Int, Long].withDefaultValue(0L)
+    train.foreach { case (_, toks, good, _) =>
+      toks.foreach(t => if (good) cg(bucket(t)) += 1 else cb(bucket(t)) += 1) }
+    val (ng, nb) = (cg.values.sum, cb.values.sum)
+    val out = SparkEntry.queries("q221_nb_quality_filter")(spark, dir)
+      .orderBy("alpha").collect()
+    assert(out.length == 3)
+    for ((alpha, row) <- Seq(1, 5, 25).zip(out)) {
+      def w(b: Int): Double = {
+        val rg = (cg(b) + alpha).toDouble / (ng + 256L * alpha)
+        val rb = (cb(b) + alpha).toDouble / (nb + 256L * alpha)
+        r6((rg - rb) / (rg + rb))
+      }
+      def score(toks: Array[String]): Double = {
+        val tf = toks.groupBy(bucket).view.mapValues(_.length.toLong)
+        val s = tf.map { case (b, n) => d6(w(b) * n) }.reduce(_ + _)
+        r6(s.toDouble / toks.length)
+      }
+      val trainScores = train.map { case (_, toks, good, _) => (good, score(toks)) }
+      def classMean(g: Boolean) = {
+        val xs = trainScores.filter(_._1 == g).map(x => d6(x._2))
+        xs.reduce(_ + _).toDouble / xs.length
+      }
+      val cut = r6((classMean(true) + classMean(false)) / 2)
+      assert(row.getAs[Double]("threshold") == cut,
+        s"alpha $alpha: threshold ${row.getAs[Double]("threshold")} != $cut")
+      val test = docs.filterNot(_._4)
+      val tp = test.count { case (_, t, g, _) => score(t) > cut && g }
+      val fp = test.count { case (_, t, g, _) => score(t) > cut && !g }
+      val fn = test.count { case (_, t, g, _) => score(t) <= cut && g }
+      val tn = test.count { case (_, t, g, _) => score(t) <= cut && !g }
+      assert((row.getAs[Long]("tp"), row.getAs[Long]("fp"),
+        row.getAs[Long]("fn"), row.getAs[Long]("tn")) ==
+        ((tp.toLong, fp.toLong, fn.toLong, tn.toLong)),
+        s"alpha $alpha confusion mismatch")
+      assert(row.getAs[Long]("n_test") == test.length)
+      assert(row.getAs[Double]("accuracy") == r6((tp + tn).toDouble / test.length))
+    }
+  }
 }
