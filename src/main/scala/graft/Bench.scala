@@ -100,7 +100,8 @@ object Bench {
       "q205_ivf_compaction", "q213_ivf_nlist_budget",
       "q214_compacted_recall", "q215_media_ann_serve",
       "q217_media_layered_serve", "q218_contrastive_mining",
-      "q219_nsw_graph_recall", "q220_media_epoch_pipeline")
+      "q219_nsw_graph_recall", "q220_media_epoch_pipeline",
+      "q222_nsw_tombstone_serve")
 
     /** (median, min, firstTouch, effectiveReps): median over the
       * steady-state reps (all reps, except memo families drop rep 1

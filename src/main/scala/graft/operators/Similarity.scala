@@ -856,6 +856,79 @@ object Similarity {
       (edges, anchors)
     }
 
+  /** Oracle twin of [[nswGraph]] + the q219 serve: graph build
+    * (asg2 → gedges), query prep (qv/qcell/anch/entry), seed frames
+    * v0/x0 and the [[NswRounds]] unrolled expand-once beam rounds
+    * producing `f$r/x$r/nb$r/v$r`. Must follow
+    * `$prepCte, $sqrtnAsgCteSql`. Consumers append their own per-round
+    * stat CTEs over `v$r` (q219: full-corpus top-5; q222: live-only
+    * top-5 under tombstones). */
+  private val nswQdot = "list_sum([q.av[i] * b.v[i] for i in range(1, len(q.av) + 1)])"
+  private val nswBeamCtes: String = {
+    val rounds = (1 to NswRounds).map { r =>
+      s"""f$r AS (SELECT qid, cid FROM (SELECT qid, cid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosr DESC, cid) AS rk
+          FROM (SELECT u.* FROM v${r - 1} u
+                WHERE NOT EXISTS (SELECT 1 FROM x${r - 1} x
+                                  WHERE x.qid = u.qid AND x.cid = u.cid)) s) t
+          WHERE rk <= $NswBeam),
+      x$r AS MATERIALIZED (SELECT * FROM x${r - 1}
+          UNION ALL SELECT * FROM f$r),
+      nb$r AS (SELECT DISTINCT f.qid, ed.dst AS cid
+          FROM f$r f JOIN gedges ed ON ed.src = f.cid
+          WHERE ed.dst <> f.qid
+            AND NOT EXISTS (SELECT 1 FROM v${r - 1} w
+                            WHERE w.qid = f.qid AND w.cid = ed.dst)),
+      v$r AS MATERIALIZED (SELECT * FROM v${r - 1}
+          UNION ALL
+          SELECT nb.qid, nb.cid, ROUND($nswQdot / (q.na * b.nrm), 6) AS cosr
+          FROM nb$r nb JOIN qv q USING (qid) JOIN n b ON b.vec_id = nb.cid)"""
+    }.mkString(",\n      ")
+    s"""asg2 AS MATERIALIZED (SELECT vec_id, cell FROM (
+        SELECT e2.vec_id, c.cid AS cell,
+          ROW_NUMBER() OVER (PARTITION BY e2.vec_id ORDER BY
+            ROUND(e2.vv - 2.0 * list_sum([e2.v[i] * c.cv[i] for i in range(1, len(e2.v) + 1)]) + c.cc, 6),
+            c.cid) AS rk
+        FROM e2 CROSS JOIN c1n c) t WHERE rk <= 2),
+    gpairs AS MATERIALIZED (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        FROM asg2 a JOIN asg2 b USING (cell) WHERE a.vec_id <> b.vec_id),
+    gsc AS MATERIALIZED (SELECT p.src, p.dst,
+          ROUND(list_sum([sa.v[i] * sb.v[i] for i in range(1, len(sa.v) + 1)]) / (sa.nrm * sb.nrm), 6) AS cosr
+        FROM gpairs p JOIN n sa ON sa.vec_id = p.src
+        JOIN n sb ON sb.vec_id = p.dst),
+    gtop AS (SELECT src, dst, cosr FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosr DESC, dst) AS rk
+        FROM gsc) t WHERE rk <= $NswDeg),
+    gsym AS (SELECT DISTINCT * FROM (
+        SELECT src, dst, cosr FROM gtop
+        UNION ALL SELECT dst AS src, src AS dst, cosr FROM gtop) u),
+    gedges AS MATERIALIZED (SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosr DESC, dst) AS rk
+        FROM gsym) t WHERE rk <= ${2 * NswDeg}),
+    qv AS (SELECT vec_id AS qid, v AS av, nrm AS na, vv FROM e2 WHERE vec_id < 50),
+    qcell AS (SELECT qid, cell FROM (
+        SELECT q.qid, c.cid AS cell,
+          ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+            ROUND(q.vv - 2.0 * list_sum([q.av[i] * c.cv[i] for i in range(1, len(q.av) + 1)]) + c.cc, 6),
+            c.cid) AS rk
+        FROM qv q CROSS JOIN c1n c) t WHERE rk <= 2),
+    anch AS MATERIALIZED (SELECT cell, vec_id AS cid FROM (
+        SELECT a.cell, a.vec_id,
+          ROW_NUMBER() OVER (PARTITION BY a.cell ORDER BY
+            ROUND(e2.vv - 2.0 * list_sum([e2.v[i] * c.cv[i] for i in range(1, len(e2.v) + 1)]) + c.cc, 6),
+            a.vec_id) AS rk
+        FROM asg a JOIN e2 ON e2.vec_id = a.vec_id
+        JOIN c1n c ON c.cid = a.cell) t WHERE rk <= $NswAnchors),
+    entry AS (SELECT qc.qid, an.cid
+        FROM qcell qc JOIN anch an USING (cell)
+        WHERE an.cid <> qc.qid),
+    v0 AS MATERIALIZED (SELECT en.qid, en.cid,
+        ROUND($nswQdot / (q.na * b.nrm), 6) AS cosr
+        FROM entry en JOIN qv q USING (qid) JOIN n b ON b.vec_id = en.cid),
+    x0 AS (SELECT qid, cid FROM v0 WHERE 1 = 0),
+    $rounds"""
+  }
+
   def queries: Vector[Q] = Vector(
     // ---- near-duplicate pairs by cosine, blocked on label ------------
     // Scale contract: the equi-join on the block key distributes work
@@ -3389,26 +3462,8 @@ object Similarity {
         out.orderBy($"round")
       },
       Some {
-        val qdot = "list_sum([q.av[i] * b.v[i] for i in range(1, len(q.av) + 1)])"
-        val rounds = (1 to NswRounds).map { r =>
-          s"""f$r AS (SELECT qid, cid FROM (SELECT qid, cid,
-                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosr DESC, cid) AS rk
-              FROM (SELECT u.* FROM v${r - 1} u
-                    WHERE NOT EXISTS (SELECT 1 FROM x${r - 1} x
-                                      WHERE x.qid = u.qid AND x.cid = u.cid)) s) t
-              WHERE rk <= $NswBeam),
-          x$r AS MATERIALIZED (SELECT * FROM x${r - 1}
-              UNION ALL SELECT * FROM f$r),
-          nb$r AS (SELECT DISTINCT f.qid, ed.dst AS cid
-              FROM f$r f JOIN gedges ed ON ed.src = f.cid
-              WHERE ed.dst <> f.qid
-                AND NOT EXISTS (SELECT 1 FROM v${r - 1} w
-                                WHERE w.qid = f.qid AND w.cid = ed.dst)),
-          v$r AS MATERIALIZED (SELECT * FROM v${r - 1}
-              UNION ALL
-              SELECT nb.qid, nb.cid, ROUND($qdot / (q.na * b.nrm), 6) AS cosr
-              FROM nb$r nb JOIN qv q USING (qid) JOIN n b ON b.vec_id = nb.cid),
-          t$r AS (SELECT qid, cid FROM (SELECT qid, cid,
+        val stats = (1 to NswRounds).map { r =>
+          s"""t$r AS (SELECT qid, cid FROM (SELECT qid, cid,
                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosr DESC, cid) AS rk
               FROM v$r) t WHERE rk <= 5),
           st$r AS (SELECT $r AS round,
@@ -3422,49 +3477,8 @@ object Similarity {
         s"""$prepCte,
         $knnTop5Cte,
         $sqrtnAsgCteSql,
-        asg2 AS MATERIALIZED (SELECT vec_id, cell FROM (
-            SELECT e2.vec_id, c.cid AS cell,
-              ROW_NUMBER() OVER (PARTITION BY e2.vec_id ORDER BY
-                ROUND(e2.vv - 2.0 * list_sum([e2.v[i] * c.cv[i] for i in range(1, len(e2.v) + 1)]) + c.cc, 6),
-                c.cid) AS rk
-            FROM e2 CROSS JOIN c1n c) t WHERE rk <= 2),
-        gpairs AS MATERIALIZED (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-            FROM asg2 a JOIN asg2 b USING (cell) WHERE a.vec_id <> b.vec_id),
-        gsc AS MATERIALIZED (SELECT p.src, p.dst,
-              ROUND(list_sum([sa.v[i] * sb.v[i] for i in range(1, len(sa.v) + 1)]) / (sa.nrm * sb.nrm), 6) AS cosr
-            FROM gpairs p JOIN n sa ON sa.vec_id = p.src
-            JOIN n sb ON sb.vec_id = p.dst),
-        gtop AS (SELECT src, dst, cosr FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosr DESC, dst) AS rk
-            FROM gsc) t WHERE rk <= $NswDeg),
-        gsym AS (SELECT DISTINCT * FROM (
-            SELECT src, dst, cosr FROM gtop
-            UNION ALL SELECT dst AS src, src AS dst, cosr FROM gtop) u),
-        gedges AS MATERIALIZED (SELECT src, dst FROM (
-            SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosr DESC, dst) AS rk
-            FROM gsym) t WHERE rk <= ${2 * NswDeg}),
-        qv AS (SELECT vec_id AS qid, v AS av, nrm AS na, vv FROM e2 WHERE vec_id < 50),
-        qcell AS (SELECT qid, cell FROM (
-            SELECT q.qid, c.cid AS cell,
-              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
-                ROUND(q.vv - 2.0 * list_sum([q.av[i] * c.cv[i] for i in range(1, len(q.av) + 1)]) + c.cc, 6),
-                c.cid) AS rk
-            FROM qv q CROSS JOIN c1n c) t WHERE rk <= 2),
-        anch AS MATERIALIZED (SELECT cell, vec_id AS cid FROM (
-            SELECT a.cell, a.vec_id,
-              ROW_NUMBER() OVER (PARTITION BY a.cell ORDER BY
-                ROUND(e2.vv - 2.0 * list_sum([e2.v[i] * c.cv[i] for i in range(1, len(e2.v) + 1)]) + c.cc, 6),
-                a.vec_id) AS rk
-            FROM asg a JOIN e2 ON e2.vec_id = a.vec_id
-            JOIN c1n c ON c.cid = a.cell) t WHERE rk <= $NswAnchors),
-        entry AS (SELECT qc.qid, an.cid
-            FROM qcell qc JOIN anch an USING (cell)
-            WHERE an.cid <> qc.qid),
-        v0 AS MATERIALIZED (SELECT en.qid, en.cid,
-            ROUND($qdot / (q.na * b.nrm), 6) AS cosr
-            FROM entry en JOIN qv q USING (qid) JOIN n b ON b.vec_id = en.cid),
-        x0 AS (SELECT qid, cid FROM v0 WHERE 1 = 0),
-        $rounds
+        $nswBeamCtes,
+        $stats
         SELECT CAST(round AS INT) AS round,
           CAST($NswBeam AS INT) AS beam, CAST($NswDeg AS INT) AS degree,
           n_queries, scored, hits,
@@ -3610,6 +3624,124 @@ object Similarity {
                  ORDER BY mixk, anchor_id, neg_rank) AS INT) AS pos_in_shard,
           anchor_id, pos_rep, excluded_copies, neg_rank, neg_rep, neg_cos
         FROM shr
-        ORDER BY shard, pos_in_shard"""))
+        ORDER BY shard, pos_in_shard""")),
+
+    // ---- graph-ANN serve under tombstones (q222) -----------------------
+    // The deletion leg of the graph-ANN lifecycle — the q196/q205/q214
+    // chain's counterpart for [[nswGraph]], with the semantics real
+    // HNSW deployments use (delete-in-place, e.g. hnswlib's
+    // mark_deleted): tombstoned nodes KEEP ROUTING — they stay in the
+    // graph, the beam traverses and scores them — but are filtered
+    // from the published results. Removing them from the graph instead
+    // would sever the paths their edges provide (the graph's
+    // navigability is built on them); the periodic rebuild is the
+    // compaction story, measured separately by the IVF chain. Wave =
+    // label % 2 (q205's deterministic deletion wave, ~half the
+    // corpus). Published per beam round: the candidate bill, how much
+    // of it was DEAD routing work (dead_scored — the rising cost that
+    // triggers a rebuild), live-only hits and recall@5 vs the exact
+    // top-5 over the LIVE corpus (the same probeScored frame as
+    // knnTop5, tombstones anti-joined before ranking).
+    //
+    // Scale: identical to q219 (the serve bill is corpus-size-free;
+    // the graph and anchors are the SAME memoized artifacts — a
+    // deletion wave in production touches the tombstone set, never
+    // the index), plus one broadcast-sized anti-join per round
+    // against the tombstone frame.
+    Q("q222_nsw_tombstone_serve",
+      (s, dir) => {
+        import s.implicits._
+        val (e, c1, _) = sqrtnIndex(s, dir)
+        val (gedges, anchors) = nswGraph(s, dir)
+        val tomb = e.filter($"label" % 2 === 0).select($"vec_id".as("cid"))
+        val ew2 = Window.partitionBy($"qid").orderBy($"cosr".desc, $"cid")
+        val exact = probeScored(s, dir)
+          .join(tomb, Seq("cid"), "left_anti")
+          .withColumn("rank", row_number().over(ew2)).filter($"rank" <= 5)
+          .select($"qid".as("eqid"), $"cid".as("ecid"))
+          .localCheckpoint(true)
+        val q = e.filter($"vec_id" < 50)
+          .select($"vec_id".as("qid"), $"v".as("av"), $"nrm".as("na"), $"vv")
+        val qw = Window.partitionBy($"qid").orderBy($"d2", $"cell")
+        val qcell = q.crossJoin(broadcast(c1.select($"cid".as("cell"), $"cv", $"cc")))
+          .withColumn("d2",
+            round($"vv" - lit(2.0) * expr("dot_product(av, cv)") + $"cc", 6))
+          .withColumn("rk", row_number().over(qw)).filter($"rk" <= 2)
+          .select($"qid", $"cell")
+        val entry = qcell.join(anchors, "cell").filter($"cid" =!= $"qid")
+          .select($"qid", $"cid")
+        val corpus = e.select($"vec_id".as("cid"), $"v".as("bv"), $"nrm".as("nb"))
+        def scoreOf(ids: DataFrame): DataFrame = ids
+          .join(broadcast(q.select($"qid", $"av", $"na")), "qid")
+          .join(corpus, "cid")
+          .withColumn("cosr", round(expr(dotExpr) / ($"na" * $"nb"), 6))
+          .select($"qid", $"cid", $"cosr")
+        val vw = Window.partitionBy($"qid").orderBy($"cosr".desc, $"cid")
+        var visited = scoreOf(entry).localCheckpoint(true)
+        var expanded = visited.select($"qid", $"cid").filter(lit(false))
+        var out: DataFrame = null
+        for (r <- 1 to NswRounds) {
+          val frontier = visited
+            .join(expanded, Seq("qid", "cid"), "left_anti")
+            .withColumn("rk", row_number().over(vw))
+            .filter($"rk" <= NswBeam).select($"qid", $"cid")
+          expanded = expanded.union(frontier).localCheckpoint(true)
+          val nbrs = frontier.join(gedges, frontier("cid") === gedges("src"))
+            .filter($"dst" =!= $"qid")
+            .select($"qid", $"dst".as("cid")).distinct()
+            .join(visited.select($"qid", $"cid"), Seq("qid", "cid"), "left_anti")
+          visited = visited.union(scoreOf(nbrs)).localCheckpoint(true)
+          val liveTop5 = visited.join(tomb, Seq("cid"), "left_anti")
+            .withColumn("rk", row_number().over(vw))
+            .filter($"rk" <= 5).select($"qid", $"cid")
+          val hit = liveTop5
+            .join(exact, $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
+            .agg(count(lit(1)).as("hits"))
+          val dead = visited.join(tomb, Seq("cid"), "left_semi")
+            .agg(count(lit(1)).as("dead_scored"))
+          val stats = visited
+            .agg(countDistinct($"qid").as("n_queries"), count(lit(1)).as("scored"))
+            .crossJoin(broadcast(dead))
+            .crossJoin(broadcast(hit))
+            .select(lit(r).cast(IntegerType).as("round"),
+              $"n_queries", $"scored", $"dead_scored", $"hits",
+              round($"hits".cast(DoubleType) / ($"n_queries" * 5), 6)
+                .as("recall_at_5"))
+          out = if (out == null) stats else out.union(stats)
+        }
+        out.orderBy($"round")
+      },
+      Some {
+        val stats = (1 to NswRounds).map { r =>
+          s"""lt$r AS (SELECT qid, cid FROM (SELECT qid, cid,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosr DESC, cid) AS rk
+              FROM v$r WHERE cid NOT IN (SELECT vec_id FROM tomb)) t WHERE rk <= 5),
+          lst$r AS (SELECT $r AS round,
+              (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) FROM v$r) AS n_queries,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM v$r) AS scored,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM v$r
+               WHERE cid IN (SELECT vec_id FROM tomb)) AS dead_scored,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM lt$r t
+               JOIN lnn ON lnn.qid = t.qid AND lnn.cid = t.cid) AS hits)"""
+        }.mkString(",\n          ")
+        val outs = (1 to NswRounds).map(r => s"SELECT * FROM lst$r")
+          .mkString("\n          UNION ALL ")
+        s"""$prepCte,
+        $knnTop5Cte,
+        $sqrtnAsgCteSql,
+        tomb AS (SELECT vec_id FROM n WHERE label % 2 = 0),
+        lnn AS (SELECT qid, cid FROM (
+            SELECT s.qid, s.cid,
+              ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY s.cosr DESC, s.cid) AS rk
+            FROM scored s WHERE s.cid NOT IN (SELECT vec_id FROM tomb)) t
+            WHERE rk <= 5),
+        $nswBeamCtes,
+        $stats
+        SELECT CAST(round AS INT) AS round,
+          n_queries, scored, dead_scored, hits,
+          ROUND(CAST(hits AS DOUBLE) / (n_queries * 5), 6) AS recall_at_5
+        FROM ($outs)
+        ORDER BY round"""
+      })
   )
 }

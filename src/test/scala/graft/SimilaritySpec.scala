@@ -705,6 +705,27 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"round-6 recall $recall below the 0.8 floor")
   }
 
+  test("q222 tombstone serve: routing identical to q219, dead work counted, live recall floor") {
+    val live = run("q222_nsw_tombstone_serve").orderBy("round").collect()
+    val full = run("q219_nsw_graph_recall").orderBy("round").collect()
+    assert(live.length == 6 && full.length == 6)
+    // delete-in-place semantics: the traversal must be UNCHANGED by
+    // tombstones — same visited-set size every round as the
+    // tombstone-free serve (deleted nodes keep routing)
+    live.zip(full).foreach { case (l, f) =>
+      assert(l.getAs[Long]("scored") == f.getAs[Long]("scored"),
+        s"round ${l.getAs[Int]("round")}: tombstones perturbed routing") }
+    // the dead-routing bill is real, monotone, and a strict subset
+    val dead = live.map(_.getAs[Long]("dead_scored")).toSeq
+    assert(dead.sliding(2).forall(p => p(0) <= p(1)))
+    live.foreach { r =>
+      val (d, sc) = (r.getAs[Long]("dead_scored"), r.getAs[Long]("scored"))
+      assert(d > 0 && d < sc, s"dead bill $d out of (0, $sc)") }
+    // live recall converges like the full serve (floor shared with q219)
+    assert(live.last.getAs[Double]("recall_at_5") >= 0.8)
+    assert(live.map(_.getAs[Long]("hits")).toSeq.sliding(2).forall(p => p(0) <= p(1)))
+  }
+
   test("q220 epoch pipeline: index-mined negatives match brute mining, shards follow the md5 contract") {
     val rows = run("q220_media_epoch_pipeline").collect()
     assert(rows.length == 150, s"expected 50 anchors x 3 negatives, got ${rows.length}")

@@ -24,3 +24,22 @@ if git diff --cached --name-only | grep -qE '\.(scala|sbt)$'; then
   fi
   echo "[precommit] compile green" >&2
 fi
+
+# Registry/SURVEY sync guard (round-12, per the r11 verdict): every
+# registered query from q195 on must appear in SURVEY.md by name (§8
+# maps the registry per-query from that point; earlier queries live in
+# grouped rows). A new qNNN that ships without its SURVEY rows is the
+# doc-drift the round-10 verdict flagged.
+if git diff --cached --name-only | grep -qE '\.(scala)$|SURVEY\.md'; then
+  missing=$(grep -rohE '"q[0-9]+_[a-z0-9_]+"' src/main/scala --include='*.scala' \
+    | tr -d '"' | sort -u \
+    | awk -F_ '{ n = substr($1, 2) + 0; if (n >= 195) print }' \
+    | while read -r q; do grep -q "$q" SURVEY.md || echo "$q"; done)
+  if [ -n "$missing" ]; then
+    echo "[precommit] registry queries missing from SURVEY.md:" >&2
+    echo "$missing" >&2
+    echo "[precommit] SURVEY SYNC FAILED - commit rejected" >&2
+    exit 1
+  fi
+  echo "[precommit] registry/SURVEY sync green" >&2
+fi
