@@ -101,7 +101,7 @@ object Bench {
       "q214_compacted_recall", "q215_media_ann_serve",
       "q217_media_layered_serve", "q218_contrastive_mining",
       "q219_nsw_graph_recall", "q220_media_epoch_pipeline",
-      "q222_nsw_tombstone_serve")
+      "q222_nsw_tombstone_serve", "q223_nsw_ingest")
 
     /** (median, min, firstTouch, effectiveReps): median over the
       * steady-state reps (all reps, except memo families drop rep 1

@@ -801,6 +801,18 @@ object Similarity {
   private val NswBeam = 8
   private val NswRounds = 6
   private val NswAnchors = 4
+  /** The frozen artifact set a graph serve needs — (indexed corpus,
+    * routing centroids, degree-capped edges, per-cell anchors). What
+    * the batch q219/q222 serves consume, exposed so the streaming
+    * twin ([[graft.streaming.StreamOps.nswServeStream]]) provably
+    * serves the SAME index. */
+  private[graft] def nswArtifacts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (e, c1, _) = sqrtnIndex(s, dir)
+    val (edges, anchors) = nswGraph(s, dir)
+    (e, c1, edges, anchors)
+  }
+
   private def nswGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     SessionMemo.get(s, s"nsw-graph:$dir") {
       import s.implicits._
@@ -864,7 +876,12 @@ object Similarity {
     * stat CTEs over `v$r` (q219: full-corpus top-5; q222: live-only
     * top-5 under tombstones). */
   private val nswQdot = "list_sum([q.av[i] * b.v[i] for i in range(1, len(q.av) + 1)])"
-  private val nswBeamCtes: String = {
+
+  /** The unrolled expand-once beam rounds alone (f$r/x$r/nb$r/v$r,
+    * r = 1..[[NswRounds]]) — reads `gedges`, `qv`, `v0`, `x0`, `n`.
+    * Factored so q223 can search ITS ingest-time graph with the same
+    * rounds the q219/q222 serves run. */
+  private val nswRoundCtes: String = {
     val rounds = (1 to NswRounds).map { r =>
       s"""f$r AS (SELECT qid, cid FROM (SELECT qid, cid,
             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosr DESC, cid) AS rk
@@ -884,6 +901,36 @@ object Similarity {
           SELECT nb.qid, nb.cid, ROUND($nswQdot / (q.na * b.nrm), 6) AS cosr
           FROM nb$r nb JOIN qv q USING (qid) JOIN n b ON b.vec_id = nb.cid)"""
     }.mkString(",\n      ")
+    rounds
+  }
+
+  /** Query prep + beam seed (qv/qcell/anch/entry/v0/x0) — reads `e2`,
+    * `c1n` (the routing centroids), `asg` (the anchor-source
+    * assignment) and `n`. q219/q222 feed it the full-corpus chain;
+    * q223 feeds it the OLD-trained chain under the same CTE names. */
+  private val nswServePrepCtes: String = s"""qv AS (SELECT vec_id AS qid, v AS av, nrm AS na, vv FROM e2 WHERE vec_id < 50),
+    qcell AS (SELECT qid, cell FROM (
+        SELECT q.qid, c.cid AS cell,
+          ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+            ROUND(q.vv - 2.0 * list_sum([q.av[i] * c.cv[i] for i in range(1, len(q.av) + 1)]) + c.cc, 6),
+            c.cid) AS rk
+        FROM qv q CROSS JOIN c1n c) t WHERE rk <= 2),
+    anch AS MATERIALIZED (SELECT cell, vec_id AS cid FROM (
+        SELECT a.cell, a.vec_id,
+          ROW_NUMBER() OVER (PARTITION BY a.cell ORDER BY
+            ROUND(e2.vv - 2.0 * list_sum([e2.v[i] * c.cv[i] for i in range(1, len(e2.v) + 1)]) + c.cc, 6),
+            a.vec_id) AS rk
+        FROM asg a JOIN e2 ON e2.vec_id = a.vec_id
+        JOIN c1n c ON c.cid = a.cell) t WHERE rk <= $NswAnchors),
+    entry AS (SELECT qc.qid, an.cid
+        FROM qcell qc JOIN anch an USING (cell)
+        WHERE an.cid <> qc.qid),
+    v0 AS MATERIALIZED (SELECT en.qid, en.cid,
+        ROUND($nswQdot / (q.na * b.nrm), 6) AS cosr
+        FROM entry en JOIN qv q USING (qid) JOIN n b ON b.vec_id = en.cid),
+    x0 AS (SELECT qid, cid FROM v0 WHERE 1 = 0)"""
+
+  private val nswBeamCtes: String = {
     s"""asg2 AS MATERIALIZED (SELECT vec_id, cell FROM (
         SELECT e2.vec_id, c.cid AS cell,
           ROW_NUMBER() OVER (PARTITION BY e2.vec_id ORDER BY
@@ -905,28 +952,8 @@ object Similarity {
     gedges AS MATERIALIZED (SELECT src, dst FROM (
         SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosr DESC, dst) AS rk
         FROM gsym) t WHERE rk <= ${2 * NswDeg}),
-    qv AS (SELECT vec_id AS qid, v AS av, nrm AS na, vv FROM e2 WHERE vec_id < 50),
-    qcell AS (SELECT qid, cell FROM (
-        SELECT q.qid, c.cid AS cell,
-          ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
-            ROUND(q.vv - 2.0 * list_sum([q.av[i] * c.cv[i] for i in range(1, len(q.av) + 1)]) + c.cc, 6),
-            c.cid) AS rk
-        FROM qv q CROSS JOIN c1n c) t WHERE rk <= 2),
-    anch AS MATERIALIZED (SELECT cell, vec_id AS cid FROM (
-        SELECT a.cell, a.vec_id,
-          ROW_NUMBER() OVER (PARTITION BY a.cell ORDER BY
-            ROUND(e2.vv - 2.0 * list_sum([e2.v[i] * c.cv[i] for i in range(1, len(e2.v) + 1)]) + c.cc, 6),
-            a.vec_id) AS rk
-        FROM asg a JOIN e2 ON e2.vec_id = a.vec_id
-        JOIN c1n c ON c.cid = a.cell) t WHERE rk <= $NswAnchors),
-    entry AS (SELECT qc.qid, an.cid
-        FROM qcell qc JOIN anch an USING (cell)
-        WHERE an.cid <> qc.qid),
-    v0 AS MATERIALIZED (SELECT en.qid, en.cid,
-        ROUND($nswQdot / (q.na * b.nrm), 6) AS cosr
-        FROM entry en JOIN qv q USING (qid) JOIN n b ON b.vec_id = en.cid),
-    x0 AS (SELECT qid, cid FROM v0 WHERE 1 = 0),
-    $rounds"""
+    $nswServePrepCtes,
+    $nswRoundCtes"""
   }
 
   def queries: Vector[Q] = Vector(
@@ -3741,6 +3768,244 @@ object Similarity {
           n_queries, scored, dead_scored, hits,
           ROUND(CAST(hits AS DOUBLE) / (n_queries * 5), 6) AS recall_at_5
         FROM ($outs)
+        ORDER BY round"""
+      }),
+
+    // ---- graph-ANN incremental ingest (q223) ---------------------------
+    // The MAINTENANCE leg of the graph lifecycle — q189's counterpart
+    // for [[nswGraph]], with HNSW's insertion discipline executed as a
+    // batch: the graph (and its routing centroids + anchors) is built
+    // on the OLDEST 90% (vec_id < ⌊9n/10⌋, q189's exact split); the
+    // newest 10% then INGESTS by assignment against the frozen
+    // routing layer — each new node takes top-[[NswDeg]] out-edges
+    // among the old members of its 2 nearest frozen cells, and
+    // BACK-LINKS are added (old → new) with the builder's uniform
+    // 2·deg per-node prune (HNSW's maxM shrink on insertion; an old
+    // edge is displaced only by a strictly better new link). Without
+    // back-links fresh content is STRUCTURALLY unreachable — entries
+    // and all pre-ingest edges point at old nodes only — so the
+    // back-link pass is not an optimization, it is what makes ingest
+    // work; the audit MEASURES that: per beam round, overall recall@5
+    // vs the full-corpus exact truth AND new-content recall (the
+    // truth pairs whose neighbor is a new node — the fresh-content
+    // findability curve a deployment alarms on).
+    //
+    // Scale: the old-graph build is q219's (amortized, memoized); the
+    // ingest itself is the headline — one top-2-cell assignment of
+    // the new batch against the O(√n·dims) broadcast centroids, one
+    // cell-keyed equi-join new × old-members (the builder's Σ|cell|²
+    // class restricted to the 10% slice), one per-src re-prune. No
+    // retrain, no old-old edge recomputation. The serve bill is
+    // q219's (corpus-size-free).
+    Q("q223_nsw_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val (e, _, _) = sqrtnIndex(s, dir)
+        val n0 = e.count() * 9 / 10
+        val nNew = e.count() - n0
+        val old = e.filter($"vec_id" < n0)
+        val fresh = e.filter($"vec_id" >= n0)
+        val (c1o, _) =
+          SessionMemo.get(s, s"sqrtn-index-old:$dir")(lloydOnce(old))
+        val (gedges, anchors) =
+          SessionMemo.get(s, s"nsw-graph-ingest:$dir") {
+            val aw = Window.partitionBy($"vec_id").orderBy($"d2", $"cell")
+            def top2cells(part: DataFrame): DataFrame = part
+              .crossJoin(broadcast(c1o.select($"cid".as("cell"), $"cv", $"cc")))
+              .withColumn("d2",
+                round($"vv" - lit(2.0) * expr("dot_product(v, cv)") + $"cc", 6))
+              .withColumn("rk", row_number().over(aw)).filter($"rk" <= 2)
+              .select($"vec_id", $"cell")
+            val asg2o = top2cells(old)
+            val fasg2 = top2cells(fresh)
+            val sv = e.select($"vec_id", $"v", $"nrm")
+            def scorePairs(pairs: DataFrame): DataFrame = pairs
+              .join(sv.select($"vec_id".as("src"), $"v".as("av"), $"nrm".as("na")), "src")
+              .join(sv.select($"vec_id".as("dst"), $"v".as("bv"), $"nrm".as("nb")), "dst")
+              .withColumn("cosr", round(expr(dotExpr) / ($"na" * $"nb"), 6))
+              .select($"src", $"dst", $"cosr")
+            val ew = Window.partitionBy($"src").orderBy($"cosr".desc, $"dst")
+            val oldTop = scorePairs(
+              asg2o.select($"cell", $"vec_id".as("src"))
+                .join(asg2o.select($"cell", $"vec_id".as("dst")), Seq("cell"))
+                .filter($"src" =!= $"dst")
+                .select($"src", $"dst").distinct())
+              .withColumn("rk", row_number().over(ew)).filter($"rk" <= NswDeg)
+              .select($"src", $"dst", $"cosr")
+            val oldSym = oldTop
+              .union(oldTop.select($"dst".as("src"), $"src".as("dst"), $"cosr"))
+              .distinct()
+            val freshTop = scorePairs(
+              fasg2.select($"cell", $"vec_id".as("src"))
+                .join(asg2o.select($"cell", $"vec_id".as("dst")), Seq("cell"))
+                .select($"src", $"dst").distinct())
+              .withColumn("rk", row_number().over(ew)).filter($"rk" <= NswDeg)
+              .select($"src", $"dst", $"cosr")
+            val freshSym = freshTop
+              .union(freshTop.select($"dst".as("src"), $"src".as("dst"), $"cosr"))
+            val edges = oldSym.union(freshSym)
+              .withColumn("rk", row_number().over(ew)).filter($"rk" <= 2 * NswDeg)
+              .select($"src", $"dst")
+              .localCheckpoint(true)
+            val aw1 = Window.partitionBy($"cell").orderBy($"d2", $"vec_id")
+            val anch = sqrtnAssign(old, c1o)
+              .join(e.select($"vec_id", $"v", $"vv"), "vec_id")
+              .join(c1o.select($"cid".as("cell"), $"cv", $"cc"), "cell")
+              .withColumn("d2",
+                round($"vv" - lit(2.0) * expr("dot_product(v, cv)") + $"cc", 6))
+              .withColumn("rk", row_number().over(aw1)).filter($"rk" <= NswAnchors)
+              .select($"cell", $"vec_id".as("cid"))
+              .localCheckpoint(true)
+            (edges, anch)
+          }
+        val exact = knnTop5(s, dir).select($"qid".as("eqid"), $"cid".as("ecid"))
+          .localCheckpoint(true)
+        val newTruth = exact.filter($"ecid" >= n0)
+        val q = e.filter($"vec_id" < 50)
+          .select($"vec_id".as("qid"), $"v".as("av"), $"nrm".as("na"), $"vv")
+        val qw = Window.partitionBy($"qid").orderBy($"d2", $"cell")
+        val qcell = q.crossJoin(broadcast(c1o.select($"cid".as("cell"), $"cv", $"cc")))
+          .withColumn("d2",
+            round($"vv" - lit(2.0) * expr("dot_product(av, cv)") + $"cc", 6))
+          .withColumn("rk", row_number().over(qw)).filter($"rk" <= 2)
+          .select($"qid", $"cell")
+        val entry = qcell.join(anchors, "cell").filter($"cid" =!= $"qid")
+          .select($"qid", $"cid")
+        val corpus = e.select($"vec_id".as("cid"), $"v".as("bv"), $"nrm".as("nb"))
+        def scoreOf(ids: DataFrame): DataFrame = ids
+          .join(broadcast(q.select($"qid", $"av", $"na")), "qid")
+          .join(corpus, "cid")
+          .withColumn("cosr", round(expr(dotExpr) / ($"na" * $"nb"), 6))
+          .select($"qid", $"cid", $"cosr")
+        val vw = Window.partitionBy($"qid").orderBy($"cosr".desc, $"cid")
+        var visited = scoreOf(entry).localCheckpoint(true)
+        var expanded = visited.select($"qid", $"cid").filter(lit(false))
+        var out: DataFrame = null
+        for (r <- 1 to NswRounds) {
+          val frontier = visited
+            .join(expanded, Seq("qid", "cid"), "left_anti")
+            .withColumn("rk", row_number().over(vw))
+            .filter($"rk" <= NswBeam).select($"qid", $"cid")
+          expanded = expanded.union(frontier).localCheckpoint(true)
+          val nbrs = frontier.join(gedges, frontier("cid") === gedges("src"))
+            .filter($"dst" =!= $"qid")
+            .select($"qid", $"dst".as("cid")).distinct()
+            .join(visited.select($"qid", $"cid"), Seq("qid", "cid"), "left_anti")
+          visited = visited.union(scoreOf(nbrs)).localCheckpoint(true)
+          val top5 = visited.withColumn("rk", row_number().over(vw))
+            .filter($"rk" <= 5).select($"qid", $"cid")
+          val hit = top5
+            .join(exact, $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
+            .agg(count(lit(1)).as("hits"))
+          val newHit = top5
+            .join(newTruth, $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
+            .agg(count(lit(1)).as("new_hits"))
+          val newT = newTruth.agg(count(lit(1)).as("new_truth"))
+          val stats = visited
+            .agg(countDistinct($"qid").as("n_queries"), count(lit(1)).as("scored"))
+            .crossJoin(broadcast(hit))
+            .crossJoin(broadcast(newHit))
+            .crossJoin(broadcast(newT))
+            .select(lit(r).cast(IntegerType).as("round"),
+              lit(nNew).as("n_new"), $"n_queries", $"scored", $"hits",
+              round($"hits".cast(DoubleType) / ($"n_queries" * 5), 6)
+                .as("recall_at_5"),
+              $"new_truth", $"new_hits",
+              when($"new_truth" === 0, lit(0.0))
+                .otherwise(round($"new_hits".cast(DoubleType) / $"new_truth", 6))
+                .as("new_recall"))
+          out = if (out == null) stats else out.union(stats)
+        }
+        out.orderBy($"round")
+      },
+      Some {
+        val stats = (1 to NswRounds).map { r =>
+          s"""t$r AS (SELECT qid, cid FROM (SELECT qid, cid,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosr DESC, cid) AS rk
+              FROM v$r) t WHERE rk <= 5),
+          st$r AS (SELECT $r AS round,
+              (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) FROM v$r) AS n_queries,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM v$r) AS scored,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM t$r t
+               JOIN nn ON nn.qid = t.qid AND nn.cid = t.cid) AS hits,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM t$r t
+               JOIN nnew ON nnew.qid = t.qid AND nnew.cid = t.cid) AS new_hits)"""
+        }.mkString(",\n          ")
+        val outs = (1 to NswRounds).map(r => s"SELECT * FROM st$r")
+          .mkString("\n          UNION ALL ")
+        s"""$prepCte,
+        $knnTop5Cte,
+        e2 AS (SELECT vec_id, v, nrm,
+                 list_sum(list_transform(v, x -> x * x)) AS vv FROM n),
+        spl AS (SELECT (COUNT(*) * 9) // 10 AS n0 FROM e2),
+        nnw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_new
+                FROM e2, spl WHERE e2.vec_id >= spl.n0),
+        nnew AS (SELECT nn.qid, nn.cid FROM nn, spl WHERE nn.cid >= spl.n0),
+        ntc AS (SELECT CAST(COUNT(*) AS BIGINT) AS new_truth FROM nnew),
+        e2o AS (SELECT e2.* FROM e2, spl WHERE e2.vec_id < spl.n0),
+        e2n AS (SELECT e2.* FROM e2, spl WHERE e2.vec_id >= spl.n0),
+        nlo AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS nlist FROM e2o),
+        c0 AS (SELECT vec_id AS cid, v AS cv, vv AS cc
+               FROM e2o, nlo WHERE vec_id < nlo.nlist),
+        s0 AS MATERIALIZED (${ivfArgminSql("e2o", "c0")}),
+        dims AS (SELECT s0.cell, i - 1 AS dim, e2o.v[i] AS x
+                 FROM s0 JOIN e2o USING (vec_id),
+                      UNNEST(range(1, len(e2o.v) + 1)) AS t(i)),
+        means AS (SELECT cell, dim, ${davgSql("x", 15)} AS m
+                  FROM dims GROUP BY cell, dim),
+        c1 AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv FROM means GROUP BY cell),
+        c1n AS MATERIALIZED (SELECT cid, cv,
+                 list_sum(list_transform(cv, x -> x * x)) AS cc FROM c1),
+        asg AS MATERIALIZED (${ivfArgminSql("e2o", "c1n")}),
+        asg2 AS MATERIALIZED (SELECT vec_id, cell FROM (
+            SELECT e2o.vec_id, c.cid AS cell,
+              ROW_NUMBER() OVER (PARTITION BY e2o.vec_id ORDER BY
+                ROUND(e2o.vv - 2.0 * list_sum([e2o.v[i] * c.cv[i] for i in range(1, len(e2o.v) + 1)]) + c.cc, 6),
+                c.cid) AS rk
+            FROM e2o CROSS JOIN c1n c) t WHERE rk <= 2),
+        fasg2 AS MATERIALIZED (SELECT vec_id, cell FROM (
+            SELECT e2n.vec_id, c.cid AS cell,
+              ROW_NUMBER() OVER (PARTITION BY e2n.vec_id ORDER BY
+                ROUND(e2n.vv - 2.0 * list_sum([e2n.v[i] * c.cv[i] for i in range(1, len(e2n.v) + 1)]) + c.cc, 6),
+                c.cid) AS rk
+            FROM e2n CROSS JOIN c1n c) t WHERE rk <= 2),
+        gpairs AS MATERIALIZED (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+            FROM asg2 a JOIN asg2 b USING (cell) WHERE a.vec_id <> b.vec_id),
+        gsc AS MATERIALIZED (SELECT p.src, p.dst,
+              ROUND(list_sum([sa.v[i] * sb.v[i] for i in range(1, len(sa.v) + 1)]) / (sa.nrm * sb.nrm), 6) AS cosr
+            FROM gpairs p JOIN n sa ON sa.vec_id = p.src
+            JOIN n sb ON sb.vec_id = p.dst),
+        gtop AS (SELECT src, dst, cosr FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosr DESC, dst) AS rk
+            FROM gsc) t WHERE rk <= $NswDeg),
+        gsym AS (SELECT DISTINCT * FROM (
+            SELECT src, dst, cosr FROM gtop
+            UNION ALL SELECT dst AS src, src AS dst, cosr FROM gtop) u),
+        fpairs AS MATERIALIZED (SELECT DISTINCT f.vec_id AS src, a.vec_id AS dst
+            FROM fasg2 f JOIN asg2 a USING (cell)),
+        fsc AS MATERIALIZED (SELECT p.src, p.dst,
+              ROUND(list_sum([sa.v[i] * sb.v[i] for i in range(1, len(sa.v) + 1)]) / (sa.nrm * sb.nrm), 6) AS cosr
+            FROM fpairs p JOIN n sa ON sa.vec_id = p.src
+            JOIN n sb ON sb.vec_id = p.dst),
+        ftop AS (SELECT src, dst, cosr FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosr DESC, dst) AS rk
+            FROM fsc) t WHERE rk <= $NswDeg),
+        fsym AS (SELECT src, dst, cosr FROM ftop
+            UNION ALL SELECT dst AS src, src AS dst, cosr FROM ftop),
+        gall AS (SELECT * FROM gsym UNION ALL SELECT * FROM fsym),
+        gedges AS MATERIALIZED (SELECT src, dst FROM (
+            SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosr DESC, dst) AS rk
+            FROM gall) t WHERE rk <= ${2 * NswDeg}),
+        $nswServePrepCtes,
+        $nswRoundCtes,
+        $stats
+        SELECT CAST(s.round AS INT) AS round, w.n_new,
+          s.n_queries, s.scored, s.hits,
+          ROUND(CAST(s.hits AS DOUBLE) / (s.n_queries * 5), 6) AS recall_at_5,
+          c.new_truth, s.new_hits,
+          CASE WHEN c.new_truth = 0 THEN 0.0
+               ELSE ROUND(CAST(s.new_hits AS DOUBLE) / c.new_truth, 6) END AS new_recall
+        FROM ($outs) s CROSS JOIN nnw w CROSS JOIN ntc c
         ORDER BY round"""
       })
   )

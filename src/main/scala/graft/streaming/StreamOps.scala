@@ -1369,4 +1369,106 @@ object StreamOps {
           }.iterator
         })
   }
+
+  final case class NswHit(qid: Long, rank: Int, vec_id: Long, cosine: Double)
+
+  /** Streaming graph-ANN serve — the streaming twin of q219's beam
+    * search against the FROZEN graph artifacts (edges + per-cell
+    * medoid anchors + routing centroids, the batch builder's output):
+    * each arriving query descends the routing layer (nearest-2 cells,
+    * the batch d2 contract), seeds the beam with those cells' anchors,
+    * runs the SAME expand-once beam (`rounds` rounds × beam best
+    * unexpanded, adjacency-bounded) and emits its top-`k`
+    * (qid, rank, vec_id, cosine) — stateless append, map-only: no
+    * state store, no per-trigger shuffle; replays serve identically
+    * (freezing is structural — the artifacts are captured before the
+    * stream starts).
+    *
+    * The artifacts are collected ONCE at plan time (guarded) and
+    * ride an EXPLICIT broadcast — the v1Bloom discipline: a graph in
+    * a UDF closure would re-deserialize per task. All arithmetic is
+    * the batch q219 contract verbatim (sequential-fold dot, 1e-6
+    * HALF_UP round before every decision, id tiebreaks, self
+    * excluded by qid at entry and expansion) so a query served here
+    * is served bit-identically by the batch path.
+    *
+    * Scale: nodes·(dims+deg) ≈ 10 MB per 10⁵ nodes — broadcastable
+    * for the rep-scale graphs this family serves (the q217 lesson:
+    * index the DEDUPED rep space); beyond `maxNodes` shard the graph
+    * and fan out per-shard serves (each round is then a stream-static
+    * equi-join on src, re-introducing the per-trigger shuffle this
+    * form exists to avoid). */
+  def nswServeStream(
+      queries: DataFrame,   // stream: (qid bigint, v array<double>)
+      corpus: DataFrame,    // static (vec_id, v) — the indexed nodes
+      centroids: DataFrame, // frozen (cid, cv, cc)
+      edges: DataFrame,     // frozen (src, dst) — degree-capped
+      anchors: DataFrame,   // frozen (cell, cid)
+      k: Int = 5, beam: Int = 8, rounds: Int = 6,
+      maxNodes: Int = 1 << 17): Dataset[NswHit] = {
+    val s = queries.sparkSession
+    import s.implicits._
+    val nodeRows = corpus.select(col("vec_id"), col("v"))
+      .limit(maxNodes + 1).collect()
+    require(nodeRows.length <= maxNodes,
+      s"graph corpus exceeds $maxNodes nodes — shard the graph and fan " +
+        "out per-shard serves for indexes this large")
+    require(nodeRows.nonEmpty, "empty graph corpus")
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val nodes: Map[Long, (Seq[Double], Double)] = nodeRows.map { r =>
+      val v = r.getSeq[Double](1)
+      r.getLong(0) -> ((v, math.sqrt(dot(v, v))))
+    }.toMap
+    val adj: Map[Long, Array[Long]] = edges.select(col("src"), col("dst"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (src, rs) => src -> rs.map(_.getLong(1)).sorted }
+    val cents: Array[(Long, Seq[Double], Double)] =
+      centroids.select(col("cid"), col("cv"), col("cc")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    val anchorByCell: Map[Long, Array[Long]] =
+      anchors.select(col("cell"), col("cid")).collect()
+        .groupBy(_.getLong(0))
+        .map { case (c, rs) => c -> rs.map(_.getLong(1)).sorted }
+    val bc = s.sparkContext.broadcast((nodes, adj, cents, anchorByCell))
+    queries.select(col("qid"), col("v")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val (nds, ad, cs, anc) = bc.value
+        def r6(x: Double) =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        it.flatMap { case (qid, qv) =>
+          val vv = dot(qv, qv)
+          val na = math.sqrt(vv)
+          def score(id: Long): Double = {
+            val (v, nb) = nds(id)
+            r6(dot(qv, v) / (na * nb))
+          }
+          val top2 = cs.map { case (cid, cv, cc) =>
+            (r6(vv - 2.0 * dot(qv, cv) + cc), cid)
+          }.sorted.take(2).map(_._2)
+          val entries = top2.flatMap(c => anc.getOrElse(c, Array.empty[Long]))
+            .filter(_ != qid).distinct
+          var visited: Map[Long, Double] =
+            entries.map(id => id -> score(id)).toMap
+          var expanded = Set.empty[Long]
+          var r = 0
+          while (r < rounds) {
+            val frontier = visited.iterator
+              .filterNot { case (id, _) => expanded(id) }
+              .toSeq.sortBy { case (id, c) => (-c, id) }
+              .take(beam).map(_._1)
+            expanded ++= frontier
+            val fresh = frontier.flatMap(f => ad.getOrElse(f, Array.empty[Long]))
+              .filter(id => id != qid && !visited.contains(id)).distinct
+            visited ++= fresh.map(id => id -> score(id))
+            r += 1
+          }
+          visited.toSeq.sortBy { case (id, c) => (-c, id) }.take(k)
+            .zipWithIndex.map { case ((id, c), i) => NswHit(qid, i + 1, id, c) }
+        }
+      }
+  }
 }

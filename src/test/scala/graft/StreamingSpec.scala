@@ -1158,4 +1158,59 @@ class StreamingSpec extends SparkSuite {
       mmr.filter(m => sel.exists(_._2 == m._1)).toSeq,
       "packed rows diverged from the MMR selection")
   }
+
+  test("nswServeStream: serves the frozen graph batch-identically, stateless across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val (e, c1, edges, anchors) =
+      graft.operators.Similarity.nswArtifacts(spark, dir)
+    val probes = e.filter($"vec_id" < 50).select($"vec_id", $"v")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = StreamOps.nswServeStream(
+      input.toDF().toDF("qid", "v"), e.select($"vec_id", $"v"),
+      c1, edges, anchors)
+      .writeStream.format("memory").queryName("nswserve")
+      .outputMode("append").start()
+    // two triggers — the serve must be stateless (per-query pure
+    // against the frozen artifacts), so the split is invisible
+    input.addData(probes.take(25): _*)
+    q.processAllAvailable()
+    input.addData(probes.drop(25): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("nswserve").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).distinct.length == 50, "every query must be served")
+    assert(got.length == 250, s"expected 50 x top-5, got ${got.length}")
+    got.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to 5), "ranks must be dense 1..5")
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.sliding(2).forall(p => p(0)._4 >= p(1)._4),
+        "cosine must be non-increasing in rank")
+    }
+    // recall parity with the BATCH serve: this stream's hits against
+    // the exact top-5 truth must equal q219's round-6 hits — the two
+    // paths run the same beam over the same frozen artifacts
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val all = e.select($"vec_id", $"v").as[(Long, Seq[Double])].collect()
+    val nrm = all.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val vec = all.toMap
+    val exact: Map[Long, Set[Long]] = probes.map { case (qid, qv) =>
+      qid -> all.filter(_._1 != qid).map { case (id, v) =>
+        (id, r6(dot(qv, v) / (nrm(qid) * nrm(id))))
+      }.sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    }.toMap
+    val hits = got.count { case (qid, _, cid, _) => exact(qid)(cid) }
+    val batchHits = SparkEntry.queries("q219_nsw_graph_recall")(spark, dir)
+      .filter($"round" === 6).collect().head.getAs[Long]("hits")
+    assert(hits.toLong == batchHits,
+      s"stream hits $hits != batch q219 round-6 hits $batchHits")
+  }
 }
