@@ -101,7 +101,8 @@ object Bench {
       "q214_compacted_recall", "q215_media_ann_serve",
       "q217_media_layered_serve", "q218_contrastive_mining",
       "q219_nsw_graph_recall", "q220_media_epoch_pipeline",
-      "q222_nsw_tombstone_serve", "q223_nsw_ingest")
+      "q222_nsw_tombstone_serve", "q223_nsw_ingest",
+      "q224_nsw_compacted_recall", "q225_nsw_index_persist")
 
     /** (median, min, firstTouch, effectiveReps): median over the
       * steady-state reps (all reps, except memo families drop rep 1

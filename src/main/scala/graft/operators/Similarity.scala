@@ -815,8 +815,17 @@ object Similarity {
 
   private def nswGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     SessionMemo.get(s, s"nsw-graph:$dir") {
-      import s.implicits._
       val (e, c1, _) = sqrtnIndex(s, dir)
+      buildNswGraphOver(e, c1)
+    }
+
+  /** The graph build over an ARBITRARY (vec_id, v, nrm, vv) corpus
+    * against its trained centroids — shared by the full index
+    * ([[nswGraph]]) and the q224 compacted rebuild over the live
+    * slice; q223's ingest layer composes the same pieces with its
+    * fresh-edge pass interleaved. */
+  private def buildNswGraphOver(e: DataFrame, c1: DataFrame): (DataFrame, DataFrame) = {
+      import e.sparkSession.implicits._
       val aw = Window.partitionBy($"vec_id").orderBy($"d2", $"cell")
       val asg2 = e.crossJoin(broadcast(c1.select($"cid".as("cell"), $"cv", $"cc")))
         .withColumn("d2",
@@ -866,7 +875,91 @@ object Similarity {
         .select($"cell", $"vec_id".as("cid"))
         .localCheckpoint(true)
       (edges, anchors)
+  }
+
+  /** The 2-nearest-cell anchor seed shared by every graph serve:
+    * query frame (qid, av, na, vv) → (qid, cid) entry pairs — the
+    * query's top-2 routing cells' anchors, self excluded. */
+  private def nswEntry(q: DataFrame, c1: DataFrame, anchors: DataFrame): DataFrame = {
+    import q.sparkSession.implicits._
+    val qw = Window.partitionBy($"qid").orderBy($"d2", $"cell")
+    q.crossJoin(broadcast(c1.select($"cid".as("cell"), $"cv", $"cc")))
+      .withColumn("d2",
+        round($"vv" - lit(2.0) * expr("dot_product(av, cv)") + $"cc", 6))
+      .withColumn("rk", row_number().over(qw)).filter($"rk" <= 2)
+      .select($"qid", $"cell")
+      .join(anchors, "cell").filter($"cid" =!= $"qid")
+      .select($"qid", $"cid")
+  }
+
+  /** The expand-once beam over explicit serve artifacts: returns the
+    * eagerly-checkpointed visited frame (qid, cid, cosr — self-free)
+    * AFTER each round 1..[[NswRounds]]. ONE body so the four batch
+    * serves (full q219, tombstone q222, ingest q223, rebuilt q224)
+    * and the persistence round-trip (q225) cannot drift; each caller
+    * derives its own per-round stats from the returned frames. */
+  private def nswBeamRounds(q: DataFrame, entry: DataFrame,
+                            gedges: DataFrame, corpus: DataFrame): Seq[DataFrame] = {
+    import q.sparkSession.implicits._
+    def scoreOf(ids: DataFrame): DataFrame = ids
+      .join(broadcast(q.select($"qid", $"av", $"na")), "qid")
+      .join(corpus, "cid")
+      .withColumn("cosr", round(expr(dotExpr) / ($"na" * $"nb"), 6))
+      .select($"qid", $"cid", $"cosr")
+    val vw = Window.partitionBy($"qid").orderBy($"cosr".desc, $"cid")
+    // best-first discipline: a node is EXPANDED at most once — the
+    // frontier is the beam-best visited-but-unexpanded set, so every
+    // round makes strict progress instead of re-expanding the same
+    // top-of-visited nodes and stalling (measured: the re-expanding
+    // variant plateaued at recall 0.32 by round 4).
+    var visited = scoreOf(entry).localCheckpoint(true)
+    var expanded = visited.select($"qid", $"cid").filter(lit(false))
+    val out = Seq.newBuilder[DataFrame]
+    for (_ <- 1 to NswRounds) {
+      val frontier = visited
+        .join(expanded, Seq("qid", "cid"), "left_anti")
+        .withColumn("rk", row_number().over(vw))
+        .filter($"rk" <= NswBeam).select($"qid", $"cid")
+      expanded = expanded.union(frontier).localCheckpoint(true)
+      val nbrs = frontier.join(gedges, frontier("cid") === gedges("src"))
+        .filter($"dst" =!= $"qid")
+        .select($"qid", $"dst".as("cid")).distinct()
+        .join(visited.select($"qid", $"cid"), Seq("qid", "cid"), "left_anti")
+      visited = visited.union(scoreOf(nbrs)).localCheckpoint(true)
+      out += visited
     }
+    out.result()
+  }
+
+  /** The full-corpus recall serve (q219's published frame) over
+    * EXPLICIT artifacts — shared with the persistence round-trip
+    * (q225), whose output must be bit-identical after write+reload. */
+  private def nswRecallServe(s: SparkSession, dir: String, e: DataFrame,
+      c1: DataFrame, gedges: DataFrame, anchors: DataFrame): DataFrame = {
+    import s.implicits._
+    val exact = knnTop5(s, dir).select($"qid".as("eqid"), $"cid".as("ecid"))
+    val q = e.filter($"vec_id" < 50)
+      .select($"vec_id".as("qid"), $"v".as("av"), $"nrm".as("na"), $"vv")
+    val corpus = e.select($"vec_id".as("cid"), $"v".as("bv"), $"nrm".as("nb"))
+    val vw = Window.partitionBy($"qid").orderBy($"cosr".desc, $"cid")
+    nswBeamRounds(q, nswEntry(q, c1, anchors), gedges, corpus)
+      .zipWithIndex.map { case (visited, i) =>
+        val top5 = visited.withColumn("rk", row_number().over(vw))
+          .filter($"rk" <= 5).select($"qid", $"cid")
+        val hit = top5
+          .join(exact, $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        visited
+          .agg(countDistinct($"qid").as("n_queries"), count(lit(1)).as("scored"))
+          .crossJoin(broadcast(hit))
+          .select(lit(i + 1).cast(IntegerType).as("round"),
+            lit(NswBeam).cast(IntegerType).as("beam"),
+            lit(NswDeg).cast(IntegerType).as("degree"),
+            $"n_queries", $"scored", $"hits",
+            round($"hits".cast(DoubleType) / ($"n_queries" * 5), 6)
+              .as("recall_at_5"))
+      }.reduce(_ union _).orderBy($"round")
+  }
 
   /** Oracle twin of [[nswGraph]] + the q219 serve: graph build
     * (asg2 → gedges), query prep (qv/qcell/anch/entry), seed frames
@@ -954,6 +1047,35 @@ object Similarity {
         FROM gsym) t WHERE rk <= ${2 * NswDeg}),
     $nswServePrepCtes,
     $nswRoundCtes"""
+  }
+
+  /** The full q219 recall oracle — shared VERBATIM with q225's
+    * persistence round-trip: a write+reload that changes any bit of
+    * the served index hash-fails against this. */
+  private lazy val nswRecallOracleSql: String = {
+    val stats = (1 to NswRounds).map { r =>
+      s"""t$r AS (SELECT qid, cid FROM (SELECT qid, cid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosr DESC, cid) AS rk
+          FROM v$r) t WHERE rk <= 5),
+      st$r AS (SELECT $r AS round,
+          (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) FROM v$r) AS n_queries,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM v$r) AS scored,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM t$r t
+           JOIN nn ON nn.qid = t.qid AND nn.cid = t.cid) AS hits)"""
+    }.mkString(",\n      ")
+    val outs = (1 to NswRounds).map(r => s"SELECT * FROM st$r")
+      .mkString("\n      UNION ALL ")
+    s"""$prepCte,
+    $knnTop5Cte,
+    $sqrtnAsgCteSql,
+    $nswBeamCtes,
+    $stats
+    SELECT CAST(round AS INT) AS round,
+      CAST($NswBeam AS INT) AS beam, CAST($NswDeg AS INT) AS degree,
+      n_queries, scored, hits,
+      ROUND(CAST(hits AS DOUBLE) / (n_queries * 5), 6) AS recall_at_5
+    FROM ($outs)
+    ORDER BY round"""
   }
 
   def queries: Vector[Q] = Vector(
@@ -3433,86 +3555,9 @@ object Similarity {
         import s.implicits._
         val (e, c1, _) = sqrtnIndex(s, dir)
         val (gedges, anchors) = nswGraph(s, dir)
-        val exact = knnTop5(s, dir).select($"qid".as("eqid"), $"cid".as("ecid"))
-        val q = e.filter($"vec_id" < 50)
-          .select($"vec_id".as("qid"), $"v".as("av"), $"nrm".as("na"), $"vv")
-        val qw = Window.partitionBy($"qid").orderBy($"d2", $"cell")
-        val qcell = q.crossJoin(broadcast(c1.select($"cid".as("cell"), $"cv", $"cc")))
-          .withColumn("d2",
-            round($"vv" - lit(2.0) * expr("dot_product(av, cv)") + $"cc", 6))
-          .withColumn("rk", row_number().over(qw)).filter($"rk" <= 2)
-          .select($"qid", $"cell")
-        val entry = qcell.join(anchors, "cell").filter($"cid" =!= $"qid")
-          .select($"qid", $"cid")
-        val corpus = e.select($"vec_id".as("cid"), $"v".as("bv"), $"nrm".as("nb"))
-        def scoreOf(ids: DataFrame): DataFrame = ids
-          .join(broadcast(q.select($"qid", $"av", $"na")), "qid")
-          .join(corpus, "cid")
-          .withColumn("cosr", round(expr(dotExpr) / ($"na" * $"nb"), 6))
-          .select($"qid", $"cid", $"cosr")
-        val vw = Window.partitionBy($"qid").orderBy($"cosr".desc, $"cid")
-        var visited = scoreOf(entry).localCheckpoint(true)
-        // best-first discipline: a node is EXPANDED at most once — the
-        // frontier is the beam-best visited-but-unexpanded set, so
-        // every round makes strict progress instead of re-expanding
-        // the same top-of-visited nodes and stalling (measured: the
-        // re-expanding variant plateaued at recall 0.32 by round 4).
-        var expanded = visited.select($"qid", $"cid").filter(lit(false))
-        var out: DataFrame = null
-        for (r <- 1 to NswRounds) {
-          val frontier = visited
-            .join(expanded, Seq("qid", "cid"), "left_anti")
-            .withColumn("rk", row_number().over(vw))
-            .filter($"rk" <= NswBeam).select($"qid", $"cid")
-          expanded = expanded.union(frontier).localCheckpoint(true)
-          val nbrs = frontier.join(gedges, frontier("cid") === gedges("src"))
-            .filter($"dst" =!= $"qid")
-            .select($"qid", $"dst".as("cid")).distinct()
-            .join(visited.select($"qid", $"cid"), Seq("qid", "cid"), "left_anti")
-          visited = visited.union(scoreOf(nbrs)).localCheckpoint(true)
-          val top5 = visited.withColumn("rk", row_number().over(vw))
-            .filter($"rk" <= 5).select($"qid", $"cid")
-          val hit = top5
-            .join(exact, $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
-            .agg(count(lit(1)).as("hits"))
-          val stats = visited
-            .agg(countDistinct($"qid").as("n_queries"), count(lit(1)).as("scored"))
-            .crossJoin(broadcast(hit))
-            .select(lit(r).cast(IntegerType).as("round"),
-              lit(NswBeam).cast(IntegerType).as("beam"),
-              lit(NswDeg).cast(IntegerType).as("degree"),
-              $"n_queries", $"scored", $"hits",
-              round($"hits".cast(DoubleType) / ($"n_queries" * 5), 6)
-                .as("recall_at_5"))
-          out = if (out == null) stats else out.union(stats)
-        }
-        out.orderBy($"round")
+        nswRecallServe(s, dir, e, c1, gedges, anchors)
       },
-      Some {
-        val stats = (1 to NswRounds).map { r =>
-          s"""t$r AS (SELECT qid, cid FROM (SELECT qid, cid,
-                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosr DESC, cid) AS rk
-              FROM v$r) t WHERE rk <= 5),
-          st$r AS (SELECT $r AS round,
-              (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) FROM v$r) AS n_queries,
-              (SELECT CAST(COUNT(*) AS BIGINT) FROM v$r) AS scored,
-              (SELECT CAST(COUNT(*) AS BIGINT) FROM t$r t
-               JOIN nn ON nn.qid = t.qid AND nn.cid = t.cid) AS hits)"""
-        }.mkString(",\n          ")
-        val outs = (1 to NswRounds).map(r => s"SELECT * FROM st$r")
-          .mkString("\n          UNION ALL ")
-        s"""$prepCte,
-        $knnTop5Cte,
-        $sqrtnAsgCteSql,
-        $nswBeamCtes,
-        $stats
-        SELECT CAST(round AS INT) AS round,
-          CAST($NswBeam AS INT) AS beam, CAST($NswDeg AS INT) AS degree,
-          n_queries, scored, hits,
-          ROUND(CAST(hits AS DOUBLE) / (n_queries * 5), 6) AS recall_at_5
-        FROM ($outs)
-        ORDER BY round"""
-      }),
+      Some(nswRecallOracleSql)),
 
     // ---- media-lake end-to-end epoch pipeline (q220) -------------------
     // The q216 composition for MEDIA: the four stages the registry
@@ -3689,54 +3734,27 @@ object Similarity {
           .localCheckpoint(true)
         val q = e.filter($"vec_id" < 50)
           .select($"vec_id".as("qid"), $"v".as("av"), $"nrm".as("na"), $"vv")
-        val qw = Window.partitionBy($"qid").orderBy($"d2", $"cell")
-        val qcell = q.crossJoin(broadcast(c1.select($"cid".as("cell"), $"cv", $"cc")))
-          .withColumn("d2",
-            round($"vv" - lit(2.0) * expr("dot_product(av, cv)") + $"cc", 6))
-          .withColumn("rk", row_number().over(qw)).filter($"rk" <= 2)
-          .select($"qid", $"cell")
-        val entry = qcell.join(anchors, "cell").filter($"cid" =!= $"qid")
-          .select($"qid", $"cid")
         val corpus = e.select($"vec_id".as("cid"), $"v".as("bv"), $"nrm".as("nb"))
-        def scoreOf(ids: DataFrame): DataFrame = ids
-          .join(broadcast(q.select($"qid", $"av", $"na")), "qid")
-          .join(corpus, "cid")
-          .withColumn("cosr", round(expr(dotExpr) / ($"na" * $"nb"), 6))
-          .select($"qid", $"cid", $"cosr")
         val vw = Window.partitionBy($"qid").orderBy($"cosr".desc, $"cid")
-        var visited = scoreOf(entry).localCheckpoint(true)
-        var expanded = visited.select($"qid", $"cid").filter(lit(false))
-        var out: DataFrame = null
-        for (r <- 1 to NswRounds) {
-          val frontier = visited
-            .join(expanded, Seq("qid", "cid"), "left_anti")
-            .withColumn("rk", row_number().over(vw))
-            .filter($"rk" <= NswBeam).select($"qid", $"cid")
-          expanded = expanded.union(frontier).localCheckpoint(true)
-          val nbrs = frontier.join(gedges, frontier("cid") === gedges("src"))
-            .filter($"dst" =!= $"qid")
-            .select($"qid", $"dst".as("cid")).distinct()
-            .join(visited.select($"qid", $"cid"), Seq("qid", "cid"), "left_anti")
-          visited = visited.union(scoreOf(nbrs)).localCheckpoint(true)
-          val liveTop5 = visited.join(tomb, Seq("cid"), "left_anti")
-            .withColumn("rk", row_number().over(vw))
-            .filter($"rk" <= 5).select($"qid", $"cid")
-          val hit = liveTop5
-            .join(exact, $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
-            .agg(count(lit(1)).as("hits"))
-          val dead = visited.join(tomb, Seq("cid"), "left_semi")
-            .agg(count(lit(1)).as("dead_scored"))
-          val stats = visited
-            .agg(countDistinct($"qid").as("n_queries"), count(lit(1)).as("scored"))
-            .crossJoin(broadcast(dead))
-            .crossJoin(broadcast(hit))
-            .select(lit(r).cast(IntegerType).as("round"),
-              $"n_queries", $"scored", $"dead_scored", $"hits",
-              round($"hits".cast(DoubleType) / ($"n_queries" * 5), 6)
-                .as("recall_at_5"))
-          out = if (out == null) stats else out.union(stats)
-        }
-        out.orderBy($"round")
+        nswBeamRounds(q, nswEntry(q, c1, anchors), gedges, corpus)
+          .zipWithIndex.map { case (visited, i) =>
+            val liveTop5 = visited.join(tomb, Seq("cid"), "left_anti")
+              .withColumn("rk", row_number().over(vw))
+              .filter($"rk" <= 5).select($"qid", $"cid")
+            val hit = liveTop5
+              .join(exact, $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
+              .agg(count(lit(1)).as("hits"))
+            val dead = visited.join(tomb, Seq("cid"), "left_semi")
+              .agg(count(lit(1)).as("dead_scored"))
+            visited
+              .agg(countDistinct($"qid").as("n_queries"), count(lit(1)).as("scored"))
+              .crossJoin(broadcast(dead))
+              .crossJoin(broadcast(hit))
+              .select(lit(i + 1).cast(IntegerType).as("round"),
+                $"n_queries", $"scored", $"dead_scored", $"hits",
+                round($"hits".cast(DoubleType) / ($"n_queries" * 5), 6)
+                  .as("recall_at_5"))
+          }.reduce(_ union _).orderBy($"round")
       },
       Some {
         val stats = (1 to NswRounds).map { r =>
@@ -3863,60 +3881,33 @@ object Similarity {
         val newTruth = exact.filter($"ecid" >= n0)
         val q = e.filter($"vec_id" < 50)
           .select($"vec_id".as("qid"), $"v".as("av"), $"nrm".as("na"), $"vv")
-        val qw = Window.partitionBy($"qid").orderBy($"d2", $"cell")
-        val qcell = q.crossJoin(broadcast(c1o.select($"cid".as("cell"), $"cv", $"cc")))
-          .withColumn("d2",
-            round($"vv" - lit(2.0) * expr("dot_product(av, cv)") + $"cc", 6))
-          .withColumn("rk", row_number().over(qw)).filter($"rk" <= 2)
-          .select($"qid", $"cell")
-        val entry = qcell.join(anchors, "cell").filter($"cid" =!= $"qid")
-          .select($"qid", $"cid")
         val corpus = e.select($"vec_id".as("cid"), $"v".as("bv"), $"nrm".as("nb"))
-        def scoreOf(ids: DataFrame): DataFrame = ids
-          .join(broadcast(q.select($"qid", $"av", $"na")), "qid")
-          .join(corpus, "cid")
-          .withColumn("cosr", round(expr(dotExpr) / ($"na" * $"nb"), 6))
-          .select($"qid", $"cid", $"cosr")
         val vw = Window.partitionBy($"qid").orderBy($"cosr".desc, $"cid")
-        var visited = scoreOf(entry).localCheckpoint(true)
-        var expanded = visited.select($"qid", $"cid").filter(lit(false))
-        var out: DataFrame = null
-        for (r <- 1 to NswRounds) {
-          val frontier = visited
-            .join(expanded, Seq("qid", "cid"), "left_anti")
-            .withColumn("rk", row_number().over(vw))
-            .filter($"rk" <= NswBeam).select($"qid", $"cid")
-          expanded = expanded.union(frontier).localCheckpoint(true)
-          val nbrs = frontier.join(gedges, frontier("cid") === gedges("src"))
-            .filter($"dst" =!= $"qid")
-            .select($"qid", $"dst".as("cid")).distinct()
-            .join(visited.select($"qid", $"cid"), Seq("qid", "cid"), "left_anti")
-          visited = visited.union(scoreOf(nbrs)).localCheckpoint(true)
-          val top5 = visited.withColumn("rk", row_number().over(vw))
-            .filter($"rk" <= 5).select($"qid", $"cid")
-          val hit = top5
-            .join(exact, $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
-            .agg(count(lit(1)).as("hits"))
-          val newHit = top5
-            .join(newTruth, $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
-            .agg(count(lit(1)).as("new_hits"))
-          val newT = newTruth.agg(count(lit(1)).as("new_truth"))
-          val stats = visited
-            .agg(countDistinct($"qid").as("n_queries"), count(lit(1)).as("scored"))
-            .crossJoin(broadcast(hit))
-            .crossJoin(broadcast(newHit))
-            .crossJoin(broadcast(newT))
-            .select(lit(r).cast(IntegerType).as("round"),
-              lit(nNew).as("n_new"), $"n_queries", $"scored", $"hits",
-              round($"hits".cast(DoubleType) / ($"n_queries" * 5), 6)
-                .as("recall_at_5"),
-              $"new_truth", $"new_hits",
-              when($"new_truth" === 0, lit(0.0))
-                .otherwise(round($"new_hits".cast(DoubleType) / $"new_truth", 6))
-                .as("new_recall"))
-          out = if (out == null) stats else out.union(stats)
-        }
-        out.orderBy($"round")
+        nswBeamRounds(q, nswEntry(q, c1o, anchors), gedges, corpus)
+          .zipWithIndex.map { case (visited, i) =>
+            val top5 = visited.withColumn("rk", row_number().over(vw))
+              .filter($"rk" <= 5).select($"qid", $"cid")
+            val hit = top5
+              .join(exact, $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
+              .agg(count(lit(1)).as("hits"))
+            val newHit = top5
+              .join(newTruth, $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
+              .agg(count(lit(1)).as("new_hits"))
+            val newT = newTruth.agg(count(lit(1)).as("new_truth"))
+            visited
+              .agg(countDistinct($"qid").as("n_queries"), count(lit(1)).as("scored"))
+              .crossJoin(broadcast(hit))
+              .crossJoin(broadcast(newHit))
+              .crossJoin(broadcast(newT))
+              .select(lit(i + 1).cast(IntegerType).as("round"),
+                lit(nNew).as("n_new"), $"n_queries", $"scored", $"hits",
+                round($"hits".cast(DoubleType) / ($"n_queries" * 5), 6)
+                  .as("recall_at_5"),
+                $"new_truth", $"new_hits",
+                when($"new_truth" === 0, lit(0.0))
+                  .otherwise(round($"new_hits".cast(DoubleType) / $"new_truth", 6))
+                  .as("new_recall"))
+          }.reduce(_ union _).orderBy($"round")
       },
       Some {
         val stats = (1 to NswRounds).map { r =>
@@ -4007,6 +3998,174 @@ object Similarity {
                ELSE ROUND(CAST(s.new_hits AS DOUBLE) / c.new_truth, 6) END AS new_recall
         FROM ($outs) s CROSS JOIN nnw w CROSS JOIN ntc c
         ORDER BY round"""
-      })
+      }),
+
+    // ---- compacted graph rebuild recall (q224) -------------------------
+    // The REBUILD leg that closes the graph deletion chain (q222's
+    // dead_scored is the rising pressure; this prices what paying it
+    // buys) — q214's counterpart for the graph index: the graph,
+    // routing centroids and anchors are REBUILT from scratch over the
+    // LIVE corpus only (q222's label%2 wave removed), and the same
+    // probe set is served over the compacted index against the SAME
+    // exact live-corpus truth, so the two serves are directly
+    // comparable. The MEASURED outcome is the real production trade,
+    // not a one-liner: where the serve budget covers a large fraction
+    // of the live corpus the rebuild wins outright (sf0.001: 0.972
+    // recall at a 21% smaller bill than serving through tombstones);
+    // once coverage drops, the FULL graph's extra connectivity
+    // outweighs its dead-routing overhead (sf0.1: 0.912 live recall
+    // through tombstones vs 0.820 rebuilt at the same rounds×beam) —
+    // deleted nodes are navigational BRIDGES, which is exactly why
+    // hnswlib's mark_deleted keeps them and why a real compaction
+    // re-tunes the build budget (degree/efConstruction) rather than
+    // only swapping the index. The index itself halves (storage /
+    // broadcast / per-candidate scoring all live-only) regardless.
+    //
+    // Scale: one full build at live-corpus scale (the scheduled
+    // offline compaction — amortized across serves via the memo,
+    // exactly the production shape) and q219's corpus-size-free serve.
+    Q("q224_nsw_compacted_recall",
+      (s, dir) => {
+        import s.implicits._
+        val (e, _, _) = sqrtnIndex(s, dir)
+        val live = e.filter($"label" % 2 =!= 0)
+        val tomb = e.filter($"label" % 2 === 0).select($"vec_id".as("cid"))
+        val (c1l, _) =
+          SessionMemo.get(s, s"sqrtn-index-live:$dir")(lloydOnce(live))
+        val (gedges, anchors) =
+          SessionMemo.get(s, s"nsw-graph-live:$dir")(buildNswGraphOver(live, c1l))
+        val ew2 = Window.partitionBy($"qid").orderBy($"cosr".desc, $"cid")
+        val exact = probeScored(s, dir)
+          .join(tomb, Seq("cid"), "left_anti")
+          .withColumn("rank", row_number().over(ew2)).filter($"rank" <= 5)
+          .select($"qid".as("eqid"), $"cid".as("ecid"))
+          .localCheckpoint(true)
+        val q = e.filter($"vec_id" < 50)
+          .select($"vec_id".as("qid"), $"v".as("av"), $"nrm".as("na"), $"vv")
+        val corpus = e.select($"vec_id".as("cid"), $"v".as("bv"), $"nrm".as("nb"))
+        val vw = Window.partitionBy($"qid").orderBy($"cosr".desc, $"cid")
+        nswBeamRounds(q, nswEntry(q, c1l, anchors), gedges, corpus)
+          .zipWithIndex.map { case (visited, i) =>
+            val top5 = visited.withColumn("rk", row_number().over(vw))
+              .filter($"rk" <= 5).select($"qid", $"cid")
+            val hit = top5
+              .join(exact, $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
+              .agg(count(lit(1)).as("hits"))
+            visited
+              .agg(countDistinct($"qid").as("n_queries"), count(lit(1)).as("scored"))
+              .crossJoin(broadcast(hit))
+              .select(lit(i + 1).cast(IntegerType).as("round"),
+                $"n_queries", $"scored", $"hits",
+                round($"hits".cast(DoubleType) / ($"n_queries" * 5), 6)
+                  .as("recall_at_5"))
+          }.reduce(_ union _).orderBy($"round")
+      },
+      Some {
+        val stats = (1 to NswRounds).map { r =>
+          s"""t$r AS (SELECT qid, cid FROM (SELECT qid, cid,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosr DESC, cid) AS rk
+              FROM v$r) t WHERE rk <= 5),
+          st$r AS (SELECT $r AS round,
+              (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) FROM v$r) AS n_queries,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM v$r) AS scored,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM t$r t
+               JOIN lnn ON lnn.qid = t.qid AND lnn.cid = t.cid) AS hits)"""
+        }.mkString(",\n          ")
+        val outs = (1 to NswRounds).map(r => s"SELECT * FROM st$r")
+          .mkString("\n          UNION ALL ")
+        s"""$prepCte,
+        $knnTop5Cte,
+        e2 AS (SELECT vec_id, v, nrm,
+                 list_sum(list_transform(v, x -> x * x)) AS vv FROM n),
+        tomb AS (SELECT vec_id FROM n WHERE label % 2 = 0),
+        lnn AS (SELECT qid, cid FROM (
+            SELECT s.qid, s.cid,
+              ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY s.cosr DESC, s.cid) AS rk
+            FROM scored s WHERE s.cid NOT IN (SELECT vec_id FROM tomb)) t
+            WHERE rk <= 5),
+        e2l AS (SELECT e2.* FROM e2 JOIN n USING (vec_id) WHERE n.label % 2 <> 0),
+        nll AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS nlist FROM e2l),
+        c0 AS (SELECT vec_id AS cid, v AS cv, vv AS cc
+               FROM e2l, nll WHERE vec_id < nll.nlist),
+        s0 AS MATERIALIZED (${ivfArgminSql("e2l", "c0")}),
+        dims AS (SELECT s0.cell, i - 1 AS dim, e2l.v[i] AS x
+                 FROM s0 JOIN e2l USING (vec_id),
+                      UNNEST(range(1, len(e2l.v) + 1)) AS t(i)),
+        means AS (SELECT cell, dim, ${davgSql("x", 15)} AS m
+                  FROM dims GROUP BY cell, dim),
+        c1 AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv FROM means GROUP BY cell),
+        c1n AS MATERIALIZED (SELECT cid, cv,
+                 list_sum(list_transform(cv, x -> x * x)) AS cc FROM c1),
+        asg AS MATERIALIZED (${ivfArgminSql("e2l", "c1n")}),
+        asg2 AS MATERIALIZED (SELECT vec_id, cell FROM (
+            SELECT e2l.vec_id, c.cid AS cell,
+              ROW_NUMBER() OVER (PARTITION BY e2l.vec_id ORDER BY
+                ROUND(e2l.vv - 2.0 * list_sum([e2l.v[i] * c.cv[i] for i in range(1, len(e2l.v) + 1)]) + c.cc, 6),
+                c.cid) AS rk
+            FROM e2l CROSS JOIN c1n c) t WHERE rk <= 2),
+        gpairs AS MATERIALIZED (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+            FROM asg2 a JOIN asg2 b USING (cell) WHERE a.vec_id <> b.vec_id),
+        gsc AS MATERIALIZED (SELECT p.src, p.dst,
+              ROUND(list_sum([sa.v[i] * sb.v[i] for i in range(1, len(sa.v) + 1)]) / (sa.nrm * sb.nrm), 6) AS cosr
+            FROM gpairs p JOIN n sa ON sa.vec_id = p.src
+            JOIN n sb ON sb.vec_id = p.dst),
+        gtop AS (SELECT src, dst, cosr FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosr DESC, dst) AS rk
+            FROM gsc) t WHERE rk <= $NswDeg),
+        gsym AS (SELECT DISTINCT * FROM (
+            SELECT src, dst, cosr FROM gtop
+            UNION ALL SELECT dst AS src, src AS dst, cosr FROM gtop) u),
+        gedges AS MATERIALIZED (SELECT src, dst FROM (
+            SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosr DESC, dst) AS rk
+            FROM gsym) t WHERE rk <= ${2 * NswDeg}),
+        $nswServePrepCtes,
+        $nswRoundCtes,
+        $stats
+        SELECT CAST(round AS INT) AS round,
+          n_queries, scored, hits,
+          ROUND(CAST(hits AS DOUBLE) / (n_queries * 5), 6) AS recall_at_5
+        FROM ($outs)
+        ORDER BY round"""
+      }),
+
+    // ---- graph index persistence round-trip (q225) ---------------------
+    // q204's counterpart for the graph index, completing full
+    // lifecycle parity with the IVF chain (build q219 / serve+delete
+    // q222 / ingest q223 / rebuild q224 / PERSIST this): the
+    // deployment artifact set — vectors, routing centroids,
+    // degree-capped edges, per-cell anchors — is written to parquet,
+    // reloaded, and the RELOADED frames are served through the shared
+    // [[nswRecallServe]]. The oracle IS q219's, verbatim: any
+    // serialization bug (column order, a dropped edge, a re-rounded
+    // double) hash-fails the gate. Artifact paths are process-scoped
+    // with the q204 lifecycle (marker file, shutdown-hook cleanup,
+    // symlink-safe dead-pid sweep).
+    //
+    // Scale: the artifact set is the graph contract — O(n·dims)
+    // vectors + O(n·2deg) edges + O(√n) centroids/anchors; write and
+    // reload are one parquet pass each (bench reps re-pay them by
+    // design — that IS the measured cost), and the serve is q219's.
+    Q("q225_nsw_index_persist",
+      (s, dir) => {
+        val (e, c1, _) = sqrtnIndex(s, dir)
+        val (gedges, anchors) = nswGraph(s, dir)
+        val ix = s"${sys.props("java.io.tmpdir")}/graft-nsw-index-" +
+          Integer.toHexString(dir.hashCode) + "-" +
+          java.lang.ProcessHandle.current().pid()
+        sweepDeadIndexTrees(new java.io.File(sys.props("java.io.tmpdir")),
+          "graft-nsw-index-")
+        registerIndexCleanup(ix)
+        markIndexTree(ix)
+        e.write.mode("overwrite").parquet(s"$ix/vectors")
+        c1.write.mode("overwrite").parquet(s"$ix/centroids")
+        gedges.write.mode("overwrite").parquet(s"$ix/edges")
+        anchors.write.mode("overwrite").parquet(s"$ix/anchors")
+        nswRecallServe(s, dir,
+          s.read.parquet(s"$ix/vectors"),
+          s.read.parquet(s"$ix/centroids"),
+          s.read.parquet(s"$ix/edges"),
+          s.read.parquet(s"$ix/anchors"))
+      },
+      Some(nswRecallOracleSql))
   )
 }

@@ -88,6 +88,8 @@ class PlanLintSpec extends SparkSuite {
     "q221_nb_quality_filter",   // 1-row train-totals scalar + the fixed 3-row alpha grid broadcast onto the token stream (q104's scalar class); the 256-row model itself joins equi on bucket
     "q222_nsw_tombstone_serve", // q219's classes (q34-class live-truth probe broadcast + 1-row hits/dead scalars); the tombstone filter is a broadcast anti-join
     "q223_nsw_ingest",          // q219's classes on the old-trained routing layer (q34-class truth broadcast + 1-row hits/new-truth scalars); ingest joins are cell-keyed equi
+    "q224_nsw_compacted_recall", // q219's classes on the live-rebuilt routing layer (q34-class live-truth broadcast + 1-row hits scalar)
+    "q225_nsw_index_persist",   // q219's classes on the RELOADED artifact frames (q204's persistence discipline; same probe/hits broadcasts)
     // q204_ivf_index_persist is NOT whitelisted: like q185, its probe
     // BNLJ (q168's centroid class, on the RELOADED O(sqrt(n) x dims)
     // centroid frame) sits upstream of ivfpqTail's localCheckpoint —

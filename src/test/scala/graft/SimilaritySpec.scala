@@ -726,6 +726,24 @@ class SimilaritySpec extends SparkSuite {
     assert(live.map(_.getAs[Long]("hits")).toSeq.sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("q224 compacted rebuild: smaller live-only bill, monotone convergence, high-coverage recall") {
+    val rebuilt = run("q224_nsw_compacted_recall").orderBy("round").collect()
+    val inPlace = run("q222_nsw_tombstone_serve").orderBy("round").collect()
+    assert(rebuilt.length == 6)
+    val scored = rebuilt.map(_.getAs[Long]("scored")).toSeq
+    val hits = rebuilt.map(_.getAs[Long]("hits")).toSeq
+    assert(scored.sliding(2).forall(p => p(0) < p(1)))
+    assert(hits.sliding(2).forall(p => p(0) <= p(1)))
+    // the rebuilt index's candidate space is live-only — at this SF
+    // (serve budget covers most of the 250-node live corpus) the
+    // rebuild serves a strictly smaller bill than routing through
+    // tombstones, at equal-or-better live recall
+    assert(rebuilt.last.getAs[Long]("scored") < inPlace.last.getAs[Long]("scored"),
+      "rebuild should shed bill at high coverage")
+    assert(rebuilt.last.getAs[Double]("recall_at_5") >= 0.9,
+      s"high-coverage rebuilt recall ${rebuilt.last.getAs[Double]("recall_at_5")}")
+  }
+
   test("q220 epoch pipeline: index-mined negatives match brute mining, shards follow the md5 contract") {
     val rows = run("q220_media_epoch_pipeline").collect()
     assert(rows.length == 150, s"expected 50 anchors x 3 negatives, got ${rows.length}")
