@@ -913,6 +913,11 @@ object Similarity {
     // top-of-visited nodes and stalling (measured: the re-expanding
     // variant plateaued at recall 0.32 by round 4).
     var visited = scoreOf(entry).localCheckpoint(true)
+    // both per-round frames are EAGERLY pinned: a lazy `expanded`
+    // was measured 1.5× slower (13.6 s vs 9.0 s min at sf0.1) — the
+    // union-of-frontiers plan re-ranks every earlier round inside
+    // each anti-join, quadratic recompute that dwarfs the one
+    // scheduling job a checkpoint costs.
     var expanded = visited.select($"qid", $"cid").filter(lit(false))
     val out = Seq.newBuilder[DataFrame]
     for (_ <- 1 to NswRounds) {
