@@ -81,6 +81,41 @@ object TextAnalysis {
       FROM toksc)"""
   }
 
+  /** q221's labeled + bucket-hashed token-frequency frame:
+    * (doc_id, good, is_train, b, tf) — one body shared with the
+    * streaming serve so the frozen model can never drift from the
+    * tokenizer/hash the filter applies online. */
+  private[graft] def nbHashedTf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val stopEn = stoplists.head._2
+    withToksNe(documents(s, dir))
+      .filter(length($"text") > 0 && size($"toks_ne") > 0)
+      .withColumn("good",
+        round(expr(countInSetSql("toks_ne", stopEn)).cast(DoubleType) /
+          size($"toks_ne"), 6) >= 0.10)
+      .withColumn("is_train", $"doc_id" % 5 =!= 0)
+      .select($"doc_id", $"good", $"is_train",
+        explode(expr("token_tf(toks_ne)")).as("kv"))
+      .select($"doc_id", $"good", $"is_train",
+        conv(substring(md5($"kv.tok"), 1, 2), 16, 10)
+          .cast(IntegerType).as("b"),
+        $"kv.tf".as("tf"))
+  }
+
+  /** The trained NB sufficient statistics over the train split:
+    * (256-row model (b, cg, cb), 1-row consts (ng, nb)). */
+  private[graft] def nbModelConsts(tf: DataFrame): (DataFrame, DataFrame) = {
+    import tf.sparkSession.implicits._
+    val model = tf.filter($"is_train").groupBy($"b")
+      .agg(sum(when($"good", $"tf").otherwise(0L)).as("cg"),
+        sum(when(!$"good", $"tf").otherwise(0L)).as("cb"))
+    val consts = tf.filter($"is_train")
+      .agg(sum(when($"good", $"tf").otherwise(0L)).as("ng"),
+        sum(when(!$"good", $"tf").otherwise(0L)).as("nb"))
+    (model, consts)
+  }
+
   def queries: Vector[Q] = heavyHitters +: Vector(
     // ---- language identification (stopword-count heuristic) ----------
     Q("q29_lang_id",
@@ -351,27 +386,8 @@ object TextAnalysis {
     Q("q221_nb_quality_filter",
       (s, dir) => {
         import s.implicits._
-        graft.functions.GraftFunctions.register(s)
-        val stopEn = stoplists.head._2
-        val lab = withToksNe(documents(s, dir))
-          .filter(length($"text") > 0 && size($"toks_ne") > 0)
-          .withColumn("good",
-            round(expr(countInSetSql("toks_ne", stopEn)).cast(DoubleType) /
-              size($"toks_ne"), 6) >= 0.10)
-          .withColumn("is_train", $"doc_id" % 5 =!= 0)
-        val tf = lab
-          .select($"doc_id", $"good", $"is_train",
-            explode(expr("token_tf(toks_ne)")).as("kv"))
-          .select($"doc_id", $"good", $"is_train",
-            conv(substring(md5($"kv.tok"), 1, 2), 16, 10)
-              .cast(IntegerType).as("b"),
-            $"kv.tf".as("tf"))
-        val model = tf.filter($"is_train").groupBy($"b")
-          .agg(sum(when($"good", $"tf").otherwise(0L)).as("cg"),
-            sum(when(!$"good", $"tf").otherwise(0L)).as("cb"))
-        val consts = tf.filter($"is_train")
-          .agg(sum(when($"good", $"tf").otherwise(0L)).as("ng"),
-            sum(when(!$"good", $"tf").otherwise(0L)).as("nb"))
+        val tf = nbHashedTf(s, dir)
+        val (model, consts) = nbModelConsts(tf)
         val alphas = Seq(1, 5, 25).toDF("alpha")
         val rg = (coalesce($"cg", lit(0L)) + $"alpha").cast(DoubleType) /
           ($"ng" + lit(256) * $"alpha")

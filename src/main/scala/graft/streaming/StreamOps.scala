@@ -1370,6 +1370,77 @@ object StreamOps {
         })
   }
 
+  final case class NbScore(doc_id: Long, score: Double, quality_pass: Boolean)
+
+  /** Streaming model-based quality filter — q221's streaming twin and
+    * the production shape of the CCNet/fastText-class stage: the NB
+    * model trains OFFLINE (q221's fit over the held split) and the
+    * INGEST STREAM is scored against the frozen artifacts map-only.
+    * The 256-bucket weight table is materialized at plan time from
+    * the (model, consts) frames ([[graft.operators.TextAnalysis
+    * .nbModelConsts]]'s output) with q221's exact arithmetic —
+    * Laplace-smoothed rates, the log-free symmetric vote
+    * (r_g−r_b)/(r_g+r_b) rounded 1e-6 — and each arriving doc is
+    * tokenized, bucket-hashed (md5 first 2 hex digits — the same
+    * bytes Spark's md5 produces, so batch and stream bucket
+    * identically) and scored by the tf-weighted DECIMAL-exact mean of
+    * its bucket votes. Emits (doc_id, score, quality_pass) with
+    * pass = score > the caller's FITTED threshold (q221 publishes one
+    * per α). Stateless append; token-less docs emit nothing (q221's
+    * empty-doc guard). */
+  def nbQualityFilterStream(
+      docs: DataFrame,     // stream: (doc_id bigint, text string)
+      model: DataFrame,    // frozen: (b int, cg bigint, cb bigint) — ≤256 rows
+      consts: DataFrame,   // frozen 1-row: (ng bigint, nb bigint)
+      alpha: Int,
+      threshold: Double): Dataset[NbScore] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val mrows = model.select(col("b"), col("cg"), col("cb"))
+      .limit(257).collect()
+    require(mrows.length <= 256, "NB model must be the 256-bucket table")
+    require(mrows.nonEmpty, "empty NB model")
+    val crow = consts.select(col("ng"), col("nb")).collect()
+    require(crow.length == 1, "NB consts must be exactly one row")
+    val (ng, nbTot) = (crow(0).getLong(0), crow(0).getLong(1))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cgb = mrows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cbb = mrows.map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val w: Array[Double] = Array.tabulate(256) { b =>
+      val rg = (cgb.getOrElse(b, 0L) + alpha).toDouble / (ng + 256L * alpha)
+      val rb = (cbb.getOrElse(b, 0L) + alpha).toDouble / (nbTot + 256L * alpha)
+      r6((rg - rb) / (rg + rb))
+    }
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def bucket(tok: String): Int = {
+          md.reset()
+          java.lang.Integer.parseInt(
+            md.digest(tok.getBytes("UTF-8")).take(1)
+              .map("%02x".format(_)).mkString, 16)
+        }
+        it.flatMap { case (id, text) =>
+          val toks =
+            if (text == null) Array.empty[String]
+            else text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+          if (toks.isEmpty) None
+          else {
+            // per-BUCKET totals first, then one decimal cast per
+            // bucket — q221's exact summation shape (a per-token cast
+            // would drift in the last ulp)
+            val tf = toks.groupBy(bucket).view.mapValues(_.length.toLong)
+            val num = tf.map { case (b, n) =>
+              BigDecimal(w(b) * n).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            }.reduce(_ + _)
+            val score = r6(num.toDouble / toks.length)
+            Some(NbScore(id, score, score > threshold))
+          }
+        }
+      }
+  }
+
   final case class NswHit(qid: Long, rank: Int, vec_id: Long, cosine: Double)
 
   /** Streaming graph-ANN serve — the streaming twin of q219's beam

@@ -1159,6 +1159,52 @@ class StreamingSpec extends SparkSuite {
       "packed rows diverged from the MMR selection")
   }
 
+  test("nbQualityFilterStream: frozen-model scores reproduce q221's held-out confusion") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val tf = graft.operators.TextAnalysis.nbHashedTf(spark, dir)
+    val (model, consts) = graft.operators.TextAnalysis.nbModelConsts(tf)
+    val batch = SparkEntry.queries("q221_nb_quality_filter")(spark, dir)
+      .filter($"alpha" === 1).collect().head
+    val threshold = batch.getAs[Double]("threshold")
+    // the held-out docs arrive as a stream, split across two triggers
+    val testDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter($"doc_id" % 5 === 0 && length($"text") > 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .filter { case (_, t) => t.toLowerCase.split("\\W+").exists(_.nonEmpty) }
+      .sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.nbQualityFilterStream(
+      input.toDF().toDF("doc_id", "text"), model, consts,
+      alpha = 1, threshold = threshold)
+      .writeStream.format("memory").queryName("nbfilter")
+      .outputMode("append").start()
+    input.addData(testDocs.take(testDocs.length / 2): _*)
+    q.processAllAvailable()
+    input.addData(testDocs.drop(testDocs.length / 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("nbfilter").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(got.size == testDocs.length, "every non-empty test doc must be scored")
+    // labels recomputed independently (q30's lexical gate)
+    val stopEn = Set("the", "a", "of", "and", "to", "in", "is", "it")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val good = testDocs.map { case (id, t) =>
+      val toks = t.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      id -> (r6(toks.count(stopEn).toDouble / toks.length) >= 0.10)
+    }.toMap
+    val tp = got.count { case (id, (_, p)) => p && good(id) }
+    val fp = got.count { case (id, (_, p)) => p && !good(id) }
+    val fn = got.count { case (id, (_, p)) => !p && good(id) }
+    val tn = got.count { case (id, (_, p)) => !p && !good(id) }
+    assert((tp.toLong, fp.toLong, fn.toLong, tn.toLong) ==
+      ((batch.getAs[Long]("tp"), batch.getAs[Long]("fp"),
+        batch.getAs[Long]("fn"), batch.getAs[Long]("tn"))),
+      s"stream confusion ($tp,$fp,$fn,$tn) diverged from q221's alpha=1 row")
+  }
+
   test("nswServeStream: serves the frozen graph batch-identically, stateless across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
