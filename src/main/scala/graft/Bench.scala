@@ -221,11 +221,23 @@ object Bench {
       .sortBy(n => "\\d+".r.findFirstIn(n).get.toInt).reverse
     def parseBaseline(f: String): Map[String, Double] = {
       val src = scala.io.Source.fromFile(f)
-      val text = try src.mkString finally src.close()
+      val raw = try src.mkString finally src.close()
+      // MEASUREMENT BUG FIX (r13): the artifact also carries
+      // "first_touch" (memo-family rep-1 seconds) and "reps_effective"
+      // ("qname":2 — a REP COUNT, not seconds) maps since r12; the
+      // whole-file pair scan was folding those into the per-query min,
+      // so e.g. q199's baseline became its reps_effective value 2 and
+      // every subsequent round read as a >1.3x "regression" no matter
+      // how fast it got. Excise both labeled blocks before scanning,
+      // and require a DECIMAL POINT in the value (timings are Double
+      // toString — always fractional; rep counts are bare ints), which
+      // also covers a tail-truncated block whose label was cut off.
+      val text = raw.replaceAll(
+        "\\\\?\"(?:first_touch|reps_effective)\\\\?\"\\s*:\\s*\\{[^}]*\\}?", "")
       // the driver wrapper stores the bench line as an ESCAPED JSON
       // string (\"name\":1.23), so tolerate an optional backslash
       // before each quote
-      val pair = "\\\\?\"(q\\d+[a-z0-9_]*)\\\\?\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?)".r
+      val pair = "\\\\?\"(q\\d+[a-z0-9_]*)\\\\?\"\\s*:\\s*([0-9]+\\.[0-9]+)".r
       pair.findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble)
         .toSeq.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
     }

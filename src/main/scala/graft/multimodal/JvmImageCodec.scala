@@ -24,6 +24,13 @@ import javax.imageio.ImageIO
   */
 object JvmImageCodec {
   System.setProperty("java.awt.headless", "true")
+  // In-memory ImageIO streams: with the default useCache=true every
+  // ImageIO.read(InputStream) / write(..., OutputStream) spins up a
+  // DISK-BACKED FileCache{Input,Output}Stream — one temp file created
+  // and deleted PER FRAME decode (q199 alone: 64k frame decodes per
+  // bench rep at sf0.1). Byte-in/byte-out payloads never need the
+  // disk spool; decoded pixels are identical either way.
+  ImageIO.setUseCache(false)
 
   /** Decode-probe: (format, width, height, n_frames) without decoding
     * pixel data for single-frame formats (the reader parses headers

@@ -36,6 +36,9 @@ import javax.imageio.ImageIO
   */
 object JvmVideoCodec {
   System.setProperty("java.awt.headless", "true")
+  // see JvmImageCodec: memory-backed ImageIO streams, not per-call
+  // disk-spooled temp files (decoded/encoded bytes are identical)
+  ImageIO.setUseCache(false)
 
   private def fourcc(s: String): Int =
     ByteBuffer.wrap(s.getBytes(US_ASCII)).order(ByteOrder.LITTLE_ENDIAN).getInt

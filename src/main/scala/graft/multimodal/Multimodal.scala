@@ -27,6 +27,10 @@ import org.apache.spark.sql.types._
   * labeled and is one object swap wide.
   */
 object Multimodal {
+  // see JvmImageCodec: memory-backed ImageIO streams — this object has
+  // its own direct ImageIO.read/write call sites (synth encoders,
+  // reencodeJpeg) that may load before the codec objects do
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Typed metadata carried beside every media blob. */
   val mediaMetaType: StructType = StructType(Seq(

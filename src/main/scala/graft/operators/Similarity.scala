@@ -892,14 +892,132 @@ object Similarity {
       .select($"qid", $"cid")
   }
 
+  /** Node cap for the broadcast-local beam ([[nswBeamRoundsLocal]]).
+    * Graphs at or under the cap serve through one task-local beam per
+    * query against an explicit broadcast of the frozen artifacts —
+    * the [[graft.streaming.StreamOps.nswServeStream]] shape, chosen
+    * here the way a planner picks a broadcast join (the side fits);
+    * above it the serve falls back to the distributed round loop
+    * ([[nswBeamRoundsDist]]), whose per-round cost is equi-joins on
+    * the degree-capped edge frame — the 100 TB shape. Parameterised
+    * (system property first for in-process tests, then env) with the
+    * streaming twin's 2^17 default: nodes·(dims+2·deg) ≈ 10 MB per
+    * 10⁵ nodes broadcast-side. */
+  private def nswLocalMaxNodes: Int =
+    sys.props.get("graft.nsw.local.maxNodes")
+      .orElse(sys.env.get("SPARK_GRAFT_NSW_LOCAL_MAXNODES"))
+      .map(_.toInt).getOrElse(1 << 17)
+
   /** The expand-once beam over explicit serve artifacts: returns the
-    * eagerly-checkpointed visited frame (qid, cid, cosr — self-free)
-    * AFTER each round 1..[[NswRounds]]. ONE body so the four batch
-    * serves (full q219, tombstone q222, ingest q223, rebuilt q224)
-    * and the persistence round-trip (q225) cannot drift; each caller
-    * derives its own per-round stats from the returned frames. */
+    * visited frame (qid, cid, cosr — self-free) AFTER each round
+    * 1..[[NswRounds]]. ONE body so the four batch serves (full q219,
+    * tombstone q222, ingest q223, rebuilt q224) and the persistence
+    * round-trip (q225) cannot drift; each caller derives its own
+    * per-round stats from the returned frames. Dispatches to the
+    * broadcast-local fast path when the graph fits under
+    * [[nswLocalMaxNodes]], else to the distributed round loop — both
+    * produce bit-identical frames (NswLocalParitySpec; the arithmetic
+    * parity argument lives on the streaming twin, which runs this
+    * exact local beam against batch-built artifacts). */
   private def nswBeamRounds(q: DataFrame, entry: DataFrame,
-                            gedges: DataFrame, corpus: DataFrame): Seq[DataFrame] = {
+                            gedges: DataFrame, corpus: DataFrame): Seq[DataFrame] =
+    nswBeamRoundsLocal(q, entry, gedges, corpus)
+      .getOrElse(nswBeamRoundsDist(q, entry, gedges, corpus))
+
+  /** Broadcast-local beam: collects the frozen artifacts ONCE at plan
+    * time (every collect limit-guarded — oversize falls back, never
+    * OOMs the driver), broadcasts them explicitly (the v1Bloom
+    * closure discipline) and runs the whole 6-round beam as ONE
+    * map-only job over the distributed query frame, emitting each
+    * visited node with the round it was added (entries = round 0).
+    * The per-round frames are then filters over one eagerly-pinned
+    * result — replacing the distributed loop's 2 scheduling jobs +
+    * window/anti-join shuffles PER ROUND (measured ~5.7 s/serve at
+    * sf0.1, data volume negligible — the local-mode job floor, see
+    * OPTIMIZATION_r13.md).
+    *
+    * Arithmetic is the batch contract verbatim, so the frames are
+    * bit-identical to [[nswBeamRoundsDist]]'s: sequential-fold dot
+    * ([[graft.functions.DotProduct]]'s exact loop), 1e-6 HALF_UP
+    * round before every decision, (cosr desc, id asc) frontier order,
+    * expand-once, self excluded at expansion, ids absent from the
+    * corpus frame dropped exactly like the inner join. */
+  private def nswBeamRoundsLocal(q: DataFrame, entry: DataFrame,
+                                 gedges: DataFrame, corpus: DataFrame): Option[Seq[DataFrame]] = {
+    val s = q.sparkSession
+    import s.implicits._
+    val maxNodes = nswLocalMaxNodes
+    val nodeRows = corpus.select($"cid", $"bv", $"nb")
+      .limit(maxNodes + 1).collect()
+    if (nodeRows.length > maxNodes) return None
+    val edgeCap = 2 * NswDeg * math.max(nodeRows.length, 1)
+    val edgeRows = gedges.select($"src", $"dst").limit(edgeCap + 1).collect()
+    if (edgeRows.length > edgeCap) return None
+    val entryRows = entry.select($"qid", $"cid").limit(maxNodes + 1).collect()
+    if (entryRows.length > maxNodes) return None
+    val nds: Map[Long, (Array[Double], Double)] = nodeRows.map { r =>
+      r.getLong(0) -> ((r.getSeq[Double](1).toArray, r.getDouble(2)))
+    }.toMap
+    val adj: Map[Long, Array[Long]] = edgeRows.groupBy(_.getLong(0))
+      .map { case (src, rs) => src -> rs.map(_.getLong(1)) }
+    val ent: Map[Long, Array[Long]] = entryRows.groupBy(_.getLong(0))
+      .map { case (qid, rs) => qid -> rs.map(_.getLong(1)) }
+    val bc = s.sparkContext.broadcast((nds, adj, ent))
+    val (beam, rounds) = (NswBeam, NswRounds)
+    val perNode = q.select($"qid", $"av", $"na").as[(Long, Seq[Double], Double)]
+      .mapPartitions { it =>
+        val (nodes, ad, entries) = bc.value
+        // round(x, 6) semantics: HALF_UP on finite, identity on NaN/Inf
+        def r6(x: Double): Double =
+          if (java.lang.Double.isFinite(x))
+            BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          else x
+        it.flatMap { case (qid, av0, na) =>
+          val av = av0.toArray
+          def dot(b: Array[Double]): Double = {
+            val n = math.min(av.length, b.length)
+            var acc = 0.0; var i = 0
+            while (i < n) { acc += av(i) * b(i); i += 1 }
+            acc
+          }
+          // id -> (cosr, round added); insertion-ordered for stable emission
+          val visited = scala.collection.mutable.LinkedHashMap.empty[Long, (Double, Int)]
+          entries.getOrElse(qid, Array.empty[Long]).foreach { id =>
+            nodes.get(id).foreach { case (bv, nb) =>
+              if (!visited.contains(id)) visited(id) = (r6(dot(bv) / (na * nb)), 0)
+            }
+          }
+          var expanded = Set.empty[Long]
+          var r = 1
+          while (r <= rounds) {
+            val frontier = visited.iterator
+              .collect { case (id, (c, _)) if !expanded(id) => (id, c) }
+              .toSeq.sortBy { case (id, c) => (-c, id) }
+              .take(beam).map(_._1)
+            expanded ++= frontier
+            val fresh = frontier
+              .flatMap(f => ad.getOrElse(f, Array.empty[Long]))
+              .filter(id => id != qid && !visited.contains(id)).distinct
+            fresh.foreach { id =>
+              nodes.get(id).foreach { case (bv, nb) =>
+                visited(id) = (r6(dot(bv) / (na * nb)), r)
+              }
+            }
+            r += 1
+          }
+          visited.iterator.map { case (id, (c, ar)) => (qid, id, c, ar) }
+        }
+      }.toDF("qid", "cid", "cosr", "add_round")
+      .localCheckpoint(true)
+    Some((1 to rounds).map(r =>
+      perNode.filter($"add_round" <= r).select($"qid", $"cid", $"cosr")))
+  }
+
+  /** The distributed round loop — the at-scale fallback above
+    * [[nswLocalMaxNodes]]: every round is (≤queries·beam rows) ⋈ the
+    * degree-capped edge frame on src, an equi-join, never a scan. */
+  private def nswBeamRoundsDist(q: DataFrame, entry: DataFrame,
+                                gedges: DataFrame, corpus: DataFrame): Seq[DataFrame] = {
     import q.sparkSession.implicits._
     def scoreOf(ids: DataFrame): DataFrame = ids
       .join(broadcast(q.select($"qid", $"av", $"na")), "qid")

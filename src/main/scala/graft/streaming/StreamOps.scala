@@ -1424,7 +1424,10 @@ object StreamOps {
         it.flatMap { case (id, text) =>
           val toks =
             if (text == null) Array.empty[String]
-            else text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+            // Locale.ROOT: Spark's lower() is locale-independent; a
+            // default-locale toLowerCase breaks batch/stream parity on
+            // e.g. Turkish-locale JVMs ('I' → 'ı' changes bucket hashes)
+            else text.toLowerCase(java.util.Locale.ROOT).split("\\W+").filter(_.nonEmpty)
           if (toks.isEmpty) None
           else {
             // per-BUCKET totals first, then one decimal cast per
@@ -1508,14 +1511,21 @@ object StreamOps {
     queries.select(col("qid"), col("v")).as[(Long, Seq[Double])]
       .mapPartitions { it =>
         val (nds, ad, cs, anc) = bc.value
+        // round(x, 6) semantics: HALF_UP on finite, identity on NaN/Inf
         def r6(x: Double) =
-          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (java.lang.Double.isFinite(x))
+            BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          else x
         it.flatMap { case (qid, qv) =>
           val vv = dot(qv, qv)
           val na = math.sqrt(vv)
-          def score(id: Long): Double = {
-            val (v, nb) = nds(id)
-            r6(dot(qv, v) / (na * nb))
+          // ids referenced by edges/anchors but absent from the corpus
+          // frame are SKIPPED — the batch serve's inner-join-on-cid
+          // semantics (and no NoSuchElementException on inconsistent
+          // caller artifacts); r6 passes non-finite through like
+          // Spark's round(), so a zero-norm vector cannot throw either
+          def score(id: Long): Option[Double] = nds.get(id).map {
+            case (v, nb) => r6(dot(qv, v) / (na * nb))
           }
           val top2 = cs.map { case (cid, cv, cc) =>
             (r6(vv - 2.0 * dot(qv, cv) + cc), cid)
@@ -1523,7 +1533,7 @@ object StreamOps {
           val entries = top2.flatMap(c => anc.getOrElse(c, Array.empty[Long]))
             .filter(_ != qid).distinct
           var visited: Map[Long, Double] =
-            entries.map(id => id -> score(id)).toMap
+            entries.flatMap(id => score(id).map(id -> _)).toMap
           var expanded = Set.empty[Long]
           var r = 0
           while (r < rounds) {
@@ -1534,7 +1544,7 @@ object StreamOps {
             expanded ++= frontier
             val fresh = frontier.flatMap(f => ad.getOrElse(f, Array.empty[Long]))
               .filter(id => id != qid && !visited.contains(id)).distinct
-            visited ++= fresh.map(id => id -> score(id))
+            visited ++= fresh.flatMap(id => score(id).map(id -> _))
             r += 1
           }
           visited.toSeq.sortBy { case (id, c) => (-c, id) }.take(k)
