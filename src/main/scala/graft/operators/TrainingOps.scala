@@ -194,8 +194,13 @@ object TrainingOps {
         // the set verify all exchange (id, int64) rows, never shingle
         // text (same collision contract as Dedup.verifyJaccard: the
         // oracle keeps raw text, so a collision fails the gate loudly)
+        // lazily checkpointed (the q200 "feeds card, candidates AND
+        // verify" idiom): the executed plan otherwise materializes the
+        // shingle explode + distinct 3-4x — ReusedExchange only dedupes
+        // two of the consumers (measured, PlanDump metrics r13)
         val dshH = Dedup.shingles(documents(s, dir))
           .select($"doc_id", xxhash64($"s").as("sh")).distinct()
+          .localCheckpoint(false)
         val rare = dshH.join(
           dshH.groupBy($"sh").agg(count(lit(1)).as("dfc")).filter($"dfc" <= 8), "sh")
         val cand = rare.as("a").join(rare.as("b"),
