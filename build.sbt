@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked program's stdout verbatim instead of re-logging
+// it with an "[info] " prefix: graft.Bench's final JSON lines must be
+// machine-parsable from the captured output (the driver recorded
+// "parsed": null for four rounds because every stdout line arrived
+// logger-prefixed).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -236,8 +236,11 @@ object Bench {
         "\\\\?\"(?:first_touch|reps_effective)\\\\?\"\\s*:\\s*\\{[^}]*\\}?", "")
       // the driver wrapper stores the bench line as an ESCAPED JSON
       // string (\"name\":1.23), so tolerate an optional backslash
-      // before each quote
-      val pair = "\\\\?\"(q\\d+[a-z0-9_]*)\\\\?\"\\s*:\\s*([0-9]+\\.[0-9]+)".r
+      // before each quote. The negative lookahead rejects scientific
+      // notation (r14, ADVICE): a sub-millisecond timing serialized as
+      // "8.9E-4" must not parse as an 8.9 s baseline (and a longer
+      // mantissa must not be truncated mid-digits).
+      val pair = "\\\\?\"(q\\d+[a-z0-9_]*)\\\\?\"\\s*:\\s*([0-9]+\\.[0-9]+)(?![0-9eE])".r
       pair.findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble)
         .toSeq.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
     }
@@ -353,12 +356,27 @@ object Bench {
     //     list, failures and the top-10 slowest medians — so ANY tail
     //     capture retains the verdict-grade numbers.
     val tierJson = tier.map(t => s""","tier":"$t"""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps$tierJson,"queries_min":$qsMin,"queries":$qs,"first_touch":$firstTouchJson,"reps_effective":$repsEffJson,"sf":"$sfDir","regressions_vs":$vsJson,"drift":$driftStr,"cpu_drift":$cpuDriftStr,"flagged":$flaggedJson,"suspect_transient":$transientJson,"regressions":$regJson}""")
     val failed = results.collect { case (n, (m, _, _, _)) if m < 0 => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val top10 = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(10)
       .map { case (k, (m, _, _, _)) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","reps":$reps$tierJson,"sf":"$sfDir","n_queries":${results.size},"failed":$failed,"drift":$driftStr,"cpu_drift":$cpuDriftStr,"regressions_vs":$vsJson,"flagged":$flaggedJson,"suspect_transient":$transientJson,"regressions":$regJson,"top10_median":$top10}""")
+    val detailLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps$tierJson,"queries_min":$qsMin,"queries":$qs,"first_touch":$firstTouchJson,"reps_effective":$repsEffJson,"sf":"$sfDir","regressions_vs":$vsJson,"drift":$driftStr,"cpu_drift":$cpuDriftStr,"flagged":$flaggedJson,"suspect_transient":$transientJson,"regressions":$regJson}"""
+    val summaryLine = s"""{"metric":"summary","value":$total,"unit":"sec","reps":$reps$tierJson,"sf":"$sfDir","n_queries":${results.size},"failed":$failed,"drift":$driftStr,"cpu_drift":$cpuDriftStr,"regressions_vs":$vsJson,"flagged":$flaggedJson,"suspect_transient":$transientJson,"regressions":$regJson,"top10_median":$top10}"""
+    // Driver-parsable artifact (r14, VERDICT item 2): every PERF round
+    // back to r10 recorded "parsed": null because the per-query JSON
+    // only existed as sbt-logger-prefixed stdout lines in a truncated
+    // tail. Write the SAME two JSON objects verbatim to a plain file
+    // in the repo root (full-bench runs only — tiered/subset profiling
+    // runs must never masquerade as the artifact of record), so any
+    // consumer can read complete per-query medians and mins without
+    // parsing a log tail. stdout stays byte-identical in content.
+    if (tier.isEmpty && only.isEmpty) {
+      val pw = new java.io.PrintWriter("BENCH_SELF.json", "UTF-8")
+      try pw.println(s"""{"total":$detailLine,"summary":$summaryLine}""")
+      finally pw.close()
+    }
+    println(detailLine)
+    println(summaryLine)
     spark.stop()
   }
 }

@@ -470,6 +470,30 @@ object Multimodal {
       })
   }
 
+  /** Decode-parallelism spread (r14, guide §2.6/§6): the synthetic
+    * media corpora derive from a SINGLE-row-group parquet scan, so
+    * without an exchange the whole downstream synth + demux + decode
+    * chain runs in ONE task regardless of core count. The params rows
+    * are tiny (an id + ≤64 ints), so hash-spreading them across
+    * `defaultParallelism` costs a negligible shuffle and buys
+    * full-width decode. Deterministic (hash on media_id, never rand —
+    * guide §2.5) and EXPLICIT numPartitions (REPARTITION_BY_NUM), so
+    * AQE cannot coalesce the tiny exchange back to one partition. At
+    * lake scale media bytes arrive pre-split across thousands of row
+    * groups and this spread of the param rows stays noise.
+    *
+    * Applied ONLY to the video synth (64 ImageIO JPEG decodes per
+    * clip ≈ 3.5 ms/row — q199 measured 3.77 → 1.6 s min): the same
+    * spread under the PNG-grid and WAV paths was measured a net LOSS
+    * (q198 1.17 → 1.86, q215 0.96 → 2.0 min) — their per-row decode
+    * is ~50 µs, and the extra exchange both adds a stage and leaks 32
+    * near-empty partitions into the memoized media-IVF corpus
+    * checkpoint, which every steady-state serve rep then re-pays as
+    * task-scheduling floor (the q66 lesson from r3, re-measured). */
+  private def spreadForDecode(params: DataFrame): DataFrame =
+    params.repartition(
+      params.sparkSession.sparkContext.defaultParallelism, col("media_id"))
+
   /** Closed-form video synthesis from a gray sequence: (media_id,
     * grays ARRAY<INT>) rows → a real MJPEG-AVI with one solid-gray
     * w×h frame per gray — the video twin of [[synthGridPng]] /
@@ -478,11 +502,13 @@ object Multimodal {
     * frame's decoded mean luminance sits within ±1 gray level of the
     * source (MultimodalSpec-measured), so any ORDER over grays spaced
     * ≥ 3 levels survives the round-trip exactly — the contract
-    * [[videoTemporalHash64]] and its oracle rest on. Map-only. */
+    * [[videoTemporalHash64]] and its oracle rest on. Map-only after
+    * the [[spreadForDecode]] exchange. */
   def synthGrayVideo(params: DataFrame, w: Int = 8, h: Int = 8): DataFrame = {
     val spark = params.sparkSession
     import spark.implicits._
-    params.select(col("media_id"), col("grays")).as[(Long, Array[Int])]
+    spreadForDecode(params)
+      .select(col("media_id"), col("grays")).as[(Long, Array[Int])]
       .mapPartitions(_.map { case (id, grays) =>
         (id, JvmVideoCodec.encodeMjpegAvi(
           grays.toSeq.map(g => solidJpegCached(w, h, g)), w, h))

@@ -906,35 +906,59 @@ object Similarity {
   private def nswLocalMaxNodes: Int =
     sys.props.get("graft.nsw.local.maxNodes")
       .orElse(sys.env.get("SPARK_GRAFT_NSW_LOCAL_MAXNODES"))
-      .map(_.toInt).getOrElse(1 << 17)
+      // tolerant parse (r14, ADVICE): a malformed override degrades to
+      // the default cap instead of failing every serve; negatives
+      // floor to 0 (= always use the distributed path)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .map(_.max(0)).getOrElse(1 << 17)
 
-  /** The expand-once beam over explicit serve artifacts: returns the
-    * visited frame (qid, cid, cosr — self-free) AFTER each round
-    * 1..[[NswRounds]]. ONE body so the four batch serves (full q219,
-    * tombstone q222, ingest q223, rebuilt q224) and the persistence
-    * round-trip (q225) cannot drift; each caller derives its own
-    * per-round stats from the returned frames. Dispatches to the
+  /** The expand-once beam over explicit serve artifacts: ONE tagged
+    * visited frame (qid, cid, cosr, add_round — self-free; entries =
+    * round 0, expansions tagged with the round that first scored
+    * them), so round r's visited set is `add_round <= r`. ONE body so
+    * the four batch serves (full q219, tombstone q222, ingest q223,
+    * rebuilt q224) and the persistence round-trip (q225) cannot
+    * drift; every caller derives its per-round stats from this one
+    * frame through [[nswServeStats]] (r14: one window + one
+    * aggregation instead of six filtered subtrees). Dispatches to the
     * broadcast-local fast path when the graph fits under
     * [[nswLocalMaxNodes]], else to the distributed round loop — both
     * produce bit-identical frames (NswLocalParitySpec; the arithmetic
     * parity argument lives on the streaming twin, which runs this
     * exact local beam against batch-built artifacts). */
   private def nswBeamRounds(q: DataFrame, entry: DataFrame,
-                            gedges: DataFrame, corpus: DataFrame): Seq[DataFrame] =
+                            gedges: DataFrame, corpus: DataFrame): DataFrame =
     nswBeamRoundsLocal(q, entry, gedges, corpus)
       .getOrElse(nswBeamRoundsDist(q, entry, gedges, corpus))
+
+  /** Spark's DoubleType total order ([[org.apache.spark.util.Utils]]
+    * nanSafeCompareDoubles): NaN is LARGEST (above +Inf), NaN == NaN,
+    * -0.0 == 0.0. The task-local beam's frontier sort must match the
+    * distributed window's `(cosr DESC, cid ASC)` under this exact
+    * order — a Scala `sortBy(-c)` diverges on NaN (zero-norm vectors
+    * score NaN and r6 passes non-finite through), which would expand
+    * a different frontier than the distributed path (r14, ADVICE). */
+  private[graft] def cosrDescIdAsc(a: (Long, Double), b: (Long, Double)): Boolean = {
+    val (an, bn) = (java.lang.Double.isNaN(a._2), java.lang.Double.isNaN(b._2))
+    val c =
+      if ((an && bn) || a._2 == b._2) 0
+      else if (an) -1 // NaN sorts first under DESC
+      else if (bn) 1
+      else if (a._2 > b._2) -1
+      else 1
+    c < 0 || (c == 0 && a._1 < b._1)
+  }
 
   /** Broadcast-local beam: collects the frozen artifacts ONCE at plan
     * time (every collect limit-guarded — oversize falls back, never
     * OOMs the driver), broadcasts them explicitly (the v1Bloom
     * closure discipline) and runs the whole 6-round beam as ONE
     * map-only job over the distributed query frame, emitting each
-    * visited node with the round it was added (entries = round 0).
-    * The per-round frames are then filters over one eagerly-pinned
-    * result — replacing the distributed loop's 2 scheduling jobs +
-    * window/anti-join shuffles PER ROUND (measured ~5.7 s/serve at
-    * sf0.1, data volume negligible — the local-mode job floor, see
-    * OPTIMIZATION_r13.md).
+    * visited node with the round it was added (entries = round 0) —
+    * one eagerly-pinned tagged frame replacing the distributed loop's
+    * 2 scheduling jobs + window/anti-join shuffles PER ROUND
+    * (measured ~5.7 s/serve at sf0.1, data volume negligible — the
+    * local-mode job floor, see OPTIMIZATION_r13.md).
     *
     * Arithmetic is the batch contract verbatim, so the frames are
     * bit-identical to [[nswBeamRoundsDist]]'s: sequential-fold dot
@@ -943,7 +967,7 @@ object Similarity {
     * expand-once, self excluded at expansion, ids absent from the
     * corpus frame dropped exactly like the inner join. */
   private def nswBeamRoundsLocal(q: DataFrame, entry: DataFrame,
-                                 gedges: DataFrame, corpus: DataFrame): Option[Seq[DataFrame]] = {
+                                 gedges: DataFrame, corpus: DataFrame): Option[DataFrame] = {
     val s = q.sparkSession
     import s.implicits._
     val maxNodes = nswLocalMaxNodes
@@ -992,7 +1016,7 @@ object Similarity {
           while (r <= rounds) {
             val frontier = visited.iterator
               .collect { case (id, (c, _)) if !expanded(id) => (id, c) }
-              .toSeq.sortBy { case (id, c) => (-c, id) }
+              .toSeq.sortWith(cosrDescIdAsc)
               .take(beam).map(_._1)
             expanded ++= frontier
             val fresh = frontier
@@ -1009,15 +1033,23 @@ object Similarity {
         }
       }.toDF("qid", "cid", "cosr", "add_round")
       .localCheckpoint(true)
-    Some((1 to rounds).map(r =>
-      perNode.filter($"add_round" <= r).select($"qid", $"cid", $"cosr")))
+    // the eager checkpoint above just materialized every partition —
+    // no plan references the broadcast anymore, so free the ~10 MB of
+    // artifacts now instead of leaking one broadcast per serve until
+    // ContextCleaner GC (r14, ADVICE)
+    bc.destroy()
+    Some(perNode)
   }
 
   /** The distributed round loop — the at-scale fallback above
     * [[nswLocalMaxNodes]]: every round is (≤queries·beam rows) ⋈ the
-    * degree-capped edge frame on src, an equi-join, never a scan. */
+    * degree-capped edge frame on src, an equi-join, never a scan.
+    * Returns the same tagged (qid, cid, cosr, add_round) frame as the
+    * local path: a node's add_round is the round that FIRST scored it
+    * (entries = 0), which is well-defined because `nbrs` anti-joins
+    * the visited set — a (qid, cid) pair is scored at most once. */
   private def nswBeamRoundsDist(q: DataFrame, entry: DataFrame,
-                                gedges: DataFrame, corpus: DataFrame): Seq[DataFrame] = {
+                                gedges: DataFrame, corpus: DataFrame): DataFrame = {
     import q.sparkSession.implicits._
     def scoreOf(ids: DataFrame): DataFrame = ids
       .join(broadcast(q.select($"qid", $"av", $"na")), "qid")
@@ -1030,15 +1062,15 @@ object Similarity {
     // round makes strict progress instead of re-expanding the same
     // top-of-visited nodes and stalling (measured: the re-expanding
     // variant plateaued at recall 0.32 by round 4).
-    var visited = scoreOf(entry).localCheckpoint(true)
+    var visited = scoreOf(entry)
+      .withColumn("add_round", lit(0)).localCheckpoint(true)
     // both per-round frames are EAGERLY pinned: a lazy `expanded`
     // was measured 1.5× slower (13.6 s vs 9.0 s min at sf0.1) — the
     // union-of-frontiers plan re-ranks every earlier round inside
     // each anti-join, quadratic recompute that dwarfs the one
     // scheduling job a checkpoint costs.
     var expanded = visited.select($"qid", $"cid").filter(lit(false))
-    val out = Seq.newBuilder[DataFrame]
-    for (_ <- 1 to NswRounds) {
+    for (r <- 1 to NswRounds) {
       val frontier = visited
         .join(expanded, Seq("qid", "cid"), "left_anti")
         .withColumn("rk", row_number().over(vw))
@@ -1048,10 +1080,98 @@ object Similarity {
         .filter($"dst" =!= $"qid")
         .select($"qid", $"dst".as("cid")).distinct()
         .join(visited.select($"qid", $"cid"), Seq("qid", "cid"), "left_anti")
-      visited = visited.union(scoreOf(nbrs)).localCheckpoint(true)
-      out += visited
+      visited = visited
+        .union(scoreOf(nbrs).withColumn("add_round", lit(r)))
+        .localCheckpoint(true)
     }
-    out.result()
+    visited
+  }
+
+  /** ONE-PASS per-round serve stats over the tagged beam frame
+    * (guide §2.4 — the r13 shape derived each round's stats from its
+    * own filtered subtree: 6 windows + 6-12 semi-joins + 12+
+    * aggregations per serve, ~108 Exchanges in q219's plan. Here the
+    * visited frame is joined once against the truth set (and
+    * optionally the tombstone / new-truth sets), replicated across
+    * the 6 round tags it is visible in, ranked by ONE running-count
+    * window — rank at round r = eligible predecessors under
+    * (cosr DESC, cid) among rows with add_round <= r — and reduced by
+    * ONE aggregation with conditional counts.
+    *
+    * Returns (round INT, n_queries, scored[, dead_scored], hits
+    * [, new_hits]) for rounds 1..[[NswRounds]]; values are identical
+    * to the per-round subtree formulation by construction: a row's
+    * running count of eligible rows equals its row_number in the
+    * filtered-and-ranked subtree because (cosr, cid) is a total order
+    * within a qid (cid is unique per query).
+    *
+    * `tomb`: rows whose cid it contains are scored-but-dead — they
+    * count in `scored`/`dead_scored` but are excluded from the top-5
+    * ranking (q222's live-only recall). `newTruth`: the subset of
+    * truth pairs counted separately as `new_hits` (q223). */
+  private def nswServeStats(visited: DataFrame, exact: DataFrame,
+                            tomb: Option[DataFrame] = None,
+                            newTruth: Option[DataFrame] = None): DataFrame = {
+    val s = visited.sparkSession
+    import s.implicits._
+    val rounds = s.range(1, NswRounds + 1)
+      .select($"id".cast(IntegerType).as("round"))
+    var v = visited.join(
+      broadcast(exact.select($"eqid", $"ecid", lit(1).as("ex"))),
+      $"qid" === $"eqid" && $"cid" === $"ecid", "left")
+      .drop("eqid", "ecid")
+    newTruth.foreach { nt =>
+      v = v.join(
+        broadcast(nt.select($"eqid".as("nqid"), $"ecid".as("ncid"),
+          lit(1).as("nw"))),
+        $"qid" === $"nqid" && $"cid" === $"ncid", "left")
+        .drop("nqid", "ncid")
+    }
+    tomb.foreach { t =>
+      v = v.join(t.select($"cid", lit(1).as("dead")), Seq("cid"), "left")
+    }
+    val live = if (tomb.isDefined) $"dead".isNull else lit(true)
+    val perRound = v.join(broadcast(rounds), $"add_round" <= $"round")
+    val rw = Window.partitionBy($"round", $"qid")
+      .orderBy($"cosr".desc, $"cid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perRound.withColumn("lrk", sum(when(live, 1L)).over(rw))
+    val inTop5 = live && $"lrk" <= 5
+    val aggs = Seq(
+      countDistinct($"qid").as("n_queries"),
+      count(lit(1)).as("scored")) ++
+      (if (tomb.isDefined)
+        Seq(count(when($"dead" === 1, 1)).as("dead_scored")) else Nil) ++
+      Seq(count(when(inTop5 && $"ex" === 1, 1)).as("hits")) ++
+      (if (newTruth.isDefined)
+        Seq(count(when(inTop5 && $"nw" === 1, 1)).as("new_hits")) else Nil)
+    val stats = ranked.groupBy($"round").agg(aggs.head, aggs.tail: _*)
+    // left join from the rounds axis: a round with an empty visited
+    // slice still publishes a zero row (the per-round-subtree shape
+    // aggregated an empty frame into one zero row)
+    val zeroed = stats.columns.filter(_ != "round").map(c =>
+      coalesce(col(c), lit(0L)).as(c))
+    rounds.join(stats, Seq("round"), "left")
+      .select($"round" +: zeroed.toSeq: _*)
+  }
+
+  /** Index-artifact writer (r14, guide §6 small files): coalesce to a
+    * SIZE-SCALED file count (~128 MB target) instead of inheriting
+    * shuffle.partitions — the r13 audit measured 32 near-empty
+    * parquet files per ~2000-row artifact in q204/q225. `estBytes` is
+    * a closed-form estimate from known artifact cardinalities (nlist,
+    * nlist², 2·deg·n — never an extra count job); being 2× off only
+    * moves the file-size target, never correctness. coalesce, not a
+    * REBALANCE hint: every artifact frame sits just above a shuffle
+    * or checkpoint boundary, so coalesce merges only the trivial
+    * post-exchange reduce side — no extra shuffle (an A/B measured
+    * the rebalance hint +0.3-0.5 s per q204 rep at sf0.1 from the 4
+    * added AQE shuffle stages, while coalesce strictly REMOVES write
+    * tasks). The measured write+reload contract is unchanged — every
+    * rep still pays the full parquet write and reload. */
+  private def writeArtifact(df: DataFrame, path: String, estBytes: Long): Unit = {
+    val target = (estBytes / (128L << 20) + 1).min(10000).max(1).toInt
+    df.coalesce(target).write.mode("overwrite").parquet(path)
   }
 
   /** The full-corpus recall serve (q219's published frame) over
@@ -1064,24 +1184,15 @@ object Similarity {
     val q = e.filter($"vec_id" < 50)
       .select($"vec_id".as("qid"), $"v".as("av"), $"nrm".as("na"), $"vv")
     val corpus = e.select($"vec_id".as("cid"), $"v".as("bv"), $"nrm".as("nb"))
-    val vw = Window.partitionBy($"qid").orderBy($"cosr".desc, $"cid")
-    nswBeamRounds(q, nswEntry(q, c1, anchors), gedges, corpus)
-      .zipWithIndex.map { case (visited, i) =>
-        val top5 = visited.withColumn("rk", row_number().over(vw))
-          .filter($"rk" <= 5).select($"qid", $"cid")
-        val hit = top5
-          .join(exact, $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
-          .agg(count(lit(1)).as("hits"))
-        visited
-          .agg(countDistinct($"qid").as("n_queries"), count(lit(1)).as("scored"))
-          .crossJoin(broadcast(hit))
-          .select(lit(i + 1).cast(IntegerType).as("round"),
-            lit(NswBeam).cast(IntegerType).as("beam"),
-            lit(NswDeg).cast(IntegerType).as("degree"),
-            $"n_queries", $"scored", $"hits",
-            round($"hits".cast(DoubleType) / ($"n_queries" * 5), 6)
-              .as("recall_at_5"))
-      }.reduce(_ union _).orderBy($"round")
+    val visited = nswBeamRounds(q, nswEntry(q, c1, anchors), gedges, corpus)
+    nswServeStats(visited, exact)
+      .select($"round",
+        lit(NswBeam).cast(IntegerType).as("beam"),
+        lit(NswDeg).cast(IntegerType).as("degree"),
+        $"n_queries", $"scored", $"hits",
+        round($"hits".cast(DoubleType) / ($"n_queries" * 5), 6)
+          .as("recall_at_5"))
+      .orderBy($"round")
   }
 
   /** Oracle twin of [[nswGraph]] + the q219 serve: graph build
@@ -2859,10 +2970,14 @@ object Similarity {
           "graft-ivfpq-index-")
         registerIndexCleanup(ix)
         markIndexTree(ix)
-        c1.write.mode("overwrite").parquet(s"$ix/centroids")
-        asg.write.mode("overwrite").parquet(s"$ix/lists")
-        rbook.write.mode("overwrite").parquet(s"$ix/codebook")
-        rcodes.write.mode("overwrite").parquet(s"$ix/codes")
+        // file-count targets from known cardinalities: centroids and
+        // codebook are √n-scale, lists and codes are n-scale (n ≈
+        // nlist² by the ⌈√n⌉ construction)
+        val nEst = nlist * nlist
+        writeArtifact(c1, s"$ix/centroids", nlist * 640)
+        writeArtifact(asg, s"$ix/lists", nEst * 32)
+        writeArtifact(rbook, s"$ix/codebook", pqM * 256 * 80)
+        writeArtifact(rcodes, s"$ix/codes", nEst * (16 + 2 * pqM))
         val lc1 = s.read.parquet(s"$ix/centroids")
         val lasg = s.read.parquet(s"$ix/lists")
         val lbook = s.read.parquet(s"$ix/codebook")
@@ -3858,26 +3973,13 @@ object Similarity {
         val q = e.filter($"vec_id" < 50)
           .select($"vec_id".as("qid"), $"v".as("av"), $"nrm".as("na"), $"vv")
         val corpus = e.select($"vec_id".as("cid"), $"v".as("bv"), $"nrm".as("nb"))
-        val vw = Window.partitionBy($"qid").orderBy($"cosr".desc, $"cid")
-        nswBeamRounds(q, nswEntry(q, c1, anchors), gedges, corpus)
-          .zipWithIndex.map { case (visited, i) =>
-            val liveTop5 = visited.join(tomb, Seq("cid"), "left_anti")
-              .withColumn("rk", row_number().over(vw))
-              .filter($"rk" <= 5).select($"qid", $"cid")
-            val hit = liveTop5
-              .join(exact, $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
-              .agg(count(lit(1)).as("hits"))
-            val dead = visited.join(tomb, Seq("cid"), "left_semi")
-              .agg(count(lit(1)).as("dead_scored"))
-            visited
-              .agg(countDistinct($"qid").as("n_queries"), count(lit(1)).as("scored"))
-              .crossJoin(broadcast(dead))
-              .crossJoin(broadcast(hit))
-              .select(lit(i + 1).cast(IntegerType).as("round"),
-                $"n_queries", $"scored", $"dead_scored", $"hits",
-                round($"hits".cast(DoubleType) / ($"n_queries" * 5), 6)
-                  .as("recall_at_5"))
-          }.reduce(_ union _).orderBy($"round")
+        val visited = nswBeamRounds(q, nswEntry(q, c1, anchors), gedges, corpus)
+        nswServeStats(visited, exact, tomb = Some(tomb))
+          .select($"round",
+            $"n_queries", $"scored", $"dead_scored", $"hits",
+            round($"hits".cast(DoubleType) / ($"n_queries" * 5), 6)
+              .as("recall_at_5"))
+          .orderBy($"round")
       },
       Some {
         val stats = (1 to NswRounds).map { r =>
@@ -4005,32 +4107,19 @@ object Similarity {
         val q = e.filter($"vec_id" < 50)
           .select($"vec_id".as("qid"), $"v".as("av"), $"nrm".as("na"), $"vv")
         val corpus = e.select($"vec_id".as("cid"), $"v".as("bv"), $"nrm".as("nb"))
-        val vw = Window.partitionBy($"qid").orderBy($"cosr".desc, $"cid")
-        nswBeamRounds(q, nswEntry(q, c1o, anchors), gedges, corpus)
-          .zipWithIndex.map { case (visited, i) =>
-            val top5 = visited.withColumn("rk", row_number().over(vw))
-              .filter($"rk" <= 5).select($"qid", $"cid")
-            val hit = top5
-              .join(exact, $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
-              .agg(count(lit(1)).as("hits"))
-            val newHit = top5
-              .join(newTruth, $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
-              .agg(count(lit(1)).as("new_hits"))
-            val newT = newTruth.agg(count(lit(1)).as("new_truth"))
-            visited
-              .agg(countDistinct($"qid").as("n_queries"), count(lit(1)).as("scored"))
-              .crossJoin(broadcast(hit))
-              .crossJoin(broadcast(newHit))
-              .crossJoin(broadcast(newT))
-              .select(lit(i + 1).cast(IntegerType).as("round"),
-                lit(nNew).as("n_new"), $"n_queries", $"scored", $"hits",
-                round($"hits".cast(DoubleType) / ($"n_queries" * 5), 6)
-                  .as("recall_at_5"),
-                $"new_truth", $"new_hits",
-                when($"new_truth" === 0, lit(0.0))
-                  .otherwise(round($"new_hits".cast(DoubleType) / $"new_truth", 6))
-                  .as("new_recall"))
-          }.reduce(_ union _).orderBy($"round")
+        val visited = nswBeamRounds(q, nswEntry(q, c1o, anchors), gedges, corpus)
+        val newT = newTruth.agg(count(lit(1)).as("new_truth"))
+        nswServeStats(visited, exact, newTruth = Some(newTruth))
+          .crossJoin(broadcast(newT))
+          .select($"round",
+            lit(nNew).as("n_new"), $"n_queries", $"scored", $"hits",
+            round($"hits".cast(DoubleType) / ($"n_queries" * 5), 6)
+              .as("recall_at_5"),
+            $"new_truth", $"new_hits",
+            when($"new_truth" === 0, lit(0.0))
+              .otherwise(round($"new_hits".cast(DoubleType) / $"new_truth", 6))
+              .as("new_recall"))
+          .orderBy($"round")
       },
       Some {
         val stats = (1 to NswRounds).map { r =>
@@ -4166,22 +4255,13 @@ object Similarity {
         val q = e.filter($"vec_id" < 50)
           .select($"vec_id".as("qid"), $"v".as("av"), $"nrm".as("na"), $"vv")
         val corpus = e.select($"vec_id".as("cid"), $"v".as("bv"), $"nrm".as("nb"))
-        val vw = Window.partitionBy($"qid").orderBy($"cosr".desc, $"cid")
-        nswBeamRounds(q, nswEntry(q, c1l, anchors), gedges, corpus)
-          .zipWithIndex.map { case (visited, i) =>
-            val top5 = visited.withColumn("rk", row_number().over(vw))
-              .filter($"rk" <= 5).select($"qid", $"cid")
-            val hit = top5
-              .join(exact, $"qid" === $"eqid" && $"cid" === $"ecid", "left_semi")
-              .agg(count(lit(1)).as("hits"))
-            visited
-              .agg(countDistinct($"qid").as("n_queries"), count(lit(1)).as("scored"))
-              .crossJoin(broadcast(hit))
-              .select(lit(i + 1).cast(IntegerType).as("round"),
-                $"n_queries", $"scored", $"hits",
-                round($"hits".cast(DoubleType) / ($"n_queries" * 5), 6)
-                  .as("recall_at_5"))
-          }.reduce(_ union _).orderBy($"round")
+        val visited = nswBeamRounds(q, nswEntry(q, c1l, anchors), gedges, corpus)
+        nswServeStats(visited, exact)
+          .select($"round",
+            $"n_queries", $"scored", $"hits",
+            round($"hits".cast(DoubleType) / ($"n_queries" * 5), 6)
+              .as("recall_at_5"))
+          .orderBy($"round")
       },
       Some {
         val stats = (1 to NswRounds).map { r =>
@@ -4270,7 +4350,7 @@ object Similarity {
     // design — that IS the measured cost), and the serve is q219's.
     Q("q225_nsw_index_persist",
       (s, dir) => {
-        val (e, c1, _) = sqrtnIndex(s, dir)
+        val (e, c1, nlist) = sqrtnIndex(s, dir)
         val (gedges, anchors) = nswGraph(s, dir)
         val ix = s"${sys.props("java.io.tmpdir")}/graft-nsw-index-" +
           Integer.toHexString(dir.hashCode) + "-" +
@@ -4279,10 +4359,14 @@ object Similarity {
           "graft-nsw-index-")
         registerIndexCleanup(ix)
         markIndexTree(ix)
-        e.write.mode("overwrite").parquet(s"$ix/vectors")
-        c1.write.mode("overwrite").parquet(s"$ix/centroids")
-        gedges.write.mode("overwrite").parquet(s"$ix/edges")
-        anchors.write.mode("overwrite").parquet(s"$ix/anchors")
+        // size targets from known cardinalities (n ≈ nlist²): vectors
+        // are n·(dims+2 doubles), edges ≤ 2·deg·n pairs, centroids and
+        // anchors √n-scale
+        val nEst = nlist * nlist
+        writeArtifact(e, s"$ix/vectors", nEst * 660)
+        writeArtifact(c1, s"$ix/centroids", nlist * 640)
+        writeArtifact(gedges, s"$ix/edges", nEst * 2 * NswDeg * 16)
+        writeArtifact(anchors, s"$ix/anchors", nlist * NswAnchors * 16)
         nswRecallServe(s, dir,
           s.read.parquet(s"$ix/vectors"),
           s.read.parquet(s"$ix/centroids"),

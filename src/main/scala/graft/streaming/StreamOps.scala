@@ -1537,9 +1537,12 @@ object StreamOps {
           var expanded = Set.empty[Long]
           var r = 0
           while (r < rounds) {
+            // (cosr DESC, cid ASC) under Spark's DoubleType total
+            // order (NaN largest) — a plain sortBy(-c) diverges from
+            // the batch window on NaN scores (r14, ADVICE)
             val frontier = visited.iterator
               .filterNot { case (id, _) => expanded(id) }
-              .toSeq.sortBy { case (id, c) => (-c, id) }
+              .toSeq.sortWith(graft.operators.Similarity.cosrDescIdAsc)
               .take(beam).map(_._1)
             expanded ++= frontier
             val fresh = frontier.flatMap(f => ad.getOrElse(f, Array.empty[Long]))
@@ -1547,7 +1550,7 @@ object StreamOps {
             visited ++= fresh.flatMap(id => score(id).map(id -> _))
             r += 1
           }
-          visited.toSeq.sortBy { case (id, c) => (-c, id) }.take(k)
+          visited.toSeq.sortWith(graft.operators.Similarity.cosrDescIdAsc).take(k)
             .zipWithIndex.map { case ((id, c), i) => NswHit(qid, i + 1, id, c) }
         }
       }
