@@ -558,7 +558,17 @@ object CurationOps {
     Q("q116_winnow_overlap",
       (s, dir) => {
         import s.implicits._
-        val fps = winnowFps(documents(s, dir))
+        // r14 (guide §2.6): the winnow fingerprint map (md5 per
+        // 3-gram + window-min) ran serially off the single-row-group
+        // scan; spread the docs first (the q150 discipline — every
+        // consumer hangs off its own exchange anyway)
+        // r14 (guide §2.6): the winnow fingerprint map (md5 per
+        // 3-gram + window-min) ran serially off the single-row-group
+        // scan. sf0.1 is noise-band (min 1.52 -> 1.46) but the serial
+        // stage grows linearly: 10x A/B measured 6.40 -> 3.99 s min
+        // (plans/r14 logs). Spread kept on the 10x evidence.
+        val fps = winnowFps(documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism, $"doc_id"))
         val card = fps.groupBy($"doc_id").agg(count(lit(1)).as("n"))
         val rare = fps.join(
           fps.groupBy($"fp").agg(count(lit(1)).as("dfc")).filter($"dfc" <= 50), "fp")
@@ -894,7 +904,11 @@ object CurationOps {
     Q("q154_bigram_fluency",
       (s, dir) => {
         import s.implicits._
-        val bi = TextAnalysis.withToksNe(documents(s, dir))
+        // r14 (guide §2.6): the bigram explode ran serially off the
+        // single-row-group scan for BOTH its consumers (counts +
+        // probe side); spread the docs first (the q150 discipline)
+        val bi = TextAnalysis.withToksNe(documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism, $"doc_id"))
           .select($"doc_id", explode(expr(
             """CASE WHEN size(toks_ne) >= 2
                THEN transform(sequence(0, size(toks_ne) - 2),

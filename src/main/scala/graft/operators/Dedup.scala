@@ -468,7 +468,16 @@ object Dedup {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
         val k = 16
-        val base = withToks(documents(s, dir))
+        // r14 (guide §2.6, executed metrics): the deliberately
+        // recomputed window stream ran its tokenize+gram+md5 build as
+        // THREE ~0.8 s SERIAL stages off the single-row-group scan
+        // (~2.3 s of the query's 2.2 s min was serial map time).
+        // Spreading the 1.5 MB of docs by doc_id parallelizes all
+        // three consumers while keeping the recompute-over-shuffle
+        // design (the occ aggregate still partial-combines; the
+        // doc_id windows still reuse one exchange downstream).
+        val base = withToks(documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism, $"doc_id"))
         // FULL 128-bit digest, unlike q119's 16-hex idiom: q156's key
         // population is stride-1 (token-scale — 1e12 windows at
         // 100 TB), where a 64-bit key has a real birthday-collision

@@ -615,7 +615,19 @@ object RetrievalOps {
       (s, dir) => {
         import s.implicits._
         val cap = 64
-        val sfx = Dedup.withToks(documents(s, dir))
+        // r14 (guide §2.4/§2.6, executed metrics in plans/r14): the
+        // suffix explode rode the single-row-group scan — ONE task
+        // built all 270k suffix rows and shuffle-wrote the 150 MB
+        // exploded frame for the window. Hash-repartitioning the DOCS
+        // (5000 rows, ~1.5 MB) by doc_id before tokenize+explode (a)
+        // spreads the explode across the cores and (b) already
+        // satisfies the window's ClusteredDistribution(doc_id), so
+        // the exploded frame is never exchanged at all (explode
+        // before a shuffle multiplies it — guide §3.3). Deterministic
+        // key, explicit count so AQE cannot coalesce it back.
+        val docs = documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+        val sfx = Dedup.withToks(docs)
           .select($"doc_id", explode(expr(
             s"""transform(array(toks), __tk ->
                   transform(sequence(1, size(__tk)), i -> slice(__tk, i, $cap)))[0]"""))

@@ -46,6 +46,12 @@ object TextAnalysis {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val stopEn = stoplists.head._2
+    // r14 NEGATIVE RESULT (guide §2.6): spreading the docs here to
+    // parallelize the ~0.5 s serial regex/stoplist stage was measured
+    // a net LOSS for two of the three consumers (q77 0.48 → 0.75,
+    // q194 0.67 → 0.84 min; q30 noise-level) — their downstream
+    // aggregations re-pay the extra exchange more than the serial
+    // save. Left unspread on that measurement (the q66 lesson).
     withToksNe(documents(s, dir))
       .filter(length($"text") > 0 && size($"toks_ne") > 0)
       .withColumn("n_tokens", size($"toks_ne").cast(LongType))

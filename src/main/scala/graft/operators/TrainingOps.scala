@@ -152,7 +152,13 @@ object TrainingOps {
         // eliminate a repeated subexpression
         def rep(g: String): String =
           s"round(1.0d - CAST(size(array_distinct($g)) AS DOUBLE) / size($g), 6)"
-        Dedup.withToks(documents(s, dir))
+        // r14 (guide §2.6): the 2-gram/3-gram builds are interpreted
+        // (CodegenFallback transform) at ~0.6 ms/doc — 3 core-s that
+        // the single-row-group scan ran on ONE task. Spreading the
+        // 1.5 MB of docs is the q150 discipline; the final
+        // orderBy(doc_id) exchange was already there.
+        Dedup.withToks(documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism, $"doc_id"))
           // docs need >= 3 tokens to carry BOTH gram sizes
           .filter(size($"toks") >= 3)
           .withColumn("g2", expr(Dedup.gramArraySql(2)))
