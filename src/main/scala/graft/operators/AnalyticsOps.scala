@@ -258,8 +258,13 @@ object AnalyticsOps {
         import s.implicits._
         // one materialization for the three consumers (sizes + both
         // sides of the inverted-index join) — the docShingleSets
-        // pattern; without it the explode + distinct exchange runs 3x
-        val sg = Dedup.withToks(documents(s, dir))
+        // pattern; without it the explode + distinct exchange runs 3x.
+        // r14 (guide §2.6): the tokenize+3-gram explode ran ~2 core-s
+        // SERIALLY off the single-row-group scan; spread the docs
+        // first (the q150 discipline — the distinct's exchange
+        // follows regardless)
+        val sg = Dedup.withToks(documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism, $"doc_id"))
           .select($"source", explode(expr(Dedup.gramArraySql(3))).as("g"))
           .distinct()
           .localCheckpoint(true)
@@ -1373,6 +1378,11 @@ object AnalyticsOps {
         val eo = orders(s, dir)
           .join(lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
           .select($"o_custkey".as("c"), $"l_suppkey".as("sp")).distinct()
+        // r14 NEGATIVE RESULT (guide §2.6): spreading this checkpoint
+        // by src before the 3 rank iterations measured NO change
+        // (min 2.98 → 2.94 s, inside noise) — the query's cost is the
+        // per-iteration join/agg chain latency, not map parallelism.
+        // Left as-is on that measurement.
         val edges = eo.select(concat(lit("c"), $"c").as("src"), concat(lit("s"), $"sp").as("dst"))
           .union(eo.select(concat(lit("s"), $"sp").as("src"), concat(lit("c"), $"c").as("dst")))
           .localCheckpoint(true)

@@ -55,11 +55,19 @@ class RegistrySmokeSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
-  test("repetition ratios are map-only: the only exchange is the output sort (q69 plan guard)") {
+  test("repetition ratios stay aggregate-free: doc spread + output sort are the only exchanges (q69 plan guard)") {
+    // r14: the interpreted gram builds are deliberately spread across
+    // cores with a doc_id hash repartition before the map (the
+    // single-row-group scan ran them serially — OPTIMIZATION_r14.md),
+    // so the intended shape is exactly TWO exchanges: the tiny
+    // round-robin-free doc spread and the output range sort. The gram
+    // work itself must still never shuffle or aggregate.
     val plan = SparkEntry.queries("q69_repetition_ratio")(spark, dir)
       .queryExecution.executedPlan.toString
     val exchanges = "Exchange ".r.findAllIn(plan).size
-    assert(exchanges == 1, s"expected only the sort exchange, got $exchanges:\n${plan.take(1500)}")
+    assert(exchanges == 2, s"expected doc-spread + sort exchanges, got $exchanges:\n${plan.take(1500)}")
+    assert(plan.contains("hashpartitioning(doc_id"), plan.take(1500))
+    assert(plan.contains("rangepartitioning(doc_id"), plan.take(1500))
     assert(!plan.contains("HashAggregate"), plan.take(1500))
   }
 
